@@ -1,0 +1,470 @@
+"""Relational operators over engine scans — scans, predicates, limit,
+aggregation, joins, windows, set ops.
+
+In the reference these split into storage-side pushdowns (projection
+`client/table/scanner/Scan.java:48-55`, predicates
+`common/predicate/PredicateBuilder.java:84-449`, limit
+`client/table/scanner/batch/LimitBatchScanner.java:61`, count(*)
+`flink/source/FlinkTableSource.java:834-881`) and engine-delegated
+operators (joins/windows/set-ops are done by Flink/Spark, SURVEY §2.5-2.6).
+Here both layers are Catalyst: filters/projections reach the Parquet
+reader (PushedFilters/ReadSchema), joins pick broadcast for small dims,
+aggregation is whole-stage-codegen'd with map-side partial aggregation.
+
+All float outputs are rounded on BOTH sides so the DuckDB value-hash
+compares stably across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fluss_spark.registry import load, register
+
+# --------------------------------------------------------------------------
+# S3 batch scan + P1/P2/P8 projection
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s3_scan_projection",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+)
+def s3_scan_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded scan with column projection; Parquet reads only 3 columns
+    (reference: Scan.project, FileLogProjection.java:78-210 — Parquet
+    column pruning is the Spark-native equivalent)."""
+    return load(spark, sf, "part").select("p_partkey", "p_name", "p_retailprice")
+
+
+# --------------------------------------------------------------------------
+# P3 predicate AST leaves (PredicateBuilder.java:84-449) + P4/P5 pushdown
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p3_pred_compare",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount <= 0.05
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def p3_pred_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """Comparison predicates >, <=, < pushed to the Parquet scan
+    (min/max row-group skipping = Fluss batch-stats filter,
+    LogSegment.java:597-670)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 30)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "p3_pred_string",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE starts_with(p_name, 'b') OR p_name LIKE '%red%' OR p_name LIKE '%y'
+    """,
+)
+def p3_pred_string(spark: SparkSession, sf: str) -> DataFrame:
+    """StartsWith / Contains / EndsWith predicate leaves
+    (PredicateBuilder.startsWith/endsWith/contains)."""
+    p = load(spark, sf, "part")
+    return p.filter(
+        F.col("p_name").startswith("b")
+        | F.col("p_name").contains("red")
+        | F.col("p_name").endswith("y")
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "p3_pred_in_between_null",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_custkey IS NOT NULL
+    """,
+)
+def p3_pred_in_between_null(spark: SparkSession, sf: str) -> DataFrame:
+    """In / Between / IsNotNull predicate leaves (PredicateBuilder.in,
+    between :430, isNotNull)."""
+    o = load(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "p3_pred_not_in_or",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+       OR c_acctbal < 0
+    """,
+)
+def p3_pred_not_in_or(spark: SparkSession, sf: str) -> DataFrame:
+    """NotIn + Or compound predicate (PredicateBuilder.notIn/or)."""
+    c = load(spark, sf, "customer")
+    return c.filter(
+        (~F.col("c_mktsegment").isin("BUILDING", "MACHINERY")) | (F.col("c_acctbal") < 0)
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# S7 limit scan (LimitBatchScanner.java:61-104) — deterministic top-N form
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s7_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def s7_limit_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """LIMIT pushdown; made deterministic with a total order (Spark plans
+    TakeOrderedAndProject — per-partition top-N then merge, no full sort)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 count(*) pushdown (FlinkTableSource.applyAggregates)
+# --------------------------------------------------------------------------
+
+
+@register("a1_count_star", oracle="SELECT count(*) AS cnt FROM lineitem")
+def a1_count_star(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(*) without touching data columns — Spark's Parquet aggregate
+    pushdown answers it from footer metadata (reference answers from
+    TableStats, PushdownUtils.countTable)."""
+    return load(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# §2.5 engine-side aggregation (hash agg, rollup, distinct)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-style multi-aggregate — whole-stage-codegen hash agg with
+    map-side partial aggregation (one shuffle on the 2 group cols)."""
+    li = load(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup (engine-delegated in the reference, SURVEY §2.5)."""
+    li = load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (two-phase expand + agg in Spark)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L-class joins: the engine side of Fluss lookup joins (SURVEY §2.3) plus
+# general joins the reference delegates to the engine.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_star_broadcast",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_star_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Star join: fact orders against broadcast dims — no shuffle of the
+    fact table for the dim joins (equivalent role to Fluss lookup join
+    L4, FlinkLookupFunction.java:51-178, where the dim is served by KV
+    lookups; Spark-side the snapshot is small → broadcast hash join)."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — also the building block of the
+    insert-if-not-exists lookup (L3, Lookup.java:96-105)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_outer_agg",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_outer_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 windows / set ops (engine-native in our build; ordering contract =
+# per-bucket __offset order, see sources/log.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K per group via ranking window (one shuffle on the group key)."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    """,
+)
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Running aggregate over a deterministic total order — the same
+    window machinery that powers changelog replay (operators/replay.py)."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+@register(
+    "setop_except_union",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     EXCEPT
+     SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000)
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def setop_except_union(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT + UNION (distinct) set operators."""
+    c = load(spark, sf, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.exceptAll(big).union(neg).distinct()
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (conditional aggregation form so both engines name columns
+    identically)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 2).alias("qty_o"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 2).alias("qty_f"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T5 event-time windowing (batch form; streaming variant in streaming/)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t5_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum("value"), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def t5_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time window aggregation (reference leaves windows to
+    the engine — SupportsWatermarkPushDown only, FlinkTableSource.java:565)."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

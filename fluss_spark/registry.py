@@ -1,0 +1,66 @@
+"""Driver-facing query registry.
+
+Every implemented operator from SURVEY.md §2 registers here:
+  - a callable (spark, sf_dir) -> DataFrame (the Spark-native plan)
+  - optionally an equivalent ANSI-SQL oracle string for DuckDB.
+
+`__spark_entry__.py` re-exports these via queries()/oracle_sql().
+Column names are aliased identically on both sides — the driver's
+comparator hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a driver-facing query, optionally with its oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver testdata table (columnar Parquet scan; Catalyst
+    prunes columns and pushes filters down to the reader).
+
+    `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as long nanos and convert to a micros
+    timestamp (runtime conf so it works under any caller's session).
+    """
+    from pyspark.sql import functions as F
+
+    # oracle parity regardless of the caller's session: DuckDB timestamps
+    # are UTC-naive, so all timestamp arithmetic must run in UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_all_queries() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import fluss_spark.operators.relational  # noqa: F401
+    import fluss_spark.operators.engine_queries  # noqa: F401
+    import fluss_spark.operators.dedup  # noqa: F401
+    import fluss_spark.operators.text  # noqa: F401
+    import fluss_spark.operators.similarity  # noqa: F401
