@@ -1,0 +1,236 @@
+"""Bucketed append-only log store — the engine's WAL and stream.
+
+Reference semantics reproduced (not the implementation):
+  - per-bucket monotonic, contiguous `__offset` (server/log/LogTablet.java
+    assigns offsets on the single bucket leader; here the "leader" is a
+    hash-shuffle on the bucket id + a row_number window, which routes all
+    rows of one bucket to one task — the same serialization point, done
+    declaratively so it scales to any bucket count)
+  - bucket routing = hash(bucket keys) % n
+    (common/bucketing/FlussBucketingFunction.java:27-45; we use Spark's
+    Murmur3 `hash()` — stability within this engine is what matters)
+  - sticky assignment for keyless appends
+    (client/write/StickyBucketAssigner.java:35): spark_partition_id % n
+    keeps each writer task on one bucket per batch
+  - `__timestamp` = commit time (TableDescriptor.java:60)
+  - commit protocol: write data files under log/commit=V/, then advance
+    meta/CURRENT atomically; readers filter commit <= CURRENT so a
+    crashed half-written commit is invisible (SURVEY §7 "what's hard").
+
+Layout: <table>/log/commit=<V>/[<part>=<v>/]__bucket=<b>/*.parquet
+Parquet row-group min/max stats on `__offset`/`__timestamp` give free
+offset-range and timestamp time-travel pruning at scan time.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fluss_spark.catalog import Catalog, CommitState
+from fluss_spark.types import (
+    BUCKET_COL,
+    CHANGE_TYPE_COL,
+    OFFSET_COL,
+    TIMESTAMP_COL,
+    TableSchema,
+)
+
+COMMIT_DIR_COL = "__commit"
+
+
+# system-column types admissible via `extra_cols`
+_EXTRA_TYPES = {
+    CHANGE_TYPE_COL: "string",
+    "__seq": "long",
+    "__sub": "int",
+}
+
+
+class LogStore:
+    def __init__(self, catalog: Catalog, db: str, table: str):
+        self.catalog = catalog
+        self.db = db
+        self.table = table
+        self.schema = catalog.get_schema(db, table)
+        self.log_dir = os.path.join(catalog.table_dir(db, table), "log")
+
+    def file_schema(self, with_commit_col: bool = False):
+        """Explicit read schema for log files (no inference — empty
+        commits and type drift are non-issues)."""
+        from pyspark.sql import types as T
+
+        fields = list(self.schema.to_struct_type().fields)
+        if self.schema.is_pk_table:
+            fields.append(T.StructField(CHANGE_TYPE_COL, T.StringType(), False))
+            fields.append(T.StructField("__seq", T.LongType(), True))
+            fields.append(T.StructField("__sub", T.IntegerType(), True))
+        fields += [
+            T.StructField(BUCKET_COL, T.IntegerType(), True),
+            T.StructField(OFFSET_COL, T.LongType(), True),
+            T.StructField(TIMESTAMP_COL, T.TimestampType(), True),
+        ]
+        if with_commit_col:
+            fields.append(T.StructField(COMMIT_DIR_COL, T.IntegerType(), True))
+        return T.StructType(fields)
+
+    # ------------------------------------------------------------------ #
+    # append (S1)
+    # ------------------------------------------------------------------ #
+    def append(
+        self,
+        df: DataFrame,
+        ordering: list[str] | None = None,
+        extra_cols: list[str] | None = None,
+        commit_ts_ms: int | None = None,
+        defer_commit: bool = False,
+    ) -> CommitState:
+        """Append a batch; assigns __bucket/__offset/__timestamp and
+        commits atomically. `ordering` fixes intra-batch offset order
+        (deterministic replay); default is arrival order per partition.
+        `extra_cols` admits system columns (e.g. _change_type for PK-table
+        WALs) beyond the user schema. With `defer_commit`, files are
+        written and the new CommitState returned but meta/CURRENT is NOT
+        advanced — the caller commits after adding more to the same
+        version (PK upsert bundles WAL + snapshot into one commit).
+        """
+        schema = self.schema
+        state = self.catalog.current_commit(self.db, self.table)
+        version = state.version + 1
+        ts_ms = commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
+
+        cols = schema.data_columns() + (extra_cols or [])
+        keep = cols + [c for c in (ordering or []) if c not in cols]
+        out = df.select(*keep)
+
+        # bucket routing (W1/W2)
+        n = schema.num_buckets
+        if BUCKET_COL in (extra_cols or []):
+            pass  # caller pre-routed (e.g. replay keeps pk-bucket alignment)
+        elif schema.bucket_keys:
+            out = out.withColumn(
+                BUCKET_COL, F.pmod(F.hash(*schema.bucket_keys), F.lit(n)).cast("int")
+            )
+        else:
+            out = out.withColumn(
+                BUCKET_COL, (F.spark_partition_id() % F.lit(n)).cast("int")
+            )
+
+        # per-bucket offset assignment (W3): one window = the bucket leader
+        order_cols = [F.col(c) for c in ordering] if ordering else [F.monotonically_increasing_id()]
+        w = Window.partitionBy(BUCKET_COL).orderBy(*order_cols)
+        base = {int(b): off for b, off in state.log_hwm.items()}
+        base_expr = F.coalesce(
+            *[F.when(F.col(BUCKET_COL) == b, F.lit(off)) for b, off in base.items()],
+            F.lit(0),
+        ) if base else F.lit(0)
+        out = out.withColumn(OFFSET_COL, (F.row_number().over(w) - 1 + base_expr).cast("long"))
+        out = out.withColumn(TIMESTAMP_COL, F.timestamp_millis(F.lit(ts_ms)))
+        final_cols = [c for c in cols if c not in (BUCKET_COL, OFFSET_COL, TIMESTAMP_COL)]
+        out = out.select(*final_cols, BUCKET_COL, OFFSET_COL, TIMESTAMP_COL)  # drop ordering-only
+
+        commit_path = os.path.join(self.log_dir, f"{COMMIT_DIR_COL}={version}")
+        part_cols = list(schema.partition_keys) + [BUCKET_COL]
+        (
+            out.repartition(min(n, 32), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(commit_path)
+        )
+
+        # new high watermarks from the files just written (also validates)
+        spark = df.sparkSession
+        written = spark.read.schema(self.file_schema()).parquet(commit_path)
+        hwm_rows = written.groupBy(BUCKET_COL).agg(F.max(OFFSET_COL).alias("mx")).collect()
+        hwm = dict(state.log_hwm)
+        for r in hwm_rows:
+            hwm[str(r[BUCKET_COL])] = int(r["mx"]) + 1
+
+        new_state = CommitState(
+            version=version,
+            log_hwm=hwm,
+            snapshot_version=state.snapshot_version,
+            auto_increment=state.auto_increment,
+            ts_ms=ts_ms,
+        )
+        if not defer_commit:
+            self.catalog.commit(self.db, self.table, new_state)
+        return new_state
+
+    # ------------------------------------------------------------------ #
+    # scan (S2/S3/S8)
+    # ------------------------------------------------------------------ #
+    def scan(
+        self,
+        spark: SparkSession,
+        start_offsets: dict[int, int] | None = None,
+        end_offsets: dict[int, int] | None = None,
+        as_of_commit: int | None = None,
+    ) -> DataFrame:
+        """Full or offset-bounded log scan with system columns
+        (__bucket, __offset, __timestamp[, _change_type]).
+
+        Uncommitted data is fenced by `__commit <= CURRENT` (partition-dir
+        pruning, no file reads). Offset bounds prune via Parquet row-group
+        stats on __offset.
+        """
+        state = self.catalog.current_commit(self.db, self.table)
+        current = as_of_commit if as_of_commit is not None else state.version
+        if not any(e.name.startswith(f"{COMMIT_DIR_COL}=") for e in os.scandir(self.log_dir)):
+            return self._empty_scan(spark)
+        df = (
+            spark.read.schema(self.file_schema(with_commit_col=True))
+            .option("basePath", self.log_dir)
+            .parquet(self.log_dir)
+        )
+        df = df.filter(F.col(COMMIT_DIR_COL) <= current)
+        if start_offsets:
+            cond = F.lit(False)
+            for b, off in start_offsets.items():
+                cond = cond | ((F.col(BUCKET_COL) == b) & (F.col(OFFSET_COL) >= off))
+            df = df.filter(cond)
+        if end_offsets:
+            cond = F.lit(True)
+            for b, off in end_offsets.items():
+                cond = cond & ((F.col(BUCKET_COL) != b) | (F.col(OFFSET_COL) < off))
+            df = df.filter(cond)
+        return df.drop(COMMIT_DIR_COL)
+
+    def _empty_scan(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], self.file_schema())
+
+    # ------------------------------------------------------------------ #
+    # offsets admin (S8: OffsetSpec EARLIEST/LATEST/TIMESTAMP)
+    # ------------------------------------------------------------------ #
+    def latest_offsets(self) -> dict[int, int]:
+        state = self.catalog.current_commit(self.db, self.table)
+        return {int(b): off for b, off in state.log_hwm.items()}
+
+    def earliest_offsets(self) -> dict[int, int]:
+        # becomes non-zero once TTL/retention trims the log head
+        return {b: 0 for b in self.latest_offsets()}
+
+    def offsets_for_timestamp(self, spark: SparkSession, ts_ms: int) -> dict[int, int]:
+        """First offset per bucket with __timestamp >= ts (TimeIndex lookup
+        in the reference; here a stats-pruned min() aggregation)."""
+        df = self.scan(spark)
+        rows = (
+            df.filter(F.col(TIMESTAMP_COL) >= F.timestamp_millis(F.lit(ts_ms)))
+            .groupBy(BUCKET_COL)
+            .agg(F.min(OFFSET_COL).alias("mn"))
+            .collect()
+        )
+        out = self.latest_offsets()  # buckets with no newer data -> read from end
+        for r in rows:
+            out[int(r[BUCKET_COL])] = int(r["mn"])
+        return out
+
+    def count_from_metadata(self) -> int:
+        """A1: count(*) served from commit metadata — no file reads
+        (PushdownUtils.countTable equivalent). Only valid for log tables
+        without deletes/TTL-trimmed heads."""
+        return sum(self.latest_offsets().values())

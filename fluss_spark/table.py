@@ -1,0 +1,150 @@
+"""Table facade — the engine's public API.
+
+Mirrors the reference client surface
+(fluss-client/.../client/table/Table.java:39-75: newScan / newLookup /
+newAppend / newUpsert) plus the connector-level row-level ops
+(flink/sink/FlinkTableSink.java:68-74 SupportsRowLevelDelete/Update).
+Each method returns a lazy DataFrame plan or runs one atomic commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_spark.catalog import Catalog, CommitState
+from fluss_spark.operators.replay import OP_COL
+from fluss_spark.sources.kv import KvStore
+from fluss_spark.sources.log import LogStore
+from fluss_spark.types import (
+    BUCKET_COL,
+    OFFSET_COL,
+    TIMESTAMP_COL,
+    TableSchema,
+)
+
+
+class FlussTable:
+    def __init__(self, catalog: Catalog, db: str, name: str):
+        self.catalog = catalog
+        self.db = db
+        self.name = name
+        self.schema = catalog.get_schema(db, name)
+        self.log = LogStore(catalog, db, name)
+        self.kv = KvStore(catalog, db, name) if self.schema.is_pk_table else None
+
+    # -- writes -----------------------------------------------------------
+    def append(self, df: DataFrame, ordering: list[str] | None = None, **kw) -> CommitState:
+        """Log append (S1) — requires a log table (Table.java:66-69)."""
+        if self.schema.is_pk_table:
+            raise ValueError("append requires a Log Table; use upsert for PK tables")
+        return self.log.append(df, ordering=ordering, **kw)
+
+    def upsert(self, df: DataFrame, **kw) -> CommitState:
+        """Upsert/delete transaction (M1-M9) — requires a PK table
+        (Table.java:71-74)."""
+        if self.kv is None:
+            raise ValueError("upsert requires a Primary Key Table")
+        return self.kv.upsert(df, **kw)
+
+    def delete(self, df: DataFrame, **kw) -> CommitState:
+        """Delete by key rows (M2)."""
+        if self.kv is None:
+            raise ValueError("delete requires a Primary Key Table")
+        return self.kv.upsert(df.withColumn(OP_COL, F.lit("D")), **kw)
+
+    def delete_where(self, spark: SparkSession, cond, **kw) -> CommitState:
+        """Row-level DELETE pushdown (PushdownUtils.deleteSingleRow
+        generalized): filter the snapshot, delete those keys."""
+        keys = self.snapshot(spark).filter(cond)
+        return self.delete(keys, **kw)
+
+    def update_where(self, spark: SparkSession, cond, assignments: dict[str, object], **kw) -> CommitState:
+        """Row-level UPDATE (SupportsRowLevelUpdate): read-modify-write
+        as one upsert batch."""
+        batch = self.snapshot(spark).filter(cond)
+        for c, expr in assignments.items():
+            batch = batch.withColumn(c, expr if hasattr(expr, "_jc") or hasattr(expr, "_expr") else F.lit(expr))
+        return self.upsert(batch, **kw)
+
+    # -- reads ------------------------------------------------------------
+    def scan(
+        self,
+        spark: SparkSession,
+        start_offsets: dict[int, int] | None = None,
+        end_offsets: dict[int, int] | None = None,
+    ) -> DataFrame:
+        """Log scan (S2/S3) with __bucket/__offset/__timestamp; on PK
+        tables this is the changelog stream. Projection/filter/limit are
+        plain DataFrame ops — Catalyst pushes them into the Parquet scan."""
+        return self.log.scan(spark, start_offsets=start_offsets, end_offsets=end_offsets)
+
+    def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Latest (or time-travel) materialized state. For log tables the
+        log itself is the state."""
+        if self.kv is not None:
+            return self.kv.snapshot(spark, version=version)
+        return self.log.scan(spark).drop(BUCKET_COL, OFFSET_COL, TIMESTAMP_COL)
+
+    def changelog(self, spark: SparkSession, start_offsets: dict[int, int] | None = None) -> DataFrame:
+        """$changelog virtual table (T9)."""
+        if self.kv is None:
+            # log tables: append-only stream, change type is always +A
+            from fluss_spark.types import APPEND_ONLY, COMMIT_TS_COL, LOG_OFFSET_COL
+
+            df = self.log.scan(spark, start_offsets=start_offsets)
+            return df.select(
+                *self.schema.data_columns(),
+                F.lit(APPEND_ONLY).alias("_change_type"),
+                F.col(OFFSET_COL).alias(LOG_OFFSET_COL),
+                F.col(TIMESTAMP_COL).alias(COMMIT_TS_COL),
+                F.col(BUCKET_COL),
+            )
+        return self.kv.changelog(spark, start_offsets=start_offsets)
+
+    def binlog(self, spark: SparkSession) -> DataFrame:
+        """$binlog virtual table (T9, PK tables only)."""
+        if self.kv is None:
+            raise ValueError("$binlog requires a Primary Key Table")
+        return self.kv.binlog(spark)
+
+    def lookup(self, spark: SparkSession, key: dict[str, object]) -> DataFrame:
+        """Primary-key point lookup (L1)."""
+        if self.kv is None:
+            raise ValueError("lookup requires a Primary Key Table")
+        return self.kv.lookup(spark, key)
+
+    def prefix_lookup(self, spark: SparkSession, key: dict[str, object]) -> DataFrame:
+        """Bucket-key prefix lookup (L2)."""
+        if self.kv is None:
+            raise ValueError("prefix lookup requires a Primary Key Table")
+        return self.kv.prefix_lookup(spark, key)
+
+    def limit_scan(self, spark: SparkSession, n: int) -> DataFrame:
+        """Limit scan (S7): first n rows in log order."""
+        return self.scan(spark).orderBy(BUCKET_COL, OFFSET_COL).limit(n)
+
+    def count(self) -> int:
+        """count(*) from commit metadata, no file reads (A1)."""
+        if self.kv is not None:
+            raise ValueError("metadata count is only exact for log tables")
+        return self.log.count_from_metadata()
+
+    # -- offsets (S8) ------------------------------------------------------
+    def latest_offsets(self) -> dict[int, int]:
+        return self.log.latest_offsets()
+
+    def earliest_offsets(self) -> dict[int, int]:
+        return self.log.earliest_offsets()
+
+    def offsets_for_timestamp(self, spark: SparkSession, ts_ms: int) -> dict[int, int]:
+        return self.log.offsets_for_timestamp(spark, ts_ms)
+
+
+def create_table(
+    catalog: Catalog, db: str, name: str, schema: TableSchema, if_not_exists: bool = False
+) -> FlussTable:
+    if if_not_exists and catalog.table_exists(db, name):
+        return FlussTable(catalog, db, name)
+    catalog.create_table(db, name, schema)
+    return FlussTable(catalog, db, name)
