@@ -1,1 +1,313 @@
-"""Placeholder — filled in by a later milestone this round."""
+"""Driver-facing queries that exercise the TABLE ENGINE itself:
+events are replayed through real engine tables (create → upsert →
+scan/lookup/changelog) and the result is oracle-checked against SQL
+window functions over the same raw events.
+
+This is the correctness gate for SURVEY §2.4 (upsert/merge/changelog),
+§2.3 (lookups), S5/S6 (hybrid snapshot+log), and P6 (partition pruning):
+the oracle recomputes what the merge engine must converge to.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_spark.catalog import Catalog
+from fluss_spark.registry import load, register
+from fluss_spark.table import FlussTable, create_table
+from fluss_spark.types import Field, TableSchema
+
+# one engine build per (variant, sf_dir) per process — queries share it
+_CACHE: dict[tuple[str, str], tuple[Catalog, str]] = {}
+_TMPDIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup() -> None:
+    for d in _TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_batch(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
+
+
+def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
+    key = (variant, sf)
+    if key in _CACHE:
+        cat, name = _CACHE[key]
+        return FlussTable(cat, "db", name)
+    wh = tempfile.mkdtemp(prefix=f"fluss_eq_{variant}_")
+    _TMPDIRS.append(wh)
+    cat = Catalog(wh)
+    ev = _events_batch(spark, sf)
+
+    if variant == "default":
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        # two batches -> exercises the cross-commit snapshot seed
+        half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+    elif variant == "first_row":
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+            properties={"table.merge-engine": "first_row"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        t.upsert(ev, ordering=["event_id"])
+    elif variant == "versioned":
+        schema = TableSchema(
+            fields=[
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+                Field("ver", "BIGINT"),
+            ],
+            primary_key=["user_id"],
+            num_buckets=8,
+            properties={
+                "table.merge-engine": "versioned",
+                "table.merge-engine.versioned.ver-column": "ver",
+            },
+        )
+        t = create_table(cat, "db", variant, schema)
+        t.upsert(ev.withColumn("ver", F.col("event_id") % 97), ordering=["event_id"])
+    elif variant == "aggregation":
+        schema = TableSchema(
+            fields=[
+                Field("user_id", "BIGINT"),
+                Field("sum_value", "DOUBLE", agg="sum"),
+                Field("max_value", "DOUBLE", agg="max"),
+                Field("min_value", "DOUBLE", agg="min"),
+                Field("first_type", "STRING", agg="first_value"),
+                Field("last_type", "STRING", agg="last_value"),
+                Field("n_events", "BIGINT", agg="sum"),
+            ],
+            primary_key=["user_id"],
+            num_buckets=8,
+            properties={"table.merge-engine": "aggregation"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        batch = ev.select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("sum_value"),
+            F.col("value").alias("max_value"),
+            F.col("value").alias("min_value"),
+            F.col("event_type").alias("first_type"),
+            F.col("event_type").alias("last_type"),
+            F.lit(1).cast("bigint").alias("n_events"),
+        )
+        t.upsert(batch, ordering=["event_id"])
+    elif variant == "part_log":
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT"),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            partition_keys=["event_type"],
+            num_buckets=4,
+        )
+        t = create_table(cat, "db", variant, schema)
+        t.append(ev, ordering=["event_id"])
+    else:
+        raise ValueError(variant)
+    _CACHE[key] = (cat, variant)
+    return t
+
+
+# the oracle's view of "state per key after replaying events in order"
+_LAST_PER_USER = """
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""
+
+
+@register("m4_default_merge_snapshot", oracle=_LAST_PER_USER)
+def m4_default_merge_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Default (last-write-wins) merge engine: snapshot after replaying
+    all events by pk=user_id across two commits
+    (server/kv/rowmerger/DefaultRowMerger.java)."""
+    t = _build(spark, sf, "default")
+    return t.snapshot(spark).select("user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@register(
+    "m1_changelog_emission",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, round(value, 2) AS value,
+             row_number() OVER w AS rn,
+             lag(event_type) OVER w AS p_type,
+             round(lag(value) OVER w, 2) AS p_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id, event_type, value, '+I' AS _change_type, rn AS __seq, 0 AS __sub
+    FROM e WHERE rn = 1
+    UNION ALL
+    SELECT user_id, p_type AS event_type, p_value AS value, '-U', rn, 0 FROM e WHERE rn > 1
+    UNION ALL
+    SELECT user_id, event_type, value, '+U', rn, 1 FROM e WHERE rn > 1
+    """,
+)
+def m1_changelog_emission(spark: SparkSession, sf: str) -> DataFrame:
+    """The full CDC changelog produced by the upsert transaction
+    (KvTablet.putAsLeader WAL emission, KvTablet.java:755-792): exact
+    +I / -U / +U sequence per key, checked event-by-event against a
+    LAG-window oracle."""
+    from pyspark.sql.window import Window
+
+    t = _build(spark, sf, "default")
+    # per-key change index reconstructed from WAL order: the event stream
+    # per key is +I, (-U,+U), (-U,+U), ... so position p maps to
+    # upsert-number rn=(p+2)//2 (rn=1 for +I) and sub=1 on the +U half
+    w = Window.partitionBy("user_id").orderBy("__offset")
+    p = F.row_number().over(w)
+    return (
+        t.log.scan(spark)
+        .withColumn("__p", p)
+        .select(
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            "_change_type",
+            F.when(F.col("__p") == 1, F.lit(1))
+            .otherwise(F.floor((F.col("__p") + 2) / 2))
+            .cast("long")
+            .alias("__seq"),
+            F.when((F.col("__p") > 1) & (F.col("__p") % 2 == 1), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("__sub"),
+        )
+    )
+
+
+@register(
+    "m5_first_row_snapshot",
+    oracle="""
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+    """,
+)
+def m5_first_row_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """FIRST_ROW merge engine (FirstRowRowMerger.java): first write per
+    key wins, insert-only changelog."""
+    t = _build(spark, sf, "first_row")
+    return t.snapshot(spark).select("user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@register(
+    "m6_versioned_snapshot",
+    oracle="""
+    SELECT user_id, event_type, round(value, 2) AS value, ver
+    FROM (SELECT *, event_id % 97 AS ver FROM events)
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ver DESC, event_id DESC) = 1
+    """,
+)
+def m6_versioned_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """VERSIONED merge engine (VersionedRowMerger.java:68-110): max
+    version wins, ties -> newest write, null = -inf."""
+    t = _build(spark, sf, "versioned")
+    return t.snapshot(spark).select(
+        "user_id", "event_type", F.round("value", 2).alias("value"), "ver"
+    )
+
+
+@register(
+    "m7_aggregation_snapshot",
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 2) AS sum_value,
+           round(max(value), 2) AS max_value,
+           round(min(value), 2) AS min_value,
+           first(event_type ORDER BY event_id) AS first_type,
+           last(event_type ORDER BY event_id) AS last_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def m7_aggregation_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """AGGREGATION merge engine (AggregateRowMerger.java + field
+    aggregators): per-column running aggregates folded at write time."""
+    t = _build(spark, sf, "aggregation")
+    s = t.snapshot(spark)
+    return s.select(
+        "user_id",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round("min_value", 2).alias("min_value"),
+        "first_type",
+        "last_type",
+        "n_events",
+    )
+
+
+@register(
+    "l1_pk_lookup",
+    oracle=f"SELECT user_id, event_type, round(value,2) AS value FROM ({_LAST_PER_USER}) WHERE user_id = 7",
+)
+def l1_pk_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Primary-key point lookup (L1, PrimaryKeyLookuper.java): bucket
+    filter folds to a constant -> one partition dir + row-group stats."""
+    t = _build(spark, sf, "default")
+    return t.lookup(spark, {"user_id": 7}).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register("s6_hybrid_snapshot_log", oracle=_LAST_PER_USER)
+def s6_hybrid_snapshot_log(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid snapshot+log read (S5/S6, KvSnapshotAndLogBatchScanner /
+    SortMergeReader): start from the FIRST commit's snapshot, merge the
+    changelog tail on top — 'change log wins over the snapshot'. Must
+    equal the current state."""
+    t = _build(spark, sf, "default")
+    history = t.catalog.commit_history("db", "default")
+    first_commit = next(s for s in history if s.snapshot_version >= 0)
+    old = t.kv.snapshot(spark, version=first_commit.snapshot_version)
+    start = {int(b): off for b, off in first_commit.log_hwm.items()}
+    tail = t.log.scan(spark, start_offsets=start)
+    merged = t.kv._state_from_changelog(tail)
+    touched = tail.select("user_id").distinct()
+    result = old.join(touched, "user_id", "left_anti").unionByName(merged)
+    return result.select("user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@register(
+    "p6_partition_pruned_scan",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def p6_partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition pruning (P6, PartitionPredicateVisitor): the engine
+    table is Hive-partitioned by event_type; the filter prunes to one
+    partition directory before any file IO."""
+    t = _build(spark, sf, "part_log")
+    return (
+        t.scan(spark)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
