@@ -1,1 +1,162 @@
-"""Placeholder — filled in by a later milestone this round."""
+"""Text-analysis operators for training-data pipelines over the
+`documents` table: token counting, quality scoring, language ID,
+document fingerprinting.
+
+These extend the engine beyond the reference's storage operators
+(SURVEY §2 note: large-scale pipeline ops are first-class here). All
+computation is JVM-side built-ins (regexp/array functions) — no Python
+UDFs — and every formula is mirrored exactly in the DuckDB oracle.
+
+Token convention shared by text/dedup operators:
+    tokens(text) = split(lower(trim(text)), /\\s+/), empty text -> [].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_spark.registry import load, register
+
+# shared SQL fragment (DuckDB side) for the token array
+_SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+@register(
+    "tx_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def tx_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token count per document (vectorized split, no UDF)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(tokens(F.col("text"))))
+        .alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "tx_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END AS n_tok,
+             length(text) AS n,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             CASE WHEN trim(text)='' THEN 0
+                  ELSE len(list_filter({_SQL_TOKENS}, t -> length(t) <= 2)) END AS n_short
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             0.4 * (CASE WHEN n=0 THEN 0 ELSE n_alpha::DOUBLE / n END)
+           + 0.3 * least(1.0, n_tok / 100.0)
+           + 0.3 * (CASE WHEN n_tok=0 THEN 0 ELSE 1.0 - n_short::DOUBLE / n_tok END),
+           4) AS quality
+    FROM t
+    """,
+)
+def tx_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality score: alphabetic-character ratio, length
+    saturation, short-token penalty — the standard cheap pre-filters a
+    100 TB corpus pass runs before expensive model scoring."""
+    d = load(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(tok))
+    n = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_short = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.filter(tok, lambda t: F.length(t) <= 2))
+    )
+    quality = (
+        0.4 * F.when(n == 0, F.lit(0.0)).otherwise(n_alpha.cast("double") / n)
+        + 0.3 * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + 0.3
+        * F.when(n_tok == 0, F.lit(0.0)).otherwise(1.0 - n_short.cast("double") / n_tok)
+    )
+    return d.select("doc_id", F.round(quality, 4).alias("quality"))
+
+
+# tiny deterministic stopword lists; priority order breaks ties
+_STOPWORDS = [
+    ("en", ["the", "a", "and", "of", "to", "is", "in"]),
+    ("es", ["el", "la", "de", "y", "que", "los", "una"]),
+    ("de", ["der", "die", "und", "das", "ist", "ein", "nicht"]),
+    ("fr", ["le", "la", "et", "les", "des", "un", "une"]),
+]
+
+
+@register(
+    "tx_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, lang,
+        {", ".join(
+            f"len(list_filter(toks, t -> list_contains({words!r}, t))) AS c_{code}"
+            for code, words in _STOPWORDS
+        )}
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+             WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+             WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+             WHEN c_fr > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS predicted
+    FROM c
+    """,
+)
+def tx_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram/stopword language ID heuristic: count stopword hits per
+    candidate language, argmax with fixed priority tiebreak."""
+    d = load(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    def _hits(words: list[str]):
+        return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+    counts = {code: _hits(words) for code, words in _STOPWORDS}
+    c_en, c_es, c_de, c_fr = counts["en"], counts["es"], counts["de"], counts["fr"]
+    predicted = (
+        F.when((c_en >= c_es) & (c_en >= c_de) & (c_en >= c_fr) & (c_en > 0), F.lit("en"))
+        .when((c_es >= c_de) & (c_es >= c_fr) & (c_es > 0), F.lit("es"))
+        .when((c_de >= c_fr) & (c_de > 0), F.lit("de"))
+        .when(c_fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.select("doc_id", "lang", predicted.alias("predicted"))
+
+
+@register(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key (dedup.py builds on it)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")
+        ).alias("fingerprint"),
+    )

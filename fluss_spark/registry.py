@@ -57,6 +57,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """load() + spread across cores. The test tables are single-row-group
+    parquet files (one input partition); operators that do heavy per-row
+    compute (shingling, hashing, pairwise joins) need the rows spread
+    BEFORE the compute. At corpus scale the file count provides this
+    parallelism and the repartition is a no-op to remove."""
+    n = spark.sparkContext.defaultParallelism
+    return load(spark, sf_dir, table).repartition(n)
+
+
 def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
     import fluss_spark.operators.relational  # noqa: F401
