@@ -1,0 +1,178 @@
+"""Streaming tests (T1-T7): startup modes, per-bucket offset resume,
+hybrid snapshot+log handoff, exactly-once sink idempotence, watermarked
+windowed aggregation over the native file stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_spark.catalog import Catalog
+from fluss_spark.streaming.reader import LogStreamReader, read_stream
+from fluss_spark.streaming.sink import append_sink, to_upsert_view, upsert_sink
+from fluss_spark.table import create_table
+from fluss_spark.types import Field, TableSchema
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def _log_schema():
+    return TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=3)
+
+
+def test_micro_batch_poll_and_resume(spark, catalog, tmp_path):
+    t = create_table(catalog, "db", "s_log", _log_schema())
+    ckpt = str(tmp_path / "ckpt")
+    reader = LogStreamReader(t, spark, checkpoint_dir=ckpt, startup_mode="earliest")
+
+    seen: list[tuple[int, int]] = []
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string"), ordering=["a"])
+    assert reader.process_available(lambda df, bid: seen.append((bid, df.count()))) == 1
+    t.append(spark.createDataFrame([(3, "z")], "a int, b string"), ordering=["a"])
+    t.append(spark.createDataFrame([(4, "w")], "a int, b string"), ordering=["a"])
+    assert reader.process_available(lambda df, bid: seen.append((bid, df.count()))) == 1
+    assert seen == [(0, 2), (1, 2)]  # second poll covers both commits
+
+    # resume from checkpoint in a new reader: nothing new
+    reader2 = LogStreamReader(t, spark, checkpoint_dir=ckpt)
+    assert reader2.process_available(lambda df, bid: seen.append((bid, df.count()))) == 0
+    t.append(spark.createDataFrame([(5, "v")], "a int, b string"), ordering=["a"])
+    assert reader2.process_available(lambda df, bid: seen.append((bid, df.count()))) == 1
+    assert seen[-1] == (2, 1)
+
+
+def test_startup_modes(spark, catalog):
+    t = create_table(catalog, "db", "s_modes", _log_schema())
+    t.append(spark.createDataFrame([(1, "old")], "a int, b string"), commit_ts_ms=1000)
+    t.append(spark.createDataFrame([(2, "mid")], "a int, b string"), commit_ts_ms=2000)
+
+    counts = {}
+    for mode, ts in [("earliest", None), ("latest", None), ("timestamp", 1500)]:
+        r = LogStreamReader(t, spark, startup_mode=mode, startup_timestamp_ms=ts)
+        total = []
+        r.process_available(lambda df, bid: total.append(df.count()))
+        counts[mode] = sum(total)
+    assert counts["earliest"] == 2
+    assert counts["latest"] == 0
+    assert counts["timestamp"] == 1  # only the ts>=1500 commit
+
+    # latest mode sees post-subscription appends
+    r = LogStreamReader(t, spark, startup_mode="latest")
+    r.process_available(lambda df, bid: None)
+    t.append(spark.createDataFrame([(3, "new")], "a int, b string"))
+    got = []
+    r.process_available(lambda df, bid: got.append(df.count()))
+    assert sum(got) == 1
+
+
+def test_hybrid_snapshot_then_log(spark, catalog):
+    schema = TableSchema(
+        fields=[Field("k", "INT", nullable=False), Field("v", "STRING")],
+        primary_key=["k"],
+        num_buckets=2,
+    )
+    t = create_table(catalog, "db", "s_pk", schema)
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+
+    r = LogStreamReader(t, spark, startup_mode="full")
+    batches = []
+    r.process_available(lambda df, bid: batches.append((bid, sorted(map(tuple, df.select("k", "v", "_change_type").collect())))))
+    # batch 0 = snapshot as +I rows; no log tail yet
+    assert batches == [(0, [(1, "a", "+I"), (2, "b", "+I")])]
+
+    # subsequent upsert arrives as changelog
+    t.upsert(spark.createDataFrame([(1, "a2")], "k int, v string"))
+    r.process_available(lambda df, bid: batches.append((bid, sorted(map(tuple, df.select("k", "v", "_change_type").collect())))))
+    assert batches[1] == (1, [(1, "a", "-U"), (1, "a2", "+U")])
+
+
+def test_sink_idempotence(spark, catalog):
+    t = create_table(catalog, "db", "s_sink", _log_schema())
+    sink = append_sink(t, "job1", ordering=["a"])
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    sink(df, 0)
+    sink(df, 0)  # replayed epoch must be a no-op
+    sink(df, 1)
+    assert t.scan(spark).count() == 2
+
+
+def test_stream_pipeline_log_to_pk(spark, catalog):
+    """events chunks -> log table -> micro-batch reader -> upsert sink ->
+    PK snapshot equals batch last-per-key (the upsert view invariant)."""
+    from fluss_spark.registry import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", F.col("event_type").alias("et")
+    ).limit(300)
+    src = create_table(
+        catalog, "db", "s_src",
+        TableSchema(fields=[Field("event_id", "BIGINT"), Field("user_id", "BIGINT"), Field("et", "STRING")], num_buckets=2),
+    )
+    dst = create_table(
+        catalog, "db", "s_dst",
+        TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("et", "STRING"), Field("event_id", "BIGINT")],
+            primary_key=["user_id"], num_buckets=2,
+        ),
+    )
+    reader = LogStreamReader(src, spark, startup_mode="earliest")
+    sink = upsert_sink(dst, "replicate", ordering=["event_id"])
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        src.append(ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)), ordering=["event_id"])
+        reader.process_available(sink)
+
+    expected = (
+        ev.withColumn("rn", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        )).filter("rn = 1").select("user_id", "et", "event_id")
+    )
+    got = dst.snapshot(spark).select("user_id", "et", "event_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # consumer-side upsert view over the changelog agrees with the snapshot
+    uv = to_upsert_view(dst.changelog(spark), ["user_id"]).select("user_id", "et", "event_id")
+    assert sorted(map(tuple, uv.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_native_stream_windowed_agg(spark, catalog, tmp_path):
+    """T5: watermark + tumbling window over the native file stream,
+    availableNow trigger, compared against the batch equivalent."""
+    t = create_table(
+        catalog, "db", "s_win",
+        TableSchema(fields=[Field("event_id", "BIGINT"), Field("ts", "TIMESTAMP_LTZ"), Field("value", "DOUBLE")], num_buckets=2),
+    )
+    from fluss_spark.registry import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("event_id", "ts", "value").limit(500)
+    t.append(ev, ordering=["event_id"])
+
+    sdf = read_stream(t, spark)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("window.start").alias("h"), "n", "sv")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM win_out").collect()))
+    expected = sorted(
+        map(
+            tuple,
+            t.scan(spark)
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .select(F.col("window.start").alias("h"), "n", "sv")
+            .collect(),
+        )
+    )
+    assert got == expected
