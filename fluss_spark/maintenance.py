@@ -1,0 +1,198 @@
+"""Maintenance jobs: log compaction/tiering, TTL retention, partition
+lifecycle, snapshot cleanup.
+
+Reference counterparts:
+  - T10 tiering service (flink/tiering/, fluss-lake/*): background job
+    moves many small log files into large sorted lake files. Here the
+    log IS Parquet already, so compaction = rewrite many small commit
+    files into one large file per bucket, preserving offsets.
+  - W5 TTL (`table.log.ttl`, ConfigOptions.java:1814-1822): expired log
+    segments are deleted and become unreadable.
+  - W4 auto-partitioning (ConfigOptions.java:1726-1812,
+    server/coordinator auto-partition manager): time-based partition
+    pre-create and retention.
+
+All jobs are plain DataFrame rewrites + one atomic commit; readers see
+either the old or the new file set, never both.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from fluss_spark.catalog import Catalog, CommitState
+from fluss_spark.sources.log import COMMIT_DIR_COL, LogStore
+from fluss_spark.table import FlussTable
+from fluss_spark.types import BUCKET_COL, OFFSET_COL, TIMESTAMP_COL
+
+
+def compact_log(table: FlussTable, spark: SparkSession, target_commits: int = 8) -> int:
+    """Rewrite all committed log files into one compacted commit dir
+    (sorted by bucket/offset -> large row groups, better stats pruning).
+    Skips when the log has fewer than `target_commits` commit dirs.
+    Returns the number of commit dirs compacted away.
+
+    Offsets/timestamps are preserved verbatim, so scans, time travel and
+    changelog replay are unaffected — only the file layout changes
+    (the reference's tiering keeps log offsets in lake files the same
+    way, fluss-lake/.../tiering/)."""
+    log = table.log
+    dirs = sorted(
+        (e.name for e in os.scandir(log.log_dir) if e.name.startswith(f"{COMMIT_DIR_COL}=")),
+        key=lambda n: int(n.split("=")[1]),
+    )
+    state = table.catalog.current_commit(table.db, table.name)
+    committed = [d for d in dirs if int(d.split("=")[1]) <= state.version]
+    if len(committed) < target_commits:
+        return 0
+
+    df = log.scan(spark)  # full committed log, system cols included
+    version = state.version + 1
+    compacted_path = os.path.join(log.log_dir, f"{COMMIT_DIR_COL}={version}")
+    part_cols = list(log.schema.partition_keys) + [BUCKET_COL]
+    (
+        df.repartition(min(log.schema.num_buckets, 32), F.col(BUCKET_COL))
+        .sortWithinPartitions(BUCKET_COL, OFFSET_COL)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(compacted_path)
+    )
+    new_state = CommitState(
+        version=version,
+        log_hwm=state.log_hwm,
+        snapshot_version=state.snapshot_version,
+        auto_increment=state.auto_increment,
+        ts_ms=int(time.time() * 1000),
+    )
+    table.catalog.commit(table.db, table.name, new_state)
+    # old commit dirs are now shadowed; physically remove them
+    for d in committed:
+        shutil.rmtree(os.path.join(log.log_dir, d), ignore_errors=True)
+    return len(committed)
+
+
+def expire_log_ttl(table: FlussTable, spark: SparkSession, now_ms: int | None = None) -> int:
+    """W5: delete whole commit dirs older than table.log.ttl (commit
+    granularity, like segment granularity in the reference). Returns
+    dirs deleted. Earliest readable offsets move forward implicitly."""
+    ttl = table.schema.properties.get("table.log.ttl")
+    if ttl is None:
+        return 0
+    ttl_ms = _parse_duration_ms(ttl)
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    cutoff = now - ttl_ms
+    history = {s.version: s for s in table.catalog.commit_history(table.db, table.name)}
+    state = table.catalog.current_commit(table.db, table.name)
+    deleted = 0
+    for e in sorted(os.scandir(table.log.log_dir), key=lambda e: e.name):
+        if not e.name.startswith(f"{COMMIT_DIR_COL}="):
+            continue
+        v = int(e.name.split("=")[1])
+        cs = history.get(v)
+        # never delete the newest commit or anything at/after the cutoff
+        if cs is None or v >= state.version or cs.ts_ms >= cutoff:
+            continue
+        shutil.rmtree(e.path, ignore_errors=True)
+        deleted += 1
+    return deleted
+
+
+def expire_snapshots(table: FlussTable, keep: int = 2) -> int:
+    """Drop old snapshot versions (keep the newest `keep`); bounded
+    storage for the copy-on-write snapshot chain (M11 cleanup)."""
+    if table.kv is None:
+        return 0
+    snap_dir = table.kv.snapshot_dir
+    if not os.path.isdir(snap_dir):
+        return 0
+    versions = sorted(
+        (int(e.name[1:]) for e in os.scandir(snap_dir) if e.name.startswith("v")), reverse=True
+    )
+    state = table.catalog.current_commit(table.db, table.name)
+    victims = [v for v in versions[keep:] if v != state.snapshot_version]
+    for v in victims:
+        shutil.rmtree(os.path.join(snap_dir, f"v{v}"), ignore_errors=True)
+    return len(victims)
+
+
+# ---------------------------------------------------------------------- #
+# W4 auto-partitioning
+# ---------------------------------------------------------------------- #
+
+_UNIT_FMT = {"HOUR": "%Y%m%d%H", "DAY": "%Y%m%d", "MONTH": "%Y%m", "YEAR": "%Y"}
+_UNIT_DELTA = {
+    "HOUR": timedelta(hours=1),
+    "DAY": timedelta(days=1),
+    "MONTH": timedelta(days=31),
+    "YEAR": timedelta(days=366),
+}
+
+
+def auto_partition(table: FlussTable, now: datetime | None = None) -> dict[str, list[str]]:
+    """Time-based partition lifecycle (table.auto-partition.*): creates
+    the next `num-precreate` time partitions as empty dirs and drops
+    partitions older than `num-retention`. Returns {'created': [...],
+    'dropped': [...]}. Partition values use the reference's time-unit
+    formats (yyyyMMdd etc., ConfigOptions.java:1726-1812)."""
+    props = table.schema.properties
+    if props.get("table.auto-partition.enabled", "false") != "true":
+        return {"created": [], "dropped": []}
+    if not table.schema.partition_keys:
+        raise ValueError("auto-partitioning requires a partitioned table")
+    unit = props.get("table.auto-partition.time-unit", "DAY").upper()
+    n_pre = int(props.get("table.auto-partition.num-precreate", "2"))
+    n_keep = int(props.get("table.auto-partition.num-retention", "7"))
+    fmt = _UNIT_FMT[unit]
+    key = table.schema.partition_keys[0]
+    now = now or datetime.now(timezone.utc)
+
+    created, dropped = [], []
+    for i in range(n_pre):
+        val = (now + i * _UNIT_DELTA[unit]).strftime(fmt)
+        # pre-create inside every committed dir's namespace is pointless;
+        # partitions materialize on write — record intent in meta
+        created.append(val)
+    meta_path = os.path.join(table.catalog.table_dir(table.db, table.name), "meta", "partitions.json")
+    import json
+
+    existing = []
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)["active"]
+    # discover partitions materialized by writes (dir names under commits)
+    on_disk = set()
+    for d in os.scandir(table.log.log_dir):
+        if d.name.startswith(f"{COMMIT_DIR_COL}="):
+            for sub in os.scandir(d.path):
+                if sub.is_dir() and sub.name.startswith(f"{key}="):
+                    on_disk.add(sub.name.split("=", 1)[1])
+    active = sorted(set(existing) | set(created) | on_disk)
+    cutoff = (now - n_keep * _UNIT_DELTA[unit]).strftime(fmt)
+    keepers = [p for p in active if p >= cutoff]
+    dropped = [p for p in active if p < cutoff]
+    Catalog._write_atomic(meta_path, json.dumps({"active": keepers}))
+
+    # physically drop expired partition dirs from every commit dir
+    for d in os.scandir(table.log.log_dir):
+        if not d.name.startswith(f"{COMMIT_DIR_COL}="):
+            continue
+        for p in dropped:
+            pdir = os.path.join(d.path, f"{key}={p}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir, ignore_errors=True)
+    return {"created": [c for c in created if c not in existing], "dropped": dropped}
+
+
+def _parse_duration_ms(s: str) -> int:
+    s = s.strip().lower()
+    units = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+    for suffix, mult in sorted(units.items(), key=lambda kv: -len(kv[0])):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)  # bare millis

@@ -1,0 +1,62 @@
+"""Driver-facing queries for the bitmap function family (SURVEY §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_spark.functions.bitmap import (
+    rb_and_agg,
+    rb_build_agg,
+    rb_cardinality,
+    rb_or_agg,
+)
+from fluss_spark.registry import load, register
+
+
+@register(
+    "fn_rb_build_cardinality",
+    oracle="""
+    SELECT event_type,
+           list_sort(list(DISTINCT user_id)) AS user_bitmap,
+           count(DISTINCT user_id) AS cardinality
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_rb_build_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """RB_BUILD_AGG + RB_CARDINALITY: distinct-user bitmap per event
+    type (RbBuildAggFunction.java:33-41, RbCardinalityFunction.java:33-40)."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(rb_build_agg(F.col("user_id")).alias("user_bitmap"))
+        .select("event_type", "user_bitmap", rb_cardinality(F.col("user_bitmap")).alias("cardinality"))
+    )
+
+
+@register(
+    "fn_rb_and_or_agg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, list_sort(list(DISTINCT user_id)) AS bm
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    )
+    SELECT
+      (SELECT count(DISTINCT user_id) FROM events WHERE event_type IN ('click','purchase')) AS n_either,
+      (SELECT count(*) FROM (
+         SELECT user_id FROM events WHERE event_type='click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type='purchase')) AS n_both
+    """,
+)
+def fn_rb_and_or_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """RB_OR_AGG / RB_AND_AGG: fold per-type bitmaps into union and
+    intersection cardinalities (users with either / both event types)."""
+    e = load(spark, sf, "events").filter(F.col("event_type").isin("click", "purchase"))
+    bitmaps = e.groupBy("event_type").agg(rb_build_agg(F.col("user_id")).alias("bm"))
+    return bitmaps.agg(
+        rb_cardinality(rb_or_agg(F.col("bm"))).alias("n_either"),
+        rb_cardinality(rb_and_agg(F.col("bm"))).alias("n_both"),
+    )

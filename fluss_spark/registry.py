@@ -74,3 +74,4 @@ def load_all_queries() -> None:
     import fluss_spark.operators.dedup  # noqa: F401
     import fluss_spark.operators.text  # noqa: F401
     import fluss_spark.operators.similarity  # noqa: F401
+    import fluss_spark.operators.bitmap_queries  # noqa: F401

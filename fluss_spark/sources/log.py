@@ -104,6 +104,9 @@ class LogStore:
         ts_ms = commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
 
         cols = schema.data_columns() + (extra_cols or [])
+        for f in schema.fields:  # engine-assigned columns may be absent
+            if f.auto_increment and f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast("long"))
         keep = cols + [c for c in (ordering or []) if c not in cols]
         out = df.select(*keep)
 
@@ -130,6 +133,30 @@ class LogStore:
         ) if base else F.lit(0)
         out = out.withColumn(OFFSET_COL, (F.row_number().over(w) - 1 + base_expr).cast("long"))
         out = out.withColumn(TIMESTAMP_COL, F.timestamp_millis(F.lit(ts_ms)))
+
+        # M10 auto-increment: allocate a contiguous per-bucket segment of
+        # ids from the table counter (AutoIncrementManager's segment model,
+        # BoundedSegmentSequenceGenerator) — ids are gap-free across the
+        # commit because segments are packed by cumulative bucket counts
+        auto_next = dict(state.auto_increment)
+        auto_cols = [f.name for f in schema.fields if f.auto_increment]
+        if auto_cols:
+            bucket_counts = sorted(
+                (int(r[BUCKET_COL]), r["cnt"])
+                for r in out.groupBy(BUCKET_COL).agg(F.count("*").alias("cnt")).collect()
+            )
+            for c in auto_cols:
+                base_id = auto_next.get(c, 0)
+                seg_start, acc = {}, base_id
+                for bkt, cnt in bucket_counts:
+                    seg_start[bkt] = acc
+                    acc += cnt
+                seg_expr = F.coalesce(
+                    *[F.when(F.col(BUCKET_COL) == bkt, F.lit(s)) for bkt, s in seg_start.items()],
+                    F.lit(base_id),
+                )
+                out = out.withColumn(c, (seg_expr + F.row_number().over(w) - 1).cast("long"))
+                auto_next[c] = acc
         final_cols = [c for c in cols if c not in (BUCKET_COL, OFFSET_COL, TIMESTAMP_COL)]
         out = out.select(*final_cols, BUCKET_COL, OFFSET_COL, TIMESTAMP_COL)  # drop ordering-only
 
@@ -154,7 +181,7 @@ class LogStore:
             version=version,
             log_hwm=hwm,
             snapshot_version=state.snapshot_version,
-            auto_increment=state.auto_increment,
+            auto_increment=auto_next,
             ts_ms=ts_ms,
         )
         if not defer_commit:

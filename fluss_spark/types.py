@@ -70,11 +70,14 @@ class Field:
     nullable: bool = True
     field_id: int = -1
     agg: str | None = None  # aggregation merge-engine function for this column
+    auto_increment: bool = False  # M10 (Schema.java:552, server/kv/autoinc/)
 
     def to_struct_field(self) -> T.StructField:
         md = {"fieldId": self.field_id}
         if self.agg:
             md["agg"] = self.agg
+        if self.auto_increment:
+            md["autoIncrement"] = True
         return T.StructField(self.name, parse_type(self.type), self.nullable, metadata=md)
 
 
@@ -164,6 +167,7 @@ class TableSchema:
                         "nullable": f.nullable,
                         "fieldId": f.field_id,
                         **({"agg": f.agg} if f.agg else {}),
+                        **({"autoIncrement": True} if f.auto_increment else {}),
                     }
                     for f in self.fields
                 ],
@@ -187,6 +191,7 @@ class TableSchema:
                     nullable=f.get("nullable", True),
                     field_id=f.get("fieldId", -1),
                     agg=f.get("agg"),
+                    auto_increment=f.get("autoIncrement", False),
                 )
                 for f in d["fields"]
             ],

@@ -1,0 +1,144 @@
+"""Maintenance jobs (T10/W4/W5/M10/M11-cleanup) + bitmap functions."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_spark.catalog import Catalog
+from fluss_spark.maintenance import (
+    auto_partition,
+    compact_log,
+    expire_log_ttl,
+    expire_snapshots,
+)
+from fluss_spark.table import create_table
+from fluss_spark.types import Field, TableSchema
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_compaction_preserves_scans(spark, catalog):
+    t = create_table(
+        catalog, "db", "c_log",
+        TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2),
+    )
+    for i in range(10):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "a int, b string"), ordering=["a"])
+    before = sorted(map(tuple, t.scan(spark).select("a", "b", "__bucket", "__offset").collect()))
+    n = compact_log(t, spark, target_commits=8)
+    assert n == 10
+    after = sorted(map(tuple, t.scan(spark).select("a", "b", "__bucket", "__offset").collect()))
+    assert before == after  # offsets and data identical, fewer files
+    # appends continue with correct offsets after compaction
+    t.append(spark.createDataFrame([(99, "post")], "a int, b string"))
+    assert t.scan(spark).count() == 11
+    assert t.count() == 11
+
+
+def test_log_ttl_expiry(spark, catalog):
+    t = create_table(
+        catalog, "db", "ttl_log",
+        TableSchema(
+            fields=[Field("a", "INT")],
+            num_buckets=1,
+            properties={"table.log.ttl": "1d"},
+        ),
+    )
+    day = 86_400_000
+    t.append(spark.createDataFrame([(1,)], "a int"), commit_ts_ms=0)
+    t.append(spark.createDataFrame([(2,)], "a int"), commit_ts_ms=1 * day)
+    t.append(spark.createDataFrame([(3,)], "a int"), commit_ts_ms=3 * day)
+    deleted = expire_log_ttl(t, spark, now_ms=3 * day)
+    assert deleted == 2  # commits at t=0 and t=1d are beyond the 1d ttl
+    assert sorted(r["a"] for r in t.scan(spark).collect()) == [3]
+
+
+def test_snapshot_expiry(spark, catalog):
+    t = create_table(
+        catalog, "db", "snap_pk",
+        TableSchema(fields=[Field("k", "INT", nullable=False), Field("v", "STRING")], primary_key=["k"], num_buckets=1),
+    )
+    for i in range(5):
+        t.upsert(spark.createDataFrame([(1, f"v{i}")], "k int, v string"))
+    removed = expire_snapshots(t, keep=2)
+    assert removed == 3
+    assert t.snapshot(spark).collect()[0]["v"] == "v4"
+
+
+def test_auto_partition_lifecycle(spark, catalog):
+    t = create_table(
+        catalog, "db", "ap_log",
+        TableSchema(
+            fields=[Field("dt", "STRING"), Field("a", "INT")],
+            partition_keys=["dt"],
+            num_buckets=1,
+            properties={
+                "table.auto-partition.enabled": "true",
+                "table.auto-partition.time-unit": "DAY",
+                "table.auto-partition.num-precreate": "2",
+                "table.auto-partition.num-retention": "3",
+            },
+        ),
+    )
+    t.append(spark.createDataFrame([("20260801", 1), ("20260812", 2)], "dt string, a int"))
+    now = datetime(2026, 8, 13, tzinfo=timezone.utc)
+    result = auto_partition(t, now=now)
+    assert "20260813" in result["created"] and "20260814" in result["created"]
+    # 20260801 is older than 3-day retention -> dropped, files gone
+    assert sorted(r["a"] for r in t.scan(spark).collect()) == [2]
+
+
+def test_auto_increment(spark, catalog):
+    t = create_table(
+        catalog, "db", "ai_log",
+        TableSchema(
+            fields=[Field("id", "BIGINT", auto_increment=True), Field("b", "STRING")],
+            num_buckets=3,
+        ),
+    )
+    t.append(spark.createDataFrame([(f"r{i}",) for i in range(20)], "b string"), ordering=["b"])
+    ids1 = sorted(r["id"] for r in t.scan(spark).collect())
+    assert ids1 == list(range(20))  # gap-free across buckets
+    t.append(spark.createDataFrame([("x",), ("y",)], "b string"))
+    ids2 = sorted(r["id"] for r in t.scan(spark).collect())
+    assert ids2 == list(range(22))  # counter persisted across commits
+
+
+def test_bitmap_functions(spark):
+    from fluss_spark.functions.bitmap import (
+        rb_and,
+        rb_and_agg,
+        rb_build,
+        rb_build_agg,
+        rb_cardinality,
+        rb_contains,
+        rb_or,
+        rb_or_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 2), ("b", 3)], "g string, v int"
+    )
+    bm = df.groupBy("g").agg(rb_build_agg(F.col("v")).alias("bm"))
+    got = {r["g"]: r["bm"] for r in bm.collect()}
+    assert got == {"a": [1, 2], "b": [2, 3]}
+    agg = bm.agg(
+        rb_or_agg(F.col("bm")).alias("u"), rb_and_agg(F.col("bm")).alias("i")
+    ).collect()[0]
+    assert agg["u"] == [1, 2, 3] and agg["i"] == [2]
+    row = (
+        spark.range(1)
+        .select(
+            rb_or(rb_build(F.array(F.lit(1), F.lit(2))), rb_build(F.array(F.lit(3)))).alias("o"),
+            rb_and(rb_build(F.array(F.lit(1), F.lit(2))), rb_build(F.array(F.lit(2)))).alias("a"),
+        )
+        .select("o", "a", rb_cardinality(F.col("o")).alias("c"), rb_contains(F.col("o"), 3).alias("h"))
+        .collect()[0]
+    )
+    assert row["o"] == [1, 2, 3] and row["a"] == [2] and row["c"] == 3 and row["h"] is True
