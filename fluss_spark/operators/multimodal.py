@@ -1,0 +1,121 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched mapInPandas.
+
+The reference has no multimodal operators; this extends the engine for
+training-data pipelines (a first-class goal, see repo brief). The
+Spark-side plumbing — schema convention, partition-preserving batch
+iteration, UDF signatures, bounded batch sizes — is real and tested.
+The actual codec calls (PIL/ffmpeg/torchaudio) are NOT in this image,
+so decode is STUBBED: `decode_mode="fake"` derives deterministic
+pseudo-metadata from the bytes (oracle-checkable end to end),
+`decode_mode="real"` raises NotImplementedError at the exact call site
+where the codec belongs.
+
+Schema convention for a multimodal column `media`:
+    media         BINARY        -- opaque payload
+    media_meta    STRUCT<mime STRING, width INT, height INT, n_bytes BIGINT>
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_spark.registry import load_spread, register
+
+MEDIA_META_DDL = "mime string, width int, height int, n_bytes bigint"
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media payloads from document text: payload =
+    unhex(md5(text)) — 16 opaque bytes standing in for an encoded image.
+    At 100 TB the payload column stays unread unless projected (Parquet
+    column pruning), which is the point of the opaque-binary design."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("media"),
+        F.lit("image/fake").alias("mime"),
+    )
+
+
+def decode_image_batch(pdf: pd.DataFrame, decode_mode: str = "fake") -> pd.DataFrame:
+    """Per-batch decode kernel (runs inside mapInPandas; pdf is one Arrow
+    batch). Real implementation would call PIL.Image.open on each
+    payload; the fake derives width/height from the first payload bytes
+    so the whole pipeline is deterministic and verifiable."""
+    if decode_mode == "real":
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "plug PIL.Image.open(io.BytesIO(b)) here"
+        )
+    media = pdf["media"]
+    out = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "mime": pdf["mime"],
+            # fake decode: dimensions from the leading payload bytes
+            "width": media.map(lambda b: 1 + b[0] % 64).astype("int32"),
+            "height": media.map(lambda b: 1 + b[1] % 64).astype("int32"),
+            "n_bytes": media.map(len).astype("int64"),
+        }
+    )
+    return out
+
+
+def decode_images(media_df: DataFrame, decode_mode: str = "fake") -> DataFrame:
+    """mapInPandas decode: Arrow-batched, partition-preserving — the
+    shape a real decoder runs in (each task decodes its partition's
+    payloads; batch size bounded by spark.sql.execution.arrow.maxRecordsPerBatch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_image_batch(pdf, decode_mode=decode_mode)
+
+    return media_df.mapInPandas(run, schema=f"doc_id bigint, {MEDIA_META_DDL}")
+
+
+@register(
+    "mm_decode_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, unhex(md5(text)) AS media FROM documents
+    )
+    SELECT doc_id,
+           'image/fake' AS mime,
+           1 + (('0x' || substr(md5(text), 1, 2))::INTEGER % 64) AS width,
+           1 + (('0x' || substr(md5(text), 3, 2))::INTEGER % 64) AS height,
+           octet_length(media)::BIGINT AS n_bytes
+    FROM m JOIN documents USING (doc_id)
+    """,
+)
+def mm_decode_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end multimodal path: binary payload column → Arrow-batched
+    mapInPandas decode → typed metadata. The decode itself is the
+    deterministic fake (codec stubbed); everything around it — schema,
+    batching, partitioning — is the production plumbing."""
+    docs = load_spread(spark, sf, "documents")
+    media = synthesize_media(docs)
+    out = decode_images(media, decode_mode="fake")
+    return out.select(
+        "doc_id", "mime", "width", "height", "n_bytes"
+    )
+
+
+@register("mm_feature_extract")  # no SQL oracle: vector output, rows-only check
+def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature extraction stub: payload → fixed-size float vector
+    (deterministic fake embedding from payload bytes). Real model
+    inference would batch through the same mapInPandas shape."""
+    docs = load_spread(spark, sf, "documents")
+    media = synthesize_media(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media"].map(lambda b: [float(x) / 255.0 for x in b[:8]])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.mapInPandas(run, schema="doc_id bigint, features array<double>")

@@ -1,0 +1,112 @@
+"""Plan-shape tests: prove the pushdowns the engine relies on actually
+appear in the physical plan (the reference asserts the same via
+explainSql in its connector ITCases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_spark import plans
+from fluss_spark.catalog import Catalog
+from fluss_spark.registry import QUERIES, load, load_all_queries
+from fluss_spark.table import create_table
+from fluss_spark.types import Field, TableSchema
+
+load_all_queries()
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30).select("l_orderkey")
+    pf = plans.pushed_filters(df)
+    plans.assert_contains(pf, "GreaterThan(l_quantity")
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rs = plans.read_schema(df)
+    plans.assert_contains(rs, "p_partkey", "p_name")
+    assert "p_retailprice" not in rs  # untouched column not read
+
+
+def test_engine_scan_pushdown(spark, catalog):
+    t = create_table(
+        catalog, "db", "plan_log",
+        TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2),
+    )
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(100)], "a int, b string"))
+    scan = t.scan(spark).filter(F.col("a") > 50).select("b")
+    plans.assert_contains(plans.pushed_filters(scan), "GreaterThan(a,50)")
+    # offset time travel prunes via parquet stats on __offset
+    tt = t.scan(spark, start_offsets={0: 10, 1: 10})
+    assert "GreaterThanOrEqual(__offset" in plans.pushed_filters(tt)
+
+
+def test_partitioned_engine_scan_prunes_dirs(spark, catalog):
+    t = create_table(
+        catalog, "db", "plan_part",
+        TableSchema(
+            fields=[Field("dt", "STRING"), Field("a", "INT")],
+            partition_keys=["dt"],
+            num_buckets=2,
+        ),
+    )
+    t.append(
+        spark.createDataFrame([("d1", 1), ("d2", 2), ("d3", 3)], "dt string, a int")
+    )
+    df = t.scan(spark).filter(F.col("dt") == "d2")
+    pf = plans.partition_filters(df)
+    plans.assert_contains(pf, "dt")  # dt filter is a partition filter, not a data filter
+    assert df.count() == 1
+
+
+def test_lookup_prunes_bucket_partition(spark, catalog):
+    t = create_table(
+        catalog, "db", "plan_pk",
+        TableSchema(fields=[Field("k", "INT", nullable=False), Field("v", "STRING")], primary_key=["k"], num_buckets=4),
+    )
+    t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k int, v string"))
+    lk = t.lookup(spark, {"k": 7})
+    # the bucket filter folds to a constant -> __bucket partition filter
+    plans.assert_contains(plans.partition_filters(lk), "__bucket")
+    plans.assert_contains(plans.pushed_filters(lk), "EqualTo(k,7)")
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["join_star_broadcast"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    df = QUERIES["agg_tpch_q1"](spark, sf_dir)
+    assert plans.has_partial_aggregation(df)  # map-side combine before shuffle
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_limit_is_take_ordered(spark, sf_dir):
+    df = QUERIES["s7_limit_topn"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.physical_plan(df)  # no full sort
+
+
+def test_predicate_builder_maps_to_pushdown(spark, sf_dir):
+    from fluss_spark import predicates as P
+
+    df = load(spark, sf_dir, "orders").filter(
+        P.and_(
+            P.greater_than("o_totalprice", 1000),
+            P.in_("o_orderpriority", ["1-URGENT", "2-HIGH"]),
+            P.is_not_null("o_custkey"),
+        )
+    ).select("o_orderkey")
+    pf = plans.pushed_filters(df)
+    plans.assert_contains(pf, "GreaterThan(o_totalprice,1000.0)", "In(o_orderpriority", "IsNotNull(o_custkey)")
+    assert P.only_touches(
+        P.partition({"dt": "d1"}), {"dt"}, {"dt", "a"}
+    )
+    assert not P.only_touches(P.equal("a", 1), {"dt"}, {"dt", "a"})
