@@ -104,21 +104,33 @@ def expire_log_ttl(table: FlussTable, spark: SparkSession, now_ms: int | None = 
 
 
 def expire_snapshots(table: FlussTable, keep: int = 2) -> int:
-    """Drop old snapshot versions (keep the newest `keep`); bounded
-    storage for the copy-on-write snapshot chain (M11 cleanup)."""
+    """Drop old snapshot versions: keep the newest `keep` manifests,
+    then GC data dirs no kept manifest references (M11 cleanup for the
+    incremental bucket-manifest layout). Returns data dirs removed."""
     if table.kv is None:
         return 0
-    snap_dir = table.kv.snapshot_dir
-    if not os.path.isdir(snap_dir):
+    kv = table.kv
+    if not os.path.isdir(kv.manifest_dir):
         return 0
     versions = sorted(
-        (int(e.name[1:]) for e in os.scandir(snap_dir) if e.name.startswith("v")), reverse=True
+        (int(e.name[1:-5]) for e in os.scandir(kv.manifest_dir) if e.name.endswith(".json")),
+        reverse=True,
     )
     state = table.catalog.current_commit(table.db, table.name)
-    victims = [v for v in versions[keep:] if v != state.snapshot_version]
-    for v in victims:
-        shutil.rmtree(os.path.join(snap_dir, f"v{v}"), ignore_errors=True)
-    return len(victims)
+    keep_versions = set(versions[:keep]) | {state.snapshot_version}
+    referenced: set[str] = set()
+    for v in keep_versions:
+        referenced |= kv.referenced_data_dirs(v)
+    removed = 0
+    for v in versions:
+        if v not in keep_versions:
+            os.unlink(os.path.join(kv.manifest_dir, f"v{v}.json"))
+    if os.path.isdir(kv.snapshot_dir):
+        for e in os.scandir(kv.snapshot_dir):
+            if e.name.startswith("data-v") and e.name not in referenced:
+                shutil.rmtree(e.path, ignore_errors=True)
+                removed += 1
+    return removed
 
 
 # ---------------------------------------------------------------------- #

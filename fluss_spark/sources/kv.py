@@ -1,30 +1,36 @@
-"""Primary-key (KV) table store: upsert transaction, snapshot versions,
-lookups, changelog views.
+"""Primary-key (KV) table store: upsert transaction, incremental
+bucket-manifest snapshots, lookups, changelog views.
 
 The reference's write path (server/kv/KvTablet.java:514-792) reads the
 old value from RocksDB per record, merges, and appends +I/-U/+U/-D rows
-to the WAL; snapshots of the KV store are uploaded periodically
-(server/kv/snapshot/). Here one deterministic transaction does all of
-it set-at-a-time:
+to the WAL; KV snapshots upload per-tablet and only changed tablets
+produce new files (server/kv/snapshot/). Here one deterministic
+transaction does all of it set-at-a-time:
 
-  1. seed   = current snapshot (version V)
+  1. seed   = snapshot rows of the BATCH's buckets, semi-joined to the
+              batch's keys (the distributed read-old; O(batch), not
+              O(table))
   2. fold   = operators/replay.py window fold over seed ∪ batch
   3. WAL    = changelog rows appended to the log store (gets __offset;
               the changelog IS the log, exactly like the reference)
-  4. state  = untouched snapshot keys (anti-join on changelog keys)
-              ∪ final state replayed from the just-written changelog —
-              which makes "changelog replay reproduces the snapshot"
-              (SortMergeReader.java:30-55) an *executed invariant* of
-              every commit, not just a test
+  4. state  = ONLY touched buckets are rewritten: new files =
+              (old bucket rows minus touched keys) ∪ final states
+              replayed from the just-written changelog. Untouched
+              buckets stay as prior-version files, referenced through a
+              per-version manifest {bucket -> data dir} — per-commit
+              write cost is O(touched buckets), not O(table)
   5. one atomic commit advances the table to version V'
 
-Scale: everything distributes by pk hash; the snapshot rewrite is
-copy-on-write per commit (compaction/retention in maintenance.py).
+The snapshot derivation from the written WAL makes "changelog replay
+reproduces the snapshot" (SortMergeReader.java:30-55) an *executed
+invariant* of every commit, not just a test.
 """
 
 from __future__ import annotations
 
+import json
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +65,26 @@ class KvStore:
             raise ValueError(f"{db}.{table} is not a primary-key table")
         self.log = LogStore(catalog, db, table)
         self.snapshot_dir = os.path.join(catalog.table_dir(db, table), "snapshot")
+        self.manifest_dir = os.path.join(catalog.table_dir(db, table), "meta", "snapshots")
+
+    # ------------------------------------------------------------------ #
+    # manifests: per-version {bucket -> data dir name}
+    # ------------------------------------------------------------------ #
+    def _manifest(self, version: int) -> dict[int, str] | None:
+        p = os.path.join(self.manifest_dir, f"v{version}.json")
+        if version < 0 or not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return {int(k): v for k, v in json.load(f)["buckets"].items()}
+
+    def _write_manifest(self, version: int, buckets: dict[int, str]) -> None:
+        Catalog._write_atomic(
+            os.path.join(self.manifest_dir, f"v{version}.json"),
+            json.dumps({"buckets": {str(k): v for k, v in buckets.items()}}),
+        )
+
+    def _bucket_expr(self):
+        return F.pmod(F.hash(*self.schema.bucket_keys), F.lit(self.schema.num_buckets)).cast("int")
 
     # ------------------------------------------------------------------ #
     # upsert / delete transaction (M1-M9)
@@ -79,7 +105,6 @@ class KvStore:
         schema = self.schema
         pk, cols = schema.primary_key, schema.data_columns()
 
-        batch_cols = partial_update_cols or cols
         if partial_update_cols is not None:
             missing_pk = [c for c in pk if c not in partial_update_cols]
             if missing_pk:
@@ -103,8 +128,13 @@ class KvStore:
             .select(*cols, OP_COL, SEQ_COL, SEED_COL)
         )
 
+        # read-old restricted to the batch's buckets and keys
+        batch_buckets = [
+            int(r["b"]) for r in b.select(self._bucket_expr().alias("b")).distinct().collect()
+        ]
         seed = (
-            self.snapshot(spark)
+            self.snapshot(spark, buckets=batch_buckets)
+            .join(b.select(*pk).distinct(), on=pk, how="left_semi")
             .withColumn(OP_COL, F.lit("U"))
             .withColumn(SEQ_COL, F.lit(0).cast("long"))
             .withColumn(SEED_COL, F.lit(1))
@@ -126,29 +156,38 @@ class KvStore:
         )
         version = state.version
 
-        # new snapshot = untouched keys + final state from the written WAL
-        # (read exactly this commit's files — one partition dir, no history scan)
+        # read exactly this commit's WAL files (one partition dir)
         commit_path = os.path.join(self.log.log_dir, f"__commit={version}")
         written = spark.read.schema(self.log.file_schema()).parquet(commit_path)
-        touched_final = self._state_from_changelog(written)
-        old = self.snapshot(spark)
-        # anti-join on ALL keys with change events (a key whose last event
-        # is -D must not survive via the old snapshot)
-        touched_keys = written.select(*pk).distinct()
-        untouched = old.join(touched_keys, on=pk, how="left_anti")
-        new_snapshot = untouched.unionByName(touched_final)
+        touched_buckets = [int(r[BUCKET_COL]) for r in written.select(BUCKET_COL).distinct().collect()]
 
-        snap_path = os.path.join(self.snapshot_dir, f"v{version}")
-        (
-            new_snapshot.withColumn(
-                BUCKET_COL, F.pmod(F.hash(*schema.bucket_keys), F.lit(schema.num_buckets)).cast("int")
+        old_manifest = self._manifest(
+            self.catalog.current_commit(self.db, self.table).snapshot_version
+        ) or {}
+        new_manifest = dict(old_manifest)
+
+        if touched_buckets:
+            touched_final = self._state_from_changelog(written)
+            touched_keys = written.select(*pk).distinct()
+            # only the touched buckets are rewritten; a key whose last
+            # event is -D must not survive via the old rows (anti-join on
+            # ALL keys with change events)
+            old_rows = self.snapshot(spark, buckets=touched_buckets)
+            untouched_keys = old_rows.join(touched_keys, on=pk, how="left_anti")
+            bucket_rows = untouched_keys.unionByName(touched_final)
+
+            data_dir = f"data-v{version}"
+            (
+                bucket_rows.withColumn(BUCKET_COL, self._bucket_expr())
+                .repartition(min(schema.num_buckets, 32), F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(os.path.join(self.snapshot_dir, data_dir))
             )
-            .repartition(min(schema.num_buckets, 32), F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(snap_path)
-        )
+            for bkt in touched_buckets:
+                new_manifest[bkt] = data_dir
 
+        self._write_manifest(version, new_manifest)
         state.snapshot_version = version
         self.catalog.commit(self.db, self.table, state)
         return state
@@ -167,20 +206,42 @@ class KvStore:
     # ------------------------------------------------------------------ #
     # reads (S4/S5/S6, L1/L2, T9)
     # ------------------------------------------------------------------ #
-    def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def snapshot(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
         """KV snapshot scan (S4). `version` = time travel to an older
-        snapshot (M11 — snapshot-id = version dir)."""
-        state = self.catalog.current_commit(self.db, self.table)
-        v = state.snapshot_version if version is None else version
-        path = os.path.join(self.snapshot_dir, f"v{v}")
-        if v < 0 or not os.path.exists(path):
+        snapshot (M11 — snapshot-id = manifest version). `buckets`
+        restricts the read to those buckets' files (manifest + partition
+        dir pruning — the lookup fast path)."""
+        if version is None:
+            version = self.catalog.current_commit(self.db, self.table).snapshot_version
+        manifest = self._manifest(version)
+        if not manifest:
             return spark.createDataFrame([], self.schema.to_struct_type())
-        return (
-            spark.read.schema(self._snapshot_schema())
-            .option("basePath", path)
-            .parquet(path)
-            .drop(BUCKET_COL)
-        )
+        wanted = set(manifest) if buckets is None else (set(buckets) & set(manifest))
+        by_dir: dict[str, list[int]] = {}
+        for bkt in wanted:
+            by_dir.setdefault(manifest[bkt], []).append(bkt)
+        parts = []
+        for data_dir, bkts in sorted(by_dir.items()):
+            df = (
+                spark.read.schema(self._snapshot_schema())
+                .option("basePath", os.path.join(self.snapshot_dir, data_dir))
+                .parquet(os.path.join(self.snapshot_dir, data_dir))
+            )
+            # partition-dir pruning: this dir may hold older versions of
+            # buckets that a newer dir supersedes
+            parts.append(df.filter(F.col(BUCKET_COL).isin(bkts)))
+        if not parts:
+            return spark.createDataFrame([], self.schema.to_struct_type())
+        return reduce(lambda a, b: a.unionByName(b), parts).drop(BUCKET_COL)
+
+    def referenced_data_dirs(self, version: int) -> set[str]:
+        m = self._manifest(version) or {}
+        return set(m.values())
 
     def _snapshot_schema(self):
         from pyspark.sql import types as T
@@ -236,8 +297,9 @@ class KvStore:
 
     def lookup(self, spark: SparkSession, key: dict[str, object]) -> DataFrame:
         """Point lookup by full primary key (L1, Lookuper.java:43-56).
-        The bucket filter folds to a constant → partition-dir pruning,
-        then Parquet row-group stats prune within the bucket."""
+        The bucket id is computed driver-side from the manifest → ONE
+        data dir, one partition dir, then Parquet row-group stats prune
+        within the bucket."""
         pk = self.schema.primary_key
         if sorted(key) != sorted(pk):
             raise ValueError(f"lookup key must be the full primary key {pk}, got {sorted(key)}")
@@ -257,20 +319,30 @@ class KvStore:
 
     def _keyed_read(self, spark: SparkSession, key: dict[str, object], bucket_key: list[str]) -> DataFrame:
         schema = self.schema
-        state = self.catalog.current_commit(self.db, self.table)
-        v = state.snapshot_version
-        if v < 0:
-            return self.snapshot(spark).filter(self._key_cond(key))
-        path = os.path.join(self.snapshot_dir, f"v{v}")
-        df = spark.read.schema(self._snapshot_schema()).option("basePath", path).parquet(path)
         bucket_expr = F.pmod(
             F.hash(*[F.lit(key[c]) for c in bucket_key]), F.lit(schema.num_buckets)
         )
-        return (
-            df.filter(F.col(BUCKET_COL).cast("int") == bucket_expr)
-            .filter(self._key_cond(key))
-            .drop(BUCKET_COL)
-        )
+        version = self.catalog.current_commit(self.db, self.table).snapshot_version
+        manifest = self._manifest(version)
+        if not manifest:
+            return self.snapshot(spark).filter(self._key_cond(key))
+        # the bucket filter constant-folds (hash of literals), so each
+        # data dir read prunes to at most one __bucket partition dir
+        wanted_cond = self._key_cond(key)
+        parts = []
+        for data_dir in sorted(set(manifest.values())):
+            p = (
+                spark.read.schema(self._snapshot_schema())
+                .option("basePath", os.path.join(self.snapshot_dir, data_dir))
+                .parquet(os.path.join(self.snapshot_dir, data_dir))
+            )
+            bkts = [b for b, d in manifest.items() if d == data_dir]
+            parts.append(
+                p.filter(F.col(BUCKET_COL).isin(bkts))
+                .filter(F.col(BUCKET_COL) == bucket_expr)
+                .filter(wanted_cond)
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts).drop(BUCKET_COL)
 
     @staticmethod
     def _key_cond(key: dict[str, object]):
