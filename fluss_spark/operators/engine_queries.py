@@ -11,6 +11,7 @@ the oracle recomputes what the merge engine must converge to.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -124,6 +125,65 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         t.append(ev, ordering=["event_id"])
+    elif variant == "deletes":
+        # events of type 'error' are DELETE ops for that key
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        from fluss_spark.operators.replay import OP_COL
+
+        batch = ev.withColumn(
+            OP_COL, F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+        )
+        t.upsert(batch, ordering=["event_id"])
+    elif variant == "partial":
+        # batch 1: full rows from the first half; batch 2: value-only
+        # partial updates from the second half
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.upsert(
+            ev.filter(F.col("event_id") > half).select("event_id", "user_id", "value"),
+            ordering=["event_id"],
+            partial_update_cols=["user_id", "value"],
+        )
+    elif variant == "prefix":
+        # composite pk (user_id, event_type), bucket key = prefix (user_id)
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id", "event_type"],
+            bucket_keys=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        t.upsert(ev, ordering=["event_id"])
+    elif variant == "plain_log":
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT"),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            num_buckets=4,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+        t.append(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        # remember the between-commits offsets for time travel (S8)
+        import json as _json
+
+        with open(f"{wh}/mid_offsets.json", "w") as fh:
+            _json.dump(t.latest_offsets(), fh)
+        t.append(ev.filter(F.col("event_id") > half), ordering=["event_id"])
     else:
         raise ValueError(variant)
     _CACHE[key] = (cat, variant)
@@ -311,3 +371,107 @@ def p6_partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+@register(
+    "m2_delete_replay",
+    oracle="""
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+       AND event_type != 'error'
+    """,
+)
+def m2_delete_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-by-pk (M2, UpsertWriter.delete, DeleteBehavior.ALLOW):
+    'error' events replay as deletes; a key whose LAST event is a delete
+    is absent from the snapshot, later upserts re-insert it."""
+    t = _build(spark, sf, "deletes")
+    return t.snapshot(spark).select("user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@register(
+    "m3_partial_update",
+    oracle="""
+    WITH half AS (SELECT max(event_id) // 2 AS h FROM events),
+    full_state AS (
+      SELECT user_id, event_type
+      FROM events, half WHERE event_id <= h
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ),
+    latest AS (
+      SELECT user_id, round(value, 2) AS value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    )
+    SELECT l.user_id, f.event_type, l.value
+    FROM latest l LEFT JOIN full_state f USING (user_id)
+    """,
+)
+def m3_partial_update(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial update (M3, PartialUpdater.java:35-103): second-half
+    events update only `value`; `event_type` survives from the full
+    first-half writes (null for keys first seen via partial update)."""
+    t = _build(spark, sf, "partial")
+    return t.snapshot(spark).select("user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@register(
+    "l2_prefix_lookup",
+    oracle="""
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM events WHERE user_id = 7
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+)
+def l2_prefix_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix lookup (L2, PrefixKeyLookuper): composite pk
+    (user_id, event_type) with bucket key user_id — one bucket-key value
+    returns all rows sharing the pk prefix from a single bucket dir."""
+    t = _build(spark, sf, "prefix")
+    return t.prefix_lookup(spark, {"user_id": 7}).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "s8_offset_time_travel",
+    oracle="""
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events WHERE event_id > (SELECT max(event_id) // 2 FROM events)
+    """,
+)
+def s8_offset_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Offset time travel (S8, OffsetSpec/ListOffsets): scan from the
+    per-bucket offsets captured between two commits -> exactly the
+    second commit's rows (Parquet stats prune the first commit's files)."""
+    import json
+
+    t = _build(spark, sf, "plain_log")
+    with open(os.path.join(t.catalog.warehouse, "mid_offsets.json")) as fh:
+        mid = {int(k): v for k, v in json.load(fh).items()}
+    return t.scan(spark, start_offsets=mid).select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )
+
+
+@register("a1_count_metadata", oracle="SELECT count(*) AS cnt FROM events")
+def a1_count_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """count(*) served from commit metadata with zero file reads (A1,
+    PushdownUtils.countTable / TableStats.rowCount)."""
+    t = _build(spark, sf, "plain_log")
+    return spark.createDataFrame([(t.count(),)], "cnt bigint")
+
+
+@register(
+    "t9_log_changelog_view",
+    oracle="""
+    SELECT event_id, user_id, '+A' AS _change_type
+    FROM events
+    """,
+)
+def t9_log_changelog_view(spark: SparkSession, sf: str) -> DataFrame:
+    """$changelog on a log table (T9): append-only stream, every record
+    carries change type +A (ChangeType.APPEND_ONLY, ChangeType.java:28-58)."""
+    t = _build(spark, sf, "plain_log")
+    return t.changelog(spark).select("event_id", "user_id", "_change_type")
