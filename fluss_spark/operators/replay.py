@@ -109,12 +109,16 @@ def replay(
     df: DataFrame,
     schema: TableSchema,
     partial_update_cols: list[str] | None = None,
+    merge_mode: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a change stream into (changelog_df, snapshot_df).
 
     Dispatches on the table's merge engine (MergeEngineType.java:23-64).
+    `merge_mode='overwrite'` bypasses the merge engine and applies plain
+    last-write-wins — the undo/recovery path (M8, Upsert.mergeMode,
+    client/table/writer/Upsert.java:61-98).
     """
-    engine = schema.merge_engine
+    engine = "default" if merge_mode == "overwrite" else schema.merge_engine
     pk = schema.primary_key
     cols = schema.data_columns()
     if not pk:
@@ -133,16 +137,40 @@ def replay(
                 (F.col(OP_COL) == "D") & (F.col(SEED_COL) == 0)
             ).limit(1).count() > 0
             if has_deletes:
-                return replay_exact(df, schema, partial_update_cols)
-            return _replay_partial(df, schema, partial_update_cols)
-        return _replay_default(df, schema)
+                out = replay_exact(df, schema, partial_update_cols)
+            else:
+                out = _replay_partial(df, schema, partial_update_cols)
+        else:
+            out = _replay_default(df, schema)
+        return _apply_changelog_image(out, schema, full_row=not partial_update_cols)
     if engine == "first_row":
         return _replay_first_row(df, schema)
     if engine == "versioned":
-        return _replay_versioned(df, schema)
+        return _apply_changelog_image(_replay_versioned(df, schema), schema, full_row=False)
     if engine == "aggregation":
-        return _replay_aggregation(df, schema)
+        return _apply_changelog_image(_replay_aggregation(df, schema), schema, full_row=False)
     raise ValueError(f"unknown merge engine: {engine}")
+
+
+def _apply_changelog_image(
+    out: tuple[DataFrame, DataFrame], schema: TableSchema, full_row: bool
+) -> tuple[DataFrame, DataFrame]:
+    """M9 changelog image (metadata/ChangelogImage.java): FULL keeps
+    -U/+U pairs; WAL drops UPDATE_BEFORE, and — for default merge with
+    full-row updates — converts +I to +U (the skip-old-lookup
+    optimization, 'similar to database WAL behavior')."""
+    if schema.changelog_image != "wal":
+        return out
+    changelog, snapshot = out
+    changelog = changelog.filter(F.col(CHANGE_TYPE_COL) != UPDATE_BEFORE)
+    if schema.merge_engine == "default" and full_row:
+        changelog = changelog.withColumn(
+            CHANGE_TYPE_COL,
+            F.when(F.col(CHANGE_TYPE_COL) == INSERT, F.lit(UPDATE_AFTER)).otherwise(
+                F.col(CHANGE_TYPE_COL)
+            ),
+        )
+    return changelog, snapshot
 
 
 # ---------------------------------------------------------------------- #
@@ -332,8 +360,10 @@ def _agg_running(c: str, agg: str, w_run: Window, delim: str = ",", dtype: str =
     if agg == "bool_or":
         return F.max(col).over(w_run)
     if agg in ("rbm32", "rbm64"):
-        # roaring bitmap ≈ distinct-set union; kept as a sorted array
-        return F.array_sort(F.collect_set(col).over(w_run))
+        # roaring bitmap union (FieldRoaringBitmap32/64Agg): the column
+        # is the bitmap value itself (array<long> here, BYTES blob in the
+        # reference); each record contributes a bitmap, fold = union
+        return F.array_sort(F.array_distinct(F.flatten(F.collect_list(col).over(w_run))))
     raise ValueError(f"unknown aggregate function: {agg}")
 
 

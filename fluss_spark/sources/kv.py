@@ -95,6 +95,7 @@ class KvStore:
         ordering: list[str] | None = None,
         partial_update_cols: list[str] | None = None,
         commit_ts_ms: int | None = None,
+        merge_mode: str | None = None,
     ) -> CommitState:
         """Apply a batch of upserts/deletes. Rows may carry an `__op`
         column ('U'/'D'); absent means all upserts. `ordering` fixes the
@@ -141,7 +142,9 @@ class KvStore:
         )
         fold_in = seed.select(*b.columns).unionByName(b)
 
-        changelog, _ = replay(fold_in, schema, partial_update_cols=partial_update_cols)
+        changelog, _ = replay(
+            fold_in, schema, partial_update_cols=partial_update_cols, merge_mode=merge_mode
+        )
 
         # WAL append: per-bucket offsets ordered by the fold sequence.
         # All events of one key land in one bucket (bucket key ⊆ pk), so
@@ -191,6 +194,18 @@ class KvStore:
         state.snapshot_version = version
         self.catalog.commit(self.db, self.table, state)
         return state
+
+    def insert_if_not_exists(self, df: DataFrame, ordering: list[str] | None = None) -> DataFrame:
+        """L3 (Lookup.enableInsertIfNotExists, Lookup.java:96-105):
+        insert rows whose key is absent, then return the current row for
+        every requested key (present rows win; absent ones are the
+        freshly inserted values). One left-anti + one upsert commit."""
+        spark = df.sparkSession
+        pk = self.schema.primary_key
+        missing = df.join(self.snapshot(spark).select(*pk), on=pk, how="left_anti")
+        if missing.limit(1).count() > 0:
+            self.upsert(missing, ordering=ordering)
+        return self.snapshot(spark).join(df.select(*pk).distinct(), on=pk, how="left_semi")
 
     def _state_from_changelog(self, changelog: DataFrame) -> DataFrame:
         """Replay invariant: the last change event per key IS its state;

@@ -1,0 +1,115 @@
+"""M8 overwrite mode, M9 WAL changelog image, L3 insert-if-not-exists,
+schema evolution (field IDs), RBM merge aggregator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_spark.catalog import Catalog
+from fluss_spark.table import FlussTable, create_table
+from fluss_spark.types import Field, TableSchema
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_wal_changelog_image(spark, catalog):
+    schema = TableSchema(
+        fields=[Field("k", "INT", nullable=False), Field("v", "STRING")],
+        primary_key=["k"],
+        num_buckets=2,
+        properties={"table.changelog.image": "wal"},
+    )
+    t = create_table(catalog, "db", "wal_pk", schema)
+    t.upsert(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.upsert(spark.createDataFrame([(1, "b")], "k int, v string"))
+    t.delete(spark.createDataFrame([(1, "b")], "k int, v string"))
+    cl = [
+        (r["_change_type"], r["v"])
+        for r in t.changelog(spark).orderBy("_log_offset").collect()
+    ]
+    # no -U; +I converted to +U (skip-old-lookup optimization)
+    assert cl == [("+U", "a"), ("+U", "b"), ("-D", "b")]
+    assert t.snapshot(spark).count() == 0
+
+
+def test_overwrite_merge_mode(spark, catalog):
+    schema = TableSchema(
+        fields=[Field("k", "INT", nullable=False), Field("v", "STRING"), Field("ver", "BIGINT")],
+        primary_key=["k"],
+        num_buckets=2,
+        properties={
+            "table.merge-engine": "versioned",
+            "table.merge-engine.versioned.ver-column": "ver",
+        },
+    )
+    t = create_table(catalog, "db", "ow_pk", schema)
+    t.upsert(spark.createDataFrame([(1, "high", 100)], "k int, v string, ver bigint"))
+    # versioned engine would reject the lower version...
+    t.upsert(spark.createDataFrame([(1, "low", 1)], "k int, v string, ver bigint"))
+    assert t.snapshot(spark).collect()[0]["v"] == "high"
+    # ...but OVERWRITE mode restores exact values regardless (undo path)
+    t.upsert(
+        spark.createDataFrame([(1, "restored", 1)], "k int, v string, ver bigint"),
+        merge_mode="overwrite",
+    )
+    assert t.snapshot(spark).collect()[0]["v"] == "restored"
+
+
+def test_insert_if_not_exists(spark, catalog):
+    schema = TableSchema(
+        fields=[Field("k", "INT", nullable=False), Field("v", "STRING")],
+        primary_key=["k"],
+        num_buckets=2,
+    )
+    t = create_table(catalog, "db", "iine_pk", schema)
+    t.upsert(spark.createDataFrame([(1, "existing")], "k int, v string"))
+    got = t.kv.insert_if_not_exists(
+        spark.createDataFrame([(1, "default1"), (2, "default2")], "k int, v string")
+    )
+    rows = {r["k"]: r["v"] for r in got.collect()}
+    # existing key keeps its value; missing key was inserted
+    assert rows == {1: "existing", 2: "default2"}
+    assert t.snapshot(spark).count() == 2
+
+
+def test_schema_evolution_add_column(spark, catalog):
+    schema = TableSchema(
+        fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2
+    )
+    t = create_table(catalog, "db", "evo_log", schema)
+    t.append(spark.createDataFrame([(1, "x")], "a int, b string"))
+
+    # ALTER TABLE ADD COLUMN c DOUBLE (field IDs anchor old columns)
+    old = catalog.get_schema("db", "evo_log")
+    old.fields.append(Field("c", "DOUBLE", field_id=max(f.field_id for f in old.fields) + 1))
+    catalog.set_schema("db", "evo_log", old)
+
+    t2 = FlussTable(catalog, "db", "evo_log")
+    t2.append(spark.createDataFrame([(2, "y", 3.5)], "a int, b string, c double"))
+    rows = sorted(map(tuple, t2.scan(spark).select("a", "b", "c").collect()))
+    # old files read with the evolved schema -> null for the new column
+    assert rows == [(1, "x", None), (2, "y", 3.5)]
+    ids = [f.field_id for f in catalog.get_schema("db", "evo_log").fields]
+    assert len(set(ids)) == 3
+
+
+def test_rbm_merge_aggregator(spark, catalog):
+    schema = TableSchema(
+        fields=[Field("k", "INT", nullable=False), Field("visitors", "ARRAY<BIGINT>", agg="rbm64")],
+        primary_key=["k"],
+        num_buckets=2,
+        properties={"table.merge-engine": "aggregation"},
+    )
+    t = create_table(catalog, "db", "rbm_pk", schema)
+    t.upsert(
+        spark.createDataFrame(
+            [(1, [10], 1), (1, [20, 10], 2), (1, [10], 3)], "k int, visitors array<bigint>, o int"
+        ),
+        ordering=["o"],
+    )
+    row = t.snapshot(spark).collect()[0]
+    assert sorted(row["visitors"]) == [10, 20]  # bitmap = distinct set
