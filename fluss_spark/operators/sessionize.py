@@ -1,0 +1,111 @@
+"""Composite stream-analytics operators the reference delegates to its
+host engine (SURVEY §2.5-2.6/T5): sessionization and as-of join —
+expressed as pure window plans (one shuffle on the entity key, no
+Python), with DuckDB oracles.
+
+Both are staples of event/training-data pipelines:
+  - sessionization groups events into gap-bounded sessions (batch twin
+    of Structured Streaming's session_window)
+  - as-of join attaches to each event the most recent prior event of
+    another kind — Spark has no native ASOF; the composition below is
+    the merge-sort formulation as a running window (scales as one
+    shuffle; DuckDB's native ASOF JOIN is the oracle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fluss_spark.registry import load, register
+
+_GAP_MIN = 30  # session gap, minutes
+
+
+@register(
+    "op_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL {_GAP_MIN} MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def op_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization: lag -> new-session flag -> running sum
+    = session id -> per-session aggregate. Two window passes + one
+    aggregation, all on the same user_id shuffle (Spark reuses the
+    partitioning across the window and the groupBy)."""
+    e = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > _GAP_MIN * 60), F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("__new", new_session)
+        .withColumn("session_id", F.sum("__new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "op_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, round(value,2) AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id, round(value,2) AS click_value
+               FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id AS purchase_id, p.purchase_value,
+           c.event_id AS prior_click_id, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.event_id >= c.event_id
+    """,
+)
+def op_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase gets the latest click at-or-before it
+    (by event_id) from the same user. Implementation = union both sides
+    tagged, one running last_value(ignorenulls) window per user over the
+    merged order — the distributed merge-sort formulation (no per-pair
+    join, no pandas)."""
+    e = load(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("v"),
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("event_id").alias("id"), F.round("value", 2).alias("val")),
+        ).alias("__click"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_prior = tagged.withColumn("__prior", F.last("__click", ignorenulls=True).over(w))
+    return with_prior.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("v").alias("purchase_value"),
+        F.col("__prior.id").alias("prior_click_id"),
+        F.col("__prior.val").alias("click_value"),
+    )

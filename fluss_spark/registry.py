@@ -52,7 +52,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer DIV: nanos exceed double's exact range, so a float
+            # division here drifts the low microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -76,3 +78,4 @@ def load_all_queries() -> None:
     import fluss_spark.operators.similarity  # noqa: F401
     import fluss_spark.operators.bitmap_queries  # noqa: F401
     import fluss_spark.operators.multimodal  # noqa: F401
+    import fluss_spark.operators.sessionize  # noqa: F401
