@@ -149,6 +149,46 @@ class Catalog:
                 out.append(CommitState.from_json(f.read()))
         return out
 
+    # -- single-writer lock ----------------------------------------------
+    def write_lock(self, db: str, table: str, timeout_s: float = 60.0):
+        """Per-table single-writer lock (SURVEY §7: offset assignment
+        needs a deterministic monotonic counter under a table-level
+        commit lock). O_EXCL lockfile with stale-lock breaking — the
+        single-leader role of the reference's tablet server, minus the
+        server."""
+        import contextlib
+        import time as _time
+
+        lock_path = os.path.join(self.table_dir(db, table), "meta", "WRITE_LOCK")
+
+        @contextlib.contextmanager
+        def _lock():
+            deadline = _time.monotonic() + timeout_s
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()}:{_time.time()}".encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:  # break locks older than 10 minutes (dead writer)
+                        age = _time.time() - os.stat(lock_path).st_mtime
+                        if age > 600:
+                            os.unlink(lock_path)
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(f"write lock busy for {db}.{table}") from None
+                    _time.sleep(0.05)
+            try:
+                yield
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lock_path)
+
+        return _lock()
+
     @staticmethod
     def _write_atomic(path: str, content: str) -> None:
         d = os.path.dirname(path)

@@ -35,23 +35,28 @@ class FlussTable:
 
     # -- writes -----------------------------------------------------------
     def append(self, df: DataFrame, ordering: list[str] | None = None, **kw) -> CommitState:
-        """Log append (S1) — requires a log table (Table.java:66-69)."""
+        """Log append (S1) — requires a log table (Table.java:66-69).
+        Runs under the table's single-writer lock (offset assignment is
+        a read-modify-commit on the high watermarks)."""
         if self.schema.is_pk_table:
             raise ValueError("append requires a Log Table; use upsert for PK tables")
-        return self.log.append(df, ordering=ordering, **kw)
+        with self.catalog.write_lock(self.db, self.name):
+            return self.log.append(df, ordering=ordering, **kw)
 
     def upsert(self, df: DataFrame, **kw) -> CommitState:
         """Upsert/delete transaction (M1-M9) — requires a PK table
-        (Table.java:71-74)."""
+        (Table.java:71-74). Single-writer locked end to end (WAL append
+        + snapshot rewrite + commit are one transaction)."""
         if self.kv is None:
             raise ValueError("upsert requires a Primary Key Table")
-        return self.kv.upsert(df, **kw)
+        with self.catalog.write_lock(self.db, self.name):
+            return self.kv.upsert(df, **kw)
 
     def delete(self, df: DataFrame, **kw) -> CommitState:
         """Delete by key rows (M2)."""
         if self.kv is None:
             raise ValueError("delete requires a Primary Key Table")
-        return self.kv.upsert(df.withColumn(OP_COL, F.lit("D")), **kw)
+        return self.upsert(df.withColumn(OP_COL, F.lit("D")), **kw)
 
     def delete_where(self, spark: SparkSession, cond, **kw) -> CommitState:
         """Row-level DELETE pushdown (PushdownUtils.deleteSingleRow

@@ -176,3 +176,51 @@ def test_native_stream_windowed_agg(spark, catalog, tmp_path):
         )
     )
     assert got == expected
+
+
+def test_stateful_sessionize_stream(spark, catalog, tmp_path):
+    """applyInPandasWithState gap sessions: closed sessions emitted as
+    state evolves across micro-batches; compared against the batch
+    sessionization for sessions that closed."""
+    from fluss_spark.registry import load
+    from fluss_spark.streaming.stateful import sessionize_stream
+
+    t = create_table(
+        catalog, "db", "s_state",
+        TableSchema(fields=[Field("user_id", "BIGINT"), Field("ts", "TIMESTAMP_LTZ"), Field("value", "DOUBLE")], num_buckets=2),
+    )
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts", "value").filter("user_id < 5")
+    t.append(ev, ordering=["ts"])
+
+    from fluss_spark.streaming.reader import read_stream
+
+    sdf = read_stream(t, spark).select("user_id", "ts", "value")
+    out = sessionize_stream(sdf, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sess_out").collect()
+
+    # batch truth: gap sessions per user (only sessions that CLOSED
+    # before the last event of that user can have been emitted)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    batch = (
+        ev.withColumn("gap", F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+        .withColumn("new", F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0))
+        .withColumn("sid", F.sum("new").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    batch_counts = {(r["user_id"], r["n_events"], float(r["sum_value"])) for r in batch.collect()}
+    assert len(got) > 0
+    for r in got:
+        key = (r["user_id"], r["n_events"], round(r["sum_value"], 2))
+        assert key in batch_counts, f"emitted session {key} not in batch truth"
