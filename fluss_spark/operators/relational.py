@@ -468,3 +468,108 @@ def t5_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "join_topk_q3",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def join_topk_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-K
+    (filters push to all three scans; the final top-10 is
+    TakeOrderedAndProject, no global sort)."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (engine-delegated in the reference)."""
+    return load(spark, sf, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def subquery_above_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery: orders 50% above the mean (one metadata-size
+    broadcast of the scalar, no per-row recomputation)."""
+    o = load(spark, sf, "orders")
+    o.createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM __orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM __orders_sq)
+        """
+    )
+
+
+@register(
+    "expr_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           length(p_name) AS name_len,
+           round(p_retailprice * 1.1, 2) AS taxed,
+           coalesce(nullif(p_type, ''), 'unknown') AS ptype,
+           CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'mid' ELSE 'small' END AS size_class,
+           substr(p_name, 1, 5) AS name5
+    FROM part
+    """,
+)
+def expr_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar expression surface: string/case/arith/null functions —
+    all whole-stage-codegen built-ins (the engine's 'scalar function
+    library' is pyspark.sql.functions, strictly richer than the
+    reference's predicate-only expression language, SURVEY §2.7)."""
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed"),
+        F.coalesce(F.nullif("p_type", F.lit("")), F.lit("unknown")).alias("ptype"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.substring("p_name", 1, 5).alias("name5"),
+    )
