@@ -162,9 +162,11 @@ class LogStore:
 
         commit_path = os.path.join(self.log_dir, f"{COMMIT_DIR_COL}={version}")
         part_cols = list(schema.partition_keys) + [BUCKET_COL]
+        codec = schema.properties.get("table.log.compression", "snappy")  # W6
         (
             out.repartition(min(n, 32), F.col(BUCKET_COL))
             .write.mode("overwrite")
+            .option("compression", codec)
             .partitionBy(*part_cols)
             .parquet(commit_path)
         )

@@ -153,3 +153,26 @@ def create_table(
         return FlussTable(catalog, db, name)
     catalog.create_table(db, name, schema)
     return FlussTable(catalog, db, name)
+
+
+class MultiTable:
+    """S12 multi-table client (client/table/MultiTable.java,
+    MultiTableBatchScanner, MultiTableWriter): one handle over several
+    tables — trivially several DataFrames in this engine."""
+
+    def __init__(self, catalog: Catalog, tables: list[tuple[str, str]]):
+        self.tables = {f"{db}.{name}": FlussTable(catalog, db, name) for db, name in tables}
+
+    def scan_all(self, spark: SparkSession) -> dict[str, DataFrame]:
+        return {path: t.scan(spark) for path, t in self.tables.items()}
+
+    def append_all(self, batches: dict[str, DataFrame], **kw) -> None:
+        for path, df in batches.items():
+            self.tables[path].append(df, **kw)
+
+    def union_scan(self, spark: SparkSession, columns: list[str]) -> DataFrame:
+        """Scan several homogeneous tables as one DataFrame."""
+        from functools import reduce
+
+        dfs = [t.scan(spark).select(*columns) for t in self.tables.values()]
+        return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -113,3 +113,62 @@ def test_rbm_merge_aggregator(spark, catalog):
     )
     row = t.snapshot(spark).collect()[0]
     assert sorted(row["visitors"]) == [10, 20]  # bitmap = distinct set
+
+
+def test_partitioned_pk_table(spark, catalog):
+    """Partition keys + primary key: changelog and snapshot respect both
+    dimensions; partition filter prunes the scan."""
+    schema = TableSchema(
+        fields=[Field("dt", "STRING"), Field("k", "INT", nullable=False), Field("v", "STRING")],
+        primary_key=["dt", "k"],
+        partition_keys=["dt"],
+        num_buckets=2,
+    )
+    t = create_table(catalog, "db", "part_pk", schema)
+    t.upsert(
+        spark.createDataFrame(
+            [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 1, "c")], "dt string, k int, v string"
+        )
+    )
+    t.upsert(spark.createDataFrame([("d1", 1, "a2")], "dt string, k int, v string"))
+    snap = sorted(map(tuple, t.snapshot(spark).collect()))
+    assert snap == [("d1", 1, "a2"), ("d1", 2, "b"), ("d2", 1, "c")]
+    # partition-pruned changelog scan
+    d1 = t.changelog(spark).filter(F.col("dt") == "d1")
+    assert d1.count() == 4  # +I,+I then -U,+U
+    # lookup with the partition value in the key
+    assert t.lookup(spark, {"dt": "d2", "k": 1}).collect()[0]["v"] == "c"
+
+
+def test_multi_table(spark, catalog):
+    from fluss_spark.table import MultiTable
+
+    s = TableSchema(fields=[Field("a", "INT")], num_buckets=1)
+    create_table(catalog, "db", "mt1", s)
+    create_table(catalog, "db", "mt2", TableSchema(fields=[Field("a", "INT")], num_buckets=1))
+    mt = MultiTable(catalog, [("db", "mt1"), ("db", "mt2")])
+    mt.append_all(
+        {
+            "db.mt1": spark.createDataFrame([(1,)], "a int"),
+            "db.mt2": spark.createDataFrame([(2,), (3,)], "a int"),
+        }
+    )
+    scans = mt.scan_all(spark)
+    assert scans["db.mt1"].count() == 1 and scans["db.mt2"].count() == 2
+    assert sorted(r["a"] for r in mt.union_scan(spark, ["a"]).collect()) == [1, 2, 3]
+
+
+def test_compression_property(spark, catalog):
+    import glob
+
+    t = create_table(
+        catalog, "db", "zstd_log",
+        TableSchema(fields=[Field("a", "INT")], num_buckets=1,
+                    properties={"table.log.compression": "zstd"}),
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(100)], "a int"))
+    files = glob.glob(f"{catalog.table_dir('db','zstd_log')}/log/**/*.parquet", recursive=True)
+    assert files and all(".zstd." in f or f.endswith(".parquet") for f in files)
+    # codec recorded in the file name by spark
+    assert any(".zstd." in f for f in files)
+    assert t.scan(spark).count() == 100
