@@ -155,6 +155,30 @@ def create_table(
     return FlussTable(catalog, db, name)
 
 
+def register_sql_views(
+    catalog: Catalog, spark: SparkSession, db: str, tables: list[str] | None = None
+) -> list[str]:
+    """Expose engine tables to Spark SQL: for every table, temp views
+    `<db>_<table>`, `<db>_<table>__snapshot`, and on PK tables
+    `<db>_<table>__changelog` / `<db>_<table>__binlog` — the
+    reference's `$suffix` virtual tables (FlinkCatalog.java:133-135)
+    with `$` mapped to `__` (Spark view names reject `$`).
+    Returns the view names created. Views are lazy plans; Catalyst
+    pushdown applies per query."""
+    names = []
+    for name in tables if tables is not None else catalog.list_tables(db):
+        t = FlussTable(catalog, db, name)
+        base = f"{db}_{name}"
+        t.scan(spark).createOrReplaceTempView(base)
+        t.snapshot(spark).createOrReplaceTempView(f"{base}__snapshot")
+        names += [base, f"{base}__snapshot"]
+        if t.kv is not None:
+            t.changelog(spark).createOrReplaceTempView(f"{base}__changelog")
+            t.binlog(spark).createOrReplaceTempView(f"{base}__binlog")
+            names += [f"{base}__changelog", f"{base}__binlog"]
+    return names
+
+
 class MultiTable:
     """S12 multi-table client (client/table/MultiTable.java,
     MultiTableBatchScanner, MultiTableWriter): one handle over several

@@ -172,3 +172,31 @@ def test_compression_property(spark, catalog):
     # codec recorded in the file name by spark
     assert any(".zstd." in f for f in files)
     assert t.scan(spark).count() == 100
+
+
+def test_sql_views(spark, catalog):
+    from fluss_spark.table import register_sql_views
+
+    create_table(
+        catalog, "db", "sqlt",
+        TableSchema(fields=[Field("k", "INT", nullable=False), Field("v", "STRING")], primary_key=["k"], num_buckets=2),
+    )
+    t = FlussTable(catalog, "db", "sqlt")
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.upsert(spark.createDataFrame([(1, "a2")], "k int, v string"))
+
+    views = register_sql_views(catalog, spark, "db", ["sqlt"])
+    assert "db_sqlt__changelog" in views
+    # SQL over the snapshot view
+    rows = spark.sql("SELECT k, v FROM `db_sqlt__snapshot` ORDER BY k").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "a2"), (2, "b")]
+    # SQL over the changelog virtual table
+    n = spark.sql(
+        "SELECT count(*) AS n FROM `db_sqlt__changelog` WHERE _change_type = '+I'"
+    ).collect()[0]["n"]
+    assert n == 2
+    # binlog UPDATE row carries before/after structs
+    up = spark.sql(
+        "SELECT before.v AS bv, after.v AS av FROM `db_sqlt__binlog` WHERE op_type = 'UPDATE'"
+    ).collect()
+    assert [(r["bv"], r["av"]) for r in up] == [("a", "a2")]
