@@ -119,3 +119,58 @@ def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return media.mapInPandas(run, schema="doc_id bigint, features array<double>")
+
+
+def resize_images(media_df: DataFrame, width: int, height: int, decode_mode: str = "fake") -> DataFrame:
+    """Resize kernel: payload -> payload' at the target dimensions. Real
+    implementation = PIL resize + re-encode inside the batch loop; the
+    fake re-hashes the payload with the target dims so output bytes stay
+    deterministic. Output keeps the opaque-binary schema so resize
+    stages compose (decode -> resize -> feature-extract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "image codec not available; plug PIL resize + re-encode here"
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["media"].map(
+                        lambda b: hashlib.md5(b + f"|{width}x{height}".encode()).digest()
+                    ),
+                    "mime": pdf["mime"],
+                }
+            )
+            yield out
+
+    return media_df.mapInPandas(run, schema="doc_id bigint, media binary, mime string")
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 10, decode_mode: str = "fake") -> DataFrame:
+    """Frame sampling for video payloads: one row in -> k frame rows out
+    (the 1:N exploding shape a real ffmpeg-based sampler has; the fake
+    emits deterministic frame ids derived from the payload). Frame
+    payloads inherit the opaque-binary convention."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "video codec not available; plug ffmpeg frame extraction here"
+                )
+            rows = {"doc_id": [], "frame_no": [], "frame": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                n_frames = 1 + b[0] % 4  # fake duration from payload
+                for i in range(n_frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i * every_n)
+                    rows["frame"].append(hashlib.md5(b + bytes([i])).digest())
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(run, schema="doc_id bigint, frame_no int, frame binary")

@@ -142,3 +142,32 @@ def test_bitmap_functions(spark):
         .collect()[0]
     )
     assert row["o"] == [1, 2, 3] and row["a"] == [2] and row["c"] == 3 and row["h"] is True
+
+
+def test_multimodal_kernels(spark):
+    """Multimodal plumbing: synthesize -> decode -> resize -> frame
+    sample; schemas and 1:N explode shape are the production contract
+    (codecs are stubbed deterministically)."""
+    from fluss_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+        sample_frames,
+        synthesize_media,
+    )
+    from fluss_spark.registry import load_spread
+
+    docs = load_spread(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = synthesize_media(docs)
+    meta = decode_images(media)
+    assert meta.columns == ["doc_id", "mime", "width", "height", "n_bytes"]
+    assert meta.filter((F.col("width") < 1) | (F.col("width") > 64)).count() == 0
+    resized = resize_images(media, 32, 32)
+    assert resized.count() == 50 and dict(resized.dtypes)["media"] == "binary"
+    frames = sample_frames(media, every_n=5)
+    n = frames.count()
+    assert n >= 50  # 1:N explode
+    assert frames.groupBy("doc_id").count().filter("count > 4").count() == 0
+    # determinism: same input -> same frame bytes
+    a = sorted(r["frame"].hex() for r in frames.limit(200).collect())
+    b = sorted(r["frame"].hex() for r in sample_frames(media, every_n=5).limit(200).collect())
+    assert a == b

@@ -110,3 +110,35 @@ def test_predicate_builder_maps_to_pushdown(spark, sf_dir):
         P.partition({"dt": "d1"}), {"dt"}, {"dt", "a"}
     )
     assert not P.only_touches(P.equal("a", 1), {"dt"}, {"dt", "a"})
+
+def test_replay_fold_is_single_shuffle(spark, sf_dir):
+    """The whole upsert/changelog fold must be ONE hash exchange on the
+    pk — both window passes (running state + lag) reuse the same
+    partitioning. A second exchange here would double the write path's
+    shuffle volume at scale."""
+    from pyspark.sql.window import Window
+
+    from fluss_spark.operators.replay import OP_COL, SEED_COL, SEQ_COL, replay
+    from fluss_spark.registry import load
+    from fluss_spark.types import Field, TableSchema
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    schema = TableSchema(
+        fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+        primary_key=["user_id"],
+        num_buckets=8,
+    )
+    b = (
+        ev.withColumn(OP_COL, F.lit("U"))
+        .withColumn(
+            SEQ_COL,
+            F.row_number().over(Window.partitionBy("user_id").orderBy("event_id")).cast("long"),
+        )
+        .withColumn(SEED_COL, F.lit(0))
+        .select("user_id", "event_type", "value", OP_COL, SEQ_COL, SEED_COL)
+    )
+    changelog, _ = replay(b, schema)
+    simple = changelog._sc._jvm.PythonSQLUtils.explainString(
+        changelog._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Exchange") == 1, simple
