@@ -112,3 +112,74 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = _embeddings(spark, sf)
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(q, e, _TOP_K, same_label_only=True)
+
+
+def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column, built
+    from groupBy/joins only (no MLlib dependency): centroids start at
+    the k lowest vec_ids, each iteration is one broadcast-join assign +
+    one groupBy-mean update. Iterative-algorithm shape: the per-round
+    result is collected (k × dim doubles — metadata-sized) and re-broadcast.
+
+    Returns (vec_id, cell) — the coarse quantizer assignment a real IVF
+    index maintains (the stored `label` column stands in for this in the
+    oracle-checked queries; this computes it from scratch)."""
+    dim_df = e.select(F.size("v").alias("d")).limit(1).collect()
+    if not dim_df:
+        return e.select("vec_id", F.lit(0).alias("cell"))
+    centroids = [
+        (i, r["v"])
+        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
+    ]
+
+    def assign_expr(cents):
+        # distance to each centroid as a literal array expression; argmin
+        best_id, best_dist = None, None
+        dists = []
+        for cid, cv in cents:
+            lit_vec = F.array(*[F.lit(float(x)) for x in cv])
+            d = F.aggregate(
+                F.zip_with(F.col("v"), lit_vec, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, z: s + z,
+            )
+            dists.append((cid, d))
+        # argmin via least() + chained when
+        least = F.least(*[d for _, d in dists])
+        expr = F.lit(-1)
+        for cid, d in reversed(dists):
+            expr = F.when(d == least, F.lit(cid)).otherwise(expr)
+        return expr
+
+    assigned = None
+    for _ in range(iters):
+        assigned = e.withColumn("cell", assign_expr(centroids))
+        new_cents = (
+            assigned.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.aggregate(
+                        F.collect_list("v"),
+                        F.array(*([F.lit(0.0)] * len(centroids[0][1]))),
+                        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                    ),
+                    lambda s: s / F.size(F.collect_list("v")),
+                ).alias("c")
+            )
+            .collect()
+        )
+        centroids = [(r["cell"], r["c"]) for r in sorted(new_cents, key=lambda r: r["cell"])]
+    return assigned.select("vec_id", "cell")
+
+
+@register("ann_kmeans_ivf")  # iterative algorithm: rows-only check (no SQL oracle)
+def ann_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with a from-scratch k-means coarse quantizer: train cells on
+    the corpus (5 Lloyd iterations, deterministic init), then top-k
+    search restricted to the query's cell. The iterative trainer is the
+    non-SQL-expressible part (driver records a rows-only check)."""
+    e = _embeddings(spark, sf)
+    cells = kmeans_assign(e, k=8, iters=2)
+    indexed = e.join(cells, "vec_id").withColumn("label", F.col("cell")).drop("cell")
+    q = indexed.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(q, indexed, _TOP_K, same_label_only=True)
