@@ -149,6 +149,7 @@ class KvStore:
         # WAL append: per-bucket offsets ordered by the fold sequence.
         # All events of one key land in one bucket (bucket key ⊆ pk), so
         # per-key changelog order is preserved in offset order.
+        old_hwm = {int(b): off for b, off in self.catalog.current_commit(self.db, self.table).log_hwm.items()}
         wal_order = [SEQ_COL, SUB_COL] + pk
         state = self.log.append(
             changelog,
@@ -159,10 +160,13 @@ class KvStore:
         )
         version = state.version
 
-        # read exactly this commit's WAL files (one partition dir)
+        # read exactly this commit's WAL files (one partition dir);
+        # touched buckets = high-watermark diff — no extra Spark job
         commit_path = os.path.join(self.log.log_dir, f"__commit={version}")
         written = spark.read.schema(self.log.file_schema()).parquet(commit_path)
-        touched_buckets = [int(r[BUCKET_COL]) for r in written.select(BUCKET_COL).distinct().collect()]
+        touched_buckets = [
+            int(b) for b, off in state.log_hwm.items() if off != old_hwm.get(int(b))
+        ]
 
         old_manifest = self._manifest(
             self.catalog.current_commit(self.db, self.table).snapshot_version
