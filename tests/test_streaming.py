@@ -224,3 +224,57 @@ def test_stateful_sessionize_stream(spark, catalog, tmp_path):
     for r in got:
         key = (r["user_id"], r["n_events"], round(r["sum_value"], 2))
         assert key in batch_counts, f"emitted session {key} not in batch truth"
+
+
+def test_stream_stream_join_l5(spark, catalog, tmp_path):
+    """L5 delta-join equivalent: two engine log streams joined
+    stream-stream with watermarks + a time-range constraint (Spark owns
+    the join state; the reference offloads it to Fluss indexes —
+    Flink22DeltaJoinITCase). availableNow over both file streams."""
+    from fluss_spark.registry import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("event_id", "user_id", "ts", "value")
+    left = create_table(
+        catalog, "db", "ss_l",
+        TableSchema(fields=[Field("event_id", "BIGINT"), Field("user_id", "BIGINT"), Field("ts", "TIMESTAMP_LTZ"), Field("value", "DOUBLE")], num_buckets=2),
+    )
+    right = create_table(
+        catalog, "db", "ss_r",
+        TableSchema(fields=[Field("event_id", "BIGINT"), Field("user_id", "BIGINT"), Field("ts", "TIMESTAMP_LTZ"), Field("value", "DOUBLE")], num_buckets=2),
+    )
+    left.append(ev.filter("event_id % 2 = 0").limit(200), ordering=["event_id"])
+    right.append(ev.filter("event_id % 2 = 1").limit(200), ordering=["event_id"])
+
+    l = read_stream(left, spark).select(
+        F.col("user_id").alias("l_user"), F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    ).withWatermark("l_ts", "1 hour")
+    r = read_stream(right, spark).select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")
+    ).withWatermark("r_ts", "1 hour")
+    joined = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT l_id, r_id FROM ss_join").collect()
+
+    # batch truth
+    lb = left.scan(spark).select(F.col("user_id").alias("l_user"), F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"))
+    rb = right.scan(spark).select(F.col("user_id").alias("r_user"), F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts"))
+    expected = lb.join(
+        rb,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select("l_id", "r_id").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    assert len(got) > 0
