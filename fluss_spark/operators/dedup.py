@@ -328,3 +328,90 @@ def dd_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             F.round("__cos", 4).alias("cosine"),
         )
     )
+
+
+@register(
+    "dd_lsh_verify_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), s0 AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t WHERE len(toks) >= {_SHINGLE}
+    ), s1 AS (
+      SELECT doc_id, {_SQL_SHINGLE_IDS} AS ids FROM s0 WHERE len(sh) > 0
+    ), sig AS (
+      SELECT doc_id, ids, {_SQL_MINHASH} AS mh FROM s1
+    ), bands AS (
+      SELECT doc_id, ids, b,
+             md5(list_aggregate(mh[b * {_BAND_ROWS} + 1 : (b + 1) * {_BAND_ROWS}],
+                                'string_agg', '|')) AS band_sig
+      FROM sig, range(0, {_K_HASHES // _BAND_ROWS}) r(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ids AS ia, b.ids AS ib
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(ia, ib))::DOUBLE /
+                 (len(ia) + len(ib) - len(list_intersect(ia, ib))), 4) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(ia, ib))::DOUBLE /
+          (len(ia) + len(ib) - len(list_intersect(ia, ib))) >= 0.2
+    """,
+)
+def dd_lsh_verify_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical two-stage near-dup pipeline: LSH banding generates
+    candidate pairs (equi-join on band signature — sub-quadratic), exact
+    n-gram Jaccard verifies them. Only candidates pay the verify cost;
+    at corpus scale this is the shape that replaces the O(n^2) scan."""
+    d = load_spread(spark, sf, "documents")
+    n_bands = _K_HASHES // _BAND_ROWS
+    staged = (
+        d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
+        .select("doc_id", "ids", minhash_signature(F.col("ids")).alias("sig"))
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    ).cast("binary")
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = staged.select("doc_id", "ids", F.explode(bands).alias("b")).select(
+        "doc_id", "ids", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ids").alias("ia"),
+            F.col("b.ids").alias("ib"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("ia"), F.col("ib")))
+    union = F.size(F.col("ia")) + F.size(F.col("ib")) - inter
+    return (
+        cand.withColumn("__jac", inter.cast("double") / union)
+        .filter(F.col("__jac") >= 0.2)
+        .select("doc_a", "doc_b", F.round("__jac", 4).alias("jaccard"))
+    )

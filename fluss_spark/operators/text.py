@@ -160,3 +160,40 @@ def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "tx_corpus_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, source, n_chars,
+             CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_tok), 4) AS avg_tokens,
+           max(n_chars) AS max_chars,
+           round(quantile_cont(n_chars, 0.5), 1) AS median_chars,
+           count(DISTINCT source) AS n_sources
+    FROM t GROUP BY lang
+    """,
+)
+def tx_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level rollup: the summary pass a pipeline runs before
+    sampling decisions (exact median via interpolated percentile —
+    identical definition in both engines)."""
+    d = load(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(tok))
+    return (
+        d.select("lang", "source", "n_chars", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 1).alias("median_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
