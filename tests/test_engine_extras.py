@@ -200,3 +200,52 @@ def test_sql_views(spark, catalog):
         "SELECT before.v AS bv, after.v AS av FROM `db_sqlt__binlog` WHERE op_type = 'UPDATE'"
     ).collect()
     assert [(r["bv"], r["av"]) for r in up] == [("a", "a2")]
+
+
+def test_admin_facade(spark, catalog):
+    from fluss_spark.admin import Admin
+
+    admin = Admin(catalog)
+    admin.create_database("db2")
+    assert "db2" in admin.list_databases()
+    t = admin.create_table(
+        "db2", "adm",
+        TableSchema(fields=[Field("k", "INT", nullable=False), Field("v", "STRING")], primary_key=["k"], num_buckets=2),
+    )
+    assert admin.table_exists("db2", "adm") and admin.list_tables("db2") == ["adm"]
+    assert admin.get_table_info("db2", "adm").primary_key == ["k"]
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    offs = admin.list_offsets("db2", "adm", "latest")
+    assert sum(offs.values()) == 2  # two +I records in the WAL
+    snap = admin.get_latest_kv_snapshot("db2", "adm")
+    assert snap is not None and snap.log_offsets == offs
+    assert admin.list_kv_snapshots("db2", "adm") == [snap.snapshot_id]
+    admin.drop_table("db2", "adm")
+    assert not admin.table_exists("db2", "adm")
+
+
+def test_concurrent_appends_locked(spark, catalog):
+    """Two writer threads under the single-writer lock: all commits land,
+    offsets stay contiguous per bucket, no lost updates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = create_table(
+        catalog, "db", "conc_log",
+        TableSchema(fields=[Field("a", "INT")], num_buckets=2),
+    )
+
+    def writer(base: int) -> None:
+        for i in range(3):
+            t.append(spark.createDataFrame([(base + i,)], "a int"))
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(writer, [0, 100]))
+
+    rows = t.scan(spark)
+    assert rows.count() == 6
+    per_bucket = rows.groupBy("__bucket").agg(
+        F.min("__offset").alias("mn"), F.max("__offset").alias("mx"), F.count("*").alias("n")
+    ).collect()
+    for r in per_bucket:
+        assert r["mn"] == 0 and r["n"] == r["mx"] + 1  # contiguous
+    assert t.count() == 6
