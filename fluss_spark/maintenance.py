@@ -103,6 +103,43 @@ def expire_log_ttl(table: FlussTable, spark: SparkSession, now_ms: int | None = 
     return deleted
 
 
+def compact_snapshot(table: FlussTable, spark: SparkSession, max_dirs: int = 8) -> bool:
+    """Rewrite the PK snapshot into ONE data dir when the manifest
+    references more than `max_dirs` dirs (each upsert adds one for its
+    touched buckets; lookups union one scan per dir). Runs under the
+    write lock; commits a new version whose manifest maps every bucket
+    to the fresh dir. Keeps lookup fan-in O(1) regardless of commit
+    count."""
+    kv = table.kv
+    if kv is None:
+        return False
+    with table.catalog.write_lock(table.db, table.name):
+        state = table.catalog.current_commit(table.db, table.name)
+        manifest = kv._manifest(state.snapshot_version)
+        if not manifest or len(set(manifest.values())) <= max_dirs:
+            return False
+        version = state.version + 1
+        data_dir = f"data-v{version}"
+        snap = kv.snapshot(spark)
+        (
+            snap.withColumn("__bucket", kv._bucket_expr())
+            .repartition(min(kv.schema.num_buckets, 32), F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(kv.snapshot_dir, data_dir))
+        )
+        kv._write_manifest(version, {b: data_dir for b in manifest})
+        new_state = CommitState(
+            version=version,
+            log_hwm=state.log_hwm,
+            snapshot_version=version,
+            auto_increment=state.auto_increment,
+            ts_ms=int(time.time() * 1000),
+        )
+        table.catalog.commit(table.db, table.name, new_state)
+    return True
+
+
 def expire_snapshots(table: FlussTable, keep: int = 2) -> int:
     """Drop old snapshot versions: keep the newest `keep` manifests,
     then GC data dirs no kept manifest references (M11 cleanup for the

@@ -171,3 +171,32 @@ def test_multimodal_kernels(spark):
     a = sorted(r["frame"].hex() for r in frames.limit(200).collect())
     b = sorted(r["frame"].hex() for r in sample_frames(media, every_n=5).limit(200).collect())
     assert a == b
+
+
+def test_snapshot_manifest_compaction(spark, catalog):
+    from fluss_spark.maintenance import compact_snapshot, expire_snapshots
+
+    t = create_table(
+        catalog, "db", "cmp_pk",
+        TableSchema(fields=[Field("k", "INT", nullable=False), Field("v", "STRING")], primary_key=["k"], num_buckets=4),
+    )
+    for i in range(10):
+        t.upsert(spark.createDataFrame([(i % 5, f"v{i}")], "k int, v string"))
+    before = sorted(map(tuple, t.snapshot(spark).collect()))
+    state = catalog.current_commit("db", "cmp_pk")
+    # one dir per bucket max; single-key upserts leave ≥2 distinct dirs
+    assert len(t.kv.referenced_data_dirs(state.snapshot_version)) > 1
+    assert compact_snapshot(t, spark, max_dirs=1)
+    state2 = catalog.current_commit("db", "cmp_pk")
+    assert len(t.kv.referenced_data_dirs(state2.snapshot_version)) == 1
+    assert sorted(map(tuple, t.snapshot(spark).collect())) == before
+    # lookups still work against the compacted manifest
+    assert t.lookup(spark, {"k": 4}).count() == 1
+    # GC drops the superseded dirs
+    expire_snapshots(t, keep=1)
+    import os
+    dirs = [e.name for e in os.scandir(t.kv.snapshot_dir) if e.name.startswith("data-v")]
+    assert len(dirs) == 1
+    # upserts continue after compaction
+    t.upsert(spark.createDataFrame([(0, "post")], "k int, v string"))
+    assert dict((r["k"], r["v"]) for r in t.snapshot(spark).collect())[0] == "post"
