@@ -148,7 +148,9 @@ def replay(
     if engine == "versioned":
         return _apply_changelog_image(_replay_versioned(df, schema), schema, full_row=False)
     if engine == "aggregation":
-        return _apply_changelog_image(_replay_aggregation(df, schema), schema, full_row=False)
+        return _apply_changelog_image(
+            _replay_aggregation(df, schema, partial_update_cols), schema, full_row=False
+        )
     raise ValueError(f"unknown merge engine: {engine}")
 
 
@@ -367,17 +369,30 @@ def _agg_running(c: str, agg: str, w_run: Window, delim: str = ",", dtype: str =
     raise ValueError(f"unknown aggregate function: {agg}")
 
 
-def _replay_aggregation(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, DataFrame]:
+def _replay_aggregation(
+    df: DataFrame, schema: TableSchema, partial_update_cols: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """AGGREGATION merge; with `partial_update_cols` only target columns
+    take the batch's contributions, untouched columns carry the seed's
+    accumulated value (PartialAggregateRowMerger,
+    AggregateRowMerger.java:224-271). Null-skipping aggregates behave
+    identically either way; last_value/first_value need the explicit
+    carry so a partial batch's nulls don't overwrite."""
     pk, cols = schema.primary_key, schema.data_columns()
     agg_spec = schema.agg_spec
     delim = schema.properties.get("table.merge-engine.aggregation.listagg-delimiter", ",")
     w_run, w_lag = _w_run(pk), _w_lag(pk)
     dtypes = dict(df.dtypes)
+    target = set(partial_update_cols) if partial_update_cols else None
 
     running = []
     for c in cols:
         if c in pk:
             running.append(F.col(c).alias(c))
+        elif target is not None and c not in target:
+            # untouched column: carry the accumulated (seed) value
+            wrapped = F.when(F.col(SEED_COL) == 1, F.struct(F.col(c).alias("v")))
+            running.append(F.last(wrapped, ignorenulls=True).over(w_run)["v"].alias(c))
         elif c in agg_spec:
             running.append(
                 _agg_running(c, agg_spec[c], w_run, delim, dtypes.get(c, "double")).alias(c)

@@ -249,3 +249,32 @@ def test_concurrent_appends_locked(spark, catalog):
     for r in per_bucket:
         assert r["mn"] == 0 and r["n"] == r["mx"] + 1  # contiguous
     assert t.count() == 6
+
+
+def test_partial_update_aggregation_interplay(spark, catalog):
+    """PartialAggregateRowMerger semantics: partial batches aggregate
+    only target columns; untouched columns carry the accumulated value
+    (a plain batch's null WOULD overwrite a last_value column)."""
+    schema = TableSchema(
+        fields=[
+            Field("k", "INT", nullable=False),
+            Field("total", "BIGINT", agg="sum"),
+            Field("status", "STRING", agg="last_value"),
+        ],
+        primary_key=["k"],
+        num_buckets=2,
+        properties={"table.merge-engine": "aggregation"},
+    )
+    t = create_table(catalog, "db", "pagg", schema)
+    t.upsert(spark.createDataFrame([(1, 10, "open")], "k int, total bigint, status string"))
+    # partial batch: only k+total — status must survive
+    t.upsert(
+        spark.createDataFrame([(1, 5)], "k int, total bigint"),
+        partial_update_cols=["k", "total"],
+    )
+    row = t.snapshot(spark).collect()[0]
+    assert row["total"] == 15 and row["status"] == "open"
+    # contrast: a FULL batch with null status overwrites it (last_value)
+    t.upsert(spark.createDataFrame([(1, 1, None)], "k int, total bigint, status string"))
+    row = t.snapshot(spark).collect()[0]
+    assert row["total"] == 16 and row["status"] is None
