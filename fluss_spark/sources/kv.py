@@ -338,8 +338,12 @@ class KvStore:
 
     def _keyed_read(self, spark: SparkSession, key: dict[str, object], bucket_key: list[str]) -> DataFrame:
         schema = self.schema
+        # cast literals to the DECLARED column types: Murmur3 hashes int
+        # and bigint (etc.) differently, so an untyped literal would route
+        # to the wrong bucket
+        types = {f.name: parse_type(f.type) for f in schema.fields}
         bucket_expr = F.pmod(
-            F.hash(*[F.lit(key[c]) for c in bucket_key]), F.lit(schema.num_buckets)
+            F.hash(*[F.lit(key[c]).cast(types[c]) for c in bucket_key]), F.lit(schema.num_buckets)
         )
         version = self.catalog.current_commit(self.db, self.table).snapshot_version
         manifest = self._manifest(version)

@@ -278,3 +278,18 @@ def test_partial_update_aggregation_interplay(spark, catalog):
     t.upsert(spark.createDataFrame([(1, 1, None)], "k int, total bigint, status string"))
     row = t.snapshot(spark).collect()[0]
     assert row["total"] == 16 and row["status"] is None
+
+
+def test_lookup_bigint_key_routing(spark, catalog):
+    """Regression: the lookup key literal must be cast to the DECLARED
+    column type before hashing — Murmur3 hashes int32 and int64
+    differently, so an untyped python int routed to the wrong bucket
+    and returned empty."""
+    t = create_table(
+        catalog, "db", "big_lk",
+        TableSchema(fields=[Field("k", "BIGINT"), Field("v", "STRING")], primary_key=["k"], num_buckets=8),
+    )
+    t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k bigint, v string"))
+    for key in (0, 7, 31, 99):
+        got = t.lookup(spark, {"k": key}).collect()
+        assert len(got) == 1 and got[0]["v"] == f"v{key}", f"key {key} mis-routed"
