@@ -389,24 +389,27 @@ def dd_lsh_verify_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    banded = staged.select("doc_id", "ids", F.explode(bands).alias("b")).select(
-        "doc_id", "ids", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+    # candidate pairs over (doc_id, band_sig) ONLY — the heavy shingle-id
+    # arrays join in afterwards, once per deduped pair, instead of riding
+    # the band self-join (which multiplies pairs per shared band)
+    banded = staged.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.ids").alias("ia"),
-            F.col("b.ids").alias("ib"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ids = staged.select("doc_id", "ids")
+    cand = (
+        pairs.join(ids.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ids", "ia"), "doc_a")
+        .join(ids.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ids", "ib"), "doc_b")
     )
     inter = F.size(F.array_intersect(F.col("ia"), F.col("ib")))
     union = F.size(F.col("ia")) + F.size(F.col("ib")) - inter
