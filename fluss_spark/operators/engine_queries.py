@@ -475,3 +475,39 @@ def t9_log_changelog_view(spark: SparkSession, sf: str) -> DataFrame:
     carries change type +A (ChangeType.APPEND_ONLY, ChangeType.java:28-58)."""
     t = _build(spark, sf, "plain_log")
     return t.changelog(spark).select("event_id", "user_id", "_change_type")
+
+
+@register(
+    "t4_incremental_view",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    )
+    SELECT event_type, count(*) AS n_users, round(sum(value), 2) AS sum_value
+    FROM latest GROUP BY event_type
+    """,
+)
+def t4_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance from the CDC stream (T4 changelog
+    consumption): fold +I/+U as +1 and -U/-D as -1 weights over the raw
+    changelog — the aggregate equals the batch aggregate over the
+    current snapshot, without ever reading the snapshot. This is the
+    retraction arithmetic every downstream materialized view runs on a
+    changelog feed."""
+    t = _build(spark, sf, "default")
+    cl = t.changelog(spark)
+    w = (
+        F.when(F.col("_change_type").isin("+I", "+U"), F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    return (
+        cl.withColumn("__w", w)
+        .groupBy("event_type")
+        .agg(
+            F.sum("__w").alias("n_users"),
+            F.round(F.sum(F.col("value") * F.col("__w")), 2).alias("sum_value"),
+        )
+        .filter(F.col("n_users") > 0)  # groups fully retracted disappear
+    )
