@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_session(spark):
+    # alias used by hypothesis-driven tests (function-scoped @given can't
+    # take the fixture named 'spark' directly without re-entry issues)
+    return spark
