@@ -116,3 +116,48 @@ def test_first_row_merge_matches_model(spark_session, seq):
     # first_row changelog is insert-only, one +I per surviving key
     cts = [r["_change_type"] for r in changelog.collect()]
     assert all(ct == "+I" for ct in cts) and len(cts) == len(model)
+
+
+agg_ops = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.sampled_from(VALS),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seq=agg_ops)
+def test_aggregation_merge_matches_model(spark_session, seq):
+    spark = spark_session
+    schema = TableSchema(
+        fields=[
+            Field("k", "INT", nullable=False),
+            Field("s", "BIGINT", agg="sum"),
+            Field("mx", "BIGINT", agg="max"),
+            Field("lastnn", "STRING", agg="last_value_ignore_nulls"),
+        ],
+        primary_key=["k"],
+        num_buckets=2,
+        properties={"table.merge-engine": "aggregation"},
+    )
+    rows = [(k, n, n, v, "U", i + 1, 0) for i, (k, n, v) in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, f"k int, s long, mx long, lastnn string, {OP_COL} string, {SEQ_COL} long, {SEED_COL} int"
+    )
+    _, snap = replay(df, schema)
+
+    model: dict = {}
+    for k, n, v in seq:
+        s, mx, lnn = model.get(k, (None, None, None))
+        if n is not None:
+            s = n if s is None else s + n
+            mx = n if mx is None else max(mx, n)
+        if v is not None:
+            lnn = v
+        model[k] = (s, mx, lnn)
+    got = {r["k"]: (r["s"], r["mx"], r["lastnn"]) for r in snap.collect()}
+    assert got == model
