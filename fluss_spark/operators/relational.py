@@ -573,3 +573,53 @@ def expr_functions(spark: SparkSession, sf: str) -> DataFrame:
         .alias("size_class"),
         F.substring("p_name", 1, 5).alias("name5"),
     )
+
+
+@register(
+    "p3_pred_not_equal_distinct",
+    oracle="""
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE n_name != 'FRANCE' AND n_regionkey IS NOT DISTINCT FROM 2
+    """,
+)
+def p3_pred_not_equal_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """NotEqual + null-safe equality leaves (PredicateBuilder.notEqual;
+    <=> is Spark's null-safe =, IS NOT DISTINCT FROM in the oracle)."""
+    n = load(spark, sf, "nation")
+    return n.filter(
+        (F.col("n_name") != "FRANCE") & F.col("n_regionkey").eqNullSafe(F.lit(2))
+    ).select("n_nationkey", "n_name")
+
+
+@register(
+    "join_q10_returned",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_q10_returned(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — selective
+    fact filter, two fact-dim joins, broadcast nation, top-20."""
+    c = load(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
