@@ -623,3 +623,57 @@ def join_q10_returned(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(json_extract_string(props, '$.k')::DOUBLE), 4) AS avg_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured columns: JSON path extraction from the events
+    `props` payload (get_json_object — JVM-side JSON parsing; at corpus
+    scale prefer from_json with an explicit schema so the parse runs
+    once per row, not per path)."""
+    from fluss_spark.registry import load as _load
+
+    e = _load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "fn_date_parts",
+    oracle="""
+    SELECT date_part('year', o_orderdate) AS y,
+           date_part('month', o_orderdate) AS m,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def fn_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-part extraction and grouping (year/month rollup — the
+    partition-key derivation pattern for time-partitioned tables)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
