@@ -677,3 +677,34 @@ def fn_date_parts(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order
+    FROM orders
+    WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-window family: rank / dense_rank / ntile / lag / lead over
+    one window spec (single shuffle + sort, all five functions evaluated
+    in the same Window operator)."""
+    o = load(spark, sf, "orders").filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
