@@ -22,7 +22,7 @@ import json
 import os
 import tempfile
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from fluss_spark.types import TableSchema
 
@@ -38,6 +38,9 @@ class CommitState:
     snapshot_version: int  # -1 = no snapshot yet
     auto_increment: dict[str, int]  # column -> next value
     ts_ms: int
+    # bucket -> first readable offset; advances when TTL trims the log
+    # head (earliest offsets / metadata count stay exact after expiry)
+    log_start: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)

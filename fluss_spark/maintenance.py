@@ -69,6 +69,7 @@ def compact_log(table: FlussTable, spark: SparkSession, target_commits: int = 8)
         snapshot_version=state.snapshot_version,
         auto_increment=state.auto_increment,
         ts_ms=int(time.time() * 1000),
+        log_start=state.log_start,
     )
     table.catalog.commit(table.db, table.name, new_state)
     # old commit dirs are now shadowed; physically remove them
@@ -90,6 +91,7 @@ def expire_log_ttl(table: FlussTable, spark: SparkSession, now_ms: int | None = 
     history = {s.version: s for s in table.catalog.commit_history(table.db, table.name)}
     state = table.catalog.current_commit(table.db, table.name)
     deleted = 0
+    newest_deleted = None
     for e in sorted(os.scandir(table.log.log_dir), key=lambda e: e.name):
         if not e.name.startswith(f"{COMMIT_DIR_COL}="):
             continue
@@ -100,6 +102,26 @@ def expire_log_ttl(table: FlussTable, spark: SparkSession, now_ms: int | None = 
             continue
         shutil.rmtree(e.path, ignore_errors=True)
         deleted += 1
+        if newest_deleted is None or v > newest_deleted.version:
+            newest_deleted = cs
+    if newest_deleted is not None:
+        # first readable offset per bucket = hwm as of the newest trimmed
+        # commit (commits are trimmed oldest-first, contiguously)
+        starts = dict(state.log_start)
+        for b, off in newest_deleted.log_hwm.items():
+            starts[b] = max(starts.get(b, 0), off)
+        table.catalog.commit(
+            table.db,
+            table.name,
+            CommitState(
+                version=state.version + 1,
+                log_hwm=state.log_hwm,
+                snapshot_version=state.snapshot_version,
+                auto_increment=state.auto_increment,
+                ts_ms=int(time.time() * 1000),
+                log_start=starts,
+            ),
+        )
     return deleted
 
 
@@ -135,6 +157,7 @@ def compact_snapshot(table: FlussTable, spark: SparkSession, max_dirs: int = 8) 
             snapshot_version=version,
             auto_increment=state.auto_increment,
             ts_ms=int(time.time() * 1000),
+            log_start=state.log_start,
         )
         table.catalog.commit(table.db, table.name, new_state)
     return True

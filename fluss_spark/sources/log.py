@@ -185,6 +185,7 @@ class LogStore:
             snapshot_version=state.snapshot_version,
             auto_increment=auto_next,
             ts_ms=ts_ms,
+            log_start=state.log_start,
         )
         if not defer_commit:
             self.catalog.commit(self.db, self.table, new_state)
@@ -240,8 +241,10 @@ class LogStore:
         return {int(b): off for b, off in state.log_hwm.items()}
 
     def earliest_offsets(self) -> dict[int, int]:
-        # becomes non-zero once TTL/retention trims the log head
-        return {b: 0 for b in self.latest_offsets()}
+        # non-zero once TTL/retention has trimmed the log head
+        state = self.catalog.current_commit(self.db, self.table)
+        starts = {int(b): off for b, off in state.log_start.items()}
+        return {b: starts.get(b, 0) for b in self.latest_offsets()}
 
     def offsets_for_timestamp(self, spark: SparkSession, ts_ms: int) -> dict[int, int]:
         """First offset per bucket with __timestamp >= ts (TimeIndex lookup
@@ -260,6 +263,7 @@ class LogStore:
 
     def count_from_metadata(self) -> int:
         """A1: count(*) served from commit metadata — no file reads
-        (PushdownUtils.countTable equivalent). Only valid for log tables
-        without deletes/TTL-trimmed heads."""
-        return sum(self.latest_offsets().values())
+        (PushdownUtils.countTable equivalent): sum of (hwm - start) per
+        bucket, exact even after TTL trims the log head."""
+        earliest = self.earliest_offsets()
+        return sum(off - earliest.get(b, 0) for b, off in self.latest_offsets().items())

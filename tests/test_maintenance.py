@@ -200,3 +200,30 @@ def test_snapshot_manifest_compaction(spark, catalog):
     # upserts continue after compaction
     t.upsert(spark.createDataFrame([(0, "post")], "k int, v string"))
     assert dict((r["k"], r["v"]) for r in t.snapshot(spark).collect())[0] == "post"
+
+
+def test_ttl_advances_earliest_and_metadata_count(spark, catalog):
+    """After TTL trims the head, earliest offsets move forward and
+    count_from_metadata stays exact (hwm - start per bucket)."""
+    t = create_table(
+        catalog, "db", "ttl2",
+        TableSchema(fields=[Field("a", "INT")], num_buckets=1,
+                    properties={"table.log.ttl": "1d"}),
+    )
+    day = 86_400_000
+    t.append(spark.createDataFrame([(1,), (2,)], "a int"), commit_ts_ms=0)
+    t.append(spark.createDataFrame([(3,)], "a int"), commit_ts_ms=3 * day)
+    assert t.count() == 3
+    from fluss_spark.maintenance import expire_log_ttl
+
+    assert expire_log_ttl(t, spark, now_ms=3 * day) == 1
+    assert t.earliest_offsets() == {0: 2}   # first commit trimmed
+    assert t.count() == 1                   # metadata count still exact
+    assert sorted(r["a"] for r in t.scan(spark).collect()) == [3]
+    # streaming from earliest starts at the trimmed head
+    from fluss_spark.streaming.reader import LogStreamReader
+
+    r = LogStreamReader(t, spark, startup_mode="earliest")
+    got = []
+    r.process_available(lambda df, bid: got.append(df.count()))
+    assert sum(got) == 1
