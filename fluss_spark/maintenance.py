@@ -42,6 +42,11 @@ def compact_log(table: FlussTable, spark: SparkSession, target_commits: int = 8)
     changelog replay are unaffected — only the file layout changes
     (the reference's tiering keeps log offsets in lake files the same
     way, fluss-lake/.../tiering/)."""
+    with table.catalog.write_lock(table.db, table.name):
+        return _compact_log_locked(table, spark, target_commits)
+
+
+def _compact_log_locked(table: FlussTable, spark: SparkSession, target_commits: int) -> int:
     log = table.log
     dirs = sorted(
         (e.name for e in os.scandir(log.log_dir) if e.name.startswith(f"{COMMIT_DIR_COL}=")),
@@ -54,14 +59,13 @@ def compact_log(table: FlussTable, spark: SparkSession, target_commits: int = 8)
 
     df = log.scan(spark)  # full committed log, system cols included
     version = state.version + 1
-    compacted_path = os.path.join(log.log_dir, f"{COMMIT_DIR_COL}={version}")
     part_cols = list(log.schema.partition_keys) + [BUCKET_COL]
     (
         df.repartition(min(log.schema.num_buckets, 32), F.col(BUCKET_COL))
         .sortWithinPartitions(BUCKET_COL, OFFSET_COL)
         .write.mode("overwrite")
         .partitionBy(*part_cols)
-        .parquet(compacted_path)
+        .parquet(log.staging_path(version))
     )
     new_state = CommitState(
         version=version,
@@ -71,6 +75,7 @@ def compact_log(table: FlussTable, spark: SparkSession, target_commits: int = 8)
         ts_ms=int(time.time() * 1000),
         log_start=state.log_start,
     )
+    log.publish(version)
     table.catalog.commit(table.db, table.name, new_state)
     # old commit dirs are now shadowed; physically remove them
     for d in committed:
@@ -88,6 +93,11 @@ def expire_log_ttl(table: FlussTable, spark: SparkSession, now_ms: int | None = 
     ttl_ms = _parse_duration_ms(ttl)
     now = now_ms if now_ms is not None else int(time.time() * 1000)
     cutoff = now - ttl_ms
+    with table.catalog.write_lock(table.db, table.name):
+        return _expire_log_ttl_locked(table, cutoff)
+
+
+def _expire_log_ttl_locked(table: FlussTable, cutoff: int) -> int:
     history = {s.version: s for s in table.catalog.commit_history(table.db, table.name)}
     state = table.catalog.current_commit(table.db, table.name)
     deleted = 0

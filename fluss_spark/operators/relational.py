@@ -708,3 +708,89 @@ def window_rank_variants(spark: SparkSession, sf: str) -> DataFrame:
         F.lag("o_orderkey").over(w).alias("prev_order"),
         F.lead("o_orderkey").over(w).alias("next_order"),
     )
+
+
+_SALT_N = 4  # salt fan-out for the skew-resistant large-large join
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant large-large equi-join: the probe side salts its
+    key with pmod(hash(row-local col), N); the build side is replicated
+    N ways (explode over the salt domain), and the join runs on
+    (key, salt) — a hot orderkey's rows now spread over N reducer
+    partitions instead of one straggler. Deterministic (no rand()), so
+    results are replay-stable. At 100 TB this is the fallback when BOTH
+    sides are too big to broadcast and AQE skew-split alone can't break
+    a pathological key; result is provably identical to the plain join
+    (oracle = unsalted SQL)."""
+    li = load(spark, sf, "lineitem").withColumn(
+        "__salt", F.pmod(F.hash("l_linenumber"), F.lit(_SALT_N)).cast("int")
+    )
+    o = load(spark, sf, "orders").withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(_SALT_N)]))
+    )
+    j = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"]) & (li["__salt"] == o["__salt"]),
+        "inner",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS f, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT f AS l_returnflag,
+    """
+    + ",\n".join(
+        # CAST .. AS DOUBLE: DuckDB parses {p} as DECIMAL, Spark as
+        # DOUBLE — both sides must run the identical IEEE arithmetic
+        f"max(CASE WHEN rn = floor((n-1)*CAST({p} AS DOUBLE)) THEN v END) AS p{tag}"
+        for p, tag in [(0.25, 25), (0.50, 50), (0.75, 75), (0.95, 95)]
+    )
+    + "\nFROM s GROUP BY f",
+)
+def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group quantiles, lower-interpolation definition
+    (numpy interpolation='lower': v[floor((n-1)*p)]). The result is an
+    actual data value, so no float synthesis or rounding can diverge
+    between engines (midpoint interpolation lands on .005 boundaries
+    where Spark's BigDecimal HALF_UP and DuckDB's nearbyint disagree).
+    Plan: one shuffle for the per-group rank window, conditional
+    aggregation picks the ranked row. At 100 TB the same query swaps to
+    `approx_percentile` (mergeable t-digest, map-side combine) with no
+    plan-shape change."""
+    li = load(spark, sf, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_extendedprice").alias("v"),
+    ).withColumn("rn", F.row_number().over(
+        Window.partitionBy("f").orderBy("v")
+    ) - 1).withColumn("n", F.count("*").over(Window.partitionBy("f")))
+
+    aggs = []
+    for p, tag in [(0.25, 25), (0.50, 50), (0.75, 75), (0.95, 95)]:
+        lo = F.floor((F.col("n") - 1) * F.lit(p))
+        aggs.append(F.max(F.when(F.col("rn") == lo, F.col("v"))).alias(f"p{tag}"))
+    return s.groupBy("f").agg(*aggs).withColumnRenamed("f", "l_returnflag")

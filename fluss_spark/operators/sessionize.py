@@ -109,3 +109,61 @@ def op_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("__prior.id").alias("prior_click_id"),
         F.col("__prior.val").alias("click_value"),
     )
+
+
+_INTERVAL_US = 60_000_000  # 60s follow window
+_BIN_US = _INTERVAL_US  # bin width = interval -> candidate bins are bin, bin+1
+
+
+@register(
+    "op_interval_join",
+    oracle=f"""
+    SELECT a.event_id AS a_id,
+           count(*) AS n_follow,
+           round(sum(b.value), 2) AS follow_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + {_INTERVAL_US}
+    GROUP BY a.event_id
+    """,
+)
+def op_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join (Flink's stream-stream interval join, which the
+    reference delegates to its host engine): for each event, aggregate
+    the same user's events in (ts, ts+60s].
+
+    Scale plan: a naive theta-join degenerates to a per-user cross
+    product. Instead each left row is replicated into the two 60s-wide
+    time bins its window can overlap, and the join becomes an EQUI-join
+    on (user_id, bin) — hash-shuffled, AQE-splittable, no nested-loop.
+    The residual exact range predicate filters inside the matched bin
+    pairs, on integer microseconds (float arithmetic would drift)."""
+    e = load(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    left = e.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array(
+                F.expr(f"us DIV {_BIN_US}"),
+                F.expr(f"us DIV {_BIN_US}") + 1,
+            )
+        ).alias("bin"),
+    ).dropDuplicates(["a_id", "bin"])
+    right = e.select(
+        "user_id",
+        F.col("us").alias("b_us"),
+        F.col("value").alias("b_value"),
+        F.expr(f"us DIV {_BIN_US}").alias("bin"),
+    )
+    pairs = left.join(right, on=["user_id", "bin"], how="inner").filter(
+        (F.col("b_us") > F.col("a_us")) & (F.col("b_us") <= F.col("a_us") + _INTERVAL_US)
+    )
+    return pairs.groupBy("a_id").agg(
+        F.count("*").alias("n_follow"),
+        F.round(F.sum("b_value"), 2).alias("follow_value"),
+    )

@@ -197,3 +197,39 @@ def tx_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+@register(
+    "tx_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_SQL_TOKENS}) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), cnt AS (
+      SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      FROM cnt
+    )
+    SELECT lang, term, n, rnk FROM ranked WHERE rnk <= 20
+    """,
+)
+def tx_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 terms per language by frequency
+    (deterministic tie-break on the term). explode -> two-level
+    aggregation: the (lang, term) count combines map-side before the
+    shuffle, then the per-lang top-k is a partial top-n window — the
+    standard plan that survives a 100 TB corpus because no stage ever
+    materializes the full vocabulary on one node."""
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+    cnt = tok.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", "term", "n", "rnk")
+    )

@@ -160,10 +160,12 @@ class KvStore:
         )
         version = state.version
 
-        # read exactly this commit's WAL files (one partition dir);
+        # read exactly this commit's WAL files (still in staging — they
+        # become visible only at publish() just before the commit);
         # touched buckets = high-watermark diff — no extra Spark job
-        commit_path = os.path.join(self.log.log_dir, f"__commit={version}")
-        written = spark.read.schema(self.log.file_schema()).parquet(commit_path)
+        written = spark.read.schema(self.log.file_schema()).parquet(
+            self.log.staging_path(version)
+        )
         touched_buckets = [
             int(b) for b, off in state.log_hwm.items() if off != old_hwm.get(int(b))
         ]
@@ -196,6 +198,7 @@ class KvStore:
 
         self._write_manifest(version, new_manifest)
         state.snapshot_version = version
+        self.log.publish(version)
         self.catalog.commit(self.db, self.table, state)
         return state
 

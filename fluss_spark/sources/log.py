@@ -13,9 +13,14 @@ Reference semantics reproduced (not the implementation):
     (client/write/StickyBucketAssigner.java:35): spark_partition_id % n
     keeps each writer task on one bucket per batch
   - `__timestamp` = commit time (TableDescriptor.java:60)
-  - commit protocol: write data files under log/commit=V/, then advance
-    meta/CURRENT atomically; readers filter commit <= CURRENT so a
-    crashed half-written commit is invisible (SURVEY §7 "what's hard").
+  - commit protocol: data files are STAGED under <table>/.tmp/log-v<V>
+    (hidden from every Spark reader, including the native file-source
+    stream), atomically renamed into log/__commit=<V>/ at commit time,
+    then meta/CURRENT advances; batch readers additionally filter
+    commit <= CURRENT so even the rename -> CURRENT instant is fenced.
+    Orphans from a crashed writer (staging dirs, or a renamed dir whose
+    CURRENT advance never happened) are self-healed by the next writer
+    under the table write lock (SURVEY §7 "what's hard").
 
 Layout: <table>/log/commit=<V>/[<part>=<v>/]__bucket=<b>/*.parquet
 Parquet row-group min/max stats on `__offset`/`__timestamp` give free
@@ -58,6 +63,43 @@ class LogStore:
         self.table = table
         self.schema = catalog.get_schema(db, table)
         self.log_dir = os.path.join(catalog.table_dir(db, table), "log")
+        self.tmp_dir = os.path.join(catalog.table_dir(db, table), ".tmp")
+
+    # ------------------------------------------------------------------ #
+    # staged-commit protocol
+    # ------------------------------------------------------------------ #
+    def commit_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{COMMIT_DIR_COL}={version}")
+
+    def staging_path(self, version: int) -> str:
+        # dot-prefixed parent: invisible to Spark/Hadoop file listings
+        return os.path.join(self.tmp_dir, f"log-v{version}")
+
+    def publish(self, version: int) -> None:
+        """Atomically move staged commit files into the log dir. Called
+        immediately before the catalog CURRENT advance; a pre-existing
+        destination can only be an orphan of a crashed attempt at this
+        same version (we hold the write lock), so it is replaced."""
+        import shutil
+
+        dst = self.commit_path(version)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(self.staging_path(version), dst)
+
+    def clean_orphans(self) -> None:
+        """Self-heal under the write lock: drop leftover staging dirs and
+        any log commit dir newer than CURRENT (a writer that crashed
+        between rename and CURRENT advance)."""
+        import shutil
+
+        current = self.catalog.current_commit(self.db, self.table).version
+        if os.path.isdir(self.tmp_dir):
+            for e in os.scandir(self.tmp_dir):
+                shutil.rmtree(e.path, ignore_errors=True)
+        for e in os.scandir(self.log_dir):
+            if e.name.startswith(f"{COMMIT_DIR_COL}=") and int(e.name.split("=")[1]) > current:
+                shutil.rmtree(e.path, ignore_errors=True)
 
     def file_schema(self, with_commit_col: bool = False):
         """Explicit read schema for log files (no inference — empty
@@ -93,12 +135,14 @@ class LogStore:
         commits atomically. `ordering` fixes intra-batch offset order
         (deterministic replay); default is arrival order per partition.
         `extra_cols` admits system columns (e.g. _change_type for PK-table
-        WALs) beyond the user schema. With `defer_commit`, files are
-        written and the new CommitState returned but meta/CURRENT is NOT
-        advanced — the caller commits after adding more to the same
-        version (PK upsert bundles WAL + snapshot into one commit).
+        WALs) beyond the user schema. With `defer_commit`, files stay in
+        the staging dir and the new CommitState is returned, but neither
+        publish() nor the meta/CURRENT advance happens — the caller
+        publishes + commits after adding more to the same version (PK
+        upsert bundles WAL + snapshot into one commit).
         """
         schema = self.schema
+        self.clean_orphans()
         state = self.catalog.current_commit(self.db, self.table)
         version = state.version + 1
         ts_ms = commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
@@ -160,7 +204,7 @@ class LogStore:
         final_cols = [c for c in cols if c not in (BUCKET_COL, OFFSET_COL, TIMESTAMP_COL)]
         out = out.select(*final_cols, BUCKET_COL, OFFSET_COL, TIMESTAMP_COL)  # drop ordering-only
 
-        commit_path = os.path.join(self.log_dir, f"{COMMIT_DIR_COL}={version}")
+        staged = self.staging_path(version)
         part_cols = list(schema.partition_keys) + [BUCKET_COL]
         codec = schema.properties.get("table.log.compression", "snappy")  # W6
         (
@@ -168,12 +212,12 @@ class LogStore:
             .write.mode("overwrite")
             .option("compression", codec)
             .partitionBy(*part_cols)
-            .parquet(commit_path)
+            .parquet(staged)
         )
 
         # new high watermarks from the files just written (also validates)
         spark = df.sparkSession
-        written = spark.read.schema(self.file_schema()).parquet(commit_path)
+        written = spark.read.schema(self.file_schema()).parquet(staged)
         hwm_rows = written.groupBy(BUCKET_COL).agg(F.max(OFFSET_COL).alias("mx")).collect()
         hwm = dict(state.log_hwm)
         for r in hwm_rows:
@@ -188,6 +232,7 @@ class LogStore:
             log_start=state.log_start,
         )
         if not defer_commit:
+            self.publish(version)
             self.catalog.commit(self.db, self.table, new_state)
         return new_state
 

@@ -146,8 +146,12 @@ class LogStreamReader:
 
 def read_stream(table: FlussTable, spark: SparkSession) -> DataFrame:
     """Native Structured Streaming DataFrame over the table's log dir
-    (file-source discovers new commit dirs per trigger). Use for
-    watermarked windowed aggregation / continuous pipelines (T5):
+    (file-source discovers new commit dirs per trigger). In-flight
+    writes are invisible: commit files are staged under the hidden
+    <table>/.tmp dir and atomically renamed into log/ only at commit
+    time (sources/log.py staged-commit protocol), so the file source
+    only ever discovers fully committed data. Use for watermarked
+    windowed aggregation / continuous pipelines (T5):
 
         sdf = read_stream(t, spark)
         agg = (sdf.withWatermark("__timestamp", "10 minutes")

@@ -227,3 +227,41 @@ def test_ttl_advances_earliest_and_metadata_count(spark, catalog):
     got = []
     r.process_available(lambda df, bid: got.append(df.count()))
     assert sum(got) == 1
+
+
+def test_staged_commit_protocol(spark, catalog):
+    """Commit files are invisible until published: the log dir only ever
+    holds fully committed dirs, staging lives under the hidden .tmp, and
+    orphans (crashed writers) are self-healed by the next append."""
+    import os
+    import shutil
+
+    t = create_table(
+        catalog, "db", "staged",
+        TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2),
+    )
+    t.append(spark.createDataFrame([(1, "x")], "a int, b string"), ordering=["a"])
+    log_dir = t.log.log_dir
+    # nothing but committed commit dirs in log/
+    assert sorted(e.name for e in os.scandir(log_dir)) == ["__commit=1"]
+    assert not os.path.exists(t.log.tmp_dir) or not os.listdir(t.log.tmp_dir)
+
+    # simulate a writer that crashed after staging (files written, never
+    # renamed): scan must not see it, next append must clean it
+    shutil.copytree(os.path.join(log_dir, "__commit=1"), t.log.staging_path(99))
+    assert t.scan(spark).count() == 1
+
+    # simulate a writer that crashed after rename but before the CURRENT
+    # advance: dir present but version > CURRENT -> fenced by scan, then
+    # removed by the next append's clean_orphans
+    shutil.copytree(os.path.join(log_dir, "__commit=1"), os.path.join(log_dir, "__commit=7"))
+    assert t.scan(spark).count() == 1  # __commit <= CURRENT fence
+
+    t.append(spark.createDataFrame([(2, "y")], "a int, b string"), ordering=["a"])
+    names = sorted(e.name for e in os.scandir(log_dir))
+    assert names == ["__commit=1", "__commit=2"]  # orphan 7 healed
+    assert not os.listdir(t.log.tmp_dir)  # staging drained
+    assert t.scan(spark).count() == 2
+    # offsets unaffected by the orphan: contiguous per bucket
+    offs = sorted(r["__offset"] for r in t.scan(spark).select("__offset").collect())
+    assert len(offs) == 2
