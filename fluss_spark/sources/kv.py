@@ -129,10 +129,17 @@ class KvStore:
             .select(*cols, OP_COL, SEQ_COL, SEED_COL)
         )
 
-        # read-old restricted to the batch's buckets and keys
-        batch_buckets = [
-            int(r["b"]) for r in b.select(self._bucket_expr().alias("b")).distinct().collect()
-        ]
+        # read-old restricted to the batch's buckets and keys; on a table
+        # with no snapshot yet (first commit) there is nothing to read, so
+        # the batch-bucket discovery job is skipped entirely
+        has_snapshot = bool(
+            self._manifest(self.catalog.current_commit(self.db, self.table).snapshot_version)
+        )
+        batch_buckets = (
+            [int(r["b"]) for r in b.select(self._bucket_expr().alias("b")).distinct().collect()]
+            if has_snapshot
+            else []
+        )
         seed = (
             self.snapshot(spark, buckets=batch_buckets)
             .join(b.select(*pk).distinct(), on=pk, how="left_semi")

@@ -207,9 +207,12 @@ class LogStore:
         staged = self.staging_path(version)
         part_cols = list(schema.partition_keys) + [BUCKET_COL]
         codec = schema.properties.get("table.log.compression", "snappy")  # W6
+        # no repartition before the write: the offset window above already
+        # hash-clustered rows by BUCKET_COL (each bucket lives wholly in
+        # one task), so partitionBy(bucket) emits one file per bucket as
+        # is — an extra exchange here would shuffle the batch a third time
         (
-            out.repartition(min(n, 32), F.col(BUCKET_COL))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .option("compression", codec)
             .partitionBy(*part_cols)
             .parquet(staged)
