@@ -366,11 +366,16 @@ def dd_lsh_verify_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     at corpus scale this is the shape that replaces the O(n^2) scan."""
     d = load_spread(spark, sf, "documents")
     n_bands = _K_HASHES // _BAND_ROWS
+    # persist: the shingle->minhash derivation feeds BOTH the band
+    # self-join and the ids join-back; without it the whole map stage
+    # (the pipeline's dominant cost) executes twice. MEMORY_AND_DISK so
+    # a 100 TB corpus spills instead of OOMing; Spark evicts LRU.
     staged = (
         d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
         .select("doc_id", "ids", minhash_signature(F.col("ids")).alias("sig"))
+        .persist()
     )
     bands = F.array(
         *[
