@@ -423,3 +423,48 @@ def dd_lsh_verify_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__jac") >= 0.2)
         .select("doc_a", "doc_b", F.round("__jac", 4).alias("jaccard"))
     )
+
+
+@register(
+    "dd_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), s0 AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t WHERE len(toks) >= {_SHINGLE}
+    ), s1 AS (
+      SELECT doc_id, {_SQL_SHINGLE_IDS} AS ids FROM s0 WHERE len(sh) > 0
+    ), bench AS (
+      SELECT DISTINCT unnest(ids) AS sid FROM s1 WHERE doc_id % 100 = 0
+    ), expanded AS (
+      SELECT doc_id, unnest(ids) AS sid FROM s1
+    )
+    SELECT e.doc_id, count(*) AS n_matched
+    FROM expanded e JOIN bench b ON e.sid = b.sid
+    GROUP BY e.doc_id
+    """,
+)
+def dd_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination check: count how many of each document's
+    n-gram shingles appear in a held-out benchmark set (here: every
+    100th doc stands in for the eval suite). The benchmark shingle set
+    is small by construction, so it BROADCASTS — the corpus side stays
+    map-side (explode + broadcast-hash-join + partial count), no shuffle
+    of the 100 TB side at all."""
+    d = load_spread(spark, sf, "documents")
+    base = (
+        d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
+    )
+    bench = (
+        base.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode("ids").alias("sid"))
+        .distinct()
+    )
+    expanded = base.select("doc_id", F.explode("ids").alias("sid"))
+    return (
+        expanded.join(F.broadcast(bench), on="sid", how="inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )

@@ -233,3 +233,88 @@ def tx_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("lang", "term", "n", "rnk")
     )
+
+
+@register(
+    "tx_hash_sample",
+    oracle="""
+    WITH s AS (
+      SELECT lang, source, doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h
+      FROM documents
+    )
+    SELECT lang, source, count(*) AS n_sampled,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM s WHERE h < 10
+    GROUP BY lang, source
+    """,
+)
+def tx_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: keep rows whose key-hash bucket
+    (md5 of doc_id, the engine's shared PRF with the oracle) falls under
+    the rate. Unlike rand()-based sampling this is reproducible across
+    runs, engines, and re-partitions — the property a training-data
+    pipeline needs for auditable subsets. Pure map-side filter; the
+    stratum rollup here just summarizes what got sampled."""
+    d = load(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        d.withColumn("__h", h)
+        .filter(F.col("__h") < 10)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_SHARD_TOKENS = 50_000  # token budget per training shard
+
+
+@register(
+    "tx_shard_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END AS n_tok
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM t
+    )
+    SELECT lang, CAST((running - n_tok) // {_SHARD_TOKENS} AS BIGINT) AS shard,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+    FROM r GROUP BY lang, shard
+    """,
+)
+def tx_shard_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard packing: documents are packed into training
+    shards of ~{50k} tokens per language by running-sum assignment
+    (shard = cumulative tokens before the doc DIV budget) — the
+    deterministic layout step before writing tokenized training files.
+    Integer arithmetic end to end. One shuffle (the per-lang window);
+    at 100 TB the window key becomes (lang, date-bucket) so no single
+    partition holds a whole language."""
+    d = load(spark, sf, "documents")
+    n_tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(tokens(F.col("text"))))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "running", F.sum("n_tok").over(w)
+    )
+    return (
+        r.withColumn("shard", F.expr(f"(running - n_tok) DIV {_SHARD_TOKENS}"))
+        .groupBy("lang", "shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
+    )
