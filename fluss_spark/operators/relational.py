@@ -794,3 +794,74 @@ def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         lo = F.floor((F.col("n") - 1) * F.lit(p))
         aggs.append(F.max(F.when(F.col("rn") == lo, F.col("v"))).alias(f"p{tag}"))
     return s.groupBy("f").agg(*aggs).withColumnRenamed("f", "l_returnflag")
+
+
+@register(
+    "join_tpch_q5",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with a local-supplier condition
+    (c_nationkey = s_nationkey crosses two join chains). Plan strategy
+    at scale: lineitem (the 100 TB side) shuffles ONCE on l_orderkey to
+    meet the filtered orders⋈customer side; supplier/nation/region are
+    broadcast so the local-supplier condition evaluates as a broadcast
+    probe, never a second fact shuffle. The year filter pushes to the
+    orders scan (row-group min/max skip) before any join."""
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping-set shape next to cube
+    and rollup) — each set aggregates independently but in ONE pass over
+    the input (Spark Expand + single hash agg, not a union of scans)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))

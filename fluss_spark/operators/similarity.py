@@ -183,3 +183,125 @@ def ann_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     indexed = e.join(cells, "vec_id").withColumn("label", F.col("cell")).drop("cell")
     q = indexed.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(q, indexed, _TOP_K, same_label_only=True)
+
+
+# ---------------------------------------------------------------------- #
+# random-hyperplane LSH (SimHash for real vectors), banded
+# ---------------------------------------------------------------------- #
+
+_HP_BANDS = 4
+_HP_ROWS = 3  # hyperplane bits per band; 4 bands x 3 bits = 12 planes
+_DIM = 64
+_COS_THRESHOLD = 0.4
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes (integer components so
+    both engines compute bit-identical double dot products). Fixed seed:
+    the signature is a stable property of the vector, reproducible
+    across runs and engines — the same auditability requirement as
+    hash-based sampling."""
+    import random
+
+    rng = random.Random(42)
+    return [[rng.randint(-1000, 1000) for _ in range(_DIM)] for _ in range(_HP_BANDS * _HP_ROWS)]
+
+
+_PLANES = _hyperplanes()
+
+
+def _sql_band_sig(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_PLANES[band * _HP_ROWS + r]}::DOUBLE[]) >= 0"
+        f" THEN {1 << r} ELSE 0 END)"
+        for r in range(_HP_ROWS)
+    )
+
+
+@register(
+    "ann_hyperplane_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v,
+             {", ".join(f"({_sql_band_sig(b)}) AS band{b}" for b in range(_HP_BANDS))}
+      FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+             AS cosine
+    FROM sig a JOIN sig b
+      ON a.vec_id < b.vec_id
+     AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(_HP_BANDS))})
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= {_COS_THRESHOLD}
+    """,
+)
+def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor pairs, banded like MinHash:
+    per band, a 3-bit sign signature (collision prob (1 - theta/pi)^3);
+    candidates collide in ANY band; exact cosine verifies. This is the
+    embedding-space analog of dd_lsh_verify_pipeline — candidate
+    generation is an equi-join on (band, band_sig), so the corpus never
+    self-joins, only same-bucket groups do. The oracle writes the same
+    candidate set as an OR-join (engine-checkable but quadratic); the
+    Spark plan is the scale shape: explode 4 band rows per vector,
+    shuffle on the bucket key, dedup pairs, then verify only candidates.
+    At 100 TB signatures are computed at ingest and stored, making the
+    explode a column read."""
+    e = _embeddings(spark, sf).select("vec_id", "v")
+
+    def band_sig(b: int):
+        return sum(
+            (
+                F.when(
+                    dot(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in _PLANES[b * _HP_ROWS + r]]),
+                    )
+                    >= 0,
+                    F.lit(1 << r),
+                ).otherwise(F.lit(0))
+                for r in range(_HP_ROWS)
+            ),
+            start=F.lit(0),
+        )
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).cast("int").alias("band"), band_sig(b).alias("bsig"))
+            for b in range(_HP_BANDS)
+        ]
+    )
+    # persist: the signature stage feeds the band self-join AND the
+    # vector join-back for the verify step
+    s = e.withColumn("bands", bands).persist()
+    banded = s.select("vec_id", F.explode("bands").alias("b")).select(
+        "vec_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = s.select("vec_id", "v")
+    cand = pairs.join(
+        vecs.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("v", "va"), "vec_a"
+    ).join(vecs.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("v", "vb"), "vec_b")
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        cand.withColumn("__cos", cos)
+        .filter(F.col("__cos") >= _COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("__cos", 4).alias("cosine"))
+    )
