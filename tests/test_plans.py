@@ -142,3 +142,35 @@ def test_replay_fold_is_single_shuffle(spark, sf_dir):
         changelog._jdf.queryExecution(), "simple"
     )
     assert simple.count("Exchange") == 1, simple
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    """Six-table Q5: every dim side is a broadcast hash join — exactly
+    one shuffle of the fact table (lineitem⋈orders), and the date filter
+    is pushed to the orders scan."""
+    df = QUERIES["join_tpch_q5"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "1996-01-01" in plans.pushed_filters(df) or "o_orderdate" in plans.pushed_filters(df)
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """GROUPING SETS compiles to Expand + ONE hash aggregate pair over a
+    single scan — not a union of per-set scans."""
+    df = QUERIES["agg_grouping_sets"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Expand" in plan
+    # exactly one scan (InMemoryFileIndex appears once per scan node's
+    # detail block; "Scan parquet" also appears in the plan tree header)
+    assert plan.count("InMemoryFileIndex") == 1
+    assert plans.has_partial_aggregation(df)
+
+
+def test_hyperplane_lsh_no_cartesian(spark, sf_dir):
+    """Banded LSH candidates come from an equi-join on (band, bsig) —
+    the corpus must never cross-join itself."""
+    df = QUERIES["ann_hyperplane_lsh"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
