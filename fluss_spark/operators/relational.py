@@ -865,3 +865,44 @@ def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupingSets(
         [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
     ).agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+@register(
+    "join_tpch_q17",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand, round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.lim
+    GROUP BY p.p_brand
+    """,
+)
+def join_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: a correlated scalar subquery (per-part average
+    quantity) written DECORRELATED — the subquery becomes a groupBy over
+    the same fact table joined back on the key, which is how Catalyst
+    rewrites correlated aggregates anyway; writing it flat makes the
+    plan explicit: two passes over lineitem, both partial-aggregated
+    map-side, joined on l_partkey, dims broadcast. No per-row re-scan
+    (the naive correlated plan would be O(n * parts))."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("lim"))
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )

@@ -278,3 +278,53 @@ def test_stream_stream_join_l5(spark, catalog, tmp_path):
     ).select("l_id", "r_id").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
     assert len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, catalog, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the doc
+    fingerprint over the engine's file stream — the streaming half of
+    dd_exact (state is bounded by the watermark, so a 100 TB/day stream
+    holds hours of fingerprints, not the corpus)."""
+    t = create_table(
+        catalog, "db", "s_dedup",
+        TableSchema(
+            fields=[
+                Field("doc_id", "BIGINT"),
+                Field("ts", "TIMESTAMP_LTZ"),
+                Field("fp", "STRING"),
+            ],
+            num_buckets=2,
+        ),
+    )
+    rows = [
+        (1, "2024-01-01 00:00:00", "aaa"),
+        (2, "2024-01-01 00:01:00", "bbb"),
+        (3, "2024-01-01 00:02:00", "aaa"),  # dup of doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, ts string, fp string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    t.append(df, ordering=["doc_id"])
+    # second commit: another dup + one new fingerprint
+    rows2 = [
+        (4, "2024-01-01 00:03:00", "bbb"),
+        (5, "2024-01-01 00:04:00", "ccc"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, ts string, fp string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    t.append(df2, ordering=["doc_id"])
+
+    sdf = read_stream(t, spark).select("doc_id", "ts", "fp")
+    deduped = sdf.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["fp"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fp, count(*) AS n FROM dedup_out GROUP BY fp").collect()
+    assert {r["fp"]: r["n"] for r in got} == {"aaa": 1, "bbb": 1, "ccc": 1}
