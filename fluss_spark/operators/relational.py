@@ -906,3 +906,65 @@ def join_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_small"),
         )
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_quantity), 4) AS mean_qty,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (second moments + correlation) — all
+    mergeable built-ins (partial aggregation map-side; a 100 TB corr is
+    one shuffle of per-partition moment tuples, same plan as sum)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    WITH u AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
+           round(min(value), 2) AS vmin, round(max(value), 2) AS vmax
+    FROM u GROUP BY measure
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt, the inverse of pivot) + per-
+    measure profile. Spark's unpivot is a projection-only Expand — one
+    scan, no join/union of scans (the oracle's UNION ALL form would scan
+    three times)."""
+    li = load(spark, sf, "lineitem")
+    u = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return u.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.min("value"), 2).alias("vmin"),
+        F.round(F.max("value"), 2).alias("vmax"),
+    )

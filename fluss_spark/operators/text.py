@@ -318,3 +318,29 @@ def tx_shard_packing(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "shard")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
     )
+
+
+_HIST_BIN = 100  # chars per histogram bucket
+
+
+@register(
+    "tx_length_histogram",
+    oracle=f"""
+    SELECT lang, (n_chars // {_HIST_BIN}) * {_HIST_BIN} AS bin_lo,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang, bin_lo
+    """,
+)
+def tx_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language document-length histogram (fixed-width integer
+    binning — the corpus-inspection primitive before choosing length
+    filters). Pure map-side bin + one groupBy; bin count is bounded, so
+    the shuffle is metadata-sized at any corpus size."""
+    d = load(spark, sf, "documents")
+    return (
+        d.withColumn("bin_lo", (F.col("n_chars") / _HIST_BIN).cast("long") * _HIST_BIN)
+        .groupBy("lang", "bin_lo")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+    )
