@@ -23,6 +23,14 @@ def main() -> None:
 
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm one Python worker per core (daemon fork + pandas/pyarrow
+    # import); long-lived executors amortize this in production, so the
+    # per-query numbers should measure steady-state, not interpreter boot
+    import pandas as pd  # noqa: F401
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

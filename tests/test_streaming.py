@@ -196,14 +196,22 @@ def test_stateful_sessionize_stream(spark, catalog, tmp_path):
 
     sdf = read_stream(t, spark).select("user_id", "ts", "value")
     out = sessionize_stream(sdf, gap_minutes=30)
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory").queryName("sess_out")
-        .option("checkpointLocation", str(tmp_path / "sckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    # 2 state partitions for the test: state-store setup/commit cost is
+    # per partition per micro-batch and dominates at toy volume (the
+    # operator itself is partition-count-agnostic)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("sess_out")
+            .option("checkpointLocation", str(tmp_path / "sckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     got = spark.sql("SELECT * FROM sess_out").collect()
 
     # batch truth: gap sessions per user (only sessions that CLOSED
