@@ -72,6 +72,7 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
     import fluss_spark.operators.relational  # noqa: F401
+    import fluss_spark.operators.tpch_extra  # noqa: F401
     import fluss_spark.operators.engine_queries  # noqa: F401
     import fluss_spark.operators.dedup  # noqa: F401
     import fluss_spark.operators.text  # noqa: F401

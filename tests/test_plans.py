@@ -174,3 +174,33 @@ def test_hyperplane_lsh_no_cartesian(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_two_windows_one_fact_shuffle(spark, sf_dir):
+    """Q21's two window passes share the l_orderkey partitioning — the
+    physical plan has exactly ONE fact exchange (plus the tiny final
+    per-name agg exchange); supplier joins as broadcast."""
+    df = QUERIES["join_tpch_q21"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    import re
+    fact_exchanges = re.findall(r"hashpartitioning\(l_orderkey", plan)
+    assert len(fact_exchanges) == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_semi_join_before_wide_join(spark, sf_dir):
+    """Q18 filters orders through a LeftSemi on the HAVING key set before
+    the customer join touches anything."""
+    df = QUERIES["join_tpch_q18"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 without global sort
+
+
+def test_q19_or_envelopes_pushed(spark, sf_dir):
+    """Q19's disjunctive predicate: the single-side envelopes reach both
+    scans (brand IN-list on part, quantity range on lineitem)."""
+    df = QUERIES["join_tpch_q19"](spark, sf_dir)
+    pf = plans.pushed_filters(df)
+    plans.assert_contains(pf, "In(p_brand", "l_quantity")
