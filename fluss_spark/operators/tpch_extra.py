@@ -514,3 +514,219 @@ def subquery_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "agg_tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan-aggregate. All
+    three predicates push to the Parquet scan (row-group min/max skips
+    whole groups); the agg is a map-side partial + 1-row final — the
+    cheapest possible shape, and the purest test that pushdown works."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "join_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS with a
+    non-equi residual becomes a LEFT-SEMI hash join on l_orderkey with
+    the l_shipdate > o_orderdate comparison as the join residual — the
+    fact side never duplicates orders (semi short-circuits on first
+    match), and the date filter thins the probe side at its scan."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "join_tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          - 0.4 * p.p_retailprice * l.l_quantity
+                          AS DECIMAL(28, 4))), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def join_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit; supply cost modeled as 40% of
+    retail since the testdata has no partsupp): the p_name LIKE filter
+    cuts the fact through a broadcast join FIRST (highest selectivity),
+    then supplier/nation attach by broadcast; only the orders join
+    shuffles the (already-thinned) fact. Contains(p_name) pushes to the
+    part scan."""
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,4)")  # quantize per-row: decimal sum is order-independent
+                             # (double sum noise is amplified by the subtraction)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "join_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split; returnflag stands
+    in for shipmode, which the testdata lacks): fact-fact equi-join where
+    the lineitem side is pre-thinned by a pushed date range, then a
+    conditional two-way count in ONE aggregation pass — no per-priority
+    re-scan, no pivot shuffle (3-row output)."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "subquery_tpch_q2",
+    oracle="""
+    SELECT n.n_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def subquery_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier; acctbal stands in for the
+    missing partsupp supplycost): the correlated scalar min decorrelates
+    to a groupBy over the SAME table joined back on (nationkey, minval).
+    Both sides are dim-sized, so both the agg and the join broadcast —
+    at 100 TB this pattern matters when the outer is a fact: the agg
+    output stays |groups|-sized and broadcastable regardless of fact
+    size."""
+    s = load(spark, sf, "supplier")
+    mn = s.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(
+            F.broadcast(mn),
+            (s.s_nationkey == F.col("mk")) & (s.s_acctbal == F.col("min_bal")),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@register(
+    "subquery_tpch_q20",
+    oracle="""
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type = 'SMALL'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 100)
+    """,
+)
+def subquery_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of a part class):
+    nested IN over an aggregate-HAVING derived set, planned as agg →
+    LEFT-SEMI. The part filter broadcasts into lineitem before the agg,
+    the agg output is |suppliers|-bounded, and the semi join broadcasts
+    it back — supplier is never shuffled."""
+    p = load(spark, sf, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    qual = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 100)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf, "supplier")
+    return s.join(
+        F.broadcast(qual), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
