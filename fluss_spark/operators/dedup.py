@@ -144,10 +144,14 @@ def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     n_bands = _K_HASHES // _BAND_ROWS
     # stage each derivation as a real column: Catalyst does not CSE a
     # subtree repeated inside lambda functions, so inlining shingles into
-    # all k hash lambdas would recompute them k times per row
+    # all k hash lambdas would recompute them k times per row.
+    # Filter on the TOKEN count, before the shingle projection: a filter
+    # phrased on the shingle column would inline the whole HOF chain into
+    # the predicate, which pushes below the exchange and evaluates on the
+    # un-spread scan partition (measured 8x slower than the projection)
     staged = (
-        d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
-        .filter(F.size("sh") > 0)
+        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
         .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
         .select("doc_id", minhash_signature(F.col("ids")).alias("sig"))
     )
@@ -262,8 +266,8 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # persist: both sides of the self-join read this stage; without it
     # the tokenize+shingle+hash map work (the dominant cost) runs twice
     base = (
-        d.select("doc_id", "lang", "source", sh.alias("sh"))
-        .filter(F.size("sh") > 0)
+        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
+        .select("doc_id", "lang", "source", sh.alias("sh"))
         .select("doc_id", "lang", "source", shingle_ids(F.col("sh")).alias("s"))
         .persist()
     )
@@ -375,8 +379,8 @@ def dd_lsh_verify_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # (the pipeline's dominant cost) executes twice. MEMORY_AND_DISK so
     # a 100 TB corpus spills instead of OOMing; Spark evicts LRU.
     staged = (
-        d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
-        .filter(F.size("sh") > 0)
+        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
         .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
         .select("doc_id", "ids", minhash_signature(F.col("ids")).alias("sig"))
         .persist()
@@ -459,8 +463,8 @@ def dd_contamination(spark: SparkSession, sf: str) -> DataFrame:
 
     def _ids(df: DataFrame) -> DataFrame:
         return (
-            df.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
-            .filter(F.size("sh") > 0)
+            df.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
+            .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
             .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
         )
 
@@ -521,8 +525,8 @@ def dd_lsh_canonical(spark: SparkSession, sf: str) -> DataFrame:
     d = load_spread(spark, sf, "documents")
     n_bands = _K_HASHES // _BAND_ROWS
     staged = (
-        d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
-        .filter(F.size("sh") > 0)
+        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
         .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
         .select("doc_id", minhash_signature(F.col("ids")).alias("sig"))
     )

