@@ -133,39 +133,39 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     ]
 
     def assign_expr(cents):
-        # distance to each centroid as a literal array expression; argmin
-        best_id, best_dist = None, None
+        # distances to all centroids in ONE array expression, argmin by
+        # array_position of the min — each distance evaluates exactly
+        # once (a least()+when chain would re-evaluate every distance)
         dists = []
-        for cid, cv in cents:
+        for _, cv in cents:
             lit_vec = F.array(*[F.lit(float(x)) for x in cv])
-            d = F.aggregate(
-                F.zip_with(F.col("v"), lit_vec, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda s, z: s + z,
+            dists.append(
+                F.aggregate(
+                    F.zip_with(F.col("v"), lit_vec, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda s, z: s + z,
+                )
             )
-            dists.append((cid, d))
-        # argmin via least() + chained when
-        least = F.least(*[d for _, d in dists])
-        expr = F.lit(-1)
-        for cid, d in reversed(dists):
-            expr = F.when(d == least, F.lit(cid)).otherwise(expr)
-        return expr
+        darr = F.array(*dists)
+        pos = F.array_position(darr, F.array_min(darr))  # 1-based, first=lowest cid on ties
+        # map position -> centroid id (ids can be sparse once a cell empties)
+        cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+        return F.element_at(cid_arr, pos.cast("int")).cast("int")
 
     assigned = None
     for _ in range(iters):
         assigned = e.withColumn("cell", assign_expr(centroids))
+        # centroid update = per-(cell, dimension) mean: posexplode to
+        # (cell, pos, val) and avg — built-in partial aggregation, no
+        # collect_list materialization (which would hold whole cells as
+        # arrays in memory; this form distributes at any corpus size)
         new_cents = (
-            assigned.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.aggregate(
-                        F.collect_list("v"),
-                        F.array(*([F.lit(0.0)] * len(centroids[0][1]))),
-                        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-                    ),
-                    lambda s: s / F.size(F.collect_list("v")),
-                ).alias("c")
-            )
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda x: x["m"]).alias("c"))
             .collect()
         )
         centroids = [(r["cell"], r["c"]) for r in sorted(new_cents, key=lambda r: r["cell"])]
@@ -277,8 +277,16 @@ def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
         ]
     )
     # persist: the signature stage feeds the band self-join AND the
-    # vector join-back for the verify step
-    s = e.withColumn("bands", bands).persist()
+    # vector join-back for the verify step. Vectors are L2-normalized
+    # HERE, once per vector — the verify stage then needs ONE dot per
+    # candidate pair instead of three (pairs outnumber vectors ~60x with
+    # 3-bit band signatures, so per-pair work dominates)
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    s = (
+        e.withColumn("bands", bands)
+        .withColumn("vn", F.transform("v", lambda x: x / norm))
+        .persist()
+    )
     banded = s.select("vec_id", F.explode("bands").alias("b")).select(
         "vec_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
     )
@@ -293,13 +301,11 @@ def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    vecs = s.select("vec_id", "v")
+    vecs = s.select("vec_id", "vn")
     cand = pairs.join(
-        vecs.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("v", "va"), "vec_a"
-    ).join(vecs.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("v", "vb"), "vec_b")
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+        vecs.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("vn", "va"), "vec_a"
+    ).join(vecs.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("vn", "vb"), "vec_b")
+    cos = dot(F.col("va"), F.col("vb"))
     return (
         cand.withColumn("__cos", cos)
         .filter(F.col("__cos") >= _COS_THRESHOLD)
