@@ -31,6 +31,30 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
+    # warm the engine write path (JIT: window fold + parquet write +
+    # commit protocol) on a micro table so per-query numbers measure the
+    # steady-state transaction, not first-ever-commit JVM compilation
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fluss_spark.catalog import Catalog
+    from fluss_spark.table import create_table
+    from fluss_spark.types import Field, TableSchema
+
+    with tempfile.TemporaryDirectory(prefix="bench_warm_") as wh:
+        t = create_table(
+            Catalog(wh), "db", "warm",
+            TableSchema(
+                fields=[Field("k", "BIGINT"), Field("v", "DOUBLE")],
+                primary_key=["k"], num_buckets=2,
+            ),
+        )
+        warm_df = spark.range(200).select(
+            F.col("id").alias("k"), F.rand(7).alias("v"), F.col("id").alias("seq")
+        )
+        t.upsert(warm_df, ordering=["seq"])
+        t.upsert(warm_df, ordering=["seq"])
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

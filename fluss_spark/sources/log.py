@@ -218,13 +218,20 @@ class LogStore:
             .parquet(staged)
         )
 
-        # new high watermarks from the files just written (also validates)
-        spark = df.sparkSession
-        written = spark.read.schema(self.file_schema()).parquet(staged)
-        hwm_rows = written.groupBy(BUCKET_COL).agg(F.max(OFFSET_COL).alias("mx")).collect()
+        # new high watermarks from the Parquet FOOTERS of the files just
+        # written: row-group max(__offset) per bucket dir, read driver-side
+        # (metadata-only) — replaces a full Spark read-back job per commit
         hwm = dict(state.log_hwm)
-        for r in hwm_rows:
-            hwm[str(r[BUCKET_COL])] = int(r["mx"]) + 1
+        per_bucket = self._footer_hwm(staged)
+        if per_bucket is None:  # stats unavailable -> Spark fallback
+            spark = df.sparkSession
+            written = spark.read.schema(self.file_schema()).parquet(staged)
+            per_bucket = {
+                int(r[BUCKET_COL]): int(r["mx"])
+                for r in written.groupBy(BUCKET_COL).agg(F.max(OFFSET_COL).alias("mx")).collect()
+            }
+        for bkt, mx in per_bucket.items():
+            hwm[str(bkt)] = mx + 1
 
         new_state = CommitState(
             version=version,
@@ -238,6 +245,35 @@ class LogStore:
             self.publish(version)
             self.catalog.commit(self.db, self.table, new_state)
         return new_state
+
+    def _footer_hwm(self, staged: str) -> dict[int, int] | None:
+        """Per-bucket max(__offset) from Parquet footer statistics of the
+        staged files (driver-side, metadata-only). Returns None if any
+        file lacks offset stats (caller falls back to a Spark job). Cost
+        is one footer read per file — O(buckets), independent of rows."""
+        import pyarrow.parquet as pq
+
+        per_bucket: dict[int, int] = {}
+        for root, _dirs, files in os.walk(staged):
+            marker = f"{BUCKET_COL}="
+            bucket = None
+            for comp in root.split(os.sep):
+                if comp.startswith(marker):
+                    bucket = int(comp[len(marker):])
+            for fn in files:
+                if not fn.endswith(".parquet") or bucket is None:
+                    continue
+                md = pq.read_metadata(os.path.join(root, fn))
+                try:
+                    col_idx = md.schema.names.index(OFFSET_COL)
+                except ValueError:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics
+                    if st is None or st.max is None:
+                        return None
+                    per_bucket[bucket] = max(per_bucket.get(bucket, -1), int(st.max))
+        return per_bucket
 
     # ------------------------------------------------------------------ #
     # scan (S2/S3/S8)
