@@ -311,3 +311,37 @@ def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__cos") >= _COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("__cos", 4).alias("cosine"))
     )
+
+
+@register(
+    "emb_label_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS avg_norm,
+           round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS min_norm,
+           round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def emb_label_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-corpus inspection: per-label vector counts and L2-norm
+    distribution (the pre-flight check before cosine ops — un-normalized
+    or zero vectors surface here). Norm is one map-side expression; the
+    groupBy output is |labels|-sized."""
+    e = _embeddings(spark, sf)
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    return (
+        e.select("label", norm.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("n2"), 4).alias("avg_norm"),
+            F.round(F.min("n2"), 4).alias("min_norm"),
+            F.round(F.max("n2"), 4).alias("max_norm"),
+        )
+    )

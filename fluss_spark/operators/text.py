@@ -344,3 +344,37 @@ def tx_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "bin_lo")
         .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
     )
+
+
+# GPT-2-style pre-tokenizer shape, restricted to a Java/RE2-portable
+# subset: runs of letters, runs of digits, runs of other symbols (each
+# with an optional leading space), or whitespace runs
+_BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+@register(
+    "tx_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))
+             AS n_bpe_tokens,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def tx_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (letter
+    runs / digit runs / symbol runs, optional leading space) counted
+    next to the whitespace count — the ratio between the two is the
+    standard tokens-per-word sanity metric for training-data budgeting.
+    regexp_count is a single vectorized JVM pass; no Python."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(tokens(F.col("text"))))
+        .alias("n_ws_tokens"),
+    )
