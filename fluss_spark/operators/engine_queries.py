@@ -38,6 +38,18 @@ def _events_batch(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
 
 
+def _max_event_id(sf: str) -> int:
+    """max(event_id) from the parquet footer statistics — driver-side
+    metadata read instead of a Spark aggregation job per build."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(os.path.join(sf, "events.parquet"))
+    idx = md.schema.names.index("event_id")
+    return max(
+        int(md.row_group(rg).column(idx).statistics.max) for rg in range(md.num_row_groups)
+    )
+
+
 def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
     key = (variant, sf)
     if key in _CACHE:
@@ -56,7 +68,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         # two batches -> exercises the cross-commit snapshot seed
-        half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+        half = _max_event_id(sf) // 2
         t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
         t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
     elif variant == "first_row":
@@ -148,7 +160,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             num_buckets=8,
         )
         t = create_table(cat, "db", variant, schema)
-        half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+        half = _max_event_id(sf) // 2
         t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
         t.upsert(
             ev.filter(F.col("event_id") > half).select("event_id", "user_id", "value"),
@@ -176,7 +188,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             num_buckets=4,
         )
         t = create_table(cat, "db", variant, schema)
-        half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+        half = _max_event_id(sf) // 2
         t.append(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
         # remember the between-commits offsets for time travel (S8)
         import json as _json

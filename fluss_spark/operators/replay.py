@@ -110,6 +110,7 @@ def replay(
     schema: TableSchema,
     partial_update_cols: list[str] | None = None,
     merge_mode: str | None = None,
+    may_have_deletes: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a change stream into (changelog_df, snapshot_df).
 
@@ -117,6 +118,9 @@ def replay(
     `merge_mode='overwrite'` bypasses the merge engine and applies plain
     last-write-wins — the undo/recovery path (M8, Upsert.mergeMode,
     client/table/writer/Upsert.java:61-98).
+
+    `may_have_deletes=False` is a caller hint (the batch carried no __op
+    column, so every op is 'U') that skips the delete-probe jobs.
     """
     engine = "default" if merge_mode == "overwrite" else schema.merge_engine
     pk = schema.primary_key
@@ -124,16 +128,16 @@ def replay(
     if not pk:
         raise ValueError("replay requires a primary-key table")
 
-    if schema.delete_behavior == "disable":
+    if schema.delete_behavior == "disable" and may_have_deletes:
         # DeleteBehavior.DISABLE (metadata/DeleteBehavior.java:28-47)
         if df.filter(F.col(OP_COL) == "D").limit(1).count() > 0:
             raise ValueError("DELETE disabled for this table (table.delete.behavior=disable)")
-    if schema.delete_behavior == "ignore":
+    if schema.delete_behavior == "ignore" and may_have_deletes:
         df = df.filter((F.col(OP_COL) != "D") | (F.col(SEED_COL) == 1))
 
     if engine == "default":
         if partial_update_cols:
-            has_deletes = df.filter(
+            has_deletes = may_have_deletes and df.filter(
                 (F.col(OP_COL) == "D") & (F.col(SEED_COL) == 0)
             ).limit(1).count() > 0
             if has_deletes:

@@ -114,6 +114,7 @@ class KvStore:
         # normalize the batch: every data column present (nulls for
         # non-target), __op, per-key fold sequence
         b = df
+        may_have_deletes = OP_COL in b.columns  # no __op => all upserts
         if OP_COL not in b.columns:
             b = b.withColumn(OP_COL, F.lit("U"))
         for f in schema.fields:
@@ -132,14 +133,20 @@ class KvStore:
         # read-old restricted to the batch's buckets and keys; on a table
         # with no snapshot yet (first commit) there is nothing to read, so
         # the batch-bucket discovery job is skipped entirely
-        has_snapshot = bool(
-            self._manifest(self.catalog.current_commit(self.db, self.table).snapshot_version)
+        manifest_now = self._manifest(
+            self.catalog.current_commit(self.db, self.table).snapshot_version
         )
-        batch_buckets = (
-            [int(r["b"]) for r in b.select(self._bucket_expr().alias("b")).distinct().collect()]
-            if has_snapshot
-            else []
-        )
+        has_snapshot = bool(manifest_now)
+        # the batch-bucket discovery job pays off only when it can prune
+        # a LARGE bucket space; under ~64 buckets the semi-join on keys
+        # already bounds the read, so skip the extra job
+        if has_snapshot and len(manifest_now) > 64:
+            batch_buckets = [
+                int(r["b"])
+                for r in b.select(self._bucket_expr().alias("b")).distinct().collect()
+            ]
+        else:
+            batch_buckets = None if has_snapshot else []
         seed = (
             self.snapshot(spark, buckets=batch_buckets)
             .join(b.select(*pk).distinct(), on=pk, how="left_semi")
@@ -150,7 +157,11 @@ class KvStore:
         fold_in = seed.select(*b.columns).unionByName(b)
 
         changelog, _ = replay(
-            fold_in, schema, partial_update_cols=partial_update_cols, merge_mode=merge_mode
+            fold_in,
+            schema,
+            partial_update_cols=partial_update_cols,
+            merge_mode=merge_mode,
+            may_have_deletes=may_have_deletes,
         )
 
         # WAL append: per-bucket offsets ordered by the fold sequence.
