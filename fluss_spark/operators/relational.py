@@ -498,7 +498,7 @@ def join_topk_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -609,14 +609,15 @@ def p3_pred_not_equal_distinct(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_q10_returned(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer — selective
-    fact filter, two fact-dim joins, broadcast nation, top-20."""
+    fact filter, two fact-dim joins, broadcast nation (bounded dim;
+    customer is AQE-decided), top-20."""
     c = load(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "nation")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -817,10 +818,11 @@ def join_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: six-table join with a local-supplier condition
     (c_nationkey = s_nationkey crosses two join chains). Plan strategy
     at scale: lineitem (the 100 TB side) shuffles ONCE on l_orderkey to
-    meet the filtered orders⋈customer side; supplier/nation/region are
-    broadcast so the local-supplier condition evaluates as a broadcast
-    probe, never a second fact shuffle. The year filter pushes to the
-    orders scan (row-group min/max skip) before any join."""
+    meet the filtered orders⋈customer side; nation/region are bounded
+    dims (explicit broadcast), while customer/supplier grow with SF so
+    AQE picks broadcast only when the side fits at runtime. The year
+    filter pushes to the orders scan (row-group min/max skip) before
+    any join."""
     r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
     s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
@@ -832,9 +834,9 @@ def join_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -889,8 +891,9 @@ def join_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     the same fact table joined back on the key, which is how Catalyst
     rewrites correlated aggregates anyway; writing it flat makes the
     plan explicit: two passes over lineitem, both partial-aggregated
-    map-side, joined on l_partkey, dims broadcast. No per-row re-scan
-    (the naive correlated plan would be O(n * parts))."""
+    map-side, joined on l_partkey (part has no hardcoded broadcast hint
+    — it grows with SF; AQE broadcasts when it fits). No per-row
+    re-scan (the naive correlated plan would be O(n * parts))."""
     li = load(spark, sf, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -899,7 +902,7 @@ def join_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(pa, "l_partkey")
         .filter(F.col("l_quantity") < F.col("lim"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),

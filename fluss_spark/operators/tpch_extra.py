@@ -12,9 +12,12 @@ self-joined dim (Q7), share-of-total (Q8), disjunctive join predicate
 anti-join (Q22).
 
 Scale notes (100 TB posture):
-- nation/region/supplier are true dims -> explicit broadcast().
-- part/customer grow with SF -> left to AQE (shuffle join locally,
-  broadcast at runtime if the filtered side fits).
+- nation/region are BOUNDED dims (25/5 rows at any SF) -> explicit
+  broadcast(); 1-row scalar subqueries likewise.
+- supplier/part/customer and every subset of them grow linearly with
+  SF -> NO explicit broadcast hint; AQE broadcasts at runtime when the
+  filtered side fits and falls back to shuffle join when it doesn't
+  (a hardcoded hint would OOM the driver at 100 TB).
 - every scalar subquery is computed once and broadcast (1-row cross
   join), never re-evaluated per row.
 - Q21 uses two window passes over the SAME partition key, so the second
@@ -162,9 +165,10 @@ def agg_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q16 shape (supplier diversity per part class): NOT-IN
-    exclusion as a broadcast LEFT-ANTI join (the exclusion list is tiny
-    by construction) + count(DISTINCT) — Spark plans distinct-agg as a
-    two-level expand+agg, both levels partial map-side."""
+    exclusion as a LEFT-ANTI join (AQE broadcasts the exclusion list
+    when it fits — it is supplier-bounded, so no hardcoded hint) +
+    count(DISTINCT) — Spark plans distinct-agg as a two-level
+    expand+agg, both levels partial map-side."""
     bad = (
         load(spark, sf, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -177,7 +181,7 @@ def join_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -216,7 +220,7 @@ def subquery_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_rev_raw == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_rev_raw", 2).alias("total_rev"))
     )
 
@@ -288,7 +292,7 @@ def join_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -349,7 +353,7 @@ def join_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -414,7 +418,7 @@ def join_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(disj)
         .agg(
             F.count("*").alias("n"),
@@ -469,7 +473,7 @@ def join_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("nmax") == 1)
     s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        am.join(F.broadcast(s), am.l_suppkey == s.s_suppkey)
+        am.join(s, am.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -621,8 +625,8 @@ def join_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("decimal(28,4)")  # quantize per-row: decimal sum is order-independent
                              # (double sum noise is amplified by the subtraction)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
@@ -720,13 +724,11 @@ def subquery_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
     p = load(spark, sf, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
     li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     qual = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("tq"))
         .filter(F.col("tq") > 100)
         .select("l_suppkey")
     )
     s = load(spark, sf, "supplier")
-    return s.join(
-        F.broadcast(qual), s.s_suppkey == F.col("l_suppkey"), "left_semi"
-    ).select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    return s.join(qual, s.s_suppkey == F.col("l_suppkey"), "left_semi").select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))

@@ -145,14 +145,15 @@ def test_replay_fold_is_single_shuffle(spark, sf_dir):
 
 
 def test_q5_broadcasts_all_dims(spark, sf_dir):
-    """Six-table Q5: every dim side is a broadcast hash join — exactly
-    one shuffle of the fact table (lineitem⋈orders), and the date filter
-    is pushed to the orders scan."""
+    """Six-table Q5: nation/region broadcast statically (bounded dims);
+    customer/supplier carry no hint, so AQE broadcasts them at this SF —
+    the FINAL adaptive plan shows every dim as a broadcast join. The
+    date filter is pushed to the orders scan."""
     df = QUERIES["join_tpch_q5"](spark, sf_dir)
-    plan = plans.physical_plan(df)
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
     assert "1996-01-01" in plans.pushed_filters(df) or "o_orderdate" in plans.pushed_filters(df)
+    final = plans.final_plan(df)
+    assert final.count("BroadcastHashJoin") >= 4
+    assert final.count("SortMergeJoin") + final.count("ShuffledHashJoin") <= 1
 
 
 def test_grouping_sets_single_pass(spark, sf_dir):
@@ -179,14 +180,15 @@ def test_hyperplane_lsh_no_cartesian(spark, sf_dir):
 def test_q21_two_windows_one_fact_shuffle(spark, sf_dir):
     """Q21's two window passes share the l_orderkey partitioning — the
     physical plan has exactly ONE fact exchange (plus the tiny final
-    per-name agg exchange); supplier joins as broadcast."""
+    per-name agg exchange); the supplier join has no hardcoded hint, so
+    AQE picks broadcast at this SF (assert on the FINAL adaptive plan)."""
     df = QUERIES["join_tpch_q21"](spark, sf_dir)
     plan = plans.physical_plan(df)
     import re
     fact_exchanges = re.findall(r"hashpartitioning\(l_orderkey", plan)
     assert len(fact_exchanges) == 1, plan
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert plans.has_broadcast_join(df)
 
 
 def test_q18_semi_join_before_wide_join(spark, sf_dir):
