@@ -557,3 +557,139 @@ def dd_lsh_canonical(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("m").alias("canonical_id"))
         .withColumn("is_duplicate", F.col("canonical_id") != F.col("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------- #
+# transitive dedup clusters (connected components)
+# ---------------------------------------------------------------------- #
+
+_CLUSTER_JACCARD = 0.02  # edge threshold for the cluster graph
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: label(x) <- min(label(x), min over neighbors' labels),
+    repeated until a fixpoint (bounded by the graph diameter, capped at
+    `max_iter`). Only edge ENDPOINTS iterate — singleton nodes (the
+    overwhelming majority of a dedup graph) join back once at the end as
+    their own component. Each round is one equi-join + one groupBy on
+    the same key; at extreme component sizes the large-star/small-star
+    variant halves the diameter, but the per-round plan is identical.
+
+    nodes: (id), edges: (a, b) one direction; symmetrized internally.
+    Returns (id, component) with component = min node id reachable."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .select(F.col("a").alias("id"), F.col("comp").alias("nbr_comp"))
+            .groupBy("id")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
+        )
+        # localCheckpoint, not persist: each round references the prior
+        # round TWICE (labels + neighbor lookup), so the logical plan —
+        # and Catalyst analysis time — doubles per round even when
+        # execution hits the cache (measured: 1.1s -> 25s by round 5).
+        # Checkpointing truncates the lineage to the materialized RDD,
+        # keeping every round's plan constant-size. Standard practice for
+        # iterative DataFrame algorithms.
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = stepped.select("id", "comp")
+        if changed == 0:
+            break
+    return (
+        nodes.join(labels, nodes["id"] == labels["id"], "left")
+        .select(nodes["id"], F.coalesce("comp", nodes["id"]).alias("component"))
+    )
+
+
+@register(
+    "dd_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, source, {_SQL_TOKENS} AS toks FROM documents
+    ), s0 AS (
+      SELECT doc_id, lang, source, {_SQL_SHINGLES} AS sh
+      FROM t WHERE len(toks) >= {_SHINGLE}
+    ), s1 AS (
+      SELECT doc_id, lang, source, {_SQL_SHINGLE_IDS} AS s FROM s0 WHERE len(sh) > 0
+    ), jpair AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM s1 a JOIN s1 b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= {_CLUSTER_JACCARD}
+    ), xpair AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM documents a JOIN documents b
+        ON md5(regexp_replace(lower(trim(a.text)), '\\s+', ' ', 'g')) =
+           md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g'))
+       AND a.doc_id < b.doc_id
+    ), pair AS (
+      SELECT * FROM jpair UNION SELECT * FROM xpair
+    ), edges AS (
+      SELECT a, b FROM pair UNION ALL SELECT b, a FROM pair
+    ), reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    """,
+)
+def dd_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive dedup clusters: connected components over the union of
+    exact-duplicate edges (same fingerprint) and near-duplicate edges
+    (blocked n-gram Jaccard >= {0.02}). A doc two hops from a canonical
+    still lands in its cluster — the property one-round canonical
+    assignment (dd_lsh_canonical) lacks. The oracle states the same
+    semantics as a recursive closure (quadratic in component size — fine
+    for a checker); the Spark side is min-label propagation, linear per
+    round and diameter-bounded, i.e. the shape that survives 100 TB."""
+    d = load_spread(spark, sf, "documents")
+    base = (
+        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
+        .select("doc_id", "lang", "source", shingles(tokens(F.col("text"))).alias("sh"))
+        .select("doc_id", "lang", "source", shingle_ids(F.col("sh")).alias("s"))
+        .persist()
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    jpair = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("__jac", inter.cast("double") / union)
+        .filter(F.col("__jac") >= _CLUSTER_JACCARD)
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    )
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")
+    )
+    fpd = d.select("doc_id", fp.alias("fp"))
+    fa, fb = fpd.alias("fa"), fpd.alias("fb")
+    xpair = fa.join(
+        fb, (F.col("fa.fp") == F.col("fb.fp")) & (F.col("fa.doc_id") < F.col("fb.doc_id"))
+    ).select(F.col("fa.doc_id").alias("a"), F.col("fb.doc_id").alias("b"))
+    edges = jpair.union(xpair).distinct()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    return connected_components(nodes, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )

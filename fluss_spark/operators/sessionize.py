@@ -111,6 +111,113 @@ def op_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FUNNEL_WINDOW = "INTERVAL 1 DAY"  # max gap between consecutive funnel stages
+
+
+@register(
+    "op_funnel",
+    oracle=f"""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type='view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+                AND e.ts > v.t1 AND e.ts <= v.t1 + {_FUNNEL_WINDOW}
+          WHERE e.event_type='click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+                AND e.ts > c.t2 AND e.ts <= c.t2 + {_FUNNEL_WINDOW}
+          WHERE e.event_type='purchase' GROUP BY e.user_id)
+    SELECT 'view' AS stage, 1 AS stage_ord, count(*) AS n_users FROM v
+    UNION ALL SELECT 'view_click', 2, count(*) FROM c
+    UNION ALL SELECT 'view_click_purchase', 3, count(*) FROM p
+    """,
+)
+def op_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase, each stage within 1 day
+    of the previous): per-user earliest qualifying timestamp per stage,
+    chained through two equi-joins on user_id. Every stage keys on
+    user_id, so the per-stage groupBys and joins reuse ONE hash
+    partitioning end to end; stage outputs are |users|-sized, never
+    |events|-sized — the shape that holds when events are 100 TB but
+    users fit a shuffle."""
+    e = load(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    def next_stage(prev: DataFrame, prev_ts: str, etype: str, out_ts: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr(_FUNNEL_WINDOW))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = next_stage(v, "t1", "click", "t2")
+    p = next_stage(c, "t2", "purchase", "t3")
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            "n_users",
+        )
+
+    return (
+        stage(v, "view", 1)
+        .unionByName(stage(c, "view_click", 2))
+        .unionByName(stage(p, "view_click_purchase", 3))
+    )
+
+
+@register(
+    "op_retention_cohort",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cohort,
+                 CAST(datediff('day', f.cohort, date_trunc('week', e.ts)) // 7 AS INTEGER)
+                   AS week_offset
+          FROM events e JOIN f USING (user_id))
+    SELECT cohort::DATE AS cohort_week, week_offset, count(*) AS n_users
+    FROM a GROUP BY cohort_week, week_offset
+    """,
+)
+def op_retention_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohorts: cohort = week of a user's first event;
+    each (user, active week) pair counts once at its week offset. The
+    first-event groupBy, the join back, and the distinct all key on
+    user_id (one partitioning reused); the final rollup output is
+    |cohorts x weeks| — metadata-sized at any event volume."""
+    e = load(spark, sf, "events").select("user_id", "ts")
+    f = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.date_trunc("week", "first_ts").alias("cohort"))
+    )
+    active = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.expr("CAST(datediff(date_trunc('week', ts), cohort) DIV 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy(F.col("cohort").cast("date").alias("cohort_week"), "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 _INTERVAL_US = 60_000_000  # 60s follow window
 _BIN_US = _INTERVAL_US  # bin width = interval -> candidate bins are bin, bin+1
 

@@ -320,6 +320,90 @@ def tx_shard_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "tx_repetition_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents WHERE trim(text) <> ''
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           round(len(list_distinct(toks))::DOUBLE / n, 4) AS distinct_ratio,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 4)
+           END AS dup_bigram_frac
+    FROM b
+    """,
+)
+def tx_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio and duplicate-bigram fraction (boilerplate/spam detector).
+    Entirely array HOFs on a staged token column — zero shuffles, zero
+    Python; the per-doc work is independent, so the pass is
+    embarrassingly parallel at any corpus size. Bigrams = zip_with of
+    the two shifted slices (no index lambda, stays in codegen)."""
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    # stage arrays as real columns: Catalyst does not CSE subtrees inside
+    # lambda functions (NOTES.md) — toks/bg must not be re-derived per use
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    b = t.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.zip_with(
+            F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+            F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+            lambda a, x: F.concat(a, F.lit(" "), x),
+        ).alias("bg"),
+    )
+    return b.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct("toks")).cast("double") / F.col("n"), 4).alias(
+            "distinct_ratio"
+        ),
+        F.when(F.size("bg") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(1.0 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"), 4)
+        )
+        .alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "tx_word_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), cnt AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def tx_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram Shannon entropy per document (H = log2(n) - sum(c*log2 c)/n
+    — the one-pass identity needing no per-term probability column).
+    explode -> (doc, term) count -> per-doc reduce: both aggregations
+    combine map-side, and both key on doc_id, so the second is
+    shuffle-free after the first. Low entropy = repetitive/templated
+    text; pairs with tx_repetition_score as a quality gate."""
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    cnt = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+        ).alias("entropy"),
+    )
+
+
 _HIST_BIN = 100  # chars per histogram bucket
 
 

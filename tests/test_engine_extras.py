@@ -293,3 +293,17 @@ def test_lookup_bigint_key_routing(spark, catalog):
     for key in (0, 7, 31, 99):
         got = t.lookup(spark, {"k": key}).collect()
         assert len(got) == 1 and got[0]["v"] == f"v{key}", f"key {key} mis-routed"
+
+
+def test_connected_components_transitive(spark):
+    """Min-label propagation must close over chains (a-b, b-c => one
+    component) and leave singletons as their own component."""
+    from fluss_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 1-2-3, pair 5-6 (given in one direction only), singleton 0, 4
+    edges = spark.createDataFrame([(2, 1), (2, 3), (6, 5)], "a long, b long")
+    got = {
+        r["id"]: r["component"] for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
