@@ -588,9 +588,9 @@ def join_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
     "join_tpch_q9",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                          - 0.4 * p.p_retailprice * l.l_quantity
-                          AS DECIMAL(28, 4))), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.4 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(28, 4))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -630,7 +630,7 @@ def join_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
     )
 
 
@@ -638,10 +638,10 @@ def join_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     "join_tpch_q12",
     oracle="""
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
@@ -664,8 +664,8 @@ def join_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+            F.count(F.when(urgent, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~urgent, F.lit(1))).alias("low_line_count"),
         )
     )
 

@@ -39,9 +39,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table (columnar Parquet scan; Catalyst
     prunes columns and pushes filters down to the reader).
 
-    `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as long nanos and convert to a micros
-    timestamp (runtime conf so it works under any caller's session).
+    `events.ts` has shipped as Parquet TIMESTAMP(NANOS) (vectorized
+    reader rejects it → read as long nanos, integer-DIV to micros) and as
+    TIMESTAMP(MICROS) without UTC adjustment (reads as TIMESTAMP_NTZ).
+    Normalize both to a session-tz TIMESTAMP so every downstream operator
+    (unix_micros, bigint casts, window()) sees one type; the session tz
+    is pinned UTC, so the NTZ→TZ cast is value-preserving.
     """
     from pyspark.sql import functions as F
 
@@ -51,10 +54,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer DIV: nanos exceed double's exact range, so a float
             # division here drifts the low microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
