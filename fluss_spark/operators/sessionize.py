@@ -33,8 +33,9 @@ _GAP_MIN = 30  # session gap, minutes
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_id
       FROM e
     )
     SELECT user_id, session_id,
@@ -185,7 +186,7 @@ def op_funnel(spark: SparkSession, sf: str) -> DataFrame:
                  CAST(datediff('day', f.cohort, date_trunc('week', e.ts)) // 7 AS INTEGER)
                    AS week_offset
           FROM events e JOIN f USING (user_id))
-    SELECT cohort::DATE AS cohort_week, week_offset, count(*) AS n_users
+    SELECT cohort::TIMESTAMP AS cohort_week, week_offset, count(*) AS n_users
     FROM a GROUP BY cohort_week, week_offset
     """,
 )
@@ -213,7 +214,9 @@ def op_retention_cohort(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return (
-        active.groupBy(F.col("cohort").cast("date").alias("cohort_week"), "week_offset")
+        # timestamp (not DATE) on both sides: the driver's comparator
+        # normalizes datetime64 resolutions but not date-object columns
+        active.groupBy(F.col("cohort").alias("cohort_week"), "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
 

@@ -124,52 +124,65 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     Returns (vec_id, cell) — the coarse quantizer assignment a real IVF
     index maintains (the stored `label` column stands in for this in the
     oracle-checked queries; this computes it from scratch)."""
-    dim_df = e.select(F.size("v").alias("d")).limit(1).collect()
-    if not dim_df:
-        return e.select("vec_id", F.lit(0).alias("cell"))
+    import numpy as np
+    import pandas as pd
+
     centroids = [
-        (i, r["v"])
+        (i, list(r["v"]))
         for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
     ]
+    if not centroids:
+        return e.select("vec_id", F.lit(0).alias("cell"))
 
-    def assign_expr(cents):
-        # distances to all centroids in ONE array expression, argmin by
-        # array_position of the min — each distance evaluates exactly
-        # once (a least()+when chain would re-evaluate every distance)
-        dists = []
-        for _, cv in cents:
-            lit_vec = F.array(*[F.lit(float(x)) for x in cv])
-            dists.append(
-                F.aggregate(
-                    F.zip_with(F.col("v"), lit_vec, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda s, z: s + z,
-                )
-            )
-        darr = F.array(*dists)
-        pos = F.array_position(darr, F.array_min(darr))  # 1-based, first=lowest cid on ties
-        # map position -> centroid id (ids can be sparse once a cell empties)
-        cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-        return F.element_at(cid_arr, pos.cast("int")).cast("int")
+    def _assign(V: np.ndarray, cents) -> np.ndarray:
+        # squared euclid to every centroid via one matmul; argmin takes
+        # the FIRST minimum, and cents are sorted by cid, so ties go to
+        # the lowest centroid id
+        C = np.asarray([cv for _, cv in cents], dtype=np.float64)  # k x d
+        d2 = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+        cids = np.asarray([cid for cid, _ in cents])
+        return cids[np.argmin(d2, axis=1)]
 
-    assigned = None
+    # each round: one Arrow pass assigns cells AND emits per-partition
+    # partial (cell, count, vector-sum) rows — k x n_partitions rows of
+    # k x dim doubles total, metadata-sized at any corpus size. The
+    # driver combines partials into means and re-broadcasts. This is the
+    # canonical distributed-kmeans dataflow (map-side combine, BLAS for
+    # the distance matrix, O(k*d) driver state).
     for _ in range(iters):
-        assigned = e.withColumn("cell", assign_expr(centroids))
-        # centroid update = per-(cell, dimension) mean: posexplode to
-        # (cell, pos, val) and avg — built-in partial aggregation, no
-        # collect_list materialization (which would hold whole cells as
-        # arrays in memory; this form distributes at any corpus size)
-        new_cents = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.transform("pm", lambda x: x["m"]).alias("c"))
-            .collect()
-        )
-        centroids = [(r["cell"], r["c"]) for r in sorted(new_cents, key=lambda r: r["cell"])]
-    return assigned.select("vec_id", "cell")
+        cents = centroids
+
+        def partials(batches, cents=cents):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                cell = _assign(V, cents)
+                rows = []
+                for c in np.unique(cell):
+                    m = cell == c
+                    rows.append((int(c), int(m.sum()), V[m].sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cell", "cnt", "vsum"])
+
+        acc: dict[int, tuple[int, np.ndarray]] = {}
+        for r in e.mapInPandas(partials, "cell int, cnt long, vsum array<double>").collect():
+            n0, s0 = acc.get(r["cell"], (0, 0.0))
+            acc[r["cell"]] = (n0 + r["cnt"], s0 + np.asarray(r["vsum"]))
+        # empty cells drop out (ids can be sparse once a cell empties)
+        centroids = [(c, (s / n).tolist()) for c, (n, s) in sorted(acc.items())]
+
+    cents = centroids
+
+    def assign_rows(batches, cents=cents):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": _assign(V, cents)}
+            )
+
+    return e.select("vec_id", "v").mapInPandas(assign_rows, "vec_id long, cell int")
 
 
 @register("ann_kmeans_ivf")  # iterative algorithm: rows-only check (no SQL oracle)
@@ -189,8 +202,8 @@ def ann_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
 # random-hyperplane LSH (SimHash for real vectors), banded
 # ---------------------------------------------------------------------- #
 
-_HP_BANDS = 4
-_HP_ROWS = 3  # hyperplane bits per band; 4 bands x 3 bits = 12 planes
+_HP_BANDS = 8
+_HP_ROWS = 4  # hyperplane bits per band; 8 bands x 4 bits = 32 planes
 _DIM = 64
 _COS_THRESHOLD = 0.4
 
@@ -242,74 +255,76 @@ def _sql_band_sig(band: int) -> str:
 )
 def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH near-neighbor pairs, banded like MinHash:
-    per band, a 3-bit sign signature (collision prob (1 - theta/pi)^3);
-    candidates collide in ANY band; exact cosine verifies. This is the
-    embedding-space analog of dd_lsh_verify_pipeline — candidate
-    generation is an equi-join on (band, band_sig), so the corpus never
-    self-joins, only same-bucket groups do. The oracle writes the same
-    candidate set as an OR-join (engine-checkable but quadratic); the
-    Spark plan is the scale shape: explode 4 band rows per vector,
-    shuffle on the bucket key, dedup pairs, then verify only candidates.
-    At 100 TB signatures are computed at ingest and stored, making the
-    explode a column read."""
+    per band, a 4-bit sign signature (collision prob (1 - theta/pi)^4);
+    candidates collide in ANY band; exact cosine verifies. Candidate
+    generation is an equi-grouping on (band, band_sig), so the corpus
+    never self-joins — only same-bucket groups are verified, and the
+    verification is ONE BLAS matmul per bucket (Arrow batch in, numpy
+    V @ V.T) instead of a per-pair interpreted dot: the threshold filter
+    runs inside the kernel, so only qualifying pairs are ever shuffled
+    (the cross-band dedup groupBy moves ~|result| rows, not ~|candidate|
+    rows). The oracle writes the same candidate set as an OR-join
+    (engine-checkable but quadratic).
+
+    Scale shape: bucket population is corpus_size / 2^bits per band —
+    at larger corpora raise _HP_ROWS so each group's n x dim block stays
+    executor-resident (n ~ 10-100k rows is ideal BLAS territory); at
+    100 TB signatures are computed at ingest and stored, making the
+    explode a column read and the groupBy the only wide stage."""
     e = _embeddings(spark, sf).select("vec_id", "v")
 
-    def band_sig(b: int):
-        return sum(
-            (
-                F.when(
-                    dot(
-                        F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in _PLANES[b * _HP_ROWS + r]]),
-                    )
-                    >= 0,
-                    F.lit(1 << r),
-                ).otherwise(F.lit(0))
-                for r in range(_HP_ROWS)
-            ),
-            start=F.lit(0),
+    import numpy as np
+    import pandas as pd
+
+    thr = _COS_THRESHOLD
+    planes = np.asarray(_PLANES, dtype=np.float64)  # (bands*rows) x dim
+    weights = 1 << np.arange(_HP_ROWS)
+
+    def signatures(batches):
+        # one BLAS matmul per Arrow batch computes ALL plane dots; the
+        # same pass L2-normalizes, so downstream matmuls ARE cosines
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            bits = (V @ planes.T >= 0).reshape(len(V), _HP_BANDS, _HP_ROWS)
+            sigs = (bits * weights).sum(axis=2)  # n x bands
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            vn = list(Vn)
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _HP_BANDS),
+                "vn": [v for v in vn for _ in range(_HP_BANDS)],
+                "band": np.tile(np.arange(_HP_BANDS), len(V)),
+                "bsig": sigs.reshape(-1),
+            }
+            yield pd.DataFrame(out)
+
+    banded = e.mapInPandas(
+        signatures, "vec_id long, vn array<double>, band int, bsig int"
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["vn"]])
+        ids = pdf["vec_id"].to_numpy()
+        C = V @ V.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = C[iu, ju] >= thr
+        a, b, c = ids[iu[keep]], ids[ju[keep]], C[iu, ju][keep]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cosine": c}
         )
 
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).cast("int").alias("band"), band_sig(b).alias("bsig"))
-            for b in range(_HP_BANDS)
-        ]
+    pairs = banded.groupBy("band", "bsig").applyInPandas(
+        verify, "vec_a long, vec_b long, cosine double"
     )
-    # persist: the signature stage feeds the band self-join AND the
-    # vector join-back for the verify step. Vectors are L2-normalized
-    # HERE, once per vector — the verify stage then needs ONE dot per
-    # candidate pair instead of three (pairs outnumber vectors ~60x with
-    # 3-bit band signatures, so per-pair work dominates)
-    norm = F.sqrt(dot(F.col("v"), F.col("v")))
-    s = (
-        e.withColumn("bands", bands)
-        .withColumn("vn", F.transform("v", lambda x: x / norm))
-        .persist()
-    )
-    banded = s.select("vec_id", F.explode("bands").alias("b")).select(
-        "vec_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    vecs = s.select("vec_id", "vn")
-    cand = pairs.join(
-        vecs.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("vn", "va"), "vec_a"
-    ).join(vecs.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("vn", "vb"), "vec_b")
-    cos = dot(F.col("va"), F.col("vb"))
-    return (
-        cand.withColumn("__cos", cos)
-        .filter(F.col("__cos") >= _COS_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("__cos", 4).alias("cosine"))
+    # a pair collides in several bands with the SAME cosine; max = dedup
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.round(F.max("cosine"), 4).alias("cosine")
     )
 
 

@@ -295,11 +295,19 @@ def test_lookup_bigint_key_routing(spark, catalog):
         assert len(got) == 1 and got[0]["v"] == f"v{key}", f"key {key} mis-routed"
 
 
-def test_connected_components_transitive(spark):
-    """Min-label propagation must close over chains (a-b, b-c => one
-    component) and leave singletons as their own component."""
+import pytest
+
+
+@pytest.mark.parametrize("path", ["union_find", "propagation"])
+def test_connected_components_transitive(spark, path, monkeypatch):
+    """Both CC paths (driver union-find fast path, distributed min-label
+    propagation) must close over chains (a-b, b-c => one component) and
+    leave singletons as their own component."""
+    from fluss_spark.operators import dedup
     from fluss_spark.operators.dedup import connected_components
 
+    if path == "propagation":  # force the distributed path
+        monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", 0)
     nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
     # chain 1-2-3, pair 5-6 (given in one direction only), singleton 0, 4
     edges = spark.createDataFrame([(2, 1), (2, 3), (6, 5)], "a long, b long")
