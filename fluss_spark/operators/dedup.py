@@ -745,3 +745,101 @@ def dd_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(nodes, edges).select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+@register(
+    "dd_minhash_estimate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), s0 AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t WHERE len(toks) >= {_SHINGLE}
+    ), s1 AS (
+      SELECT doc_id, {_SQL_SHINGLE_IDS} AS ids FROM s0 WHERE len(sh) > 0
+    ), sig AS (
+      SELECT doc_id, ids, {_SQL_MINHASH} AS mh FROM s1
+    ), bands AS (
+      SELECT doc_id, ids, mh, b,
+             md5(list_aggregate(mh[b * {_BAND_ROWS} + 1 : (b + 1) * {_BAND_ROWS}],
+                                'string_agg', '|')) AS band_sig
+      FROM sig, range(0, {_K_HASHES // _BAND_ROWS}) r(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ids AS ia, b.ids AS ib, a.mh AS ma, b.mh AS mb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_filter([{", ".join(str(i) for i in range(1, _K_HASHES + 1))}],
+                                 i -> ma[i] = mb[i]))::DOUBLE / {_K_HASHES}, 4)
+             AS est_jaccard,
+           round(len(list_intersect(ia, ib))::DOUBLE /
+                 (len(ia) + len(ib) - len(list_intersect(ia, ib))), 4) AS jaccard
+    FROM cand
+    """,
+)
+def dd_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of equal signature components — the
+    O(k)-per-pair number a production dedup uses to rank candidates
+    without touching shingle sets) next to the exact Jaccard. At corpus
+    scale the estimate column is what makes verification cheap: the
+    k-component compare reads 2k ints instead of two shingle arrays, and
+    only pairs whose estimate clears a margin pay the exact intersect."""
+    staged = (
+        shingle_base(spark, sf)
+        .select("doc_id", "ids", minhash_signature(F.col("ids")).alias("mh"))
+        .persist()
+    )
+    n_bands = _K_HASHES // _BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("mh"), b * _BAND_ROWS + 1, _BAND_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    ).cast("binary")
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = staged.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = staged.select(
+        F.col("doc_id").alias("doc_a"), F.col("ids").alias("ia"), F.col("mh").alias("ma")
+    )
+    sb = staged.select(
+        F.col("doc_id").alias("doc_b"), F.col("ids").alias("ib"), F.col("mh").alias("mb")
+    )
+    cand = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    est = (
+        F.size(F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda m: m))
+        .cast("double")
+        / F.lit(float(_K_HASHES))
+    )
+    inter = F.size(F.array_intersect("ia", "ib"))
+    exact = inter.cast("double") / (F.size("ia") + F.size("ib") - inter)
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(est, 4).alias("est_jaccard"),
+        F.round(exact, 4).alias("jaccard"),
+    )

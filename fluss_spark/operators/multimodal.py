@@ -170,7 +170,39 @@ def sample_frames(media_df: DataFrame, every_n: int = 10, decode_mode: str = "fa
                 for i in range(n_frames):
                     rows["doc_id"].append(doc_id)
                     rows["frame_no"].append(i * every_n)
-                    rows["frame"].append(hashlib.md5(b + bytes([i])).digest())
+                    # hex-domain derivation: SQL engines can recompute it
+                    # (md5-over-BLOB is not portable, md5-over-hex is)
+                    rows["frame"].append(
+                        hashlib.md5(f"{bytes(b).hex()}|{i}".encode()).digest()
+                    )
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(run, schema="doc_id bigint, frame_no int, frame binary")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS media_hex,
+             1 + (('0x' || substr(md5(text), 1, 2))::INTEGER % 4) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(i * 10 AS INT) AS frame_no,
+           md5(media_hex || '|' || i::VARCHAR) AS frame_fp
+    FROM m JOIN range(0, 4) r(i) ON i < n_frames
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling end-to-end: binary payload → mapInPandas 1:N
+    frame explosion (ffmpeg stubbed; fake frame count + frame bytes are
+    deterministic functions of the payload) → per-frame fingerprint. The
+    oracle recomputes the same frames in SQL, so the whole exploding
+    kernel — batch iteration, output schema, row multiplication — is
+    value-checked, not just row-counted."""
+    docs = load_spread(spark, sf, "documents")
+    media = synthesize_media(docs)
+    frames = sample_frames(media, every_n=10, decode_mode="fake")
+    return frames.select(
+        "doc_id", "frame_no", F.lower(F.hex("frame")).alias("frame_fp")
+    )

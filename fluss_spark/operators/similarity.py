@@ -360,3 +360,101 @@ def emb_label_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("n2"), 4).alias("max_norm"),
         )
     )
+
+
+_N_PROBE = 2
+
+
+@register(
+    "ann_ivf_nprobe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), pos AS (
+      SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM e
+    ), dims AS (
+      SELECT label, i, avg(x) AS m FROM pos GROUP BY label, i
+    ), cents AS (
+      SELECT label AS cell, list(m ORDER BY i) AS c FROM dims GROUP BY label
+    ), q AS (
+      SELECT * FROM e WHERE vec_id < {_N_QUERIES}
+    ), probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT q.vec_id, cents.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, q.v)
+                          - 2 * list_dot_product(q.v, cents.c)
+                          + list_dot_product(cents.c, cents.c),
+                          cents.cell
+               ) AS rn
+        FROM q, cents
+      ) WHERE rn <= {_N_PROBE}
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q
+      JOIN probe p ON p.query_id = q.vec_id
+      JOIN e c ON c.label = p.cell AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe IVF top-k (nprobe={2}): the standard recall lever over
+    nprobe=1 — each query searches its {2} nearest cells instead of one.
+    Cell centroids are a per-(cell, dim) mean (map-side partial agg,
+    k x dim output — metadata-sized at any corpus size, so the
+    probe-selection join BROADCASTS); candidate scan cost is
+    nprobe/n_cells of the corpus. Everything after probe selection is the
+    same broadcast-query + per-query top-k reduction as nprobe=1."""
+    e = _embeddings(spark, sf)
+    cents = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s["m"]).alias("c"))
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = (
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("c"))
+        + dot(F.col("c"), F.col("c"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("__d2"), F.col("cell"))
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= _N_PROBE)
+        .select("query_id", "qv", "cell")
+    )
+    cand = e.join(
+        F.broadcast(probe), (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .withColumn("__cos", cos)
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__cos", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
+    )

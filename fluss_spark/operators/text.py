@@ -462,3 +462,83 @@ def tx_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.size(tokens(F.col("text"))))
         .alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------- #
+# corpus curation: stratified sampling + blocklist redaction
+# ---------------------------------------------------------------------- #
+
+# per-language keep rates: downsample the over-represented language,
+# keep the tail. At 100 TB this is THE data-mixing primitive (domain /
+# language re-weighting before training).
+_STRATA_RATES = {"en": 0.25, "zh": 0.75, "fr": 0.75, "es": 0.75, "de": 0.75}
+_DEFAULT_RATE = 0.5
+
+
+@register(
+    "tx_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+          < CASE lang
+              {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+              ELSE {_DEFAULT_RATE} END
+    """,
+)
+def tx_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: uniform-in-[0,1) from
+    md5(doc_id), compared to a per-stratum keep rate. Hash-based (not
+    rand()) so the sample is reproducible across runs, engines, and
+    retries — the auditability requirement for training-data lineage.
+    Map-side filter only: no shuffle, prunes to (doc_id, lang) columns."""
+    d = load(spark, sf, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return d.filter(u < rate).select("doc_id", "lang")
+
+
+# whole-word blocklist for masking (corpus-frequent terms stand in for a
+# real PII / unsafe-term list; the mechanics are identical)
+_BLOCKLIST = ("slow", "fail", "error")
+_BLOCK_PAT = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+
+@register(
+    "tx_blocklist_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BLOCK_PAT}')) AS INT)
+             AS n_redacted,
+           md5(regexp_replace(lower(text), '{_BLOCK_PAT}', '<MASKED>', 'g'))
+             AS redacted_fp
+    FROM documents
+    WHERE len(regexp_extract_all(lower(text), '{_BLOCK_PAT}')) > 0
+    """,
+)
+def tx_blocklist_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocklist masking (the PII/unsafe-term redaction shape): count and
+    replace whole-word matches in one vectorized regex pass, emit only
+    touched docs. The output carries a fingerprint of the redacted text
+    (not the text itself) so the check stays value-exact without hashing
+    megabytes through the comparator. Map-side only; the regex runs
+    inside whole-stage codegen, and the match-count filter prunes the
+    untouched (overwhelming) majority before any downstream shuffle."""
+    d = load(spark, sf, "documents")
+    n = F.regexp_count(F.lower("text"), F.lit(_BLOCK_PAT))
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_redacted"),
+            F.md5(
+                F.regexp_replace(F.lower("text"), _BLOCK_PAT, "<MASKED>").cast("binary")
+            ).alias("redacted_fp"),
+        )
+        .filter(F.col("n_redacted") > 0)
+    )
