@@ -46,11 +46,27 @@ class FlussTable:
     def upsert(self, df: DataFrame, **kw) -> CommitState:
         """Upsert/delete transaction (M1-M9) — requires a PK table
         (Table.java:71-74). Single-writer locked end to end (WAL append
-        + snapshot rewrite + commit are one transaction)."""
+        + snapshot rewrite + commit are one transaction).
+
+        After the commit, snapshot auto-compaction runs when the manifest
+        references more than `table.snapshot.auto-compact-dirs` data dirs
+        (default 16; '0' disables) — the same background-compaction role
+        RocksDB plays in the reference's KV tablets: without it every
+        commit adds a dir and lookup fan-in grows without bound."""
         if self.kv is None:
             raise ValueError("upsert requires a Primary Key Table")
         with self.catalog.write_lock(self.db, self.name):
-            return self.kv.upsert(df, **kw)
+            state = self.kv.upsert(df, **kw)
+        max_dirs = int(
+            self.schema.properties.get("table.snapshot.auto-compact-dirs", "16") or 0
+        )
+        if max_dirs > 0:
+            from fluss_spark import maintenance
+
+            if maintenance.compact_snapshot(self, df.sparkSession, max_dirs=max_dirs):
+                maintenance.expire_snapshots(self)
+                state = self.catalog.current_commit(self.db, self.name)
+        return state
 
     def delete(self, df: DataFrame, **kw) -> CommitState:
         """Delete by key rows (M2)."""

@@ -265,3 +265,36 @@ def test_staged_commit_protocol(spark, catalog):
     # offsets unaffected by the orphan: contiguous per bucket
     offs = sorted(r["__offset"] for r in t.scan(spark).select("__offset").collect())
     assert len(offs) == 2
+
+
+def test_auto_compaction_bounds_lookup_fanin(spark, catalog):
+    """Commit-path auto-compaction: with table.snapshot.auto-compact-dirs=3,
+    many small upserts must keep the manifest's distinct data-dir count
+    bounded (each commit adds one dir; compaction folds them back to one
+    and expires unreferenced dirs), and the data must stay correct."""
+    from fluss_spark.table import create_table
+    from fluss_spark.types import Field, TableSchema
+
+    t = create_table(
+        catalog, "db", "autocompact",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "DOUBLE")],
+            primary_key=["k"], num_buckets=4,
+            properties={"table.snapshot.auto-compact-dirs": "3"},
+        ),
+    )
+    from pyspark.sql import functions as F
+
+    for i in range(6):
+        batch = spark.range(i * 10, i * 10 + 20).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0 + i).alias("v"), F.col("id").alias("seq")
+        )
+        t.upsert(batch, ordering=["seq"])
+        manifest = t.kv._manifest(
+            catalog.current_commit("db", "autocompact").snapshot_version
+        )
+        assert len(set(manifest.values())) <= 4  # 3 + the just-added dir
+    # state correct after all the folding: keys 0..69, last writer wins
+    rows = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+    assert len(rows) == 70
+    assert rows[10] == 10.0 + 1  # written by batch i=1 last (10..29 overlap)

@@ -206,3 +206,44 @@ def test_q19_or_envelopes_pushed(spark, sf_dir):
     df = QUERIES["join_tpch_q19"](spark, sf_dir)
     pf = plans.pushed_filters(df)
     plans.assert_contains(pf, "In(p_brand", "l_quantity")
+
+
+def test_stratified_sample_map_side_only(spark, sf_dir):
+    """Hash-based stratified sampling is a pure map-side filter: zero
+    exchanges, and column pruning reaches the scan (doc_id + lang only —
+    the fat text column is never read)."""
+    df = QUERIES["tx_stratified_sample"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("Exchange") == 0, plan
+    rs = plans.read_schema(df)
+    assert "text" not in rs and "doc_id" in rs and "lang" in rs
+
+
+def test_blocklist_redact_map_side_only(spark, sf_dir):
+    """Regex masking + match-count filter run in one codegen'd map stage:
+    no exchange anywhere in the plan."""
+    df = QUERIES["tx_blocklist_redact"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("Exchange") == 0, plan
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_ivf_nprobe_broadcasts_probe_set(spark, sf_dir):
+    """Multi-probe IVF: centroids and the per-query probe set are
+    metadata-sized, so every join against the corpus broadcasts — the
+    corpus side must never shuffle into a SortMergeJoin."""
+    df = QUERIES["ann_ivf_nprobe"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_estimate_no_cartesian(spark, sf_dir):
+    """Sketch-audit pairs come from the banded equi-join; the corpus must
+    never cross-join itself and the signature stage is computed once
+    (persisted), not re-derived per join side."""
+    df = QUERIES["dd_minhash_estimate"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
