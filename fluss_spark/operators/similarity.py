@@ -305,19 +305,35 @@ def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
         if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
-            )
+            return empty
         V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["vn"]])
         ids = pdf["vec_id"].to_numpy()
-        C = V @ V.T
-        iu, ju = np.triu_indices(n, k=1)
-        keep = C[iu, ju] >= thr
-        a, b, c = ids[iu[keep]], ids[ju[keep]], C[iu, ju][keep]
-        return pd.DataFrame(
-            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cosine": c}
-        )
+        # chunked upper-triangle matmul: memory stays O(chunk * n) no
+        # matter how populous the bucket (a dense n x n C matrix is
+        # 1.2 GB at n=12.5k — the kind of bucket a 100x corpus produces
+        # when the bit-width isn't raised with corpus size)
+        chunk = max(1, (16 << 20) // max(1, 8 * n))  # ~128 MB blocks
+        outs = []
+        for s in range(0, n, chunk):
+            e_ = min(s + chunk, n)
+            C = V[s:e_] @ V.T  # (e_-s) x n
+            ii, jj = np.nonzero(C >= thr)
+            gi = ii + s
+            keep = jj > gi  # strict upper triangle in global coords
+            cvals = C[ii[keep], jj[keep]]
+            gi, jj = gi[keep], jj[keep]
+            if len(gi):
+                a, b, c = ids[gi], ids[jj], cvals
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cosine": c}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = banded.groupBy("band", "bsig").applyInPandas(
         verify, "vec_a long, vec_b long, cosine double"
