@@ -326,27 +326,19 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def dd_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup: cosine over label-blocked pairs (the label is
     the coarse quantizer / blocking key — at scale this is the
-    LSH-or-IVF cell id). Dot products via zip_with/aggregate, JVM-side."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, z: s + z)
+    LSH-or-IVF cell id). Per-block verification is one chunked BLAS
+    matmul (cosine_pairs_kernel); only pairs above the threshold leave
+    the kernel, so the shuffle moves ~|result| rows."""
+    from fluss_spark.operators.similarity import cosine_pairs_kernel
 
-    # norms computed once per VECTOR (map-side), not once per pair
     e = load_spread(spark, sf, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    e = e.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    a, b = e.alias("a"), e.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("__cos", 4).alias("cosine"),
-        )
+    pairs = e.groupBy("label").applyInPandas(
+        cosine_pairs_kernel(0.3, id_col="vec_id", vec_col="v", normalize=True),
+        "vec_a long, vec_b long, cosine double",
     )
+    return pairs.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
 
 
 @register(

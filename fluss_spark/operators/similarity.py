@@ -31,6 +31,49 @@ def _embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cosine_pairs_kernel(thr: float, id_col: str, vec_col: str, normalize: bool = False):
+    """applyInPandas kernel: all same-group pairs with cosine >= thr.
+    One BLAS matmul per group, CHUNKED into ~128 MB row blocks so group
+    population never bounds executor memory (a dense n x n similarity
+    matrix is 1.2 GB at n=12.5k — the bucket size a 100x corpus produces
+    when LSH bit-width isn't raised with it). The threshold filter runs
+    in-kernel, so only qualifying pairs are ever emitted/shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+        if n < 2:
+            return empty
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        if normalize:
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy()
+        chunk = max(1, (16 << 20) // max(1, 8 * n))
+        outs = []
+        for s in range(0, n, chunk):
+            e_ = min(s + chunk, n)
+            C = V[s:e_] @ V.T  # (e_-s) x n
+            ii, jj = np.nonzero(C >= thr)
+            gi = ii + s
+            keep = jj > gi  # strict upper triangle in global coords
+            cvals = C[ii[keep], jj[keep]]
+            gi, jj = gi[keep], jj[keep]
+            if len(gi):
+                a, b = ids[gi], ids[jj]
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cosine": cvals}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return verify
+
+
 def cosine_topk(
     queries: DataFrame, candidates: DataFrame, k: int, same_label_only: bool = False
 ) -> DataFrame:
@@ -303,40 +346,9 @@ def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
         signatures, "vec_id long, vn array<double>, band int, bsig int"
     )
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
-        )
-        if n < 2:
-            return empty
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["vn"]])
-        ids = pdf["vec_id"].to_numpy()
-        # chunked upper-triangle matmul: memory stays O(chunk * n) no
-        # matter how populous the bucket (a dense n x n C matrix is
-        # 1.2 GB at n=12.5k — the kind of bucket a 100x corpus produces
-        # when the bit-width isn't raised with corpus size)
-        chunk = max(1, (16 << 20) // max(1, 8 * n))  # ~128 MB blocks
-        outs = []
-        for s in range(0, n, chunk):
-            e_ = min(s + chunk, n)
-            C = V[s:e_] @ V.T  # (e_-s) x n
-            ii, jj = np.nonzero(C >= thr)
-            gi = ii + s
-            keep = jj > gi  # strict upper triangle in global coords
-            cvals = C[ii[keep], jj[keep]]
-            gi, jj = gi[keep], jj[keep]
-            if len(gi):
-                a, b, c = ids[gi], ids[jj], cvals
-                outs.append(
-                    pd.DataFrame(
-                        {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cosine": c}
-                    )
-                )
-        return pd.concat(outs, ignore_index=True) if outs else empty
-
     pairs = banded.groupBy("band", "bsig").applyInPandas(
-        verify, "vec_a long, vec_b long, cosine double"
+        cosine_pairs_kernel(thr, id_col="vec_id", vec_col="vn"),
+        "vec_a long, vec_b long, cosine double",
     )
     # a pair collides in several bands with the SAME cosine; max = dedup
     return pairs.groupBy("vec_a", "vec_b").agg(
