@@ -163,6 +163,15 @@ class KvStore:
             merge_mode=merge_mode,
             may_have_deletes=may_have_deletes,
         )
+        # persist the fold output: the WAL write AND the snapshot
+        # derivation both consume it. The persisted layout keeps the
+        # fold's pk hash partitioning, so the snapshot's last-event-
+        # per-key window runs WITHOUT another exchange (deriving from a
+        # re-read of the staged files — the previous shape — cost a scan
+        # plus a full pk shuffle per commit). The WAL-order replay
+        # invariant itself stays executed by _state_from_changelog in
+        # tests and in the hybrid read path.
+        changelog = changelog.persist()
 
         # WAL append: per-bucket offsets ordered by the fold sequence.
         # All events of one key land in one bucket (bucket key ⊆ pk), so
@@ -178,12 +187,7 @@ class KvStore:
         )
         version = state.version
 
-        # read exactly this commit's WAL files (still in staging — they
-        # become visible only at publish() just before the commit);
         # touched buckets = high-watermark diff — no extra Spark job
-        written = spark.read.schema(self.log.file_schema()).parquet(
-            self.log.staging_path(version)
-        )
         touched_buckets = [
             int(b) for b, off in state.log_hwm.items() if off != old_hwm.get(int(b))
         ]
@@ -194,8 +198,12 @@ class KvStore:
         new_manifest = dict(old_manifest)
 
         if touched_buckets:
-            touched_final = self._state_from_changelog(written)
-            touched_keys = written.select(*pk).distinct()
+            from fluss_spark.operators.replay import _snapshot_from_changelog
+
+            # last change event per key in (seq, sub) order — per key
+            # identical to WAL-offset order (wal_order above sorts by it)
+            touched_final = _snapshot_from_changelog(changelog, schema)
+            touched_keys = changelog.select(*pk).distinct()
             # only the touched buckets are rewritten; a key whose last
             # event is -D must not survive via the old rows (anti-join on
             # ALL keys with change events)
@@ -218,6 +226,7 @@ class KvStore:
         state.snapshot_version = version
         self.log.publish(version)
         self.catalog.commit(self.db, self.table, state)
+        changelog.unpersist()
         return state
 
     def insert_if_not_exists(self, df: DataFrame, ordering: list[str] | None = None) -> DataFrame:
