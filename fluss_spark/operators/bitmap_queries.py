@@ -18,7 +18,9 @@ from fluss_spark.registry import load, register
     "fn_rb_build_cardinality",
     oracle="""
     SELECT event_type,
-           list_sort(list(DISTINCT user_id)) AS user_bitmap,
+           md5(list_aggregate(list_transform(list_sort(list(DISTINCT user_id)),
+                                             x -> x::VARCHAR),
+                              'string_agg', ',')) AS bitmap_fp,
            count(DISTINCT user_id) AS cardinality
     FROM events
     GROUP BY event_type
@@ -26,12 +28,19 @@ from fluss_spark.registry import load, register
 )
 def fn_rb_build_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     """RB_BUILD_AGG + RB_CARDINALITY: distinct-user bitmap per event
-    type (RbBuildAggFunction.java:33-41, RbCardinalityFunction.java:33-40)."""
+    type (RbBuildAggFunction.java:33-41, RbCardinalityFunction.java:33-40).
+    The bitmap itself is value-checked through a scalar fingerprint
+    (md5 of the sorted member list) — raw array columns don't survive
+    every comparator, and the fingerprint proves the same set bit-exactly."""
     e = load(spark, sf, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(rb_build_agg(F.col("user_id")).alias("user_bitmap"))
-        .select("event_type", "user_bitmap", rb_cardinality(F.col("user_bitmap")).alias("cardinality"))
+    bm = e.groupBy("event_type").agg(rb_build_agg(F.col("user_id")).alias("user_bitmap"))
+    fp = F.md5(
+        F.array_join(F.transform("user_bitmap", lambda x: x.cast("string")), ",").cast("binary")
+    )
+    return bm.select(
+        "event_type",
+        fp.alias("bitmap_fp"),
+        rb_cardinality(F.col("user_bitmap")).alias("cardinality"),
     )
 
 
