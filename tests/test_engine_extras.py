@@ -315,3 +315,36 @@ def test_connected_components_transitive(spark, path, monkeypatch):
         r["id"]: r["component"] for r in connected_components(nodes, edges).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_cosine_pairs_kernel_chunked_matches_bruteforce():
+    """The chunked matmul path (group population > ~1.4k rows forces
+    multiple row blocks) must emit exactly the brute-force pair set —
+    guards the global-vs-chunk index arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from fluss_spark.operators.similarity import cosine_pairs_kernel
+
+    rng = np.random.default_rng(7)
+    n, d, thr = 2000, 16, 0.5
+    V = rng.normal(size=(n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    ids = rng.permutation(np.arange(10_000, 10_000 + n))  # unsorted ids
+    pdf = pd.DataFrame({"vec_id": ids, "vn": list(V)})
+
+    got = cosine_pairs_kernel(thr, id_col="vec_id", vec_col="vn")(pdf)
+    got_set = set(zip(got["vec_a"], got["vec_b"]))
+
+    C = V @ V.T
+    iu, ju = np.triu_indices(n, k=1)
+    keep = C[iu, ju] >= thr
+    a, b = ids[iu[keep]], ids[ju[keep]]
+    want = set(zip(np.minimum(a, b), np.maximum(a, b)))
+
+    assert len(want) > 100  # the threshold actually bites
+    assert got_set == want
+    # cosine values exact per pair
+    ref = {(min(x, y), max(x, y)): C[i, j] for x, y, i, j in zip(ids[iu[keep]], ids[ju[keep]], iu[keep], ju[keep])}
+    for r in got.itertuples():
+        assert abs(ref[(r.vec_a, r.vec_b)] - r.cosine) < 1e-12
