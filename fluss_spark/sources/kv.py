@@ -163,15 +163,21 @@ class KvStore:
             merge_mode=merge_mode,
             may_have_deletes=may_have_deletes,
         )
-        # persist the fold output: the WAL write AND the snapshot
-        # derivation both consume it. The persisted layout keeps the
-        # fold's pk hash partitioning, so the snapshot's last-event-
-        # per-key window runs WITHOUT another exchange (deriving from a
-        # re-read of the staged files — the previous shape — cost a scan
-        # plus a full pk shuffle per commit). The WAL-order replay
-        # invariant itself stays executed by _state_from_changelog in
-        # tests and in the hybrid read path.
-        changelog = changelog.persist()
+        # materialize the fold output ONCE with a true lineage cut: the
+        # WAL write AND the snapshot derivation both consume it, and they
+        # must observe the SAME rows. persist() is not a barrier — on
+        # block eviction/loss Spark recomputes the lineage, and a
+        # non-deterministic input df (or row_number ties under a
+        # non-unique `ordering`) could then fold differently for the
+        # snapshot than what was appended to the WAL. localCheckpoint
+        # materializes eagerly and severs the plan, so a recompute is
+        # impossible (block loss fails the commit instead of silently
+        # diverging). The checkpointed layout keeps the fold's pk hash
+        # partitioning, so the snapshot's last-event-per-key window runs
+        # WITHOUT another exchange. Blocks are released by Spark's
+        # ContextCleaner when the DataFrame goes out of scope (no manual
+        # unpersist to leak on an exception path).
+        changelog = changelog.localCheckpoint(eager=True)
 
         # WAL append: per-bucket offsets ordered by the fold sequence.
         # All events of one key land in one bucket (bucket key ⊆ pk), so
@@ -226,7 +232,6 @@ class KvStore:
         state.snapshot_version = version
         self.log.publish(version)
         self.catalog.commit(self.db, self.table, state)
-        changelog.unpersist()
         return state
 
     def insert_if_not_exists(self, df: DataFrame, ordering: list[str] | None = None) -> DataFrame:
@@ -236,9 +241,14 @@ class KvStore:
         freshly inserted values). One left-anti + one upsert commit."""
         spark = df.sparkSession
         pk = self.schema.primary_key
-        missing = df.join(self.snapshot(spark).select(*pk), on=pk, how="left_anti")
-        if missing.limit(1).count() > 0:
-            self.upsert(missing, ordering=ordering)
+        # persist the anti-join so the presence probe and the upsert seed
+        # don't each recompute the snapshot scan
+        missing = df.join(self.snapshot(spark).select(*pk), on=pk, how="left_anti").persist()
+        try:
+            if missing.limit(1).count() > 0:
+                self.upsert(missing, ordering=ordering)
+        finally:
+            missing.unpersist()
         return self.snapshot(spark).join(df.select(*pk).distinct(), on=pk, how="left_semi")
 
     def _state_from_changelog(self, changelog: DataFrame) -> DataFrame:
@@ -379,23 +389,27 @@ class KvStore:
         manifest = self._manifest(version)
         if not manifest:
             return self.snapshot(spark).filter(self._key_cond(key))
-        # the bucket filter constant-folds (hash of literals), so each
-        # data dir read prunes to at most one __bucket partition dir
-        wanted_cond = self._key_cond(key)
-        parts = []
-        for data_dir in sorted(set(manifest.values())):
-            p = (
-                spark.read.schema(self._snapshot_schema())
-                .option("basePath", os.path.join(self.snapshot_dir, data_dir))
-                .parquet(os.path.join(self.snapshot_dir, data_dir))
-            )
-            bkts = [b for b, d in manifest.items() if d == data_dir]
-            parts.append(
-                p.filter(F.col(BUCKET_COL).isin(bkts))
-                .filter(F.col(BUCKET_COL) == bucket_expr)
-                .filter(wanted_cond)
-            )
-        return reduce(lambda a, b: a.unionByName(b), parts).drop(BUCKET_COL)
+        # resolve the owning bucket DRIVER-SIDE: the hash of literals is a
+        # constant expression, so evaluate it once on a 1-row local
+        # relation (no table scan, no shuffle, single local task). The
+        # manifest then maps bucket -> exactly ONE data dir, so the lookup
+        # plan is a single scan pruned to one __bucket partition dir —
+        # not one scan per manifest dir (a 16-dir manifest previously
+        # built 16 scans to read <=1 row).
+        bkt = int(spark.range(1).select(bucket_expr.cast("int").alias("b")).first()["b"])
+        data_dir = manifest.get(bkt)
+        if data_dir is None:
+            return spark.createDataFrame([], self.schema.to_struct_type())
+        p = (
+            spark.read.schema(self._snapshot_schema())
+            .option("basePath", os.path.join(self.snapshot_dir, data_dir))
+            .parquet(os.path.join(self.snapshot_dir, data_dir))
+        )
+        return (
+            p.filter(F.col(BUCKET_COL) == F.lit(bkt))
+            .filter(self._key_cond(key))
+            .drop(BUCKET_COL)
+        )
 
     @staticmethod
     def _key_cond(key: dict[str, object]):

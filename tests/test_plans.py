@@ -71,10 +71,20 @@ def test_lookup_prunes_bucket_partition(spark, catalog):
         TableSchema(fields=[Field("k", "INT", nullable=False), Field("v", "STRING")], primary_key=["k"], num_buckets=4),
     )
     t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k int, v string"))
+    # second commit touching a strict subset of buckets -> multi-dir manifest
+    t.upsert(spark.createDataFrame([(7, "v7b")], "k int, v string"))
+    ver = catalog.current_commit("db", "plan_pk").snapshot_version
+    assert len(t.kv.referenced_data_dirs(ver)) >= 2
     lk = t.lookup(spark, {"k": 7})
-    # the bucket filter folds to a constant -> __bucket partition filter
+    # the owning bucket resolves driver-side -> ONE scan over ONE data
+    # dir, pruned to one __bucket partition dir (never a union of one
+    # scan per manifest dir)
+    plan = plans.physical_plan(lk)
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Union" not in plan, plan
     plans.assert_contains(plans.partition_filters(lk), "__bucket")
     plans.assert_contains(plans.pushed_filters(lk), "EqualTo(k,7)")
+    assert [r["v"] for r in lk.collect()] == ["v7b"]
 
 
 def test_star_join_broadcasts_dims(spark, sf_dir):
