@@ -142,41 +142,53 @@ def compact_snapshot(table: FlussTable, spark: SparkSession, max_dirs: int = 8) 
     write lock; commits a new version whose manifest maps every bucket
     to the fresh dir. Keeps lookup fan-in O(1) regardless of commit
     count."""
+    with table.catalog.write_lock(table.db, table.name):
+        return _compact_snapshot_locked(table, spark, max_dirs)
+
+
+def _compact_snapshot_locked(table: FlussTable, spark: SparkSession, max_dirs: int) -> bool:
     kv = table.kv
     if kv is None:
         return False
-    with table.catalog.write_lock(table.db, table.name):
-        state = table.catalog.current_commit(table.db, table.name)
-        manifest = kv._manifest(state.snapshot_version)
-        if not manifest or len(set(manifest.values())) <= max_dirs:
-            return False
-        version = state.version + 1
-        data_dir = f"data-v{version}"
-        snap = kv.snapshot(spark)
-        (
-            snap.withColumn("__bucket", kv._bucket_expr())
-            .repartition(min(kv.schema.num_buckets, 32), F.col("__bucket"))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(os.path.join(kv.snapshot_dir, data_dir))
-        )
-        kv._write_manifest(version, {b: data_dir for b in manifest})
-        new_state = CommitState(
-            version=version,
-            log_hwm=state.log_hwm,
-            snapshot_version=version,
-            auto_increment=state.auto_increment,
-            ts_ms=int(time.time() * 1000),
-            log_start=state.log_start,
-        )
-        table.catalog.commit(table.db, table.name, new_state)
+    state = table.catalog.current_commit(table.db, table.name)
+    manifest = kv._manifest(state.snapshot_version)
+    if not manifest or len(set(manifest.values())) <= max_dirs:
+        return False
+    version = state.version + 1
+    data_dir = f"data-v{version}"
+    snap = kv.snapshot(spark)
+    (
+        snap.withColumn("__bucket", kv._bucket_expr())
+        .repartition(min(kv.schema.num_buckets, 32), F.col("__bucket"))
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(os.path.join(kv.snapshot_dir, data_dir))
+    )
+    kv._write_manifest(version, {b: data_dir for b in manifest})
+    new_state = CommitState(
+        version=version,
+        log_hwm=state.log_hwm,
+        snapshot_version=version,
+        auto_increment=state.auto_increment,
+        ts_ms=int(time.time() * 1000),
+        log_start=state.log_start,
+    )
+    table.catalog.commit(table.db, table.name, new_state)
     return True
 
 
 def expire_snapshots(table: FlussTable, keep: int = 2) -> int:
     """Drop old snapshot versions: keep the newest `keep` manifests,
     then GC data dirs no kept manifest references (M11 cleanup for the
-    incremental bucket-manifest layout). Returns data dirs removed."""
+    incremental bucket-manifest layout). Returns data dirs removed.
+    Takes the table write lock (a reader resolves its manifest before
+    scanning; deleting dirs concurrently with a commit could drop a dir
+    the in-flight commit's manifest still references)."""
+    with table.catalog.write_lock(table.db, table.name):
+        return _expire_snapshots_locked(table, keep)
+
+
+def _expire_snapshots_locked(table: FlussTable, keep: int) -> int:
     if table.kv is None:
         return 0
     kv = table.kv

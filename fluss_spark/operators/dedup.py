@@ -55,7 +55,7 @@ def shingle_ids(sh: Column) -> Column:
     )
 
 
-_SHINGLE_BASE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingle_base(spark: SparkSession, sf: str) -> DataFrame:
@@ -68,7 +68,9 @@ def shingle_base(spark: SparkSession, sf: str) -> DataFrame:
     (Catalyst does not CSE subtrees repeated inside lambdas), and the
     filter is phrased on the cheap token count so it does not inline the
     shingle HOF chain into a pushed-down predicate."""
-    key = (id(spark), sf)
+    from fluss_spark.registry import session_key
+
+    key = (session_key(spark), sf)
     cached = _SHINGLE_BASE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -331,8 +333,13 @@ def dd_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     the kernel, so the shuffle moves ~|result| rows."""
     from fluss_spark.operators.similarity import cosine_pairs_kernel
 
-    e = load_spread(spark, sf, "embeddings").select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # NULL blocking keys never pair: the oracle's equi-join drops them
+    # (NULL = NULL is false), but groupBy would collect them into one
+    # giant unblocked group
+    e = (
+        load_spread(spark, sf, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
     pairs = e.groupBy("label").applyInPandas(
         cosine_pairs_kernel(0.3, id_col="vec_id", vec_col="v", normalize=True),
@@ -571,12 +578,25 @@ def connected_components(
 
     Fast path: a thresholded dedup graph has ~O(duplicates) edges —
     orders of magnitude smaller than the corpus — so when the edge list
-    fits comfortably on the driver (bounded probe via limit), a single
-    union-find pass replaces the iterative rounds; the min-label result
-    is identical. The distributed propagation below remains the
-    arbitrarily-large-graph path."""
-    probe = edges.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
-    if len(probe) <= _DRIVER_CC_MAX_EDGES:
+    fits comfortably on the driver (bounded COUNT probe, never a Row
+    collect), a single union-find pass replaces the iterative rounds;
+    the min-label result is identical. The distributed propagation below
+    remains the arbitrarily-large-graph path."""
+    spark = nodes.sparkSession
+    # persist BEFORE probing: the probe and whichever path follows both
+    # consume the edge lineage (an expensive similarity join upstream)
+    edges = edges.persist()
+    # size probe as a count of at most N+1 rows — no Row objects cross
+    # the driver boundary here
+    n_probe = edges.limit(_DRIVER_CC_MAX_EDGES + 1).count()
+    if n_probe <= _DRIVER_CC_MAX_EDGES:
+        # Arrow transfer: 2M edges land as two int64 numpy columns
+        # (~32 MB), not 2M python Row objects
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        pdf = edges.select(
+            F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+        ).toPandas()
+        edges.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -587,8 +607,8 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for r in probe:
-            ra, rb = find(r["a"]), find(r["b"])
+        for ea, eb in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+            ra, rb = find(int(ea)), find(int(eb))
             if ra != rb:  # min-label union: smaller id becomes the root
                 if rb < ra:
                     ra, rb = rb, ra
@@ -596,7 +616,6 @@ def connected_components(
         comp = [(int(x), int(find(x))) for x in parent] + [
             (int(x), int(x)) for x in {find(x) for x in parent}
         ]
-        spark = nodes.sparkSession
         labels = spark.createDataFrame(sorted(set(comp)), "id long, comp long")
         return nodes.join(
             F.broadcast(labels), nodes["id"] == labels["id"], "left"
@@ -607,6 +626,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
+    edges.unpersist()  # sym is materialized and persisted by the eager checkpoint
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -719,8 +739,10 @@ def dd_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64")})
 
+    # NULL blocking keys never pair (join semantics; see dd_embedding_cosine)
     jpair = (
         base.select("doc_id", "lang", "source", "s")
+        .filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
         .groupBy("lang", "source")
         .applyInPandas(block_pairs, "a long, b long")
     )

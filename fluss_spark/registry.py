@@ -65,7 +65,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-_SPREAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_SPREAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable cache key for a live session: id(spark) can be REUSED by a
+    new session after the old one is garbage-collected, handing out stale
+    persisted DataFrames bound to a dead context. applicationId changes
+    with every new SparkContext."""
+    return spark.sparkContext.applicationId
 
 
 def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -82,7 +90,7 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     single-partition scan task (measured 8-30x slower on the dedup
     family). Persisting pins the 32-way layout; the test tables are MBs.
     """
-    key = (id(spark), sf_dir, table)
+    key = (session_key(spark), sf_dir, table)
     cached = _SPREAD_CACHE.get(key)
     if cached is not None:
         return cached

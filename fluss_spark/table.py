@@ -37,34 +37,82 @@ class FlussTable:
     def append(self, df: DataFrame, ordering: list[str] | None = None, **kw) -> CommitState:
         """Log append (S1) — requires a log table (Table.java:66-69).
         Runs under the table's single-writer lock (offset assignment is
-        a read-modify-commit on the high watermarks)."""
+        a read-modify-commit on the high watermarks).
+
+        Auto-maintenance (same background roles the reference runs in
+        its tablet server, ConfigOptions.java:1726-1822 style):
+          - `table.log.auto-compact-commits` = N (default 0 = off): when
+            the committed log reaches N commit dirs, they are rewritten
+            into one compacted dir (offsets preserved) under the SAME
+            lock acquisition as the append.
+          - `table.log.auto-expire` = "true" (default "false"): apply
+            `table.log.ttl` (W5) retention after each append — expired
+            commit dirs are dropped without an external scheduler.
+            (Opt-in so synthetic-timestamp replays can manage expiry
+            explicitly.)"""
         if self.schema.is_pk_table:
             raise ValueError("append requires a Log Table; use upsert for PK tables")
+        from fluss_spark import maintenance
+
+        props = self.schema.properties
         with self.catalog.write_lock(self.db, self.name):
-            return self.log.append(df, ordering=ordering, **kw)
+            state = self.log.append(df, ordering=ordering, **kw)
+            auto_commits = int(props.get("table.log.auto-compact-commits", "0") or 0)
+            ran = False
+            if auto_commits > 0:
+                ran |= bool(
+                    maintenance._compact_log_locked(
+                        self, df.sparkSession, target_commits=auto_commits
+                    )
+                )
+            ttl = props.get("table.log.ttl")
+            if ttl is not None and props.get("table.log.auto-expire", "false") == "true":
+                import time as _time
+
+                cutoff = int(_time.time() * 1000) - maintenance._parse_duration_ms(ttl)
+                ran |= bool(maintenance._expire_log_ttl_locked(self, cutoff))
+            if ran:
+                state = self.catalog.current_commit(self.db, self.name)
+        return state
 
     def upsert(self, df: DataFrame, **kw) -> CommitState:
         """Upsert/delete transaction (M1-M9) — requires a PK table
         (Table.java:71-74). Single-writer locked end to end (WAL append
         + snapshot rewrite + commit are one transaction).
 
-        After the commit, snapshot auto-compaction runs when the manifest
-        references more than `table.snapshot.auto-compact-dirs` data dirs
-        (default 16; '0' disables) — the same background-compaction role
-        RocksDB plays in the reference's KV tablets: without it every
-        commit adds a dir and lookup fan-in grows without bound."""
+        After the commit — still under the SAME write-lock acquisition,
+        so no other writer can interleave — snapshot auto-compaction
+        runs when the manifest references more than
+        `table.snapshot.auto-compact-dirs` data dirs (default 16; '0'
+        disables), the background-compaction role RocksDB plays in the
+        reference's KV tablets: without it every commit adds a dir and
+        lookup fan-in grows without bound.
+
+        Snapshot retention (`table.snapshot.num-retained`) is an
+        independent policy: when the property is set explicitly, expiry
+        runs after EVERY commit, retaining that many manifest versions
+        and GC-ing data dirs no kept manifest references — old versions
+        do not accumulate on disk between compactions. When unset, the
+        full M11 time-travel history is kept except right after an
+        auto-compaction, which trims to 2 versions (the compacted
+        manifest supersedes the incremental ones it absorbed)."""
         if self.kv is None:
             raise ValueError("upsert requires a Primary Key Table")
+        from fluss_spark import maintenance
+
+        props = self.schema.properties
         with self.catalog.write_lock(self.db, self.name):
             state = self.kv.upsert(df, **kw)
-        max_dirs = int(
-            self.schema.properties.get("table.snapshot.auto-compact-dirs", "16") or 0
-        )
-        if max_dirs > 0:
-            from fluss_spark import maintenance
-
-            if maintenance.compact_snapshot(self, df.sparkSession, max_dirs=max_dirs):
-                maintenance.expire_snapshots(self)
+            max_dirs = int(props.get("table.snapshot.auto-compact-dirs", "16") or 0)
+            keep_prop = props.get("table.snapshot.num-retained")
+            compacted = max_dirs > 0 and maintenance._compact_snapshot_locked(
+                self, df.sparkSession, max_dirs=max_dirs
+            )
+            if keep_prop is not None:
+                maintenance._expire_snapshots_locked(self, int(keep_prop))
+            elif compacted:
+                maintenance._expire_snapshots_locked(self, 2)
+            if compacted:
                 state = self.catalog.current_commit(self.db, self.name)
         return state
 

@@ -94,6 +94,64 @@ def test_auto_partition_lifecycle(spark, catalog):
     assert sorted(r["a"] for r in t.scan(spark).collect()) == [2]
 
 
+def test_auto_maintenance_end_to_end(spark, catalog):
+    """50 commits land with NO explicit maintenance calls: log compaction
+    and TTL expiry trigger from table properties on the append path, and
+    PK snapshot compaction + expiry trigger on the upsert path — file
+    counts stay bounded and every read surface stays correct."""
+    import os
+
+    from fluss_spark.sources.log import COMMIT_DIR_COL
+
+    log_t = create_table(
+        catalog, "db", "auto_log",
+        TableSchema(
+            fields=[Field("a", "INT"), Field("b", "STRING")],
+            num_buckets=2,
+            properties={
+                "table.log.auto-compact-commits": "10",
+                "table.log.ttl": "365d",  # nothing recent expires...
+                "table.log.auto-expire": "true",  # ...but the trigger runs
+            },
+        ),
+    )
+    for i in range(25):
+        log_t.append(spark.createDataFrame([(i, f"v{i}")], "a int, b string"), ordering=["a"])
+    n_dirs = sum(
+        1 for e in os.scandir(log_t.log.log_dir) if e.name.startswith(f"{COMMIT_DIR_COL}=")
+    )
+    assert n_dirs <= 10  # compaction kept the commit-dir count bounded
+    assert sorted(r["a"] for r in log_t.scan(spark).collect()) == list(range(25))
+    assert log_t.count() == 25
+
+    pk_t = create_table(
+        catalog, "db", "auto_pk",
+        TableSchema(
+            fields=[Field("k", "INT", nullable=False), Field("v", "STRING")],
+            primary_key=["k"],
+            num_buckets=8,
+            properties={
+                "table.snapshot.auto-compact-dirs": "4",
+                "table.snapshot.num-retained": "3",
+            },
+        ),
+    )
+    for i in range(25):
+        pk_t.upsert(spark.createDataFrame([(i % 7, f"u{i}")], "k int, v string"))
+    ver = catalog.current_commit("db", "auto_pk").snapshot_version
+    # manifest fan-in bounded by the auto-compact threshold
+    assert len(pk_t.kv.referenced_data_dirs(ver)) <= 4
+    # on-disk data dirs bounded too (retention GC'd unreferenced dirs:
+    # at most 3 retained manifests x <=4 dirs each)
+    n_data_dirs = sum(
+        1 for e in os.scandir(pk_t.kv.snapshot_dir) if e.name.startswith("data-v")
+    )
+    assert n_data_dirs <= 12
+    snap = {r["k"]: r["v"] for r in pk_t.snapshot(spark).collect()}
+    assert snap == {i % 7: f"u{max(j for j in range(25) if j % 7 == i % 7)}" for i in range(7)}
+    assert pk_t.lookup(spark, {"k": 3}).collect()[0]["v"] == "u24"
+
+
 def test_auto_increment(spark, catalog):
     t = create_table(
         catalog, "db", "ai_log",
