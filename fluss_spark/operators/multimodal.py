@@ -5,11 +5,13 @@ The reference has no multimodal operators; this extends the engine for
 training-data pipelines (a first-class goal, see repo brief). The
 Spark-side plumbing — schema convention, partition-preserving batch
 iteration, UDF signatures, bounded batch sizes — is real and tested.
-The actual codec calls (PIL/ffmpeg/torchaudio) are NOT in this image,
-so decode is STUBBED: `decode_mode="fake"` derives deterministic
-pseudo-metadata from the bytes (oracle-checkable end to end),
-`decode_mode="real"` raises NotImplementedError at the exact call site
-where the codec belongs.
+Codecs are PLUGGABLE: each kernel probes for its library at runtime
+(PIL for images, PyAV for video) and `decode_mode` selects the path —
+"fake" (default) derives deterministic pseudo-results from the payload
+bytes so the whole pipeline stays oracle-checkable, "real" uses the
+probed codec and raises NotImplementedError at the exact plug point if
+the library is absent (it is not in this image), "auto" uses the codec
+when present and falls back to fake.
 
 Schema convention for a multimodal column `media`:
     media         BINARY        -- opaque payload
@@ -29,6 +31,44 @@ from fluss_spark.registry import load_spread, register
 
 MEDIA_META_DDL = "mime string, width int, height int, n_bytes bigint"
 
+_UNSET = object()
+_PIL_IMAGE = _UNSET
+_PYAV = _UNSET
+
+
+def _image_codec():
+    """Probe for PIL once per process; None when unavailable."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNSET:
+        try:
+            import importlib
+
+            _PIL_IMAGE = importlib.import_module("PIL.Image")
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _video_codec():
+    """Probe for PyAV once per process; None when unavailable."""
+    global _PYAV
+    if _PYAV is _UNSET:
+        try:
+            import importlib
+
+            _PYAV = importlib.import_module("av")
+        except ImportError:
+            _PYAV = None
+    return _PYAV
+
+
+def _resolve_mode(decode_mode: str, codec) -> str:
+    """'auto' -> 'real' when the codec import succeeded, else 'fake';
+    'real' with no codec raises at the plug point."""
+    if decode_mode == "auto":
+        return "real" if codec is not None else "fake"
+    return decode_mode
+
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media payloads from document text: payload =
@@ -44,15 +84,34 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 def decode_image_batch(pdf: pd.DataFrame, decode_mode: str = "fake") -> pd.DataFrame:
     """Per-batch decode kernel (runs inside mapInPandas; pdf is one Arrow
-    batch). Real implementation would call PIL.Image.open on each
-    payload; the fake derives width/height from the first payload bytes
+    batch). The real path opens each payload with PIL (probed at
+    runtime); the fake derives width/height from the first payload bytes
     so the whole pipeline is deterministic and verifiable."""
-    if decode_mode == "real":
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "plug PIL.Image.open(io.BytesIO(b)) here"
-        )
+    codec = _image_codec()
+    mode = _resolve_mode(decode_mode, codec)
     media = pdf["media"]
+    if mode == "real":
+        if codec is None:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "install Pillow — decode plugs in via PIL.Image.open(io.BytesIO(b))"
+            )
+        import io
+
+        def _open(b):
+            img = codec.open(io.BytesIO(bytes(b)))
+            return img.size[0], img.size[1], f"image/{(img.format or 'unknown').lower()}"
+
+        decoded = [_open(b) for b in media]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": pd.Series([d[2] for d in decoded], dtype="object"),
+                "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "n_bytes": media.map(len).astype("int64"),
+            }
+        )
     out = pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
@@ -105,11 +164,22 @@ def mm_decode_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("mm_feature_extract")  # no SQL oracle: vector output, rows-only check
+@register(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           [ ('0x' || substr(md5(text), 2 * i - 1, 2))::INTEGER / 255.0
+             for i in range(1, 9) ] AS features
+    FROM documents
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """Feature extraction stub: payload → fixed-size float vector
-    (deterministic fake embedding from payload bytes). Real model
-    inference would batch through the same mapInPandas shape."""
+    """Feature extraction through the production mapInPandas shape: the
+    deterministic fake embedding is the first 8 payload bytes / 255
+    (payload = unhex(md5(text)), so the oracle recomputes the identical
+    vector in SQL — the kernel's batch iteration, Arrow transfer and
+    array output are value-checked, not just row-counted). Real model
+    inference batches through this same kernel."""
     docs = load_spread(spark, sf, "documents")
     media = synthesize_media(docs)
 
@@ -131,21 +201,31 @@ def resize_images(media_df: DataFrame, width: int, height: int, decode_mode: str
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        codec = _image_codec()
+        mode = _resolve_mode(decode_mode, codec)
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "image codec not available; plug PIL resize + re-encode here"
+            if mode == "real":
+                if codec is None:
+                    raise NotImplementedError(
+                        "image codec not available; install Pillow — resize plugs "
+                        "in via PIL open/resize/re-encode"
+                    )
+                import io
+
+                def _resize(b):
+                    img = codec.open(io.BytesIO(bytes(b))).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue()
+
+                media = pdf["media"].map(_resize)
+            else:
+                media = pdf["media"].map(
+                    lambda b: hashlib.md5(b + f"|{width}x{height}".encode()).digest()
                 )
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media": pdf["media"].map(
-                        lambda b: hashlib.md5(b + f"|{width}x{height}".encode()).digest()
-                    ),
-                    "mime": pdf["mime"],
-                }
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": media, "mime": pdf["mime"]}
             )
-            yield out
 
     return media_df.mapInPandas(run, schema="doc_id bigint, media binary, mime string")
 
@@ -159,11 +239,28 @@ def sample_frames(media_df: DataFrame, every_n: int = 10, decode_mode: str = "fa
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        codec = _video_codec()
+        mode = _resolve_mode(decode_mode, codec)
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "video codec not available; plug ffmpeg frame extraction here"
-                )
+            if mode == "real":
+                if codec is None:
+                    raise NotImplementedError(
+                        "video codec not available; install PyAV — frame extraction "
+                        "plugs in via av.open(io.BytesIO(b)).decode(video=0)"
+                    )
+                import io
+
+                rows = {"doc_id": [], "frame_no": [], "frame": []}
+                for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                    with codec.open(io.BytesIO(bytes(b))) as container:
+                        for i, frame in enumerate(container.decode(video=0)):
+                            if i % every_n:
+                                continue
+                            rows["doc_id"].append(doc_id)
+                            rows["frame_no"].append(i)
+                            rows["frame"].append(frame.to_image().tobytes())
+                yield pd.DataFrame(rows)
+                continue
             rows = {"doc_id": [], "frame_no": [], "frame": []}
             for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
                 n_frames = 1 + b[0] % 4  # fake duration from payload

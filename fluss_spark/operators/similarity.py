@@ -228,14 +228,80 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     return e.select("vec_id", "v").mapInPandas(assign_rows, "vec_id long, cell int")
 
 
-@register("ann_kmeans_ivf")  # iterative algorithm: rows-only check (no SQL oracle)
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _sql_km_assign(cents: str) -> str:
+    """Lloyd assignment step vs centroid CTE `cents`: argmin squared
+    euclid, ties to the lowest cell id (matches np.argmin first-min)."""
+    d2 = (
+        "list_dot_product(e.v, e.v)"
+        f" - 2 * list_dot_product(e.v, {cents}.c)"
+        f" + list_dot_product({cents}.c, {cents}.c)"
+    )
+    return f"""
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, {cents}.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, {cents}.cid) AS rn
+        FROM e, {cents}
+      ) WHERE rn = 1
+    """
+
+
+def _sql_km_update(assigned: str) -> str:
+    """Lloyd update step: per-cell per-dimension mean; emptied cells drop
+    out (same as the trainer's sparse accumulator)."""
+    return f"""
+      SELECT cid, list(m ORDER BY i) AS c FROM (
+        SELECT cid, i, avg(x) AS m FROM (
+          SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
+          FROM {assigned}
+        ) GROUP BY cid, i
+      ) GROUP BY cid
+    """
+
+
+@register(
+    "ann_kmeans_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT {_KM_K}
+    ), a1 AS ({_sql_km_assign("c0")}
+    ), c1 AS ({_sql_km_update("a1")}
+    ), a2 AS ({_sql_km_assign("c1")}
+    ), c2 AS ({_sql_km_update("a2")}
+    ), a3 AS ({_sql_km_assign("c2")}
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM a3 q JOIN a3 c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
 def ann_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF with a from-scratch k-means coarse quantizer: train cells on
-    the corpus (5 Lloyd iterations, deterministic init), then top-k
-    search restricted to the query's cell. The iterative trainer is the
-    non-SQL-expressible part (driver records a rows-only check)."""
+    the corpus ({_KM_ITERS} Lloyd iterations, deterministic init = the
+    {_KM_K} lowest vec_ids), then top-k search restricted to the query's
+    cell. The fixed iteration count makes the trainer SQL-expressible:
+    the oracle unrolls both Lloyd rounds as assign/update CTE pairs, so
+    the distributed trainer (map-side partial sums, driver combine) is
+    value-checked against a straight SQL derivation — a full hash-match
+    parity entry, not a rows-only check."""
     e = _embeddings(spark, sf)
-    cells = kmeans_assign(e, k=8, iters=2)
+    cells = kmeans_assign(e, k=_KM_K, iters=_KM_ITERS)
     indexed = e.join(cells, "vec_id").withColumn("label", F.col("cell")).drop("cell")
     q = indexed.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(q, indexed, _TOP_K, same_label_only=True)
