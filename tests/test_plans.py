@@ -153,6 +153,31 @@ def test_replay_fold_is_single_shuffle(spark, sf_dir):
     )
     assert simple.count("Exchange") == 1, simple
 
+    # the VERSIONED merge fold (max_by struct rank + lag) must reuse the
+    # same pk partitioning: still exactly ONE exchange
+    v_schema = TableSchema(
+        fields=[
+            Field("user_id", "BIGINT"),
+            Field("event_type", "STRING"),
+            Field("value", "DOUBLE"),
+            Field("ver", "BIGINT"),
+        ],
+        primary_key=["user_id"],
+        num_buckets=8,
+        properties={
+            "table.merge-engine": "versioned",
+            "table.merge-engine.versioned.ver-column": "ver",
+        },
+    )
+    vb = b.withColumn("ver", (F.col("value") * 100).cast("long")).select(
+        "user_id", "event_type", "value", "ver", OP_COL, SEQ_COL, SEED_COL
+    )
+    v_changelog, _ = replay(vb, v_schema)
+    v_simple = v_changelog._sc._jvm.PythonSQLUtils.explainString(
+        v_changelog._jdf.queryExecution(), "simple"
+    )
+    assert v_simple.count("Exchange") == 1, v_simple
+
 
 def test_q5_broadcasts_all_dims(spark, sf_dir):
     """Six-table Q5: nation/region broadcast statically (bounded dims);
