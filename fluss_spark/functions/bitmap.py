@@ -5,17 +5,23 @@ The reference ships Flink UDFs over serialized RoaringBitmap blobs. In
 this engine a bitmap VALUE is a sorted distinct array<long> — the same
 algebra (build / or / and / cardinality / contains / to_array) expressed
 with JVM array built-ins, so bitmap pipelines stay in whole-stage
-codegen. An optional pyroaring-backed serializer provides the compact
-binary form when the library is available (it is not in this image —
-import-gated, same engine semantics either way).
+codegen. For WIRE-FORMAT parity with the reference (which persists
+`RoaringBitmap.serialize()` bytes after runOptimize,
+BitmapUtils.java:45-53), `rb_serialize`/`rb_deserialize` convert between
+the array form and the RoaringFormatSpec portable binary via the
+pure-Python codec in fluss_spark.functions.roaring (pyroaring, when
+installed, is used as a cross-check in tests only — the codec does not
+depend on it).
 """
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-try:  # optional compact binary codec
+try:  # optional library form, used for cross-checking the codec
     from pyroaring import BitMap as _RoaringBitmap  # noqa: F401
 
     HAVE_ROARING = True
@@ -60,6 +66,34 @@ def rb_to_array(a: Column) -> Column:
 
 
 # -- aggregate algebra (fold over grouped bitmaps) ---------------------- #
+
+
+def rb_serialize(bitmap_col: Column, bits: int = 32) -> Column:
+    """array<long> bitmap -> RoaringBitmap portable bytes (the exact form
+    FieldRoaringBitmap32/64Agg persists). Arrow-batched scalar UDF."""
+
+    from fluss_spark.functions import roaring
+
+    ser = roaring.roaring32_serialize if bits == 32 else roaring.roaring64_serialize
+
+    @F.pandas_udf("binary")
+    def _ser(s: pd.Series) -> pd.Series:
+        return s.map(lambda a: None if a is None else ser(int(x) for x in a))
+
+    return _ser(bitmap_col)
+
+
+def rb_deserialize(binary_col: Column, bits: int = 32) -> Column:
+    """RoaringBitmap portable bytes -> sorted array<long> bitmap value."""
+    from fluss_spark.functions import roaring
+
+    de = roaring.roaring32_deserialize if bits == 32 else roaring.roaring64_deserialize
+
+    @F.pandas_udf("array<long>")
+    def _de(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else de(b))
+
+    return _de(binary_col)
 
 
 def rb_or_agg(bitmap_col: Column) -> Column:

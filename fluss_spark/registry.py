@@ -100,6 +100,17 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def corpus_rows(sf_dir: str, table: str) -> int:
+    """Exact table row count from the Parquet footer — the same free
+    metadata read A1's count(*) pushdown uses; no Spark job. LSH
+    operators use it to derive signature widths from corpus size."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+
+
 def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
     import fluss_spark.operators.relational  # noqa: F401

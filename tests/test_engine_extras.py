@@ -317,6 +317,45 @@ def test_connected_components_transitive(spark, path, monkeypatch):
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
 
 
+def test_lsh_widths_scale_with_corpus():
+    """Signature widths derive from corpus size: constant (= the SQL
+    oracles' parameterization) through every testdata SF, then widening
+    so per-bucket population / false-positive mass stays bounded."""
+    from fluss_spark.operators.dedup import _ab, _AB, _BAND_ROWS, _K_HASHES
+    from fluss_spark.operators.similarity import (
+        _HP_ROWS,
+        _HP_TARGET_BUCKET,
+        _hyperplanes,
+        hp_rows_for,
+    )
+
+    # oracle domain: baseline widths for every corpus the oracles run on
+    for n in (500, 2000, 5000, 50_000):
+        assert hp_rows_for(n) == _HP_ROWS
+    # scale path: population n / 2^bits stays within [target/2, target]
+    for n in (200_000, 2_000_000, 10**9):
+        bits = hp_rows_for(n)
+        assert bits > _HP_ROWS
+        assert n / 2**bits <= _HP_TARGET_BUCKET
+        assert n / 2**bits > _HP_TARGET_BUCKET / 2
+    # a wider plane/hash family extends the narrow one (prefix property:
+    # stored signatures stay valid when the width is raised)
+    assert _hyperplanes(48)[:32] == _hyperplanes(32)
+    assert _ab(16)[:_K_HASHES] == _AB
+
+    import math
+
+    from fluss_spark.operators import dedup
+
+    def rows_for(n):
+        extra = max(0, math.ceil(math.log2(max(1.0, n / dedup._MH_BASE_N)) / 2))
+        return _BAND_ROWS + extra
+
+    assert rows_for(5000) == _BAND_ROWS
+    assert rows_for(65_536) == _BAND_ROWS
+    assert rows_for(2_000_000) > _BAND_ROWS
+
+
 def test_cosine_pairs_kernel_chunked_matches_bruteforce():
     """The chunked matmul path (group population > ~1.4k rows forces
     multiple row blocks) must emit exactly the brute-force pair set —

@@ -234,6 +234,71 @@ def test_stateful_sessionize_stream(spark, catalog, tmp_path):
         assert key in batch_counts, f"emitted session {key} not in batch truth"
 
 
+def test_stream_batch_sessionize_equality_sf01(spark, catalog, tmp_path):
+    """Batch/stream EQUALITY at sf0.1: the stateful stream sessionizer
+    over the full 100k-event table (availableNow) must emit exactly the
+    sessions the batch operator computes. Per-user sentinel events
+    (2 hours after each user's last event — beyond the 30-minute gap)
+    close every real session; the sentinel sessions themselves stay open
+    in state and are never emitted, so emitted == batch, as sets and
+    values."""
+    from fluss_spark.registry import QUERIES, load, load_all_queries
+    from fluss_spark.streaming.stateful import sessionize_stream
+
+    load_all_queries()
+    sf = "/root/testdata/sf0.1"
+    ev = load(spark, sf, "events").select("user_id", "ts", "value")
+    t = create_table(
+        catalog, "db", "s_parity",
+        TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("ts", "TIMESTAMP_LTZ"), Field("value", "DOUBLE")],
+            num_buckets=4,
+        ),
+    )
+    t.append(ev, ordering=["ts"])
+    sentinels = (
+        ev.groupBy("user_id")
+        .agg((F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"))
+        .withColumn("value", F.lit(0.0))
+        .select("user_id", "ts", "value")
+    )
+    t.append(sentinels, ordering=["ts"])
+
+    sdf = read_stream(t, spark).select("user_id", "ts", "value")
+    out = sessionize_stream(sdf, gap_minutes=30)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("sess_parity")
+            .option("checkpointLocation", str(tmp_path / "spckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], float(r["sum_value"]))
+        for r in QUERIES["op_sessionize"](spark, sf).collect()
+    }
+    assert len(got) == len(batch) > 10_000
+    assert set(got) == set(batch)
+    for k, (n, s) in batch.items():
+        gn, gs = got[k]
+        assert gn == n, (k, gn, n)
+        # values are 2-decimal, so the true session sum is a multiple of
+        # 0.01 — rounding both sides to 2dp absorbs summation-order fp
+        # noise with no boundary ambiguity
+        assert abs(round(gs, 2) - s) < 1e-9, (k, gs, s)
+
+
 def test_stream_stream_join_l5(spark, catalog, tmp_path):
     """L5 delta-join equivalent: two engine log streams joined
     stream-stream with watermarks + a time-range constraint (Spark owns
