@@ -36,6 +36,7 @@ _PRIORITY = [
     "l2_prefix_lookup",
     "s6_hybrid_snapshot_log",
     "s8_offset_time_travel",
+    "s9_tiered_log_scan",
     "t4_incremental_view",
     "t9_log_changelog_view",
     "p6_partition_pruned_scan",
@@ -63,7 +64,9 @@ _PRIORITY = [
     "tx_word_entropy",
     "tx_bpe_token_count",
     "tx_stratified_sample",
-    "tx_blocklist_redact",
+    # tx_blocklist_redact: rotated out of the 50-entry driver window to
+    # make room for s9_tiered_log_scan; still oracle-checked locally by
+    # tests/test_oracle_parity.py over the full registry.
     # event-stream operators
     "op_sessionize",
     "op_asof_join",

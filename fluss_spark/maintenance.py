@@ -32,6 +32,52 @@ from fluss_spark.table import FlussTable
 from fluss_spark.types import BUCKET_COL, OFFSET_COL, TIMESTAMP_COL
 
 
+def tier_log(table: FlussTable, local_segments: int | None = None) -> int:
+    """S9 tiered log storage: move sealed (committed) log commit dirs to
+    the table's remote tier, keeping the newest `local_segments` commits
+    local (`table.log.tiered.local-segments`, default 2 — ConfigOptions.java:1822-1828,
+    "must be greater than 0"). Mirrors server/log/remote/LogTieringTask.java
+    (copy sealed segments to remote storage, trim local) except that the
+    "copy + download" pair dissolves: remote here is just another Parquet
+    root that scans union (sources/log.py scan), so tiering is a metadata
+    move. Offsets, timestamps and commit fencing are preserved verbatim —
+    time travel, changelog replay and offsets_for_timestamp are unaffected.
+    Returns the number of commit dirs tiered."""
+    with table.catalog.write_lock(table.db, table.name):
+        return _tier_log_locked(table, local_segments)
+
+
+def _tier_log_locked(table: FlussTable, local_segments: int | None = None) -> int:
+    log = table.log
+    n_keep = (
+        local_segments
+        if local_segments is not None
+        else int(table.schema.properties.get("table.log.tiered.local-segments", "2"))
+    )
+    if n_keep < 1:
+        raise ValueError("table.log.tiered.local-segments must be greater than 0")
+    state = table.catalog.current_commit(table.db, table.name)
+    committed = sorted(
+        (
+            int(e.name.split("=")[1])
+            for e in os.scandir(log.log_dir)
+            if e.name.startswith(f"{COMMIT_DIR_COL}=")
+        ),
+    )
+    committed = [v for v in committed if v <= state.version]
+    to_move = committed[: -n_keep] if len(committed) > n_keep else []
+    if to_move:
+        os.makedirs(log.remote_dir, exist_ok=True)
+    for v in to_move:
+        src = os.path.join(log.log_dir, f"{COMMIT_DIR_COL}={v}")
+        dst = os.path.join(log.remote_dir, f"{COMMIT_DIR_COL}={v}")
+        try:
+            os.rename(src, dst)  # same filesystem: atomic
+        except OSError:
+            shutil.move(src, dst)  # cross-device remote mount
+    return len(to_move)
+
+
 def compact_log(table: FlussTable, spark: SparkSession, target_commits: int = 8) -> int:
     """Rewrite all committed log files into one compacted commit dir
     (sorted by bucket/offset -> large row groups, better stats pruning).
@@ -57,7 +103,10 @@ def _compact_log_locked(table: FlussTable, spark: SparkSession, target_commits: 
     if len(committed) < target_commits:
         return 0
 
-    df = log.scan(spark)  # full committed log, system cols included
+    # LOCAL tier only: remote commit dirs are immutable once tiered (the
+    # reference never rewrites uploaded segments either); compacting them
+    # back into a local dir would undo tiering.
+    df = log.scan(spark, tiers="local")
     version = state.version + 1
     part_cols = list(log.schema.partition_keys) + [BUCKET_COL]
     (
@@ -102,7 +151,13 @@ def _expire_log_ttl_locked(table: FlussTable, cutoff: int) -> int:
     state = table.catalog.current_commit(table.db, table.name)
     deleted = 0
     newest_deleted = None
-    for e in sorted(os.scandir(table.log.log_dir), key=lambda e: e.name):
+    # TTL applies to BOTH tiers (LogTieringTask.java also "deletes expired
+    # remote log segments"); remote holds the oldest commits.
+    entries = []
+    for tier_dir in (table.log.remote_dir, table.log.log_dir):
+        if os.path.isdir(tier_dir):
+            entries.extend(os.scandir(tier_dir))
+    for e in sorted(entries, key=lambda e: e.name):
         if not e.name.startswith(f"{COMMIT_DIR_COL}="):
             continue
         v = int(e.name.split("=")[1])

@@ -196,6 +196,29 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         with open(f"{wh}/mid_offsets.json", "w") as fh:
             _json.dump(t.latest_offsets(), fh)
         t.append(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+    elif variant == "tiered_log":
+        # S9: auto-tiering on the append path — after 4 commits only the
+        # newest stays local, 3 sealed commits live in the remote tier
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT"),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            num_buckets=4,
+            properties={
+                "table.log.tiered.enable": "true",
+                "table.log.tiered.local-segments": "1",
+            },
+        )
+        t = create_table(cat, "db", variant, schema)
+        quarter = _max_event_id(sf) // 4
+        for i in range(4):
+            batch = ev.filter(F.col("event_id") >= i * quarter) if i == 3 else (
+                ev.filter((F.col("event_id") >= i * quarter) & (F.col("event_id") < (i + 1) * quarter))
+            )
+            t.append(batch, ordering=["event_id"])
     else:
         raise ValueError(variant)
     _CACHE[key] = (cat, variant)
@@ -464,6 +487,37 @@ def s8_offset_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         mid = {int(k): v for k, v in json.load(fh).items()}
     return t.scan(spark, start_offsets=mid).select(
         "event_id", "user_id", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "s9_tiered_log_scan",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def s9_tiered_log_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """S9 tiered log read (server/log/remote/LogTieringTask.java +
+    client RemoteLogDownloader.java): events appended across 4 commits
+    with auto-tiering on — 3 sealed commits live in the remote tier,
+    only the newest stays local. The scan unions both tiers, so the
+    aggregate must cover the full event range with exact offsets."""
+    t = _build(spark, sf, "tiered_log")
+    # prove the build actually tiered (guards against the variant
+    # silently degrading into a plain log table)
+    assert t.log._tier_has_commits(t.log.remote_dir), "tiered_log build has no remote tier"
+    return (
+        t.scan(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
     )
 
 

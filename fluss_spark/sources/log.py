@@ -63,6 +63,12 @@ class LogStore:
         self.table = table
         self.schema = catalog.get_schema(db, table)
         self.log_dir = os.path.join(catalog.table_dir(db, table), "log")
+        # S9 remote tier: sealed commit dirs moved here by tier_log()
+        # (server/log/remote/LogTieringTask.java copies sealed segments to
+        # remote storage and trims local; readers below the local log
+        # start fall back to remote — client RemoteLogDownloader.java).
+        # Here "remote" is a second Parquet root; scans union both tiers.
+        self.remote_dir = os.path.join(catalog.table_dir(db, table), "remote")
         self.tmp_dir = os.path.join(catalog.table_dir(db, table), ".tmp")
 
     # ------------------------------------------------------------------ #
@@ -278,12 +284,18 @@ class LogStore:
     # ------------------------------------------------------------------ #
     # scan (S2/S3/S8)
     # ------------------------------------------------------------------ #
+    def _tier_has_commits(self, tier_dir: str) -> bool:
+        return os.path.isdir(tier_dir) and any(
+            e.name.startswith(f"{COMMIT_DIR_COL}=") for e in os.scandir(tier_dir)
+        )
+
     def scan(
         self,
         spark: SparkSession,
         start_offsets: dict[int, int] | None = None,
         end_offsets: dict[int, int] | None = None,
         as_of_commit: int | None = None,
+        tiers: str = "all",
     ) -> DataFrame:
         """Full or offset-bounded log scan with system columns
         (__bucket, __offset, __timestamp[, _change_type]).
@@ -291,16 +303,30 @@ class LogStore:
         Uncommitted data is fenced by `__commit <= CURRENT` (partition-dir
         pruning, no file reads). Offset bounds prune via Parquet row-group
         stats on __offset.
+
+        S9: when tier_log() has moved sealed commits to the remote tier,
+        the scan is the union of both tiers — same files, same offsets,
+        no download step (the reference's RemoteLogDownloader exists only
+        because its consumers read local disk; a Spark scan reads any
+        path). `tiers` restricts to one tier ("local"/"remote") for
+        maintenance jobs that must not rewrite the other.
         """
         state = self.catalog.current_commit(self.db, self.table)
         current = as_of_commit if as_of_commit is not None else state.version
-        if not any(e.name.startswith(f"{COMMIT_DIR_COL}=") for e in os.scandir(self.log_dir)):
+        roots = []
+        if tiers in ("all", "remote") and self._tier_has_commits(self.remote_dir):
+            roots.append(self.remote_dir)  # older data first
+        if tiers in ("all", "local") and self._tier_has_commits(self.log_dir):
+            roots.append(self.log_dir)
+        if not roots:
             return self._empty_scan(spark)
-        df = (
+        frames = [
             spark.read.schema(self.file_schema(with_commit_col=True))
-            .option("basePath", self.log_dir)
-            .parquet(self.log_dir)
-        )
+            .option("basePath", root)
+            .parquet(root)
+            for root in roots
+        ]
+        df = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
         df = df.filter(F.col(COMMIT_DIR_COL) <= current)
         if start_offsets:
             cond = F.lit(False)

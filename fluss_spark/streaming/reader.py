@@ -158,8 +158,22 @@ def read_stream(table: FlussTable, spark: SparkSession) -> DataFrame:
                   .groupBy(F.window("__timestamp", "5 minutes")).count())
     """
     schema = table.log.file_schema()
-    return (
+    sdf = (
         spark.readStream.schema(schema)
         .option("basePath", table.log.log_dir)
         .parquet(table.log.log_dir + "/*")
     )
+    # S9: a tiered table's history lives in the remote tier — union a
+    # second file stream over it so earliest-mode catch-up replays tiered
+    # segments too (the reference's consumers fetch those via
+    # RemoteLogDownloader; a Spark file source just reads the other root).
+    # Segments tiered AFTER stream start were committed ≥ local-segments
+    # commits earlier, so a running stream has already consumed them.
+    if table.log._tier_has_commits(table.log.remote_dir):
+        remote = (
+            spark.readStream.schema(schema)
+            .option("basePath", table.log.remote_dir)
+            .parquet(table.log.remote_dir + "/*")
+        )
+        sdf = remote.unionByName(sdf)
+    return sdf

@@ -71,6 +71,12 @@ class FlussTable:
 
                 cutoff = int(_time.time() * 1000) - maintenance._parse_duration_ms(ttl)
                 ran |= bool(maintenance._expire_log_ttl_locked(self, cutoff))
+            # S9: tiered log storage — `table.log.tiered.enable` = "true"
+            # moves sealed commits beyond `table.log.tiered.local-segments`
+            # (default 2) to the remote tier after each append, the role
+            # LogTieringTask.java runs on remote.log.task-interval-duration.
+            if props.get("table.log.tiered.enable", "false") == "true":
+                maintenance._tier_log_locked(self)
             if ran:
                 state = self.catalog.current_commit(self.db, self.name)
         return state
