@@ -111,8 +111,32 @@ class KvStore:
             if missing_pk:
                 raise ValueError(f"partial update must include the primary key, missing {missing_pk}")
 
+        fold_in, may_have_deletes = self._fold_input(spark, df, ordering)
+
+        changelog, _ = replay(
+            fold_in,
+            schema,
+            partial_update_cols=partial_update_cols,
+            merge_mode=merge_mode,
+            may_have_deletes=may_have_deletes,
+        )
+        return self._commit_changelog(spark, changelog, commit_ts_ms)
+
+    def _fold_input(
+        self, spark: SparkSession, df: DataFrame, ordering: list[str] | None
+    ) -> tuple[DataFrame, bool]:
+        """Build the fold input (seed ∪ batch, with per-key __seq) so the
+        whole upsert fold costs ONE pk hash exchange
+        (tests/test_plans.py pins this on the full path)."""
+        schema = self.schema
+        pk, cols = schema.primary_key, schema.data_columns()
         # normalize the batch: every data column present (nulls for
-        # non-target), __op, per-key fold sequence
+        # non-target), __op. The per-key fold sequence (__seq) is NOT
+        # assigned here: a window on the bare batch would cost its own pk
+        # exchange, and the union with the seed below discards the
+        # partitioning, forcing the fold to exchange AGAIN. Instead the
+        # ordering columns ride along and __seq is computed after the
+        # union, inside the fold's single pk exchange.
         b = df
         may_have_deletes = OP_COL in b.columns  # no __op => all upserts
         if OP_COL not in b.columns:
@@ -122,13 +146,13 @@ class KvStore:
                 b = b.withColumn(f.name, F.lit(None).cast(parse_type(f.type)))
             else:
                 b = b.withColumn(f.name, F.col(f.name).cast(parse_type(f.type)))
-        order_cols = [F.col(c) for c in ordering] if ordering else [F.monotonically_increasing_id()]
-        w_seq = Window.partitionBy(*pk).orderBy(*order_cols)
-        b = (
-            b.withColumn(SEQ_COL, F.row_number().over(w_seq).cast("long"))
-            .withColumn(SEED_COL, F.lit(0))
-            .select(*cols, OP_COL, SEQ_COL, SEED_COL)
-        )
+        if ordering:
+            ord_names = [c for c in ordering]
+        else:
+            b = b.withColumn("__arrival", F.monotonically_increasing_id())
+            ord_names = ["__arrival"]
+        ord_extra = [c for c in ord_names if c not in cols]
+        b = b.withColumn(SEED_COL, F.lit(0)).select(*cols, OP_COL, SEED_COL, *ord_extra)
 
         # read-old restricted to the batch's buckets and keys; on a table
         # with no snapshot yet (first commit) there is nothing to read, so
@@ -147,22 +171,41 @@ class KvStore:
             ]
         else:
             batch_buckets = None if has_snapshot else []
+        # no .distinct() on the probe side: a semi join dedups by
+        # definition, and the distinct would cost its own exchange + agg
         seed = (
             self.snapshot(spark, buckets=batch_buckets)
-            .join(b.select(*pk).distinct(), on=pk, how="left_semi")
+            .join(b.select(*pk), on=pk, how="left_semi")
             .withColumn(OP_COL, F.lit("U"))
-            .withColumn(SEQ_COL, F.lit(0).cast("long"))
             .withColumn(SEED_COL, F.lit(1))
         )
+        ord_types = dict(b.dtypes)
+        for c in ord_extra:  # seed rows sort first by SEED, ord is moot
+            seed = seed.withColumn(c, F.lit(None).cast(ord_types[c]))
         fold_in = seed.select(*b.columns).unionByName(b)
-
-        changelog, _ = replay(
-            fold_in,
-            schema,
-            partial_update_cols=partial_update_cols,
-            merge_mode=merge_mode,
-            may_have_deletes=may_have_deletes,
+        # __seq inside the fold's own pk exchange: seed first (SEED desc),
+        # then batch rows in `ordering` order. Batch rows number 1.. per
+        # key whether or not a seed row exists (sum(SEED) over the key =
+        # presence); seed rows pin __seq=0 — identical semantics to the
+        # old pre-union row_number window, minus one full-batch exchange.
+        w_fold = Window.partitionBy(*pk).orderBy(
+            F.col(SEED_COL).desc(), *[F.col(c).asc_nulls_first() for c in ord_names]
         )
+        has_seed = F.sum(SEED_COL).over(Window.partitionBy(*pk))
+        fold_in = fold_in.withColumn(
+            SEQ_COL,
+            F.when(F.col(SEED_COL) == 1, F.lit(0))
+            .otherwise(F.row_number().over(w_fold) - has_seed)
+            .cast("long"),
+        ).select(*cols, OP_COL, SEQ_COL, SEED_COL)
+        return fold_in, may_have_deletes
+
+    def _commit_changelog(
+        self, spark: SparkSession, changelog: DataFrame, commit_ts_ms: int | None
+    ) -> CommitState:
+        """WAL append + touched-bucket snapshot rewrite + atomic commit."""
+        schema = self.schema
+        pk = schema.primary_key
         # materialize the fold output ONCE with a true lineage cut: the
         # WAL write AND the snapshot derivation both consume it, and they
         # must observe the SAME rows. persist() is not a barrier — on
@@ -209,7 +252,7 @@ class KvStore:
             # last change event per key in (seq, sub) order — per key
             # identical to WAL-offset order (wal_order above sorts by it)
             touched_final = _snapshot_from_changelog(changelog, schema)
-            touched_keys = changelog.select(*pk).distinct()
+            touched_keys = changelog.select(*pk)  # anti join dedups
             # only the touched buckets are rewritten; a key whose last
             # event is -D must not survive via the old rows (anti-join on
             # ALL keys with change events)

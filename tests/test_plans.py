@@ -179,6 +179,34 @@ def test_replay_fold_is_single_shuffle(spark, sf_dir):
     assert v_simple.count("Exchange") == 1, v_simple
 
 
+def test_full_upsert_fold_is_single_shuffle(spark, sf_dir, tmp_path):
+    """The FULL second-commit upsert path — seed read ∪ batch, __seq
+    assignment, changelog fold — must cost ONE hash exchange on the pk.
+    __seq is computed inside the fold's own exchange (kv._fold_input);
+    a pre-union row_number window would add a second full-batch shuffle,
+    and the seed semi-join must broadcast, not shuffle, at this size."""
+    import re
+
+    from fluss_spark.catalog import Catalog
+    from fluss_spark.operators.replay import replay
+    from fluss_spark.table import create_table
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    schema = TableSchema(
+        fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+        primary_key=["user_id"],
+        num_buckets=8,
+    )
+    t = create_table(Catalog(str(tmp_path / "wh")), "db", "fold_plan", schema)
+    t.upsert(ev.filter(F.col("event_id") % 2 == 0), ordering=["event_id"])
+    fold_in, mhd = t.kv._fold_input(spark, ev.filter(F.col("event_id") % 2 == 1), ["event_id"])
+    changelog, _ = replay(fold_in, schema, may_have_deletes=mhd)
+    simple = changelog._sc._jvm.PythonSQLUtils.explainString(
+        changelog._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", simple)) == 1, simple
+
+
 def test_q5_broadcasts_all_dims(spark, sf_dir):
     """Six-table Q5: nation/region broadcast statically (bounded dims);
     customer/supplier carry no hint, so AQE broadcasts them at this SF —
