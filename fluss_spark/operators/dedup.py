@@ -854,3 +854,46 @@ def dd_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
         F.round(est, 4).alias("est_jaccard"),
         F.round(exact, 4).alias("jaccard"),
     )
+
+
+_PREFIX_WORDS = 8
+
+
+@register(
+    "dd_prefix_cluster",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, lang,
+             md5(array_to_string((string_split(lower(trim(text)), ' '))[1:{_PREFIX_WORDS}], ' '))
+               AS prefix_fp
+      FROM documents
+    )
+    SELECT prefix_fp, count(*) AS n_docs, min(doc_id) AS canonical_id,
+           count(DISTINCT lang) AS n_langs
+    FROM p GROUP BY prefix_fp HAVING count(*) > 1
+    """,
+)
+def dd_prefix_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-fingerprint dedup (the boilerplate/mirror-detection shape:
+    near-identical documents almost always share their opening words,
+    e.g. Common Crawl page templates). Fingerprint = md5 of the first
+    {_PREFIX_WORDS} normalized words — O(1) text work per doc regardless
+    of document length, then ONE shuffle on the 16-byte key; clusters
+    with >1 member are candidate template groups. A cheaper pre-filter
+    stage for the full MinHash pipeline: at 100 TB this runs at scan
+    speed and discards the unique majority before any expensive
+    signature computation."""
+    d = load_spread(spark, sf, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, _PREFIX_WORDS), " "
+    )
+    return (
+        d.select(F.md5(prefix.cast("binary")).alias("prefix_fp"), "doc_id", "lang")
+        .groupBy("prefix_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -471,6 +471,83 @@ def t5_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t5_sliding_window",
+    oracle="""
+    WITH k AS (SELECT unnest([0, 1]) AS off),
+    w AS (
+      SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800 * k.off)
+                                 * 1000000 AS BIGINT)) AS window_start,
+             event_type, "value"
+      FROM events CROSS JOIN k
+    )
+    SELECT window_start, event_type, count(*) AS n,
+           round(sum("value"), 2) AS sum_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def t5_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (hopping) event-time window: 1-hour windows every 30
+    minutes, so each event lands in exactly 2 windows. Spark's window()
+    generator expands rows THEN aggregates — the same Expand+HashAgg
+    plan a streaming hopping-window agg uses; the oracle recomputes the
+    window assignment arithmetic from epoch seconds."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "t5_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, "value",
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum("value"), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def t5_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session window via Spark's NATIVE session_window() generator
+    (30-minute gap), value-checked against the gaps-and-islands SQL
+    formulation — proving the built-in session assignment matches the
+    lag/running-sum fold (same semantics op_sessionize implements by
+    hand; session end = last event + gap, Spark's convention). One
+    user_id exchange; the session merge happens inside the aggregate."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "join_topk_q3",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,

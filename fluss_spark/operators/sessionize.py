@@ -277,3 +277,44 @@ def op_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_follow"),
         F.round(F.sum("b_value"), 2).alias("follow_value"),
     )
+
+
+@register(
+    "op_transition_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM t WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(round(n / sum(n) OVER (PARTITION BY from_type), 4) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def op_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user next-event transition matrix (first-order Markov counts
+    and probabilities) — the user-journey / funnel-discovery shape. One
+    user_id exchange for the lead window; the (from, to) count rolls up
+    on a tiny key space, and the row-normalization window runs on the
+    aggregated matrix (|event_types|^2 rows), not the event stream."""
+    e = load(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_norm), 4).cast("double").alias("p"),
+    )

@@ -577,3 +577,53 @@ def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
             F.col("__rk").alias("rank"),
         )
     )
+
+
+_RANGE_THR = 0.25
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT * FROM e WHERE vec_id < {_N_QUERIES}
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
+             AS cosine
+    FROM q JOIN e c ON q.vec_id != c.vec_id
+    WHERE list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+          >= {_RANGE_THR}
+    """,
+)
+def ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine RANGE search (radius query): every corpus vector within a
+    similarity threshold of each query — the retrieval-filtering shape
+    (e.g. "all near-duplicates of these seed documents"). Unlike top-k
+    there is NO per-query rank window, so the whole query is a
+    broadcast-join + map-side filter: one corpus scan, zero shuffles,
+    and output size is bounded by the threshold rather than k. At 100 TB
+    this is the cheapest exact formulation; the LSH/IVF variants above
+    trade exactness for a pruned candidate scan."""
+    e = _embeddings(spark, sf)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("c_norm"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= _RANGE_THR)
+        .select("query_id", "neighbor_id", F.round("__cos", 4).alias("cosine"))
+    )

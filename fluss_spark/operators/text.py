@@ -542,3 +542,64 @@ def tx_blocklist_redact(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_redacted") > 0)
     )
+
+
+@register(
+    "tx_domain_mix",
+    oracle="""
+    WITH w AS (
+      SELECT source, count(*) AS n_orig,
+             CAST(substr(source, 4) AS INT) + 1 AS wt
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(n_orig) AS total, sum(wt) AS wsum FROM w
+    ), r AS (
+      SELECT w.source, w.n_orig,
+             least(1.0, (w.wt / t.wsum) * t.total / w.n_orig) AS keep_rate
+      FROM w, t
+    )
+    SELECT d.source, max(r.n_orig) AS n_orig,
+           CAST(round(max(r.keep_rate), 6) AS DOUBLE) AS keep_rate,
+           count(*) AS n_kept
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+          < r.keep_rate
+    GROUP BY d.source
+    """,
+)
+def tx_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-mixture (domain-reweighting) sampling: each source gets a
+    target share proportional to a per-domain weight; the keep rate is
+    min(1, target_n / actual_n) and rows are kept by the deterministic
+    md5 PRF. This is the DoReMi/data-mixture shape of a training
+    pipeline: per-domain stats are a TINY aggregate (one row per
+    domain), broadcast back onto the corpus so the actual sampling is a
+    map-side filter — no corpus shuffle at any scale."""
+    d = load(spark, sf, "documents")
+    w = d.groupBy("source").agg(F.count("*").alias("n_orig"))
+    w = w.withColumn("wt", F.substring("source", 4, 10).cast("int") + 1)
+    tot = w.agg(
+        F.sum("n_orig").alias("total"), F.sum("wt").alias("wsum")
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_orig",
+        F.least(
+            F.lit(1.0), (F.col("wt") / F.col("wsum")) * F.col("total") / F.col("n_orig")
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), on="source")
+        .filter(u < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(
+            F.max("n_orig").alias("n_orig"),
+            F.round(F.max("keep_rate"), 6).cast("double").alias("keep_rate"),
+            F.count("*").alias("n_kept"),
+        )
+    )
