@@ -10,15 +10,66 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
-from fluss_spark.catalog import Catalog
+from fluss_spark.catalog import Catalog, TableNotFoundError
 from fluss_spark.table import FlussTable, create_table
-from fluss_spark.types import TableSchema
+from fluss_spark.types import Field, TableSchema
 
 
 @dataclass
 class KvSnapshotInfo:
     snapshot_id: int
     log_offsets: dict[int, int]  # changelog position the snapshot covers
+
+
+# -- ALTER TABLE change kinds (metadata/TableChange.java:28-131) ----------
+
+
+@dataclass
+class AddColumn:
+    """TableChange.addColumn (TableChange.java:41-60): appended LAST;
+    always nullable (pre-existing rows read as NULL). `agg` = per-column
+    aggregation function for AGGREGATION merge-engine tables."""
+
+    name: str
+    type: str
+    agg: str | None = None
+
+
+@dataclass
+class DropColumn:
+    """TableChange.dropColumn (TableChange.java:123): key columns
+    (pk/bucket/partition) cannot be dropped."""
+
+    name: str
+
+
+@dataclass
+class SetOption:
+    """TableChange.set (TableChange.java:127)."""
+
+    key: str
+    value: str
+
+
+@dataclass
+class ResetOption:
+    """TableChange.reset (TableChange.java:131)."""
+
+    key: str
+
+
+class InvalidAlterTableException(ValueError):
+    """Mirror of common/exception/InvalidAlterTableException: the change
+    is structurally unsupported (immutable option, key column drop, …)."""
+
+
+# options that define the table's physical/merge identity — immutable
+# after creation (the reference validates the same set server-side)
+_IMMUTABLE_OPTIONS = (
+    "table.merge-engine",
+    "table.merge-engine.versioned.ver-column",
+    "table.changelog.image",
+)
 
 
 class Admin:
@@ -53,6 +104,83 @@ class Admin:
 
     def drop_table(self, db: str, name: str) -> None:
         self.catalog.drop_table(db, name)
+
+    def alter_table(
+        self,
+        db: str,
+        name: str,
+        changes: list[AddColumn | DropColumn | SetOption | ResetOption],
+        ignore_if_not_exists: bool = False,
+    ) -> TableSchema | None:
+        """Admin.alterTable (Admin.java:310): apply schema/option changes
+        atomically under the table write lock.
+
+        Evolution is NAME-based over Parquet, which makes add/drop free:
+        files written before an AddColumn simply lack the column (the
+        explicit read schema surfaces NULLs), and files written before a
+        DropColumn carry an extra column every later read ignores. No
+        file rewrite, ever — the same property the reference gets from
+        field-ID indirection (Schema.java:223; field IDs are kept in our
+        schema JSON too and pin identity across the change history).
+        Rename/retype need ID-based column resolution in the reader and
+        are rejected (InvalidAlterTableException), matching the subset
+        the reference validates server-side.
+
+        Open Table/FlussTable handles keep their creation-time schema
+        (exactly like the reference's clients, which cache SchemaInfo);
+        re-open the table to observe the new schema."""
+        if not self.catalog.table_exists(db, name):
+            if ignore_if_not_exists:
+                return None
+            raise TableNotFoundError(f"{db}.{name}")
+        with self.catalog.write_lock(db, name):
+            schema = self.catalog.get_schema(db, name)
+            fields = list(schema.fields)
+            props = dict(schema.properties)
+            protected = set(
+                schema.primary_key + schema.bucket_keys + schema.partition_keys
+            )
+            for ch in changes:
+                if isinstance(ch, AddColumn):
+                    if any(f.name == ch.name for f in fields):
+                        raise InvalidAlterTableException(f"column exists: {ch.name}")
+                    fields.append(Field(ch.name, ch.type, nullable=True, agg=ch.agg))
+                elif isinstance(ch, DropColumn):
+                    if not any(f.name == ch.name for f in fields):
+                        raise InvalidAlterTableException(f"no such column: {ch.name}")
+                    if ch.name in protected:
+                        raise InvalidAlterTableException(
+                            f"cannot drop key column: {ch.name}"
+                        )
+                    if props.get("table.merge-engine.versioned.ver-column") == ch.name:
+                        raise InvalidAlterTableException(
+                            f"cannot drop the versioned merge column: {ch.name}"
+                        )
+                    fields = [f for f in fields if f.name != ch.name]
+                elif isinstance(ch, SetOption):
+                    if ch.key in _IMMUTABLE_OPTIONS:
+                        raise InvalidAlterTableException(
+                            f"option is immutable after creation: {ch.key}"
+                        )
+                    props[ch.key] = ch.value
+                elif isinstance(ch, ResetOption):
+                    if ch.key in _IMMUTABLE_OPTIONS:
+                        raise InvalidAlterTableException(
+                            f"option is immutable after creation: {ch.key}"
+                        )
+                    props.pop(ch.key, None)
+                else:
+                    raise InvalidAlterTableException(f"unsupported change: {ch!r}")
+            new_schema = TableSchema(
+                fields=fields,
+                primary_key=list(schema.primary_key),
+                bucket_keys=list(schema.bucket_keys),
+                num_buckets=schema.num_buckets,
+                partition_keys=list(schema.partition_keys),
+                properties=props,
+            )
+            self.catalog.set_schema(db, name, new_schema)
+            return new_schema
 
     # -- offsets (Admin.listOffsets, OffsetSpec EARLIEST/LATEST/TIMESTAMP)
     def list_offsets(

@@ -1,0 +1,122 @@
+"""ALTER TABLE / schema evolution (Admin.alterTable, Admin.java:310;
+change kinds metadata/TableChange.java:28-131).
+
+Name-based evolution over Parquet: add/drop never rewrites files — old
+files read NULL for added columns, dropped columns in old files are
+ignored. Field IDs persist in schema JSON as the identity anchor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_spark.admin import (
+    AddColumn,
+    Admin,
+    DropColumn,
+    InvalidAlterTableException,
+    ResetOption,
+    SetOption,
+)
+from fluss_spark.catalog import Catalog
+from fluss_spark.table import FlussTable, create_table
+from fluss_spark.types import Field, TableSchema
+
+
+@pytest.fixture()
+def admin(tmp_path):
+    return Admin(Catalog(str(tmp_path / "wh")))
+
+
+def test_add_column_log_table(spark, admin):
+    t = admin.create_table(
+        "db", "ev", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2)
+    )
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string"), ordering=["a"])
+    admin.alter_table("db", "ev", [AddColumn("c", "DOUBLE")])
+    t2 = FlussTable(admin.catalog, "db", "ev")  # re-open to see new schema
+    t2.append(spark.createDataFrame([(3, "z", 1.5)], "a int, b string, c double"), ordering=["a"])
+    rows = {r["a"]: r["c"] for r in t2.scan(spark).collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+    # filter on the evolved column still pushes down over mixed files
+    assert t2.scan(spark).filter(F.col("c") > 1.0).count() == 1
+    # field ids are stable and the new column got a fresh one
+    sch = admin.get_table_info("db", "ev")
+    ids = {f.name: f.field_id for f in sch.fields}
+    assert ids["c"] == max(ids.values())
+
+
+def test_drop_column_log_table(spark, admin):
+    admin.create_table(
+        "db", "d", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1)
+    ).append(spark.createDataFrame([(1, "x")], "a int, b string"), ordering=["a"])
+    admin.alter_table("db", "d", [DropColumn("b")])
+    t2 = FlussTable(admin.catalog, "db", "d")
+    assert "b" not in t2.scan(spark).columns
+    t2.append(spark.createDataFrame([(2,)], "a int"), ordering=["a"])
+    assert sorted(r["a"] for r in t2.scan(spark).collect()) == [1, 2]
+
+
+def test_add_column_pk_table_across_upserts(spark, admin):
+    t = admin.create_table(
+        "db", "pk",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING")],
+            primary_key=["k"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), ordering=["k"])
+    admin.alter_table("db", "pk", [AddColumn("score", "DOUBLE")])
+    t2 = FlussTable(admin.catalog, "db", "pk")
+    t2.upsert(
+        spark.createDataFrame([(2, "b2", 0.5), (3, "c", 0.9)], "k long, v string, score double"),
+        ordering=["k"],
+    )
+    snap = {r["k"]: (r["v"], r["score"]) for r in t2.snapshot(spark).collect()}
+    assert snap == {1: ("a", None), 2: ("b2", 0.5), 3: ("c", 0.9)}
+    # point lookup resolves the evolved row from the single bucket dir
+    got = t2.lookup(spark, {"k": 3}).collect()
+    assert len(got) == 1 and got[0]["score"] == 0.9
+
+
+def test_set_reset_option(spark, admin):
+    admin.create_table(
+        "db", "opt", TableSchema(fields=[Field("a", "INT")], num_buckets=1)
+    )
+    admin.alter_table("db", "opt", [SetOption("table.log.ttl", "7d")])
+    assert admin.get_table_info("db", "opt").properties["table.log.ttl"] == "7d"
+    admin.alter_table("db", "opt", [ResetOption("table.log.ttl")])
+    assert "table.log.ttl" not in admin.get_table_info("db", "opt").properties
+
+
+def test_invalid_alters_rejected(spark, admin):
+    admin.create_table(
+        "db", "inv",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING")],
+            primary_key=["k"],
+            num_buckets=1,
+            properties={"table.merge-engine": "first_row"},
+        ),
+    )
+    with pytest.raises(InvalidAlterTableException):
+        admin.alter_table("db", "inv", [DropColumn("k")])  # pk column
+    with pytest.raises(InvalidAlterTableException):
+        admin.alter_table("db", "inv", [AddColumn("v", "INT")])  # duplicate
+    with pytest.raises(InvalidAlterTableException):
+        admin.alter_table("db", "inv", [SetOption("table.merge-engine", "versioned")])
+    with pytest.raises(InvalidAlterTableException):
+        admin.alter_table("db", "inv", [DropColumn("nope")])
+    # a failed multi-change list leaves the schema untouched (atomicity)
+    with pytest.raises(InvalidAlterTableException):
+        admin.alter_table("db", "inv", [AddColumn("w", "INT"), DropColumn("k")])
+    assert [f.name for f in admin.get_table_info("db", "inv").fields] == ["k", "v"]
+
+
+def test_alter_missing_table(admin):
+    from fluss_spark.catalog import TableNotFoundError
+
+    with pytest.raises(TableNotFoundError):
+        admin.alter_table("db", "ghost", [AddColumn("x", "INT")])
+    assert admin.alter_table("db", "ghost", [AddColumn("x", "INT")], ignore_if_not_exists=True) is None
