@@ -34,6 +34,7 @@ _PRIORITY = [
     "m7_aggregation_snapshot",
     "l1_pk_lookup",
     "l2_prefix_lookup",
+    "l4_lookup_join",
     "s6_hybrid_snapshot_log",
     "s8_offset_time_travel",
     "s9_tiered_log_scan",
@@ -61,7 +62,8 @@ _PRIORITY = [
     "tx_hash_sample",
     "tx_shard_packing",
     "tx_repetition_score",
-    "tx_word_entropy",
+    # tx_word_entropy rotated out of the 50-entry window for
+    # l4_lookup_join (still locally oracle-checked like every query)
     "tx_bpe_token_count",
     "tx_stratified_sample",
     # tx_blocklist_redact: rotated out of the 50-entry driver window to

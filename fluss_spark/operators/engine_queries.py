@@ -521,6 +521,40 @@ def s9_tiered_log_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "l4_lookup_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS dim_type, round(value, 2) AS dim_value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    )
+    SELECT e.event_id, e.user_id, d.dim_type, d.dim_value
+    FROM events e LEFT JOIN dim d USING (user_id)
+    WHERE e.event_id % 10 = 0
+    """,
+)
+def l4_lookup_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Lookup join (L4, FlinkLookupFunction.java:51-178): a fact stream
+    enriched against a PK table's CURRENT state. The per-record RPC
+    lookup of the reference dissolves into one broadcast hash join of
+    the batch against the KV snapshot scan — same point-lookup
+    semantics, amortized over the batch (at large dims AQE keeps it a
+    shuffled join on the pk, which is the partitioned-lookup plan)."""
+    t = _build(spark, sf, "default")
+    facts = _events_batch(spark, sf).filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id"
+    )
+    dim = t.snapshot(spark).select(
+        "user_id",
+        F.col("event_type").alias("dim_type"),
+        F.round("value", 2).alias("dim_value"),
+    )
+    return facts.join(F.broadcast(dim), on="user_id", how="left").select(
+        "event_id", "user_id", "dim_type", "dim_value"
+    )
+
+
 @register("a1_count_metadata", oracle="SELECT count(*) AS cnt FROM events")
 def a1_count_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """count(*) served from commit metadata with zero file reads (A1,

@@ -603,3 +603,46 @@ def tx_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_kept"),
         )
     )
+
+
+@register(
+    "tx_unigram_logloss",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), freq AS (
+      SELECT term, count(*)::DOUBLE AS n FROM tok GROUP BY term
+    ), tot AS (
+      SELECT sum(n) AS nt FROM freq
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(-avg(ln(f.n / tot.nt)), 4) AS avg_logloss
+    FROM tok t JOIN freq f USING (term), tot
+    GROUP BY t.doc_id
+    """,
+)
+def tx_unigram_logloss(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document average negative
+    log-probability of its tokens under the CORPUS unigram distribution
+    (high = rare/atypical vocabulary, low = common/templated text) — the
+    cheap stand-in for an LM-based quality filter. Two passes: corpus
+    term frequencies (one shuffle on term, vocabulary-sized output,
+    broadcast back), then a map-side score + per-doc reduce. The unigram
+    LM is exactly the artifact a production filter precomputes once and
+    broadcasts to every scoring executor."""
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("n"))
+    tot = freq.agg(F.sum("n").alias("nt"))
+    lm = freq.crossJoin(F.broadcast(tot)).select(
+        "term", F.log(F.col("n") / F.col("nt")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(lm), on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("avg_logloss"),
+        )
+    )

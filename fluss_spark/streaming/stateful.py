@@ -91,3 +91,23 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedupe_stream(
+    sdf: DataFrame,
+    key_cols: list[str],
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming first-occurrence dedup: emit each key once, drop every
+    later arrival (the continuous-ingest form of dd_exact). Spark-first:
+    dropDuplicates on a streaming DataFrame IS the stateful dedup
+    operator (per-key state in the state store); the watermark bounds
+    how long a key's state is retained — the dedup horizon — so state
+    does not grow unboundedly at 100 TB/day ingest. Without an
+    event-time column the horizon is unbounded (exact global dedup,
+    state grows with distinct keys)."""
+    if event_time_col is not None:
+        sdf = sdf.withWatermark(event_time_col, watermark)
+        return sdf.dropDuplicatesWithinWatermark(key_cols)
+    return sdf.dropDuplicates(key_cols)

@@ -157,3 +157,41 @@ def test_streaming_earliest_replays_remote_tier(spark, catalog, tmp_path):
     out.awaitTermination(120)
     got = sorted(r["a"] for r in spark.sql("SELECT a FROM tiered_stream_q").collect())
     assert got == [0, 1, 2, 3]
+
+
+def test_stream_dedupe_matches_batch_exact(spark, catalog, tmp_path):
+    """Streaming first-occurrence dedup over a document log == batch
+    exact-dedup canonical set (fingerprint-keyed). Uses the native file
+    stream + dropDuplicates state; availableNow drains the full log."""
+    from fluss_spark.registry import load, load_all_queries
+    from fluss_spark.streaming.reader import read_stream
+    from fluss_spark.streaming.stateful import dedupe_stream
+    from fluss_spark.table import create_table
+    from fluss_spark.types import Field, TableSchema
+
+    load_all_queries()
+    sf = "/root/testdata/sf0.01"
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    t = create_table(
+        catalog, "db", "doc_log",
+        TableSchema(fields=[Field("doc_id", "BIGINT"), Field("text", "STRING")], num_buckets=2),
+    )
+    t.append(docs, ordering=["doc_id"])
+
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary"))
+    sdf = read_stream(t, spark).withColumn("fingerprint", fp)
+    out = (
+        dedupe_stream(sdf, ["fingerprint"])
+        .select("doc_id", "fingerprint")
+        .writeStream.format("memory")
+        .queryName("dedupe_stream_q")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(180)
+    got = spark.sql("SELECT fingerprint, count(*) AS n FROM dedupe_stream_q GROUP BY 1").collect()
+    # one survivor per distinct fingerprint, matching the batch dedup
+    assert all(r["n"] == 1 for r in got)
+    batch_fps = docs.select(fp.alias("fingerprint")).distinct().count()
+    assert len(got) == batch_fps
