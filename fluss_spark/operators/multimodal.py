@@ -220,14 +220,50 @@ def resize_images(media_df: DataFrame, width: int, height: int, decode_mode: str
 
                 media = pdf["media"].map(_resize)
             else:
+                # hex-domain derivation (like sample_frames): md5 over the
+                # payload's hex string, so SQL engines can recompute the
+                # resized bytes (md5-over-BLOB is not portable)
                 media = pdf["media"].map(
-                    lambda b: hashlib.md5(b + f"|{width}x{height}".encode()).digest()
+                    lambda b: hashlib.md5(
+                        f"{bytes(b).hex()}|{width}x{height}".encode()
+                    ).digest()
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media": media, "mime": pdf["mime"]}
             )
 
     return media_df.mapInPandas(run, schema="doc_id bigint, media binary, mime string")
+
+
+@register(
+    "mm_resize_pipeline",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, md5(md5(text) || '|32x32') AS resized_hex
+      FROM documents
+    )
+    SELECT doc_id,
+           1 + (('0x' || substr(resized_hex, 1, 2))::INTEGER % 64) AS width,
+           1 + (('0x' || substr(resized_hex, 3, 2))::INTEGER % 64) AS height,
+           resized_hex AS media_fp
+    FROM r
+    """,
+)
+def mm_resize_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed multimodal stages: synthesize → RESIZE → decode — two
+    chained mapInPandas kernels over the opaque-binary schema, proving
+    resize output feeds the next stage unchanged (the compose property
+    the schema convention exists for). The fake resize derives the new
+    payload from the old payload's hex + target dims, so the oracle
+    recomputes the entire two-stage pipeline in SQL and the result is
+    value-checked end to end."""
+    docs = load_spread(spark, sf, "documents")
+    media = synthesize_media(docs)
+    # one kernel execution feeds both consumers (decode + fingerprint)
+    resized = resize_images(media, 32, 32, decode_mode="fake").localCheckpoint(eager=False)
+    meta = decode_images(resized, decode_mode="fake")
+    fp = resized.select("doc_id", F.lower(F.hex("media")).alias("media_fp"))
+    return meta.join(fp, on="doc_id").select("doc_id", "width", "height", "media_fp")
 
 
 def sample_frames(media_df: DataFrame, every_n: int = 10, decode_mode: str = "fake") -> DataFrame:
