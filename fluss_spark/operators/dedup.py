@@ -215,6 +215,35 @@ def minhash_signature(ids: Column, k: int = _K_HASHES) -> Column:
     return F.array(*[F.array_min(F.transform(ids, _h(a, b))) for a, b in _ab(k)])
 
 
+_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def sig_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, ids, sig) — the corpus's MinHash signatures, computed
+    ONCE per session+sf+width and persisted, like shingle_base: at
+    corpus scale this is the signatures-at-ingest column the write path
+    maintains. Four operators (minhash_lsh, lsh_canonical,
+    lsh_verify_pipeline, minhash_estimate) consume the identical
+    signature; without the shared stage each recomputed the k-hash map
+    over every shingle array."""
+    from fluss_spark.registry import session_key
+
+    r_rows, n_bands = lsh_params(sf)
+    k = r_rows * n_bands
+    key = (session_key(spark), sf, k)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = (
+        shingle_base(spark, sf)
+        .select("doc_id", "ids", minhash_signature(F.col("ids"), k=k).alias("sig"))
+        .persist()
+    )
+    df.count()  # eager: multi-consumer first jobs must not race a cold cache
+    _SIG_CACHE[key] = df
+    return df
+
+
 def banded_signature(sig: Column, n_bands: int, r_rows: int) -> Column:
     """array<struct<band int, band_sig string>>: md5 over the '|'-joined
     rows of each band — the bucket key for the LSH equi-join. Shared by
@@ -274,9 +303,7 @@ def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     derives from the corpus row count (lsh_params), so candidate volume
     stays ~linear as the corpus grows."""
     r_rows, n_bands = lsh_params(sf)
-    staged = shingle_base(spark, sf).select(
-        "doc_id", minhash_signature(F.col("ids"), k=r_rows * n_bands).alias("sig")
-    )
+    staged = sig_stage(spark, sf).select("doc_id", "sig")
     bands = banded_signature(F.col("sig"), n_bands, r_rows)
     return (
         staged.select("doc_id", F.explode(bands).alias("b"))
@@ -470,16 +497,10 @@ def dd_lsh_verify_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     n-gram Jaccard verifies them. Only candidates pay the verify cost;
     at corpus scale this is the shape that replaces the O(n^2) scan."""
     r_rows, n_bands = lsh_params(sf)
-    # persist: the minhash derivation feeds BOTH the band self-join and
-    # the ids join-back; without it the k-hash map stage executes twice.
+    # shared persisted signature stage: feeds BOTH the band self-join
+    # and the ids join-back (and the other three LSH operators).
     # MEMORY_AND_DISK default: a 100 TB corpus spills instead of OOMing.
-    staged = (
-        shingle_base(spark, sf)
-        .select(
-            "doc_id", "ids", minhash_signature(F.col("ids"), k=r_rows * n_bands).alias("sig")
-        )
-        .persist()
-    )
+    staged = sig_stage(spark, sf)
     bands = banded_signature(F.col("sig"), n_bands, r_rows)
     # candidate pairs over (doc_id, band_sig) ONLY — the heavy shingle-id
     # arrays join in afterwards, once per deduped pair, instead of riding
@@ -594,9 +615,7 @@ def dd_lsh_canonical(spark: SparkSession, sf: str) -> DataFrame:
     round to fixpoint (the iterative variant is the same job in a
     loop)."""
     r_rows, n_bands = lsh_params(sf)
-    staged = shingle_base(spark, sf).select(
-        "doc_id", minhash_signature(F.col("ids"), k=r_rows * n_bands).alias("sig")
-    )
+    staged = sig_stage(spark, sf).select("doc_id", "sig")
     bands = banded_signature(F.col("sig"), n_bands, r_rows)
     banded = staged.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
@@ -858,11 +877,7 @@ def dd_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
     only pairs whose estimate clears a margin pay the exact intersect."""
     r_rows, n_bands = lsh_params(sf)
     k = r_rows * n_bands
-    staged = (
-        shingle_base(spark, sf)
-        .select("doc_id", "ids", minhash_signature(F.col("ids"), k=k).alias("mh"))
-        .persist()
-    )
+    staged = sig_stage(spark, sf).select("doc_id", "ids", F.col("sig").alias("mh"))
     bands = banded_signature(F.col("mh"), n_bands, r_rows)
     banded = staged.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
