@@ -140,10 +140,24 @@ class Admin:
             protected = set(
                 schema.primary_key + schema.bucket_keys + schema.partition_keys
             )
+            retired = set(
+                n for n in props.get("schema.retired-columns", "").split(",") if n
+            )
             for ch in changes:
                 if isinstance(ch, AddColumn):
                     if any(f.name == ch.name for f in fields):
                         raise InvalidAlterTableException(f"column exists: {ch.name}")
+                    if ch.name in retired:
+                        # reads are NAME-based over Parquet: re-adding a
+                        # dropped name would resurrect the old column's
+                        # values from pre-drop files (or fail the scan on
+                        # a type change) instead of reading NULL. The
+                        # reference disambiguates via field IDs; until
+                        # reads resolve by ID, the name stays retired.
+                        raise InvalidAlterTableException(
+                            f"column name was previously dropped and old data "
+                            f"files still carry it: {ch.name} (use a new name)"
+                        )
                     fields.append(Field(ch.name, ch.type, nullable=True, agg=ch.agg))
                 elif isinstance(ch, DropColumn):
                     if not any(f.name == ch.name for f in fields):
@@ -157,11 +171,26 @@ class Admin:
                             f"cannot drop the versioned merge column: {ch.name}"
                         )
                     fields = [f for f in fields if f.name != ch.name]
+                    retired.add(ch.name)
+                    props["schema.retired-columns"] = ",".join(sorted(retired))
                 elif isinstance(ch, SetOption):
                     if ch.key in _IMMUTABLE_OPTIONS:
                         raise InvalidAlterTableException(
                             f"option is immutable after creation: {ch.key}"
                         )
+                    if ch.key == "table.log.tiered.local-segments":
+                        # validated HERE so the append path never raises
+                        # AFTER its commit succeeded (auto-tiering runs
+                        # post-publish)
+                        try:
+                            ok = int(ch.value) >= 1
+                        except ValueError:
+                            ok = False
+                        if not ok:
+                            raise InvalidAlterTableException(
+                                "table.log.tiered.local-segments must be an "
+                                f"integer >= 1, got {ch.value!r}"
+                            )
                     props[ch.key] = ch.value
                 elif isinstance(ch, ResetOption):
                     if ch.key in _IMMUTABLE_OPTIONS:

@@ -71,10 +71,25 @@ def _tier_log_locked(table: FlussTable, local_segments: int | None = None) -> in
     for v in to_move:
         src = os.path.join(log.log_dir, f"{COMMIT_DIR_COL}={v}")
         dst = os.path.join(log.remote_dir, f"{COMMIT_DIR_COL}={v}")
+        if os.path.exists(dst):
+            # orphan of a crashed earlier attempt at this same commit
+            # (copy completed, local delete didn't): local is
+            # authoritative until the local dir is gone, so replace
+            shutil.rmtree(dst, ignore_errors=True)
         try:
             os.rename(src, dst)  # same filesystem: atomic
         except OSError:
-            shutil.move(src, dst)  # cross-device remote mount
+            # cross-device remote mount: stage under a dot-prefixed name
+            # (invisible to Spark listings), atomic-rename WITHIN the
+            # remote fs, then drop local. A crash leaves either an
+            # invisible staging dir or a benign local+remote pair —
+            # scan() prefers local for overlapping commits, and the next
+            # tier_log retry heals both.
+            staging = os.path.join(log.remote_dir, f".tiering-{COMMIT_DIR_COL}={v}")
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.copytree(src, staging)
+            os.rename(staging, dst)
+            shutil.rmtree(src)
     return len(to_move)
 
 
@@ -314,27 +329,33 @@ def auto_partition(table: FlussTable, now: datetime | None = None) -> dict[str, 
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             existing = json.load(f)["active"]
-    # discover partitions materialized by writes (dir names under commits)
+    # discover partitions materialized by writes (dir names under
+    # commits) — BOTH tiers: sealed commits may have been tiered (S9)
+    tier_dirs = [d for d in (table.log.log_dir, table.log.remote_dir) if os.path.isdir(d)]
     on_disk = set()
-    for d in os.scandir(table.log.log_dir):
-        if d.name.startswith(f"{COMMIT_DIR_COL}="):
-            for sub in os.scandir(d.path):
-                if sub.is_dir() and sub.name.startswith(f"{key}="):
-                    on_disk.add(sub.name.split("=", 1)[1])
+    for tier in tier_dirs:
+        for d in os.scandir(tier):
+            if d.name.startswith(f"{COMMIT_DIR_COL}="):
+                for sub in os.scandir(d.path):
+                    if sub.is_dir() and sub.name.startswith(f"{key}="):
+                        on_disk.add(sub.name.split("=", 1)[1])
     active = sorted(set(existing) | set(created) | on_disk)
     cutoff = (now - n_keep * _UNIT_DELTA[unit]).strftime(fmt)
     keepers = [p for p in active if p >= cutoff]
     dropped = [p for p in active if p < cutoff]
     Catalog._write_atomic(meta_path, json.dumps({"active": keepers}))
 
-    # physically drop expired partition dirs from every commit dir
-    for d in os.scandir(table.log.log_dir):
-        if not d.name.startswith(f"{COMMIT_DIR_COL}="):
-            continue
-        for p in dropped:
-            pdir = os.path.join(d.path, f"{key}={p}")
-            if os.path.isdir(pdir):
-                shutil.rmtree(pdir, ignore_errors=True)
+    # physically drop expired partition dirs from every commit dir in
+    # every tier (scans union the tiers, so a remote-only leftover would
+    # keep serving the dropped partition)
+    for tier in tier_dirs:
+        for d in os.scandir(tier):
+            if not d.name.startswith(f"{COMMIT_DIR_COL}="):
+                continue
+            for p in dropped:
+                pdir = os.path.join(d.path, f"{key}={p}")
+                if os.path.isdir(pdir):
+                    shutil.rmtree(pdir, ignore_errors=True)
     return {"created": [c for c in created if c not in existing], "dropped": dropped}
 
 

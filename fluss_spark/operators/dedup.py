@@ -92,7 +92,10 @@ def shingle_base(spark: SparkSession, sf: str) -> DataFrame:
 
         import pandas as pd
 
-        ws = re.compile(r"\s+")
+        # re.ASCII: Java regex \s and DuckDB's RE2 \s are ASCII-only;
+        # Python's default Unicode \s would also split on U+00A0 etc.
+        # and silently diverge from the JVM/oracle tokenization
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in it:
             out_doc, out_lang, out_src, out_ids = [], [], [], []
             for did, lang, src, text in zip(

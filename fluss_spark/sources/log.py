@@ -313,19 +313,36 @@ class LogStore:
         """
         state = self.catalog.current_commit(self.db, self.table)
         current = as_of_commit if as_of_commit is not None else state.version
-        roots = []
-        if tiers in ("all", "remote") and self._tier_has_commits(self.remote_dir):
-            roots.append(self.remote_dir)  # older data first
-        if tiers in ("all", "local") and self._tier_has_commits(self.log_dir):
-            roots.append(self.log_dir)
-        if not roots:
+
+        def _commits(d: str) -> list[str]:
+            if not os.path.isdir(d):
+                return []
+            return [
+                e.name for e in os.scandir(d) if e.name.startswith(f"{COMMIT_DIR_COL}=")
+            ]
+
+        local = _commits(self.log_dir) if tiers in ("all", "local") else []
+        remote = _commits(self.remote_dir) if tiers in ("all", "remote") else []
+        # LOCAL WINS on overlap: a crashed cross-device tier_log can leave
+        # a commit in both tiers (remote copy landed, local delete
+        # didn't); reading both would double-count the commit. The local
+        # dir stays authoritative until it is gone.
+        remote = [d for d in remote if d not in set(local)]
+        frames = []
+        if remote:
+            frames.append(
+                spark.read.schema(self.file_schema(with_commit_col=True))
+                .option("basePath", self.remote_dir)
+                .parquet(*[os.path.join(self.remote_dir, d) for d in sorted(remote)])
+            )
+        if local:
+            frames.append(
+                spark.read.schema(self.file_schema(with_commit_col=True))
+                .option("basePath", self.log_dir)
+                .parquet(self.log_dir)
+            )
+        if not frames:
             return self._empty_scan(spark)
-        frames = [
-            spark.read.schema(self.file_schema(with_commit_col=True))
-            .option("basePath", root)
-            .parquet(root)
-            for root in roots
-        ]
         df = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
         df = df.filter(F.col(COMMIT_DIR_COL) <= current)
         if start_offsets:

@@ -144,7 +144,9 @@ class LogStreamReader:
         return n
 
 
-def read_stream(table: FlussTable, spark: SparkSession) -> DataFrame:
+def read_stream(
+    table: FlussTable, spark: SparkSession, static_tiers: bool = False
+) -> DataFrame:
     """Native Structured Streaming DataFrame over the table's log dir
     (file-source discovers new commit dirs per trigger). In-flight
     writes are invisible: commit files are staged under the hidden
@@ -157,19 +159,34 @@ def read_stream(table: FlussTable, spark: SparkSession) -> DataFrame:
         agg = (sdf.withWatermark("__timestamp", "10 minutes")
                   .groupBy(F.window("__timestamp", "5 minutes")).count())
     """
+    # S9 + file-source semantics: the file source tracks files by PATH,
+    # so tier_log moving a watched file re-surfaces it under remote/ as
+    # a NEW file (duplicate delivery), and adding/removing the remote
+    # source across restarts changes the source count in the checkpoint
+    # (recovery fails). A tiered table therefore needs either the
+    # offset-based LogStreamReader (state-fenced scan() per micro-batch;
+    # immune to moves — offsets are preserved), or an explicit promise
+    # that no tiering will run for this stream's lifetime
+    # (static_tiers=True: replay/analytics over a frozen table).
+    tiered = (
+        table.schema.properties.get("table.log.tiered.enable", "false") == "true"
+        or table.log._tier_has_commits(table.log.remote_dir)
+    )
+    if tiered and not static_tiers:
+        raise ValueError(
+            "read_stream on a tiered table: file-source streams cannot "
+            "survive tier_log moving segments (duplicate delivery / "
+            "checkpoint source-count change). Use LogStreamReader "
+            "(offset-based, tier-transparent), or pass static_tiers=True "
+            "if no tiering will run while this stream is active."
+        )
     schema = table.log.file_schema()
     sdf = (
         spark.readStream.schema(schema)
         .option("basePath", table.log.log_dir)
         .parquet(table.log.log_dir + "/*")
     )
-    # S9: a tiered table's history lives in the remote tier — union a
-    # second file stream over it so earliest-mode catch-up replays tiered
-    # segments too (the reference's consumers fetch those via
-    # RemoteLogDownloader; a Spark file source just reads the other root).
-    # Segments tiered AFTER stream start were committed ≥ local-segments
-    # commits earlier, so a running stream has already consumed them.
-    if table.log._tier_has_commits(table.log.remote_dir):
+    if tiered and table.log._tier_has_commits(table.log.remote_dir):
         remote = (
             spark.readStream.schema(schema)
             .option("basePath", table.log.remote_dir)

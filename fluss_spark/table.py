@@ -221,6 +221,19 @@ def create_table(
 ) -> FlussTable:
     if if_not_exists and catalog.table_exists(db, name):
         return FlussTable(catalog, db, name)
+    # reject invalid tiering config at DEFINITION time: auto-tiering runs
+    # post-publish on the append path, where a raise would fail a commit
+    # that already succeeded
+    seg = schema.properties.get("table.log.tiered.local-segments")
+    if seg is not None:
+        try:
+            ok = int(seg) >= 1
+        except ValueError:
+            ok = False
+        if not ok:
+            raise ValueError(
+                f"table.log.tiered.local-segments must be an integer >= 1, got {seg!r}"
+            )
     catalog.create_table(db, name, schema)
     return FlussTable(catalog, db, name)
 

@@ -114,6 +114,44 @@ def test_invalid_alters_rejected(spark, admin):
     assert [f.name for f in admin.get_table_info("db", "inv").fields] == ["k", "v"]
 
 
+def test_dropped_column_name_stays_retired(spark, admin):
+    """Re-adding a dropped name would resurrect old values from pre-drop
+    files (reads are name-based) — the name is permanently retired."""
+    t = admin.create_table(
+        "db", "ret", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1)
+    )
+    t.append(spark.createDataFrame([(1, "old-secret")], "a int, b string"), ordering=["a"])
+    admin.alter_table("db", "ret", [DropColumn("b")])
+    with pytest.raises(InvalidAlterTableException, match="previously dropped"):
+        admin.alter_table("db", "ret", [AddColumn("b", "STRING")])
+    with pytest.raises(InvalidAlterTableException, match="previously dropped"):
+        admin.alter_table("db", "ret", [AddColumn("b", "INT")])  # retype worse
+    # a fresh name is fine
+    admin.alter_table("db", "ret", [AddColumn("b2", "STRING")])
+    from fluss_spark.table import FlussTable
+
+    assert FlussTable(admin.catalog, "db", "ret").scan(spark).select("b2").first()["b2"] is None
+
+
+def test_tiering_option_validated_at_alter_and_create(spark, admin):
+    """Invalid table.log.tiered.local-segments must fail at DEFINITION
+    time, not after a later append's commit already succeeded."""
+    admin.create_table("db", "tv", TableSchema(fields=[Field("a", "INT")], num_buckets=1))
+    for bad in ("0", "-3", "two"):
+        with pytest.raises(InvalidAlterTableException):
+            admin.alter_table("db", "tv", [SetOption("table.log.tiered.local-segments", bad)])
+    admin.alter_table("db", "tv", [SetOption("table.log.tiered.local-segments", "3")])
+    with pytest.raises(ValueError):
+        admin.create_table(
+            "db", "tv2",
+            TableSchema(
+                fields=[Field("a", "INT")],
+                num_buckets=1,
+                properties={"table.log.tiered.local-segments": "0"},
+            ),
+        )
+
+
 def test_alter_missing_table(admin):
     from fluss_spark.catalog import TableNotFoundError
 

@@ -30,7 +30,7 @@ def catalog(tmp_path):
     return Catalog(str(tmp_path / "wh"))
 
 
-def _mk_log(catalog, name, n_commits, props=None, buckets=2):
+def _mk_log(catalog, name, props=None, buckets=2):
     t = create_table(
         catalog, "db", name,
         TableSchema(
@@ -49,7 +49,7 @@ def _commit_dirs(d):
 
 
 def test_tier_log_moves_sealed_commits_and_scan_unions(spark, catalog):
-    t = _mk_log(catalog, "tiered", 6)
+    t = _mk_log(catalog, "tiered")
     for i in range(6):
         t.append(spark.createDataFrame([(i, f"v{i}"), (100 + i, f"w{i}")], "a int, b string"),
                  ordering=["a"])
@@ -67,7 +67,7 @@ def test_tier_log_moves_sealed_commits_and_scan_unions(spark, catalog):
 
 
 def test_tiered_appends_and_offsets_continue(spark, catalog):
-    t = _mk_log(catalog, "tiered_append", 4)
+    t = _mk_log(catalog, "tiered_append")
     for i in range(4):
         t.append(spark.createDataFrame([(i, "x")], "a int, b string"), ordering=["a"])
     tier_log(t, local_segments=1)
@@ -83,7 +83,7 @@ def test_tiered_appends_and_offsets_continue(spark, catalog):
 
 
 def test_time_travel_and_timestamp_offsets_span_tiers(spark, catalog):
-    t = _mk_log(catalog, "tiered_tt", 4)
+    t = _mk_log(catalog, "tiered_tt")
     states = []
     for i in range(4):
         states.append(
@@ -99,8 +99,7 @@ def test_time_travel_and_timestamp_offsets_span_tiers(spark, catalog):
 
 
 def test_auto_tiering_on_append_path(spark, catalog):
-    t = _mk_log(
-        catalog, "auto_tiered", 5,
+    t = _mk_log(catalog, "auto_tiered",
         props={"table.log.tiered.enable": "true", "table.log.tiered.local-segments": "2"},
     )
     for i in range(5):
@@ -111,7 +110,7 @@ def test_auto_tiering_on_append_path(spark, catalog):
 
 
 def test_compaction_leaves_remote_tier_untouched(spark, catalog):
-    t = _mk_log(catalog, "tiered_compact", 8)
+    t = _mk_log(catalog, "tiered_compact")
     for i in range(8):
         t.append(spark.createDataFrame([(i, "x")], "a int, b string"), ordering=["a"])
     tier_log(t, local_segments=4)
@@ -123,7 +122,7 @@ def test_compaction_leaves_remote_tier_untouched(spark, catalog):
 
 
 def test_ttl_expires_remote_segments(spark, catalog):
-    t = _mk_log(catalog, "tiered_ttl", 4, props={"table.log.ttl": "1d"})
+    t = _mk_log(catalog, "tiered_ttl", props={"table.log.ttl": "1d"})
     for i in range(4):
         t.append(spark.createDataFrame([(i, "x")], "a int, b string"), ordering=["a"])
     tier_log(t, local_segments=1)
@@ -142,12 +141,17 @@ def test_ttl_expires_remote_segments(spark, catalog):
 def test_streaming_earliest_replays_remote_tier(spark, catalog, tmp_path):
     from fluss_spark.streaming.reader import read_stream
 
-    t = _mk_log(catalog, "tiered_stream", 4)
+    t = _mk_log(catalog, "tiered_stream")
     for i in range(4):
         t.append(spark.createDataFrame([(i, "x")], "a int, b string"), ordering=["a"])
     tier_log(t, local_segments=1)
-    out = (
+    # file-source streaming over a tiered table requires the explicit
+    # frozen-tiers promise (moving watched files breaks file-source
+    # semantics); without it read_stream must refuse
+    with pytest.raises(ValueError, match="tiered"):
         read_stream(t, spark)
+    out = (
+        read_stream(t, spark, static_tiers=True)
         .writeStream.format("memory")
         .queryName("tiered_stream_q")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -195,3 +199,25 @@ def test_stream_dedupe_matches_batch_exact(spark, catalog, tmp_path):
     assert all(r["n"] == 1 for r in got)
     batch_fps = docs.select(fp.alias("fingerprint")).distinct().count()
     assert len(got) == batch_fps
+
+
+def test_scan_prefers_local_on_crashed_tier_move(spark, catalog):
+    """A crashed cross-device tier_log can leave a commit in BOTH tiers
+    (remote copy landed, local delete didn't). Scans must not
+    double-count: local stays authoritative until it is gone, and the
+    next tier_log heals the orphan."""
+    import shutil
+
+    t = _mk_log(catalog, "crash_tier")
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "x")], "a int, b string"), ordering=["a"])
+    # simulate the crash window: commit 1 copied to remote, local intact
+    src = os.path.join(t.log.log_dir, "__commit=1")
+    os.makedirs(t.log.remote_dir, exist_ok=True)
+    shutil.copytree(src, os.path.join(t.log.remote_dir, "__commit=1"))
+    assert t.scan(spark).count() == 3  # not 4
+    assert sorted(r["a"] for r in t.scan(spark).collect()) == [0, 1, 2]
+    # the retry heals: the orphan remote copy is replaced by the move
+    moved = tier_log(t, local_segments=1)
+    assert moved == 2
+    assert t.scan(spark).count() == 3
