@@ -237,9 +237,32 @@ def sig_stage(spark: SparkSession, sf: str) -> DataFrame:
     cached = _SIG_CACHE.get(key)
     if cached is not None:
         return cached
+    # numpy kernel, not the minhash_signature HOF: k interpreted
+    # array_min(transform(...)) lambdas per row never enter codegen; the
+    # kernel computes the same (A_i*u + B_i) mod P minima as one
+    # vectorized (k x |ids|) int64 op per row — exact (A < 2^30,
+    # u < 2^32 keeps A*u < 2^62), so the SQL oracles still hash-match.
+    ab = _ab(k)
+
+    def kern(it):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in ab], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in ab], dtype=np.int64)[:, None]
+        for pdf in it:
+            sigs = [
+                ((A * np.asarray(ids, dtype=np.int64) + B) % _P).min(axis=1).tolist()
+                for ids in pdf["ids"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ids": pdf["ids"], "sig": sigs}
+            )
+
     df = (
         shingle_base(spark, sf)
-        .select("doc_id", "ids", minhash_signature(F.col("ids"), k=k).alias("sig"))
+        .select("doc_id", "ids")
+        .mapInPandas(kern, "doc_id long, ids array<long>, sig array<long>")
         .persist()
     )
     df.count()  # eager: multi-consumer first jobs must not race a cold cache
