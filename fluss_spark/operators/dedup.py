@@ -36,24 +36,10 @@ _SQL_SHINGLES = f"""
 _SQL_SHINGLE_IDS = "list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))"
 
 
-def shingles(tok: Column, k: int = _SHINGLE) -> Column:
-    """Distinct k-word shingles (JVM: transform over an index sequence +
-    slice + array_join)."""
-    idx = F.sequence(F.lit(0), F.size(tok) - k)
-    return F.when(
-        F.size(tok) >= k,
-        F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(tok, i + 1, k), " "))),
-    ).otherwise(F.array().cast("array<string>"))
-
-
-def shingle_ids(sh: Column) -> Column:
-    """32-bit integer id per shingle: one md5 per shingle, then all
-    downstream hashing is integer arithmetic (~10x cheaper than k string
-    hashes per shingle at corpus scale)."""
-    return F.array_distinct(
-        F.transform(sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
-    )
-
+# Shingle derivation (k-word windows, first-occurrence-distinct, id =
+# first 8 md5 hex digits as int) and MinHash signatures both run inside
+# the Arrow kernels below; the SQL formulations the oracles use are
+# _SQL_SHINGLES/_SQL_SHINGLE_IDS above.
 
 _SHINGLE_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -206,16 +192,6 @@ def lsh_params(sf: str) -> tuple[int, int]:
     n = corpus_rows(sf, "documents")
     extra = max(0, math.ceil(math.log2(max(1.0, n / _MH_BASE_N)) / 2))
     return _BAND_ROWS + extra, _K_HASHES // _BAND_ROWS
-
-
-def minhash_signature(ids: Column, k: int = _K_HASHES) -> Column:
-    """k-permutation MinHash over integer shingle ids: signature element
-    i = min over shingles of (A_i*u + B_i) mod P — pure int64 arithmetic,
-    identical on both engines."""
-    def _h(a: int, b: int):
-        return lambda u: (F.lit(a) * u + F.lit(b)) % F.lit(_P)
-
-    return F.array(*[F.array_min(F.transform(ids, _h(a, b))) for a, b in _ab(k)])
 
 
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}

@@ -221,3 +221,30 @@ def test_scan_prefers_local_on_crashed_tier_move(spark, catalog):
     moved = tier_log(t, local_segments=1)
     assert moved == 2
     assert t.scan(spark).count() == 3
+
+
+def test_offset_reader_is_tier_transparent(spark, catalog, tmp_path):
+    """The offset-based LogStreamReader is the supported streaming path
+    for tiered tables (what read_stream's refusal points to): offsets
+    are preserved by tier_log, so mid-stream tiering causes neither
+    duplicates nor gaps — each poll delivers exactly the new offsets."""
+    from fluss_spark.streaming.reader import LogStreamReader
+
+    t = _mk_log(catalog, "tier_offset_stream")
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "x")], "a int, b string"), ordering=["a"])
+    reader = LogStreamReader(t, spark, checkpoint_dir=str(tmp_path / "ck"), startup_mode="earliest")
+    seen: list[int] = []
+    reader.process_available(lambda df, bid: seen.extend(r["a"] for r in df.collect()))
+    assert sorted(seen) == [0, 1, 2, 3]
+    # tier sealed commits mid-stream, then append more
+    assert tier_log(t, local_segments=1) == 3
+    t.append(spark.createDataFrame([(9, "y")], "a int, b string"), ordering=["a"])
+    new: list[int] = []
+    reader.process_available(lambda df, bid: new.extend(r["a"] for r in df.collect()))
+    assert new == [9]  # no re-delivery of tiered history, no gaps
+    # a RESTARTED reader from the checkpoint also resumes cleanly
+    r2 = LogStreamReader(t, spark, checkpoint_dir=str(tmp_path / "ck"), startup_mode="earliest")
+    again: list[int] = []
+    r2.process_available(lambda df, bid: again.extend(r["a"] for r in df.collect()))
+    assert again == []
