@@ -196,6 +196,34 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         with open(f"{wh}/mid_offsets.json", "w") as fh:
             _json.dump(t.latest_offsets(), fh)
         t.append(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+    elif variant == "dedup_state":
+        # dedup-as-storage: FIRST_ROW merge on pk=fingerprint keeps the
+        # canonical (first-arriving) document per normalized-text hash —
+        # the engine IS the dedup state store, fed incrementally across
+        # two commits (the continuous-ingest shape of dd_exact)
+        schema = TableSchema(
+            fields=[
+                Field("fingerprint", "STRING"),
+                Field("doc_id", "BIGINT"),
+                Field("lang", "STRING"),
+                Field("source", "STRING"),
+            ],
+            primary_key=["fingerprint"],
+            num_buckets=4,
+            properties={"table.merge-engine": "first_row"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        docs = load(spark, sf, "documents").select(
+            F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")
+            ).alias("fingerprint"),
+            "doc_id",
+            "lang",
+            "source",
+        )
+        half_doc = docs.agg(F.max("doc_id")).first()[0] // 2
+        t.upsert(docs.filter(F.col("doc_id") <= half_doc), ordering=["doc_id"])
+        t.upsert(docs.filter(F.col("doc_id") > half_doc), ordering=["doc_id"])
     elif variant == "tiered_log":
         # S9: auto-tiering on the append path — after 4 commits only the
         # newest stays local, 3 sealed commits live in the remote tier
@@ -518,6 +546,34 @@ def s9_tiered_log_scan(spark: SparkSession, sf: str) -> DataFrame:
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
         )
+    )
+
+
+@register(
+    "dd_exact_engine",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           doc_id AS canonical_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id
+    ) = 1
+    """,
+)
+def dd_exact_engine(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup maintained BY the storage engine: documents are
+    upserted (two commits, incremental) into a FIRST_ROW merge table
+    keyed by the normalized-text fingerprint
+    (FirstRowMergeEngine, MergeEngineType.java:34-42) — the snapshot IS
+    the canonical set, and later arrivals of a known fingerprint are
+    dropped at write time, never stored. This is the continuous-ingest
+    form of dd_exact: dedup state lives in the table, new batches pay
+    O(batch) merge cost, and the changelog announces each first-seen
+    document downstream."""
+    t = _build(spark, sf, "dedup_state")
+    return t.snapshot(spark).select(
+        "fingerprint", F.col("doc_id").alias("canonical_id"), "lang", "source"
     )
 
 
