@@ -958,3 +958,74 @@ def dd_prefix_cluster(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------- #
+# passage-level exact dedup
+# ---------------------------------------------------------------------- #
+
+_PASSAGE_TOKENS = 16  # tokens per passage window (stride = width)
+
+
+@register(
+    "dd_passage_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+             md5(array_to_string(
+               tok[(i * {_PASSAGE_TOKENS} + 1):((i + 1) * {_PASSAGE_TOKENS})], ' '))
+               AS chunk_fp
+      FROM t, unnest(range(CAST(ceil(len(tok) / {_PASSAGE_TOKENS}.0) AS INT))) AS u(i)
+    ),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk_fp,
+             row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_fp
+    FROM r WHERE rn = 1
+    """,
+)
+def dd_passage_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage-level exact dedup (suffix-array-style substring dedup at
+    fixed granularity): each document is cut into {_PASSAGE_TOKENS}-token
+    windows, each window is fingerprinted, and only the globally FIRST
+    occurrence of each fingerprint (ordered by doc_id, chunk_idx)
+    survives — the operator that strips boilerplate passages repeated
+    across a web corpus even when the containing documents differ.
+
+    Scale shape: chunking is map-side (tokens staged as a real column so
+    the generator does not re-split per output row); the dedup decision
+    is ONE shuffle keyed on the 16-byte fingerprint — never on the
+    passage text — and the output is linear in surviving passages."""
+    d = load_spread(spark, sf, "documents").filter(F.trim("text") != "")
+    t = d.select("doc_id", tokens(F.col("text")).alias("tok"))
+    n_chunks = F.ceil(F.size("tok") / F.lit(_PASSAGE_TOKENS)).cast("int")
+    c = t.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("tok"),
+                    F.col("chunk_idx") * _PASSAGE_TOKENS + 1,
+                    _PASSAGE_TOKENS,
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_fp"),
+    )
+    w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_idx")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_idx", "chunk_fp")
+    )

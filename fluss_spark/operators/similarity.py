@@ -627,3 +627,114 @@ def ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__cos") >= _RANGE_THR)
         .select("query_id", "neighbor_id", F.round("__cos", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------- #
+# scalar-quantized search + exact rerank (SQ8)
+# ---------------------------------------------------------------------- #
+
+_SQ_OVERFETCH = 30  # candidates kept per query before the exact rerank
+
+
+@register(
+    "ann_sq8_rerank",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    st AS (
+      SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM e
+    ),
+    coded AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> round((x - mn) / ((mx - mn) / 255.0))) AS code
+      FROM e, st
+    ),
+    q AS (SELECT * FROM coded WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv,
+             list_dot_product(q.code, c.code) AS approx,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.code, c.code) DESC, c.vec_id
+             ) AS arn
+      FROM q JOIN coded c ON q.vec_id != c.vec_id
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id, approx,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                 neighbor_id
+             ) AS rank
+      FROM cand WHERE arn <= {_SQ_OVERFETCH}
+    )
+    SELECT query_id, neighbor_id, CAST(approx AS BIGINT) AS approx_dot,
+           round(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+    FROM rer WHERE rank <= {_TOP_K}
+    """,
+)
+def ann_sq8_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized (SQ8) search with exact rerank — the memory-bound
+    ANN shape: vectors are compressed to one byte per dimension with a
+    corpus-global [min, max] affine map (4x smaller than float32, 8x
+    smaller than the float64 compute form), candidates are ranked by the
+    cheap integer dot product of codes, and only the top
+    {_SQ_OVERFETCH} per query are reranked with the exact float cosine.
+
+    Scale shape: the quantizer stats are ONE metadata-sized aggregation
+    row broadcast onto the corpus scan (no collect, no second pass); the
+    scored scan is a broadcast join of the (small) query set; the only
+    shuffles are the two per-query top-N reductions. At 100 TB the code
+    column is what sits in memory/SSD (the float column stays in cold
+    storage and is fetched only for the overfetched candidates)."""
+    e = _embeddings(spark, sf)
+    st = e.agg(
+        F.min(F.array_min("v")).alias("mn"), F.max(F.array_max("v")).alias("mx")
+    )
+    coded = e.crossJoin(F.broadcast(st)).select(
+        "vec_id",
+        "v",
+        F.transform(
+            "v",
+            lambda x: F.round((x - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 255.0)),
+        ).alias("code"),
+    )
+    q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("code").alias("qcode"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("code").alias("ccode"),
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx", dot(F.col("qcode"), F.col("ccode")))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= _SQ_OVERFETCH)
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("__cos", cos)
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("approx").cast("bigint").alias("approx_dot"),
+            F.round("__cos", 4).alias("cosine"),
+            "rank",
+        )
+    )

@@ -646,3 +646,88 @@ def tx_unigram_logloss(spark: SparkSession, sf: str) -> DataFrame:
             F.round(-F.avg("logp"), 4).alias("avg_logloss"),
         )
     )
+
+
+# -- PII scrubbing --------------------------------------------------------
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) agree on:
+# character classes, bounded repetition, \b word boundaries — no
+# backrefs/lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+# The synthetic corpus carries no real PII, so the query injects a
+# deterministic doc_id-derived contact block first (concat_ws drops the
+# NULL branches) — the detect/redact pipeline downstream is the real
+# operator under test, and the oracle recomputes the same injection.
+_SQL_PII_AUG = """
+  concat_ws(' ', text,
+    concat('user', CAST(doc_id AS VARCHAR), '@mail.example.com'),
+    CASE WHEN doc_id % 3 = 0 THEN concat('192.168.',
+         CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR)) END,
+    CASE WHEN doc_id % 5 = 0 THEN concat('555-',
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) END)
+"""
+
+
+@register(
+    "tx_pii_scrub",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, {_SQL_PII_AUG} AS aug FROM documents),
+    r AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(aug, '{_PII_IP}')) AS INT) AS n_ip,
+             CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS INT) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(aug,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS red
+      FROM a
+    )
+    SELECT doc_id, n_email, n_ip, n_phone, md5(red) AS redacted_fp FROM r
+    """,
+)
+def tx_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction (emails, IPv4, phone-like tokens): count
+    matches per class, then mask them in a fixed order (email -> IP ->
+    phone, so a longer pattern never leaves fragments for a shorter one)
+    and fingerprint the scrubbed text. Everything is vectorized JVM
+    regex inside whole-stage codegen — the standard pre-training scrub
+    pass, map-side only, no shuffle at any corpus size."""
+    d = load(spark, sf, "documents")
+    aug = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@mail.example.com")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ),
+    )
+    # stage aug as a real column: the three counts + redact chain below
+    # each reference it, and Catalyst does not CSE inside regex args
+    a = d.select("doc_id", aug.alias("aug"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return a.select(
+        "doc_id",
+        F.regexp_count(F.col("aug"), F.lit(_PII_EMAIL)).cast("int").alias("n_email"),
+        F.regexp_count(F.col("aug"), F.lit(_PII_IP)).cast("int").alias("n_ip"),
+        F.regexp_count(F.col("aug"), F.lit(_PII_PHONE)).cast("int").alias("n_phone"),
+        F.md5(red.cast("binary")).alias("redacted_fp"),
+    )
