@@ -44,6 +44,28 @@ class DropColumn:
 
 
 @dataclass
+class RenameColumn:
+    """TableChange.modifyColumnName equivalent: the field keeps its
+    field ID; files written before the rename keep the old physical
+    column name and every read resolves it by ID (era mapping in
+    LogStore.scan / KvStore.snapshot). No file rewrite."""
+
+    name: str
+    new_name: str
+
+
+@dataclass
+class AlterColumnType:
+    """TableChange.modifyPhysicalColumnType equivalent: only lossless
+    widenings (tinyint->smallint->int->bigint, float->double, decimal
+    precision growth at equal scale). Old files keep the old physical
+    type; reads cast by field ID."""
+
+    name: str
+    new_type: str
+
+
+@dataclass
 class SetOption:
     """TableChange.set (TableChange.java:127)."""
 
@@ -69,6 +91,9 @@ _IMMUTABLE_OPTIONS = (
     "table.merge-engine",
     "table.merge-engine.versioned.ver-column",
     "table.changelog.image",
+    # internal bookkeeping, maintained by the alter path itself
+    "schema.retired-columns",
+    "schema.evolution",
 )
 
 
@@ -120,11 +145,22 @@ class Admin:
         explicit read schema surfaces NULLs), and files written before a
         DropColumn carry an extra column every later read ignores. No
         file rewrite, ever — the same property the reference gets from
-        field-ID indirection (Schema.java:223; field IDs are kept in our
-        schema JSON too and pin identity across the change history).
-        Rename/retype need ID-based column resolution in the reader and
-        are rejected (InvalidAlterTableException), matching the subset
-        the reference validates server-side.
+        field-ID indirection (Schema.java:223).
+
+        RenameColumn / AlterColumnType (widening) resolve by field ID:
+        the alter appends an era record (`schema.evolution` property)
+        snapshotting the pre-alter {id, name, type} mapping together
+        with the last commit version written under it; readers map each
+        commit/snapshot dir to its era and project old physical columns
+        onto the current schema (alias + widening cast). Tables that
+        never rename/retype have no era records and keep their exact
+        single-scan plans. Restrictions (each guards a physical
+        invariant, not a convenience): partition keys can't be renamed
+        or retyped (the name/value is baked into partition dir paths);
+        bucket keys can't be retyped (Murmur3 hashes int and bigint
+        differently — old rows would sit in the wrong bucket);
+        auto-increment columns can't be renamed (the table counter in
+        CommitState is keyed by name); retypes must be widenings.
 
         Open Table/FlussTable handles keep their creation-time schema
         (exactly like the reference's clients, which cache SchemaInfo);
@@ -133,16 +169,32 @@ class Admin:
             if ignore_if_not_exists:
                 return None
             raise TableNotFoundError(f"{db}.{name}")
+        import json as _json
+
+        from fluss_spark.types import EVOLUTION_PROP, is_widening, parse_type, type_name
+
         with self.catalog.write_lock(db, name):
             schema = self.catalog.get_schema(db, name)
             fields = list(schema.fields)
             props = dict(schema.properties)
+            primary_key = list(schema.primary_key)
+            bucket_keys = list(schema.bucket_keys)
             protected = set(
                 schema.primary_key + schema.bucket_keys + schema.partition_keys
             )
             retired = set(
                 n for n in props.get("schema.retired-columns", "").split(",") if n
             )
+            # era snapshot of the PRE-alter physical mapping; appended to
+            # schema.evolution only if this alter renames or retypes
+            pre_era = {
+                "until": self.catalog.current_commit(db, name).version,
+                "fields": [
+                    {"id": f.field_id, "name": f.name, "type": type_name(parse_type(f.type))}
+                    for f in fields
+                ],
+            }
+            needs_era = False
             for ch in changes:
                 if isinstance(ch, AddColumn):
                     if any(f.name == ch.name for f in fields):
@@ -173,6 +225,74 @@ class Admin:
                     fields = [f for f in fields if f.name != ch.name]
                     retired.add(ch.name)
                     props["schema.retired-columns"] = ",".join(sorted(retired))
+                elif isinstance(ch, RenameColumn):
+                    src = next((f for f in fields if f.name == ch.name), None)
+                    if src is None:
+                        raise InvalidAlterTableException(f"no such column: {ch.name}")
+                    if any(f.name == ch.new_name for f in fields):
+                        raise InvalidAlterTableException(f"column exists: {ch.new_name}")
+                    if ch.new_name in retired:
+                        raise InvalidAlterTableException(
+                            f"column name was previously dropped and old data "
+                            f"files still carry it: {ch.new_name} (use a new name)"
+                        )
+                    if ch.name in schema.partition_keys:
+                        raise InvalidAlterTableException(
+                            f"cannot rename partition key (name is baked into "
+                            f"partition dir paths): {ch.name}"
+                        )
+                    if src.auto_increment:
+                        raise InvalidAlterTableException(
+                            f"cannot rename auto-increment column (table counter "
+                            f"is keyed by name): {ch.name}"
+                        )
+                    fields = [
+                        Field(
+                            ch.new_name, f.type, f.nullable, f.field_id, f.agg,
+                            f.auto_increment,
+                        )
+                        if f.name == ch.name
+                        else f
+                        for f in fields
+                    ]
+                    primary_key = [ch.new_name if c == ch.name else c for c in primary_key]
+                    bucket_keys = [ch.new_name if c == ch.name else c for c in bucket_keys]
+                    if props.get("table.merge-engine.versioned.ver-column") == ch.name:
+                        props["table.merge-engine.versioned.ver-column"] = ch.new_name
+                    # old physical name still lives in old files: retire it
+                    retired.add(ch.name)
+                    props["schema.retired-columns"] = ",".join(sorted(retired))
+                    protected = set(primary_key + bucket_keys + schema.partition_keys)
+                    needs_era = True
+                elif isinstance(ch, AlterColumnType):
+                    src = next((f for f in fields if f.name == ch.name), None)
+                    if src is None:
+                        raise InvalidAlterTableException(f"no such column: {ch.name}")
+                    if ch.name in bucket_keys:
+                        raise InvalidAlterTableException(
+                            f"cannot retype bucket key (hash routing depends on "
+                            f"the physical type): {ch.name}"
+                        )
+                    if ch.name in schema.partition_keys:
+                        raise InvalidAlterTableException(
+                            f"cannot retype partition key (values are baked into "
+                            f"partition dir paths): {ch.name}"
+                        )
+                    if not is_widening(src.type, ch.new_type):
+                        raise InvalidAlterTableException(
+                            f"only lossless widenings are allowed: "
+                            f"{src.type} -> {ch.new_type}"
+                        )
+                    fields = [
+                        Field(
+                            f.name, ch.new_type, f.nullable, f.field_id, f.agg,
+                            f.auto_increment,
+                        )
+                        if f.name == ch.name
+                        else f
+                        for f in fields
+                    ]
+                    needs_era = True
                 elif isinstance(ch, SetOption):
                     if ch.key in _IMMUTABLE_OPTIONS:
                         raise InvalidAlterTableException(
@@ -200,10 +320,15 @@ class Admin:
                     props.pop(ch.key, None)
                 else:
                     raise InvalidAlterTableException(f"unsupported change: {ch!r}")
+            if needs_era:
+                from fluss_spark.types import evolution_eras
+
+                eras = evolution_eras(schema) + [pre_era]
+                props[EVOLUTION_PROP] = _json.dumps(eras)
             new_schema = TableSchema(
                 fields=fields,
-                primary_key=list(schema.primary_key),
-                bucket_keys=list(schema.bucket_keys),
+                primary_key=primary_key,
+                bucket_keys=bucket_keys,
                 num_buckets=schema.num_buckets,
                 partition_keys=list(schema.partition_keys),
                 properties=props,

@@ -329,11 +329,7 @@ class KvStore:
             by_dir.setdefault(manifest[bkt], []).append(bkt)
         parts = []
         for data_dir, bkts in sorted(by_dir.items()):
-            df = (
-                spark.read.schema(self._snapshot_schema())
-                .option("basePath", os.path.join(self.snapshot_dir, data_dir))
-                .parquet(os.path.join(self.snapshot_dir, data_dir))
-            )
+            df = self._read_snapshot_dir(spark, data_dir)
             # partition-dir pruning: this dir may hold older versions of
             # buckets that a newer dir supersedes
             parts.append(df.filter(F.col(BUCKET_COL).isin(bkts)))
@@ -345,12 +341,44 @@ class KvStore:
         m = self._manifest(version) or {}
         return set(m.values())
 
-    def _snapshot_schema(self):
+    def _snapshot_schema(self, era=None):
         from pyspark.sql import types as T
 
-        fields = list(self.schema.to_struct_type().fields)
+        if era is None:
+            fields = list(self.schema.to_struct_type().fields)
+        else:  # physical layout of a pre-rename/retype snapshot dir
+            fields = [
+                T.StructField(era[f.field_id][0], parse_type(era[f.field_id][1]), True)
+                for f in self.schema.fields
+                if f.field_id in era
+            ]
         fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         return T.StructType(fields)
+
+    def _era_for_dir(self, data_dir: str):
+        """Era mapping for one snapshot data dir (written at the commit
+        version its name carries), or None for the current schema."""
+        from fluss_spark.types import era_fields_for_commit, evolution_eras
+
+        eras = evolution_eras(self.schema)
+        if not eras:
+            return None
+        return era_fields_for_commit(eras, int(data_dir.split("-v")[1]))
+
+    def _read_snapshot_dir(self, spark: SparkSession, data_dir: str) -> DataFrame:
+        """One snapshot data dir, projected onto the CURRENT schema by
+        field id (rename=alias, retype=widening cast). Identity (no
+        eras / dir written under the current schema) keeps the exact
+        bare-scan plan."""
+        era = self._era_for_dir(data_dir)
+        df = (
+            spark.read.schema(self._snapshot_schema(era))
+            .option("basePath", os.path.join(self.snapshot_dir, data_dir))
+            .parquet(os.path.join(self.snapshot_dir, data_dir))
+        )
+        if era is not None:
+            df = df.select(self.log.era_projection(era, [BUCKET_COL]))
+        return df
 
     def changelog(self, spark: SparkSession, start_offsets: dict[int, int] | None = None) -> DataFrame:
         """$changelog virtual table (T9): _change_type, _log_offset,
@@ -443,11 +471,7 @@ class KvStore:
         data_dir = manifest.get(bkt)
         if data_dir is None:
             return spark.createDataFrame([], self.schema.to_struct_type())
-        p = (
-            spark.read.schema(self._snapshot_schema())
-            .option("basePath", os.path.join(self.snapshot_dir, data_dir))
-            .parquet(os.path.join(self.snapshot_dir, data_dir))
-        )
+        p = self._read_snapshot_dir(spark, data_dir)
         return (
             p.filter(F.col(BUCKET_COL) == F.lit(bkt))
             .filter(self._key_cond(key))

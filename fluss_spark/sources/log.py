@@ -107,12 +107,25 @@ class LogStore:
             if e.name.startswith(f"{COMMIT_DIR_COL}=") and int(e.name.split("=")[1]) > current:
                 shutil.rmtree(e.path, ignore_errors=True)
 
-    def file_schema(self, with_commit_col: bool = False):
+    def file_schema(self, with_commit_col: bool = False, era=None):
         """Explicit read schema for log files (no inference — empty
-        commits and type drift are non-issues)."""
+        commits and type drift are non-issues). `era` = {field_id ->
+        (physical name, physical type)} for files written before a
+        rename/retype (types.era_fields_for_commit); current fields
+        whose id is absent from the era were added later and are
+        surfaced as NULL by the projection, not the read schema."""
         from pyspark.sql import types as T
 
-        fields = list(self.schema.to_struct_type().fields)
+        from fluss_spark.types import parse_type
+
+        if era is None:
+            fields = list(self.schema.to_struct_type().fields)
+        else:
+            fields = [
+                T.StructField(era[f.field_id][0], parse_type(era[f.field_id][1]), True)
+                for f in self.schema.fields
+                if f.field_id in era
+            ]
         if self.schema.is_pk_table:
             fields.append(T.StructField(CHANGE_TYPE_COL, T.StringType(), False))
             fields.append(T.StructField("__seq", T.LongType(), True))
@@ -125,6 +138,22 @@ class LogStore:
         if with_commit_col:
             fields.append(T.StructField(COMMIT_DIR_COL, T.IntegerType(), True))
         return T.StructType(fields)
+
+    def era_projection(self, era, extra_cols: list[str]):
+        """Columns mapping one era's physical layout onto the CURRENT
+        schema: resolve by field id (alias), widen by cast; fields added
+        after the era read as typed NULLs. System columns pass through."""
+        from fluss_spark.types import parse_type
+
+        cols = []
+        for f in self.schema.fields:
+            cur_t = parse_type(f.type)
+            if f.field_id in era:
+                phys_name, _ = era[f.field_id]
+                cols.append(F.col(phys_name).cast(cur_t).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(cur_t).alias(f.name))
+        return cols + [F.col(c) for c in extra_cols]
 
     # ------------------------------------------------------------------ #
     # append (S1)
@@ -321,6 +350,10 @@ class LogStore:
                 e.name for e in os.scandir(d) if e.name.startswith(f"{COMMIT_DIR_COL}=")
             ]
 
+        from functools import reduce
+
+        from fluss_spark.types import evolution_eras
+
         local = _commits(self.log_dir) if tiers in ("all", "local") else []
         remote = _commits(self.remote_dir) if tiers in ("all", "remote") else []
         # LOCAL WINS on overlap: a crashed cross-device tier_log can leave
@@ -328,22 +361,69 @@ class LogStore:
         # didn't); reading both would double-count the commit. The local
         # dir stays authoritative until it is gone.
         remote = [d for d in remote if d not in set(local)]
+        eras = evolution_eras(self.schema)
+
+        def _era_idx(v: int) -> int:
+            for i, era in enumerate(eras):  # oldest-first; first cover wins
+                if v <= era["until"]:
+                    return i
+            return -1  # current schema
+
+        extras = (
+            [CHANGE_TYPE_COL, "__seq", "__sub"] if self.schema.is_pk_table else []
+        ) + [BUCKET_COL, OFFSET_COL, TIMESTAMP_COL, COMMIT_DIR_COL]
         frames = []
-        if remote:
-            frames.append(
-                spark.read.schema(self.file_schema(with_commit_col=True))
-                .option("basePath", self.remote_dir)
-                .parquet(*[os.path.join(self.remote_dir, d) for d in sorted(remote)])
-            )
-        if local:
-            frames.append(
-                spark.read.schema(self.file_schema(with_commit_col=True))
-                .option("basePath", self.log_dir)
-                .parquet(self.log_dir)
-            )
+        for root, dirs in ((self.remote_dir, remote), (self.log_dir, local)):
+            if not dirs:
+                continue
+            if not eras:
+                # no rename/retype ever: identity fast path, single scan
+                # per tier (the local tier reads its whole root — one
+                # InMemoryFileIndex, the plan the tests pin)
+                frames.append(
+                    spark.read.schema(self.file_schema(with_commit_col=True))
+                    .option("basePath", root)
+                    .parquet(
+                        *(
+                            [root]
+                            if root == self.log_dir
+                            else [os.path.join(root, d) for d in sorted(dirs)]
+                        )
+                    )
+                )
+                continue
+            # era-mapped read: commit dirs group by the schema that wrote
+            # them; each group reads its PHYSICAL layout and projects onto
+            # the current schema by field id (rename=alias, retype=cast)
+            groups: dict[int, list[str]] = {}
+            for d in dirs:
+                v = int(d.split("=")[1])
+                if v > current:
+                    continue  # uncommitted/newer-than-asof: never read
+                groups.setdefault(_era_idx(v), []).append(d)
+            for idx, ds in sorted(groups.items()):
+                paths = [os.path.join(root, d) for d in sorted(ds)]
+                if idx == -1:
+                    frames.append(
+                        spark.read.schema(self.file_schema(with_commit_col=True))
+                        .option("basePath", root)
+                        .parquet(*paths)
+                    )
+                else:
+                    era_map = {
+                        f["id"]: (f["name"], f["type"]) for f in eras[idx]["fields"]
+                    }
+                    frames.append(
+                        spark.read.schema(
+                            self.file_schema(with_commit_col=True, era=era_map)
+                        )
+                        .option("basePath", root)
+                        .parquet(*paths)
+                        .select(self.era_projection(era_map, extras))
+                    )
         if not frames:
             return self._empty_scan(spark)
-        df = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+        df = reduce(lambda a, b: a.unionByName(b), frames)
         df = df.filter(F.col(COMMIT_DIR_COL) <= current)
         if start_offsets:
             cond = F.lit(False)

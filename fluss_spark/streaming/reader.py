@@ -180,6 +180,19 @@ def read_stream(
             "(offset-based, tier-transparent), or pass static_tiers=True "
             "if no tiering will run while this stream is active."
         )
+    from fluss_spark.types import evolution_eras
+
+    if evolution_eras(table.schema):
+        # a single readStream schema cannot map per-file eras: files
+        # written before a rename/retype carry old physical names and
+        # would silently surface NULLs. The offset-based LogStreamReader
+        # goes through scan() per micro-batch and is era-transparent.
+        raise ValueError(
+            "read_stream on a table with renamed/retyped columns: the "
+            "file source reads one fixed schema and cannot resolve old "
+            "files by field id. Use LogStreamReader (era-transparent), "
+            "or compact_log() to rewrite old files to the current schema."
+        )
     schema = table.log.file_schema()
     sdf = (
         spark.readStream.schema(schema)

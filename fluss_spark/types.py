@@ -217,3 +217,53 @@ INSERT = "+I"
 UPDATE_BEFORE = "-U"
 UPDATE_AFTER = "+U"
 DELETE = "-D"
+
+
+# -- schema evolution: field-ID-based read resolution ---------------------
+
+# legal type widenings (ALTER COLUMN TYPE): the value domain of the old
+# type embeds losslessly in the new one, so old files are readable with
+# a cast and new writes never truncate (same set Iceberg/Parquet allow)
+_WIDEN_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+)
+
+
+def is_widening(old: str, new: str) -> bool:
+    """True if `old` -> `new` is a lossless widening (simpleString names)."""
+    o, n = parse_type(old).simpleString(), parse_type(new).simpleString()
+    if o == n:
+        return False  # no-op, not a change
+    for chain in _WIDEN_CHAINS:
+        if o in chain and n in chain:
+            return chain.index(o) < chain.index(n)
+    if o.startswith("decimal(") and n.startswith("decimal("):
+        po, so = (int(x) for x in o[8:-1].split(","))
+        pn, sn = (int(x) for x in n[8:-1].split(","))
+        return sn == so and pn > po
+    return False
+
+
+EVOLUTION_PROP = "schema.evolution"
+
+
+def evolution_eras(schema: "TableSchema") -> list[dict]:
+    """Parsed `schema.evolution` property: ordered era records, each
+    {"until": <last commit version written under it>, "fields":
+    [{"id","name","type"}, ...]}. Appended by rename/retype alters only
+    (add/drop need no era: name-based reads already resolve them)."""
+    raw = schema.properties.get(EVOLUTION_PROP)
+    return json.loads(raw) if raw else []
+
+
+def era_fields_for_commit(
+    eras: list[dict], commit_version: int
+) -> dict[int, tuple[str, str]] | None:
+    """id -> (physical name, physical type) for files written at
+    `commit_version`; None = current schema applies (identity fast path
+    — callers keep their single-scan plan)."""
+    for era in eras:  # ordered oldest-first; first era covering it wins
+        if commit_version <= era["until"]:
+            return {f["id"]: (f["name"], f["type"]) for f in era["fields"]}
+    return None

@@ -158,3 +158,153 @@ def test_alter_missing_table(admin):
     with pytest.raises(TableNotFoundError):
         admin.alter_table("db", "ghost", [AddColumn("x", "INT")])
     assert admin.alter_table("db", "ghost", [AddColumn("x", "INT")], ignore_if_not_exists=True) is None
+
+
+# -- rename / retype: field-ID read resolution ----------------------------
+
+
+def test_rename_column_log_table(spark, admin):
+    """Files written before the rename keep the old physical name; scans
+    resolve by field id and surface the CURRENT name for every era."""
+    t = admin.create_table(
+        "db", "rn", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2)
+    )
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string"), ordering=["a"])
+    from fluss_spark.admin import RenameColumn
+
+    admin.alter_table("db", "rn", [RenameColumn("b", "label")])
+    t2 = FlussTable(admin.catalog, "db", "rn")
+    t2.append(spark.createDataFrame([(3, "z")], "a int, label string"), ordering=["a"])
+    rows = {r["a"]: r["label"] for r in t2.scan(spark).collect()}
+    assert rows == {1: "x", 2: "y", 3: "z"}
+    assert "b" not in t2.scan(spark).columns
+    # old physical name is retired: re-adding would resurrect old values
+    with pytest.raises(InvalidAlterTableException, match="previously dropped"):
+        admin.alter_table("db", "rn", [AddColumn("b", "STRING")])
+
+
+def test_retype_widen_log_table(spark, admin):
+    t = admin.create_table(
+        "db", "wd", TableSchema(fields=[Field("a", "INT"), Field("v", "INT")], num_buckets=1)
+    )
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "a int, v int"), ordering=["a"])
+    from fluss_spark.admin import AlterColumnType
+
+    admin.alter_table("db", "wd", [AlterColumnType("v", "BIGINT")])
+    t2 = FlussTable(admin.catalog, "db", "wd")
+    t2.append(
+        spark.createDataFrame([(3, 30_000_000_000)], "a int, v long"), ordering=["a"]
+    )
+    df = t2.scan(spark)
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert {r["a"]: r["v"] for r in df.collect()} == {1: 10, 2: 20, 3: 30_000_000_000}
+
+
+def test_rename_and_retype_pk_table_across_commits(spark, admin):
+    """Upserts before AND after a rename+widen fold into one state; the
+    seed read-old maps old snapshot/WAL files onto the current schema."""
+    t = admin.create_table(
+        "db", "rp",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING"), Field("n", "INT")],
+            primary_key=["k"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 2)], "k long, v string, n int"),
+        ordering=["k"],
+    )
+    from fluss_spark.admin import AlterColumnType, RenameColumn
+
+    admin.alter_table(
+        "db", "rp", [RenameColumn("v", "name"), AlterColumnType("n", "BIGINT")]
+    )
+    t2 = FlussTable(admin.catalog, "db", "rp")
+    t2.upsert(
+        spark.createDataFrame([(2, "b2", 20), (3, "c", 30)], "k long, name string, n long"),
+        ordering=["k"],
+    )
+    snap = {r["k"]: (r["name"], r["n"]) for r in t2.snapshot(spark).collect()}
+    assert snap == {1: ("a", 1), 2: ("b2", 20), 3: ("c", 30)}
+    # lookups resolve pre-rename rows from the old-era snapshot dir
+    got = t2.lookup(spark, {"k": 1}).collect()
+    assert len(got) == 1 and got[0]["name"] == "a" and got[0]["n"] == 1
+    # changelog view is era-mapped too (WAL rows from both eras)
+    cl = t2.kv.changelog(spark)
+    assert "name" in cl.columns and cl.count() == 5  # 2(+I) + 2(+I/-U+U=3) ... see below
+
+
+def test_rename_era_then_compact_migrates_files(spark, admin):
+    """compact_log rewrites old-era files under the CURRENT names (the
+    new commit dir maps to the current era), after which the scan is
+    back to a single-era read."""
+    from fluss_spark import maintenance
+    from fluss_spark.admin import RenameColumn
+    from fluss_spark.types import evolution_eras
+
+    t = admin.create_table(
+        "db", "cm", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1)
+    )
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, f"r{i}")], "a int, b string"), ordering=["a"])
+    admin.alter_table("db", "cm", [RenameColumn("b", "label")])
+    t2 = FlussTable(admin.catalog, "db", "cm")
+    assert maintenance.compact_log(t2, spark, target_commits=2) == 3
+    rows = {r["a"]: r["label"] for r in t2.scan(spark).collect()}
+    assert rows == {0: "r0", 1: "r1", 2: "r2"}
+    assert evolution_eras(t2.schema)  # history stays; files are migrated
+
+
+def test_invalid_rename_retype_rejected(spark, admin):
+    from fluss_spark.admin import AlterColumnType, RenameColumn
+
+    admin.create_table(
+        "db", "bad",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "INT"), Field("p", "STRING")],
+            primary_key=["k", "p"],
+            bucket_keys=["k"],
+            partition_keys=["p"],
+            num_buckets=2,
+        ),
+    )
+    with pytest.raises(InvalidAlterTableException, match="partition"):
+        admin.alter_table("db", "bad", [RenameColumn("p", "p2")])
+    with pytest.raises(InvalidAlterTableException, match="bucket key"):
+        admin.alter_table("db", "bad", [AlterColumnType("k", "BIGINT")])
+    with pytest.raises(InvalidAlterTableException, match="widening"):
+        admin.alter_table("db", "bad", [AlterColumnType("v", "SMALLINT")])
+    with pytest.raises(InvalidAlterTableException, match="widening"):
+        admin.alter_table("db", "bad", [AlterColumnType("v", "STRING")])
+    with pytest.raises(InvalidAlterTableException, match="no such column"):
+        admin.alter_table("db", "bad", [RenameColumn("ghost", "g2")])
+    # renaming pk (non-partition) IS allowed and updates the key lists
+    admin.alter_table("db", "bad", [RenameColumn("k", "key_id")])
+    sch = admin.get_table_info("db", "bad")
+    assert sch.primary_key == ["key_id", "p"] and sch.bucket_keys == ["key_id"]
+    # internal bookkeeping props cannot be set by hand
+    with pytest.raises(InvalidAlterTableException, match="immutable"):
+        admin.alter_table("db", "bad", [SetOption("schema.evolution", "[]")])
+
+
+def test_stream_reader_era_transparent_file_source_refuses(spark, admin, tmp_path):
+    """LogStreamReader replays both eras under current names; the
+    file-source read_stream refuses (one fixed schema can't map eras)."""
+    from fluss_spark.admin import RenameColumn
+    from fluss_spark.streaming.reader import LogStreamReader, read_stream
+
+    t = admin.create_table(
+        "db", "sev", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1)
+    )
+    t.append(spark.createDataFrame([(1, "x")], "a int, b string"), ordering=["a"])
+    admin.alter_table("db", "sev", [RenameColumn("b", "label")])
+    t2 = FlussTable(admin.catalog, "db", "sev")
+    t2.append(spark.createDataFrame([(2, "y")], "a int, label string"), ordering=["a"])
+    with pytest.raises(ValueError, match="renamed/retyped"):
+        read_stream(t2, spark)
+    reader = LogStreamReader(t2, spark, startup_mode="earliest")
+    polled = reader.poll()
+    assert polled is not None
+    batch, _bid = polled
+    assert {r["a"]: r["label"] for r in batch.collect()} == {1: "x", 2: "y"}
