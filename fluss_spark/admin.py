@@ -21,6 +21,54 @@ class KvSnapshotInfo:
     log_offsets: dict[int, int]  # changelog position the snapshot covers
 
 
+@dataclass
+class KvSnapshotMetadata:
+    """Admin.getKvSnapshotMetadata (Admin.java:450): the file set one
+    snapshot version references — what an external engine reads for a
+    consistent snapshot + the changelog offsets to resume from."""
+
+    snapshot_id: int
+    bucket_dirs: dict[int, str]  # bucket -> data dir (manifest)
+    files: list[str]  # parquet files, relative to the snapshot root
+    log_offsets: dict[int, int]
+
+
+@dataclass
+class PartitionInfo:
+    """Admin.listPartitionInfos (Admin.java:325): one partition's spec.
+    Single-level time partitioning (like the reference's auto-partition
+    tables), so the spec is {partition_key: value}."""
+
+    spec: dict[str, str]
+
+
+@dataclass
+class TableStats:
+    """Admin.getTableStats (Admin.java:563): size/row metadata served
+    from commit state + file listings — no Spark job, no file reads."""
+
+    num_rows: int  # exact, from offset watermarks (A1 metadata count)
+    size_bytes: int
+    num_files: int
+
+
+@dataclass
+class DatabaseInfo:
+    """Admin.getDatabaseInfo (Admin.java:172)."""
+
+    name: str
+    comment: str | None
+    properties: dict[str, str]
+
+
+@dataclass
+class DatabaseSummary:
+    """Admin.listDatabaseSummaries (Admin.java:217)."""
+
+    name: str
+    table_count: int
+
+
 # -- ALTER TABLE change kinds (metadata/TableChange.java:28-131) ----------
 
 
@@ -102,11 +150,68 @@ class Admin:
         self.catalog = catalog
 
     # -- databases (Admin.createDatabase/listDatabases/dropDatabase) ------
-    def create_database(self, db: str, ignore_if_exists: bool = True) -> None:
+    def create_database(
+        self,
+        db: str,
+        ignore_if_exists: bool = True,
+        comment: str | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> None:
         self.catalog.create_database(db, ignore_if_exists)
+        if comment is not None or properties:
+            self._write_dbinfo(db, comment, properties or {})
+
+    def _dbinfo_path(self, db: str) -> str:
+        import os
+
+        return os.path.join(self.catalog.warehouse, db, ".dbinfo.json")
+
+    def _write_dbinfo(self, db: str, comment: str | None, properties: dict[str, str]) -> None:
+        import json
+
+        from fluss_spark.catalog import Catalog as _C
+
+        _C._write_atomic(
+            self._dbinfo_path(db), json.dumps({"comment": comment, "properties": properties})
+        )
+
+    def get_database_info(self, db: str) -> DatabaseInfo:
+        """Admin.getDatabaseInfo (Admin.java:172)."""
+        import json
+        import os
+
+        if db not in self.catalog.list_databases():
+            raise TableNotFoundError(db)
+        comment, props = None, {}
+        p = self._dbinfo_path(db)
+        if os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            comment, props = d.get("comment"), d.get("properties", {})
+        return DatabaseInfo(name=db, comment=comment, properties=props)
+
+    def alter_database(self, db: str, properties: dict[str, str]) -> DatabaseInfo:
+        """Admin.alterDatabase (Admin.java:158): merge property updates
+        (a None value removes the key)."""
+        info = self.get_database_info(db)
+        props = dict(info.properties)
+        for k, v in properties.items():
+            if v is None:
+                props.pop(k, None)
+            else:
+                props[k] = v
+        self._write_dbinfo(db, info.comment, props)
+        return DatabaseInfo(name=db, comment=info.comment, properties=props)
 
     def list_databases(self) -> list[str]:
         return self.catalog.list_databases()
+
+    def list_database_summaries(self) -> list[DatabaseSummary]:
+        """Admin.listDatabaseSummaries (Admin.java:217)."""
+        return [
+            DatabaseSummary(name=db, table_count=len(self.catalog.list_tables(db)))
+            for db in self.catalog.list_databases()
+        ]
 
     def database_exists(self, db: str) -> bool:
         return db in self.catalog.list_databases()
@@ -336,6 +441,136 @@ class Admin:
             self.catalog.set_schema(db, name, new_schema)
             return new_schema
 
+    # -- partitions (Admin.listPartitionInfos/createPartition/dropPartition)
+    def _partitioned_table(self, db: str, name: str) -> FlussTable:
+        t = FlussTable(self.catalog, db, name)
+        if not t.schema.partition_keys:
+            raise ValueError(f"{db}.{name} is not a partitioned table")
+        return t
+
+    def list_partitions(
+        self, db: str, name: str, partial_spec: dict[str, str] | None = None
+    ) -> list[PartitionInfo]:
+        """Admin.listPartitionInfos (Admin.java:325-342): registered
+        (pre-created) ∪ materialized (written) partitions, optionally
+        filtered by a partial spec."""
+        from fluss_spark import maintenance
+
+        t = self._partitioned_table(db, name)
+        key = t.schema.partition_keys[0]
+        values = sorted(
+            set(maintenance.registered_partitions(t))
+            | maintenance.materialized_partitions(t)
+        )
+        if partial_spec:
+            if set(partial_spec) - {key}:
+                raise ValueError(f"unknown partition key in spec: {partial_spec}")
+            values = [v for v in values if partial_spec.get(key, v) == v]
+        return [PartitionInfo(spec={key: v}) for v in values]
+
+    def create_partition(
+        self, db: str, name: str, spec: dict[str, str], ignore_if_exists: bool = True
+    ) -> None:
+        """Admin.createPartition (Admin.java:368): register the value in
+        the partition metadata (dirs materialize on first write — the
+        same pre-create model auto_partition uses)."""
+        import json
+
+        from fluss_spark import maintenance
+        from fluss_spark.catalog import Catalog as _C
+
+        t = self._partitioned_table(db, name)
+        key = t.schema.partition_keys[0]
+        if set(spec) != {key}:
+            raise ValueError(f"partition spec must be exactly {{{key!r}: value}}, got {spec}")
+        with self.catalog.write_lock(db, name):
+            active = maintenance.registered_partitions(t)
+            if spec[key] in active:
+                if ignore_if_exists:
+                    return
+                raise ValueError(f"partition exists: {spec}")
+            _C._write_atomic(
+                maintenance.partitions_meta_path(t),
+                json.dumps({"active": sorted(active + [spec[key]])}),
+            )
+
+    def drop_partition(
+        self, db: str, name: str, spec: dict[str, str], ignore_if_not_exists: bool = True
+    ) -> None:
+        """Admin.dropPartition (Admin.java:390): unregister AND delete the
+        partition's data dirs from every commit dir in both tiers."""
+        import json
+
+        from fluss_spark import maintenance
+        from fluss_spark.catalog import Catalog as _C
+
+        t = self._partitioned_table(db, name)
+        key = t.schema.partition_keys[0]
+        if set(spec) != {key}:
+            raise ValueError(f"partition spec must be exactly {{{key!r}: value}}, got {spec}")
+        with self.catalog.write_lock(db, name):
+            val = spec[key]
+            active = maintenance.registered_partitions(t)
+            known = set(active) | maintenance.materialized_partitions(t)
+            if val not in known:
+                if ignore_if_not_exists:
+                    return
+                raise ValueError(f"no such partition: {spec}")
+            _C._write_atomic(
+                maintenance.partitions_meta_path(t),
+                json.dumps({"active": [v for v in active if v != val]}),
+            )
+            maintenance.drop_partition_dirs(t, [val])
+
+    # -- stats (Admin.getTableStats) --------------------------------------
+    def get_table_stats(self, db: str, name: str) -> TableStats:
+        """Admin.getTableStats (Admin.java:563): exact row count from the
+        offset watermarks (the A1 metadata path) + file count/bytes from
+        a driver-side walk of the committed file set (log both tiers +
+        the current snapshot's referenced dirs)."""
+        import os
+
+        t = FlussTable(self.catalog, db, name)
+        state = self.catalog.current_commit(db, name)
+        size, files = 0, 0
+        roots = [t.log.log_dir, t.log.remote_dir]
+        if t.kv is not None and state.snapshot_version >= 0:
+            roots += [
+                os.path.join(t.kv.snapshot_dir, d)
+                for d in sorted(t.kv.referenced_data_dirs(state.snapshot_version))
+            ]
+        for root in roots:
+            if not os.path.isdir(root):
+                continue
+            for dirpath, _dirs, names in os.walk(root):
+                for fn in names:
+                    if fn.endswith(".parquet"):
+                        files += 1
+                        size += os.path.getsize(os.path.join(dirpath, fn))
+        return TableStats(num_rows=t.count(), size_bytes=size, num_files=files)
+
+    # -- remote log manifests (Admin.listRemoteLogManifests) --------------
+    def list_remote_log_manifests(self, db: str, name: str) -> dict[int, list[str]]:
+        """Admin.listRemoteLogManifests (Admin.java:809): commit version ->
+        parquet files of each tiered (remote) log segment."""
+        import os
+
+        t = FlussTable(self.catalog, db, name)
+        out: dict[int, list[str]] = {}
+        if not os.path.isdir(t.log.remote_dir):
+            return out
+        for e in sorted(os.scandir(t.log.remote_dir), key=lambda e: e.name):
+            if not e.name.startswith("__commit="):
+                continue
+            v = int(e.name.split("=")[1])
+            rel = []
+            for dirpath, _dirs, names in os.walk(e.path):
+                for fn in sorted(names):
+                    if fn.endswith(".parquet"):
+                        rel.append(os.path.relpath(os.path.join(dirpath, fn), t.log.remote_dir))
+            out[v] = rel
+        return out
+
     # -- offsets (Admin.listOffsets, OffsetSpec EARLIEST/LATEST/TIMESTAMP)
     def list_offsets(
         self,
@@ -368,6 +603,33 @@ class Admin:
         cs = history[state.snapshot_version]
         return KvSnapshotInfo(
             snapshot_id=state.snapshot_version,
+            log_offsets={int(b): o for b, o in cs.log_hwm.items()},
+        )
+
+    def get_kv_snapshot_metadata(self, db: str, name: str, snapshot_id: int) -> KvSnapshotMetadata:
+        """Admin.getKvSnapshotMetadata (Admin.java:450): file set + resume
+        offsets of one snapshot version."""
+        import os
+
+        t = FlussTable(self.catalog, db, name)
+        if t.kv is None:
+            raise ValueError("KV snapshots exist only for Primary Key Tables")
+        manifest = t.kv._manifest(snapshot_id)
+        if manifest is None:
+            raise ValueError(f"no such snapshot: {snapshot_id}")
+        history = {s.version: s for s in self.catalog.commit_history(db, name)}
+        cs = history[snapshot_id]
+        files = []
+        for bkt, data_dir in sorted(manifest.items()):
+            bdir = os.path.join(t.kv.snapshot_dir, data_dir, f"__bucket={bkt}")
+            if os.path.isdir(bdir):
+                for fn in sorted(os.listdir(bdir)):
+                    if fn.endswith(".parquet"):
+                        files.append(os.path.relpath(os.path.join(bdir, fn), t.kv.snapshot_dir))
+        return KvSnapshotMetadata(
+            snapshot_id=snapshot_id,
+            bucket_dirs=dict(sorted(manifest.items())),
+            files=files,
             log_offsets={int(b): o for b, o in cs.log_hwm.items()},
         )
 

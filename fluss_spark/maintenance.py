@@ -93,7 +93,12 @@ def _tier_log_locked(table: FlussTable, local_segments: int | None = None) -> in
     return len(to_move)
 
 
-def compact_log(table: FlussTable, spark: SparkSession, target_commits: int = 8) -> int:
+def compact_log(
+    table: FlussTable,
+    spark: SparkSession,
+    target_commits: int = 8,
+    sort_columns: list[str] | None = None,
+) -> int:
     """Rewrite all committed log files into one compacted commit dir
     (sorted by bucket/offset -> large row groups, better stats pruning).
     Skips when the log has fewer than `target_commits` commit dirs.
@@ -102,12 +107,26 @@ def compact_log(table: FlussTable, spark: SparkSession, target_commits: int = 8)
     Offsets/timestamps are preserved verbatim, so scans, time travel and
     changelog replay are unaffected — only the file layout changes
     (the reference's tiering keeps log offsets in lake files the same
-    way, fluss-lake/.../tiering/)."""
+    way, fluss-lake/.../tiering/).
+
+    `sort_columns` (or the `table.log.compaction.sort-columns` property,
+    comma-separated) clusters rows WITHIN each bucket by those columns
+    instead of offset — the data-layout lever for scan speed at scale:
+    Parquet row-group min/max on a clustered column become narrow and
+    disjoint, so predicate pushdown prunes whole row groups instead of
+    scanning them (the lake-house sorted-compaction / Z-order-lite
+    shape). Per-key order is never derived from file order (readers
+    sort by __offset explicitly), so clustering is always safe."""
     with table.catalog.write_lock(table.db, table.name):
-        return _compact_log_locked(table, spark, target_commits)
+        return _compact_log_locked(table, spark, target_commits, sort_columns)
 
 
-def _compact_log_locked(table: FlussTable, spark: SparkSession, target_commits: int) -> int:
+def _compact_log_locked(
+    table: FlussTable,
+    spark: SparkSession,
+    target_commits: int,
+    sort_columns: list[str] | None = None,
+) -> int:
     log = table.log
     dirs = sorted(
         (e.name for e in os.scandir(log.log_dir) if e.name.startswith(f"{COMMIT_DIR_COL}=")),
@@ -124,9 +143,16 @@ def _compact_log_locked(table: FlussTable, spark: SparkSession, target_commits: 
     df = log.scan(spark, tiers="local")
     version = state.version + 1
     part_cols = list(log.schema.partition_keys) + [BUCKET_COL]
+    if sort_columns is None:
+        prop = table.schema.properties.get("table.log.compaction.sort-columns")
+        sort_columns = [c.strip() for c in prop.split(",")] if prop else []
+    bad = [c for c in sort_columns if c not in df.columns]
+    if bad:
+        raise ValueError(f"unknown sort column(s): {bad}")
+    order = sort_columns if sort_columns else [OFFSET_COL]
     (
         df.repartition(min(log.schema.num_buckets, 32), F.col(BUCKET_COL))
-        .sortWithinPartitions(BUCKET_COL, OFFSET_COL)
+        .sortWithinPartitions(BUCKET_COL, *order)
         .write.mode("overwrite")
         .partitionBy(*part_cols)
         .parquet(log.staging_path(version))
@@ -298,6 +324,57 @@ _UNIT_DELTA = {
 }
 
 
+def partitions_meta_path(table: FlussTable) -> str:
+    return os.path.join(
+        table.catalog.table_dir(table.db, table.name), "meta", "partitions.json"
+    )
+
+
+def registered_partitions(table: FlussTable) -> list[str]:
+    """Partition values registered in meta/partitions.json (pre-created
+    by auto_partition or Admin.create_partition)."""
+    import json
+
+    p = partitions_meta_path(table)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["active"]
+
+
+def materialized_partitions(table: FlussTable) -> set[str]:
+    """Partition values materialized by writes: partition dir names under
+    every commit dir, BOTH tiers (sealed commits may have tiered, S9)."""
+    key = table.schema.partition_keys[0]
+    on_disk: set[str] = set()
+    for tier in (table.log.log_dir, table.log.remote_dir):
+        if not os.path.isdir(tier):
+            continue
+        for d in os.scandir(tier):
+            if d.name.startswith(f"{COMMIT_DIR_COL}="):
+                for sub in os.scandir(d.path):
+                    if sub.is_dir() and sub.name.startswith(f"{key}="):
+                        on_disk.add(sub.name.split("=", 1)[1])
+    return on_disk
+
+
+def drop_partition_dirs(table: FlussTable, values: list[str]) -> None:
+    """Physically delete the given partition values' dirs from every
+    commit dir in every tier (scans union the tiers, so a remote-only
+    leftover would keep serving a dropped partition)."""
+    key = table.schema.partition_keys[0]
+    for tier in (table.log.log_dir, table.log.remote_dir):
+        if not os.path.isdir(tier):
+            continue
+        for d in os.scandir(tier):
+            if not d.name.startswith(f"{COMMIT_DIR_COL}="):
+                continue
+            for p in values:
+                pdir = os.path.join(d.path, f"{key}={p}")
+                if os.path.isdir(pdir):
+                    shutil.rmtree(pdir, ignore_errors=True)
+
+
 def auto_partition(table: FlussTable, now: datetime | None = None) -> dict[str, list[str]]:
     """Time-based partition lifecycle (table.auto-partition.*): creates
     the next `num-precreate` time partitions as empty dirs and drops
@@ -313,7 +390,6 @@ def auto_partition(table: FlussTable, now: datetime | None = None) -> dict[str, 
     n_pre = int(props.get("table.auto-partition.num-precreate", "2"))
     n_keep = int(props.get("table.auto-partition.num-retention", "7"))
     fmt = _UNIT_FMT[unit]
-    key = table.schema.partition_keys[0]
     now = now or datetime.now(timezone.utc)
 
     created, dropped = [], []
@@ -322,40 +398,17 @@ def auto_partition(table: FlussTable, now: datetime | None = None) -> dict[str, 
         # pre-create inside every committed dir's namespace is pointless;
         # partitions materialize on write — record intent in meta
         created.append(val)
-    meta_path = os.path.join(table.catalog.table_dir(table.db, table.name), "meta", "partitions.json")
+    meta_path = partitions_meta_path(table)
     import json
 
-    existing = []
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            existing = json.load(f)["active"]
-    # discover partitions materialized by writes (dir names under
-    # commits) — BOTH tiers: sealed commits may have been tiered (S9)
-    tier_dirs = [d for d in (table.log.log_dir, table.log.remote_dir) if os.path.isdir(d)]
-    on_disk = set()
-    for tier in tier_dirs:
-        for d in os.scandir(tier):
-            if d.name.startswith(f"{COMMIT_DIR_COL}="):
-                for sub in os.scandir(d.path):
-                    if sub.is_dir() and sub.name.startswith(f"{key}="):
-                        on_disk.add(sub.name.split("=", 1)[1])
+    existing = registered_partitions(table)
+    on_disk = materialized_partitions(table)
     active = sorted(set(existing) | set(created) | on_disk)
     cutoff = (now - n_keep * _UNIT_DELTA[unit]).strftime(fmt)
     keepers = [p for p in active if p >= cutoff]
     dropped = [p for p in active if p < cutoff]
     Catalog._write_atomic(meta_path, json.dumps({"active": keepers}))
-
-    # physically drop expired partition dirs from every commit dir in
-    # every tier (scans union the tiers, so a remote-only leftover would
-    # keep serving the dropped partition)
-    for tier in tier_dirs:
-        for d in os.scandir(tier):
-            if not d.name.startswith(f"{COMMIT_DIR_COL}="):
-                continue
-            for p in dropped:
-                pdir = os.path.join(d.path, f"{key}={p}")
-                if os.path.isdir(pdir):
-                    shutil.rmtree(pdir, ignore_errors=True)
+    drop_partition_dirs(table, dropped)
     return {"created": [c for c in created if c not in existing], "dropped": dropped}
 
 

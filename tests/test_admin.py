@@ -1,0 +1,161 @@
+"""Admin API surface parity: partitions, table stats, KV snapshot
+metadata, remote log manifests, database info (Admin.java:140-819),
+and sorted (clustered) log compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_spark.admin import Admin, DatabaseSummary, PartitionInfo
+from fluss_spark.catalog import Catalog
+from fluss_spark.table import FlussTable
+from fluss_spark.types import Field, TableSchema
+
+
+@pytest.fixture()
+def admin(tmp_path):
+    return Admin(Catalog(str(tmp_path / "wh")))
+
+
+def test_partition_lifecycle(spark, admin):
+    t = admin.create_table(
+        "db", "pt",
+        TableSchema(
+            fields=[Field("a", "INT"), Field("p", "STRING")],
+            partition_keys=["p"],
+            num_buckets=2,
+        ),
+    )
+    # materialize two partitions by writing
+    t.append(
+        spark.createDataFrame([(1, "2024"), (2, "2025")], "a int, p string"), ordering=["a"]
+    )
+    # pre-create a third (registered, no data yet)
+    admin.create_partition("db", "pt", {"p": "2026"})
+    got = admin.list_partitions("db", "pt")
+    assert got == [
+        PartitionInfo(spec={"p": "2024"}),
+        PartitionInfo(spec={"p": "2025"}),
+        PartitionInfo(spec={"p": "2026"}),
+    ]
+    assert admin.list_partitions("db", "pt", {"p": "2025"}) == [
+        PartitionInfo(spec={"p": "2025"})
+    ]
+    # duplicate create: idempotent unless told otherwise
+    admin.create_partition("db", "pt", {"p": "2026"})
+    with pytest.raises(ValueError, match="exists"):
+        admin.create_partition("db", "pt", {"p": "2026"}, ignore_if_exists=False)
+    # drop removes BOTH the registration and the data dirs
+    admin.drop_partition("db", "pt", {"p": "2024"})
+    assert {p.spec["p"] for p in admin.list_partitions("db", "pt")} == {"2025", "2026"}
+    t2 = FlussTable(admin.catalog, "db", "pt")
+    assert {r["p"] for r in t2.scan(spark).collect()} == {"2025"}
+    with pytest.raises(ValueError, match="no such partition"):
+        admin.drop_partition("db", "pt", {"p": "1999"}, ignore_if_not_exists=False)
+    with pytest.raises(ValueError, match="spec must be"):
+        admin.create_partition("db", "pt", {"wrong": "x"})
+    # non-partitioned table rejects partition ops
+    admin.create_table("db", "np", TableSchema(fields=[Field("a", "INT")], num_buckets=1))
+    with pytest.raises(ValueError, match="not a partitioned"):
+        admin.list_partitions("db", "np")
+
+
+def test_table_stats_and_remote_manifests(spark, admin):
+    from fluss_spark import maintenance
+
+    t = admin.create_table(
+        "db", "st", TableSchema(fields=[Field("a", "INT")], num_buckets=2)
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,), (i + 10,)], "a int"), ordering=["a"])
+    stats = admin.get_table_stats("db", "st")
+    assert stats.num_rows == 8
+    assert stats.num_files > 0 and stats.size_bytes > 0
+    # tiering moves sealed commits to remote; manifests list their files
+    assert maintenance.tier_log(t, local_segments=1) == 3
+    manifests = admin.list_remote_log_manifests("db", "st")
+    assert sorted(manifests) == [1, 2, 3]
+    assert all(fs and all(f.endswith(".parquet") for f in fs) for fs in manifests.values())
+    # stats still see both tiers
+    assert admin.get_table_stats("db", "st").num_rows == 8
+
+
+def test_kv_snapshot_metadata(spark, admin):
+    t = admin.create_table(
+        "db", "kvm",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING")],
+            primary_key=["k"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), ordering=["k"])
+    t.upsert(spark.createDataFrame([(2, "b2")], "k long, v string"), ordering=["k"])
+    latest = admin.get_latest_kv_snapshot("db", "kvm")
+    md = admin.get_kv_snapshot_metadata("db", "kvm", latest.snapshot_id)
+    assert md.snapshot_id == latest.snapshot_id
+    assert md.log_offsets == latest.log_offsets
+    assert md.files and all(f.endswith(".parquet") for f in md.files)
+    assert set(md.bucket_dirs) <= {0, 1}
+    with pytest.raises(ValueError, match="no such snapshot"):
+        admin.get_kv_snapshot_metadata("db", "kvm", 999)
+
+
+def test_database_info_and_summaries(admin):
+    admin.create_database("analytics", comment="training data", properties={"owner": "ml"})
+    admin.create_table("analytics", "t1", TableSchema(fields=[Field("a", "INT")]))
+    admin.create_table("analytics", "t2", TableSchema(fields=[Field("a", "INT")]))
+    info = admin.get_database_info("analytics")
+    assert info.comment == "training data" and info.properties == {"owner": "ml"}
+    info2 = admin.alter_database("analytics", {"owner": "data-eng", "tier": "gold"})
+    assert info2.properties == {"owner": "data-eng", "tier": "gold"}
+    assert admin.alter_database("analytics", {"tier": None}).properties == {"owner": "data-eng"}
+    assert DatabaseSummary(name="analytics", table_count=2) in admin.list_database_summaries()
+
+
+def test_sorted_compaction_clusters_row_groups(spark, admin, tmp_path):
+    """compact_log(sort_columns=[...]) must leave each bucket's rows
+    clustered: row-group min/max on the sort column become disjoint, so
+    a point/range predicate prunes row groups instead of scanning them.
+    Scan results (incl. offset order) are unchanged."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fluss_spark import maintenance
+
+    t = admin.create_table(
+        "db", "zc", TableSchema(fields=[Field("a", "INT"), Field("grp", "INT")], num_buckets=1)
+    )
+    # interleaved grp values across commits -> wide stats before compaction
+    for c in range(3):
+        df = spark.range(200).select(
+            (F.col("id") + 1000 * c).cast("int").alias("a"),
+            (F.col("id") % 10).cast("int").alias("grp"),
+        )
+        t.append(df, ordering=["a"])
+    before = {(r["a"], r["grp"]) for r in t.scan(spark).collect()}
+    assert maintenance.compact_log(t, spark, target_commits=2, sort_columns=["grp"]) == 3
+    t2 = FlussTable(admin.catalog, "db", "zc")
+    assert {(r["a"], r["grp"]) for r in t2.scan(spark).collect()} == before
+    # physical check: within each compacted file, rows are sorted by grp
+    # (row-group stats monotone non-overlapping when multiple groups)
+    files = []
+    for dirpath, _d, names in os.walk(t2.log.log_dir):
+        files += [os.path.join(dirpath, f) for f in names if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        md = pq.read_metadata(f)
+        gi = md.schema.names.index("grp")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(gi).statistics
+            if prev_max is not None:
+                assert st.min >= prev_max  # clustered: no overlap going back
+            prev_max = st.max
+        # the FILE itself must be fully sorted by grp even with 1 row group
+        tbl = pq.read_table(f, columns=["grp"])["grp"].to_pylist()
+        assert tbl == sorted(tbl)
+    with pytest.raises(ValueError, match="unknown sort column"):
+        maintenance.compact_log(t2, spark, target_commits=1, sort_columns=["nope"])
