@@ -34,6 +34,15 @@ class KvSnapshotMetadata:
 
 
 @dataclass
+class KvSnapshotLeaseInfo:
+    """Admin.createKvSnapshotLease (Admin.java:460): a pinned snapshot."""
+
+    lease_id: str
+    snapshot_id: int
+    expires_ms: int
+
+
+@dataclass
 class PartitionInfo:
     """Admin.listPartitionInfos (Admin.java:325): one partition's spec.
     Single-level time partitioning (like the reference's auto-partition
@@ -142,6 +151,7 @@ _IMMUTABLE_OPTIONS = (
     # internal bookkeeping, maintained by the alter path itself
     "schema.retired-columns",
     "schema.evolution",
+    "schema.id",
 )
 
 
@@ -223,8 +233,21 @@ class Admin:
     def create_table(self, db: str, name: str, schema: TableSchema, ignore_if_exists: bool = False) -> FlussTable:
         return create_table(self.catalog, db, name, schema, if_not_exists=ignore_if_exists)
 
-    def get_table_info(self, db: str, name: str) -> TableSchema:
-        return self.catalog.get_schema(db, name)
+    def get_table_info(self, db: str, name: str, schema_id: int | None = None) -> TableSchema:
+        """Current schema, or a historical one by id
+        (Admin.getTableSchema(tablePath, schemaId), Admin.java:106-120 —
+        each alter archives the outgoing schema under its id)."""
+        current = self.catalog.get_schema(db, name)
+        current_id = int(current.properties.get("schema.id", "0"))
+        if schema_id is None or schema_id == current_id:
+            return current
+        import os
+
+        p = os.path.join(self.catalog.table_dir(db, name), "meta", f"schema-v{schema_id}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no such schema id: {schema_id} (current: {current_id})")
+        with open(p) as f:
+            return TableSchema.from_json(f.read())
 
     def list_tables(self, db: str) -> list[str]:
         return self.catalog.list_tables(db)
@@ -430,6 +453,21 @@ class Admin:
 
                 eras = evolution_eras(schema) + [pre_era]
                 props[EVOLUTION_PROP] = _json.dumps(eras)
+            # schema history (Admin.getTableSchema(path, schemaId),
+            # Admin.java:120): every alter archives the outgoing schema
+            # under its id and bumps schema.id
+            import os as _os
+
+            old_id = int(schema.properties.get("schema.id", "0"))
+            from fluss_spark.catalog import Catalog as _C
+
+            _C._write_atomic(
+                _os.path.join(
+                    self.catalog.table_dir(db, name), "meta", f"schema-v{old_id}.json"
+                ),
+                schema.to_json(),
+            )
+            props["schema.id"] = str(old_id + 1)
             new_schema = TableSchema(
                 fields=fields,
                 primary_key=primary_key,
@@ -605,6 +643,63 @@ class Admin:
             snapshot_id=state.snapshot_version,
             log_offsets={int(b): o for b, o in cs.log_hwm.items()},
         )
+
+    # -- snapshot leases (Admin.createKvSnapshotLease, Admin.java:460) ----
+    def create_kv_snapshot_lease(
+        self,
+        db: str,
+        name: str,
+        lease_id: str,
+        lease_duration_ms: int,
+        snapshot_id: int | None = None,
+    ) -> KvSnapshotLeaseInfo:
+        """Pin a snapshot version against GC for `lease_duration_ms`
+        (default: the latest snapshot). expire_snapshots keeps leased
+        versions and every data dir they reference; expiry is implicit
+        (no release required), release is explicit and idempotent.
+        Re-creating an existing lease_id renews it."""
+        import json
+        import time
+
+        from fluss_spark import maintenance
+        from fluss_spark.catalog import Catalog as _C
+
+        t = FlussTable(self.catalog, db, name)
+        if t.kv is None:
+            raise ValueError("KV snapshots exist only for Primary Key Tables")
+        with self.catalog.write_lock(db, name):
+            if snapshot_id is None:
+                snapshot_id = self.catalog.current_commit(db, name).snapshot_version
+            if snapshot_id < 0 or t.kv._manifest(snapshot_id) is None:
+                raise ValueError(f"no such snapshot: {snapshot_id}")
+            leases = maintenance.active_snapshot_leases(t)
+            expires = int(time.time() * 1000) + int(lease_duration_ms)
+            leases[lease_id] = {"snapshot": snapshot_id, "expires_ms": expires}
+            _C._write_atomic(maintenance.snapshot_leases_path(t), json.dumps(leases))
+        return KvSnapshotLeaseInfo(
+            lease_id=lease_id, snapshot_id=snapshot_id, expires_ms=expires
+        )
+
+    def release_kv_snapshot_lease(self, db: str, name: str, lease_id: str) -> None:
+        import json
+
+        from fluss_spark import maintenance
+        from fluss_spark.catalog import Catalog as _C
+
+        t = FlussTable(self.catalog, db, name)
+        with self.catalog.write_lock(db, name):
+            leases = maintenance.active_snapshot_leases(t)
+            leases.pop(lease_id, None)
+            _C._write_atomic(maintenance.snapshot_leases_path(t), json.dumps(leases))
+
+    def list_kv_snapshot_leases(self, db: str, name: str) -> list[KvSnapshotLeaseInfo]:
+        from fluss_spark import maintenance
+
+        t = FlussTable(self.catalog, db, name)
+        return [
+            KvSnapshotLeaseInfo(lease_id=k, snapshot_id=v["snapshot"], expires_ms=v["expires_ms"])
+            for k, v in sorted(maintenance.active_snapshot_leases(t).items())
+        ]
 
     def get_kv_snapshot_metadata(self, db: str, name: str, snapshot_id: int) -> KvSnapshotMetadata:
         """Admin.getKvSnapshotMetadata (Admin.java:450): file set + resume

@@ -284,6 +284,27 @@ def expire_snapshots(table: FlussTable, keep: int = 2) -> int:
         return _expire_snapshots_locked(table, keep)
 
 
+def snapshot_leases_path(table: FlussTable) -> str:
+    return os.path.join(
+        table.catalog.table_dir(table.db, table.name), "meta", "snapshot_leases.json"
+    )
+
+
+def active_snapshot_leases(table: FlussTable, now_ms: int | None = None) -> dict[str, dict]:
+    """lease_id -> {"snapshot": int, "expires_ms": int} for unexpired
+    leases (Admin.createKvSnapshotLease, Admin.java:460: a lease pins a
+    snapshot against GC for its duration; expiry is implicit)."""
+    import json
+
+    p = snapshot_leases_path(table)
+    if not os.path.exists(p):
+        return {}
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    with open(p) as f:
+        leases = json.load(f)
+    return {k: v for k, v in leases.items() if v["expires_ms"] > now}
+
+
 def _expire_snapshots_locked(table: FlussTable, keep: int) -> int:
     if table.kv is None:
         return 0
@@ -296,6 +317,13 @@ def _expire_snapshots_locked(table: FlussTable, keep: int) -> int:
     )
     state = table.catalog.current_commit(table.db, table.name)
     keep_versions = set(versions[:keep]) | {state.snapshot_version}
+    # leased snapshots are pinned for the lease duration (an external
+    # reader holding a consistent view — the reference's KvSnapshotLease)
+    keep_versions |= {
+        lease["snapshot"]
+        for lease in active_snapshot_leases(table).values()
+        if lease["snapshot"] in set(versions)
+    }
     referenced: set[str] = set()
     for v in keep_versions:
         referenced |= kv.referenced_data_dirs(v)

@@ -159,3 +159,67 @@ def test_sorted_compaction_clusters_row_groups(spark, admin, tmp_path):
         assert tbl == sorted(tbl)
     with pytest.raises(ValueError, match="unknown sort column"):
         maintenance.compact_log(t2, spark, target_commits=1, sort_columns=["nope"])
+
+
+def test_kv_snapshot_lease_pins_against_gc(spark, admin):
+    """A lease keeps its snapshot (manifest + referenced data dirs)
+    through expire_snapshots; release or expiry lifts the pin."""
+    from fluss_spark import maintenance
+
+    t = admin.create_table(
+        "db", "lease",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING")],
+            primary_key=["k"],
+            num_buckets=1,
+        ),
+    )
+    for i in range(4):
+        t.upsert(
+            spark.createDataFrame([(1, f"v{i}"), (i + 10, "x")], "k long, v string"),
+            ordering=["k"],
+        )
+    first_snap = admin.list_kv_snapshots("db", "lease")[0]
+    lease = admin.create_kv_snapshot_lease("db", "lease", "reader-1", 60_000, first_snap)
+    assert lease.snapshot_id == first_snap
+    assert [l.lease_id for l in admin.list_kv_snapshot_leases("db", "lease")] == ["reader-1"]
+    assert maintenance.expire_snapshots(t, keep=1) >= 0
+    # leased snapshot survived: time travel still reads it
+    assert first_snap in admin.list_kv_snapshots("db", "lease")
+    rows = {r["k"]: r["v"] for r in t.snapshot(spark, version=first_snap).collect()}
+    assert rows == {1: "v0", 10: "x"}
+    # release -> next expiry collects it
+    admin.release_kv_snapshot_lease("db", "lease", "reader-1")
+    maintenance.expire_snapshots(t, keep=1)
+    assert first_snap not in admin.list_kv_snapshots("db", "lease")
+    # an EXPIRED lease does not pin (duration already elapsed)
+    mid = admin.list_kv_snapshots("db", "lease")[0]
+    admin.create_kv_snapshot_lease("db", "lease", "stale", -1, mid)
+    assert admin.list_kv_snapshot_leases("db", "lease") == []
+    with pytest.raises(ValueError, match="no such snapshot"):
+        admin.create_kv_snapshot_lease("db", "lease", "x", 1000, 999)
+
+
+def test_schema_history_by_id(spark, admin):
+    from fluss_spark.admin import AddColumn, RenameColumn
+
+    admin.create_table(
+        "db", "hist", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1)
+    )
+    admin.alter_table("db", "hist", [AddColumn("c", "DOUBLE")])
+    admin.alter_table("db", "hist", [RenameColumn("b", "label")])
+    cur = admin.get_table_info("db", "hist")
+    assert cur.properties["schema.id"] == "2"
+    v0 = admin.get_table_info("db", "hist", schema_id=0)
+    assert [f.name for f in v0.fields] == ["a", "b"]
+    v1 = admin.get_table_info("db", "hist", schema_id=1)
+    assert [f.name for f in v1.fields] == ["a", "b", "c"]
+    assert [f.name for f in admin.get_table_info("db", "hist", schema_id=2).fields] == [
+        "a", "label", "c",
+    ]
+    # field ids stable across the whole history
+    assert {f.name: f.field_id for f in v1.fields}["b"] == {
+        f.name: f.field_id for f in cur.fields
+    }["label"]
+    with pytest.raises(ValueError, match="no such schema id"):
+        admin.get_table_info("db", "hist", schema_id=9)
