@@ -188,6 +188,19 @@ class LogStore:
                 df = df.withColumn(f.name, F.lit(None).cast("long"))
         keep = cols + [c for c in (ordering or []) if c not in cols]
         out = df.select(*keep)
+        # coerce data columns to their DECLARED types: an input batch with
+        # a narrower/different type (e.g. a SQL literal inferred as
+        # DECIMAL) would otherwise write its physical type into the file,
+        # and the explicit read schema would misread it
+        from fluss_spark.types import parse_type
+
+        declared = {f.name: parse_type(f.type) for f in schema.fields}
+        out = out.select(
+            *[
+                F.col(c).cast(declared[c]).alias(c) if c in declared else F.col(c)
+                for c in keep
+            ]
+        )
 
         # bucket routing (W1/W2)
         n = schema.num_buckets

@@ -1,0 +1,382 @@
+"""SQL front-end: the reference is driven through Flink SQL DDL
+(CREATE TABLE ... WITH ('bucket.num'='4', 'table.merge-engine'=...),
+ALTER TABLE, SHOW/DESCRIBE, INSERT INTO, SELECT — fluss docs
+"engine-flink/ddl" and FlinkCatalog.java). This module gives the same
+statement surface over the engine: DDL routes to Admin/catalog calls,
+INSERT routes to append/upsert, and reads delegate to Spark SQL over
+the registered engine views (`<db>_<table>` [+ __snapshot/__changelog/
+__binlog]), so every SELECT is a normal Catalyst plan with pushdown.
+
+A practical, regex-parsed subset — statements are single commands, not
+scripts; quoting follows SQL ('single quotes' for strings/options,
+optional backticks for identifiers).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fluss_spark.admin import (
+    AddColumn,
+    Admin,
+    AlterColumnType,
+    DropColumn,
+    RenameColumn,
+    ResetOption,
+    SetOption,
+)
+from fluss_spark.catalog import Catalog
+from fluss_spark.table import FlussTable, create_table, register_sql_views
+from fluss_spark.types import Field, TableSchema
+
+
+class SqlParseError(ValueError):
+    pass
+
+
+class FlussSqlSession:
+    """Statement executor bound to one catalog + SparkSession.
+
+    sql() returns a DataFrame for queries (SELECT/SHOW/DESCRIBE) and
+    None for DDL/DML commands.
+    """
+
+    def __init__(self, catalog: Catalog, spark: SparkSession, default_db: str = "fluss"):
+        self.catalog = catalog
+        self.admin = Admin(catalog)
+        self.spark = spark
+        self.default_db = default_db
+
+    # ------------------------------------------------------------------ #
+    def sql(self, statement: str) -> DataFrame | None:
+        s = statement.strip().rstrip(";").strip()
+        low = s.lower()
+        if low.startswith("create database"):
+            return self._create_database(s)
+        if low.startswith("drop database"):
+            return self._drop_database(s)
+        if low.startswith("create table"):
+            return self._create_table(s)
+        if low.startswith("drop table"):
+            return self._drop_table(s)
+        if low.startswith("alter table"):
+            return self._alter_table(s)
+        if low.startswith("show databases"):
+            return self.spark.createDataFrame(
+                [(d,) for d in self.admin.list_databases()], "database_name string"
+            )
+        if low.startswith(("show tables", "show partitions", "show create table")):
+            return self._show(s)
+        if low.startswith(("describe ", "desc ")):
+            return self._describe(s)
+        if low.startswith("insert into"):
+            return self._insert(s)
+        if low.startswith(("select", "with ", "values")):
+            self._register_all_views()
+            return self.spark.sql(s)
+        raise SqlParseError(f"unsupported statement: {s[:80]}")
+
+    # ------------------------------------------------------------------ #
+    # helpers
+    # ------------------------------------------------------------------ #
+    def _qualify(self, name: str) -> tuple[str, str]:
+        name = name.strip().strip("`")
+        if "." in name:
+            db, t = name.split(".", 1)
+            return db.strip("`"), t.strip("`")
+        return self.default_db, name
+
+    def _register_all_views(self) -> None:
+        for db in self.admin.list_databases():
+            register_sql_views(self.catalog, self.spark, db)
+
+    @staticmethod
+    def _parse_options(segment: str) -> dict[str, str]:
+        """'k' = 'v' pairs inside WITH ( ... ) / SET ( ... )."""
+        return {
+            m.group(1): m.group(2)
+            for m in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", segment)
+        }
+
+    # ------------------------------------------------------------------ #
+    # databases
+    # ------------------------------------------------------------------ #
+    def _create_database(self, s: str) -> None:
+        m = re.match(
+            r"create\s+database\s+(if\s+not\s+exists\s+)?([\w.`]+)"
+            r"(?:\s+comment\s+'([^']*)')?",
+            s,
+            re.I,
+        )
+        if not m:
+            raise SqlParseError(s)
+        self.admin.create_database(
+            m.group(2).strip("`"), ignore_if_exists=bool(m.group(1)), comment=m.group(3)
+        )
+
+    def _drop_database(self, s: str) -> None:
+        m = re.match(r"drop\s+database\s+(if\s+exists\s+)?([\w.`]+)", s, re.I)
+        if not m:
+            raise SqlParseError(s)
+        db = m.group(2).strip("`")
+        if m.group(1) and db not in self.admin.list_databases():
+            return
+        self.admin.drop_database(db)
+
+    # ------------------------------------------------------------------ #
+    # CREATE / DROP TABLE
+    # ------------------------------------------------------------------ #
+    def _create_table(self, s: str) -> None:
+        m = re.match(
+            r"create\s+table\s+(if\s+not\s+exists\s+)?([\w.`]+)\s*\(", s, re.I
+        )
+        if not m:
+            raise SqlParseError(s)
+        db, name = self._qualify(m.group(2))
+        # body = everything inside the FIRST balanced paren pair (regex
+        # can't balance; a greedy match would swallow the WITH clause)
+        start = m.end() - 1
+        depth = 0
+        end = -1
+        for j in range(start, len(s)):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+        if end < 0:
+            raise SqlParseError(s)
+        body, tail = s[start + 1 : end], s[end + 1 :]
+
+        # split column defs on top-level commas (parens nest in DECIMAL(p,s))
+        parts, depth, cur = [], 0, []
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+
+        fields: list[Field] = []
+        primary_key: list[str] = []
+        for p in (p.strip() for p in parts):
+            if not p:
+                continue
+            pk = re.match(r"primary\s+key\s*\(([^)]*)\)(\s+not\s+enforced)?", p, re.I)
+            if pk:
+                primary_key = [c.strip().strip("`") for c in pk.group(1).split(",")]
+                continue
+            cm = re.match(
+                r"`?(\w+)`?\s+([\w()<>,\s]+?)(\s+not\s+null)?(\s+comment\s+'[^']*')?$",
+                p,
+                re.I,
+            )
+            if not cm:
+                raise SqlParseError(f"bad column definition: {p!r}")
+            fields.append(
+                Field(cm.group(1), cm.group(2).strip(), nullable=not cm.group(3))
+            )
+
+        part_keys: list[str] = []
+        pm = re.search(r"partitioned\s+by\s*\(([^)]*)\)", tail, re.I)
+        if pm:
+            part_keys = [c.strip().strip("`") for c in pm.group(1).split(",")]
+        options = {}
+        wm = re.search(r"with\s*\((.*)\)\s*$", tail, re.I | re.S)
+        if wm:
+            options = self._parse_options(wm.group(1))
+
+        num_buckets = int(options.pop("bucket.num", "4"))
+        bucket_keys = [
+            c.strip() for c in options.pop("bucket.key", "").split(",") if c.strip()
+        ]
+        schema = TableSchema(
+            fields=fields,
+            primary_key=primary_key,
+            bucket_keys=bucket_keys,
+            num_buckets=num_buckets,
+            partition_keys=part_keys,
+            properties=options,
+        )
+        self.admin.create_database(db)
+        create_table(self.catalog, db, name, schema, if_not_exists=bool(m.group(1)))
+
+    def _drop_table(self, s: str) -> None:
+        m = re.match(r"drop\s+table\s+(if\s+exists\s+)?([\w.`]+)", s, re.I)
+        if not m:
+            raise SqlParseError(s)
+        db, name = self._qualify(m.group(2))
+        if m.group(1) and not self.admin.table_exists(db, name):
+            return
+        self.admin.drop_table(db, name)
+
+    # ------------------------------------------------------------------ #
+    # ALTER TABLE
+    # ------------------------------------------------------------------ #
+    def _alter_table(self, s: str) -> None:
+        m = re.match(r"alter\s+table\s+([\w.`]+)\s+(.*)$", s, re.I | re.S)
+        if not m:
+            raise SqlParseError(s)
+        db, name = self._qualify(m.group(1))
+        rest = m.group(2).strip()
+        low = rest.lower()
+        if low.startswith("add column"):
+            cm = re.match(r"add\s+column\s+`?(\w+)`?\s+([\w()<>,\s]+)$", rest, re.I)
+            if not cm:
+                raise SqlParseError(rest)
+            changes = [AddColumn(cm.group(1), cm.group(2).strip())]
+        elif low.startswith("drop column"):
+            cm = re.match(r"drop\s+column\s+`?(\w+)`?$", rest, re.I)
+            if not cm:
+                raise SqlParseError(rest)
+            changes = [DropColumn(cm.group(1))]
+        elif low.startswith("rename column"):
+            cm = re.match(r"rename\s+column\s+`?(\w+)`?\s+to\s+`?(\w+)`?$", rest, re.I)
+            if not cm:
+                raise SqlParseError(rest)
+            changes = [RenameColumn(cm.group(1), cm.group(2))]
+        elif low.startswith("alter column"):
+            cm = re.match(
+                r"alter\s+column\s+`?(\w+)`?\s+type\s+([\w()<>,\s]+)$", rest, re.I
+            )
+            if not cm:
+                raise SqlParseError(rest)
+            changes = [AlterColumnType(cm.group(1), cm.group(2).strip())]
+        elif low.startswith("set"):
+            opts = self._parse_options(rest)
+            if not opts:
+                raise SqlParseError(rest)
+            changes = [SetOption(k, v) for k, v in opts.items()]
+        elif low.startswith("reset"):
+            keys = re.findall(r"'([^']+)'", rest)
+            if not keys:
+                raise SqlParseError(rest)
+            changes = [ResetOption(k) for k in keys]
+        else:
+            raise SqlParseError(f"unsupported ALTER TABLE action: {rest[:60]}")
+        self.admin.alter_table(db, name, changes)
+
+    # ------------------------------------------------------------------ #
+    # SHOW / DESCRIBE
+    # ------------------------------------------------------------------ #
+    def _show(self, s: str) -> DataFrame:
+        low = s.lower()
+        if low.startswith("show tables"):
+            m = re.match(r"show\s+tables(?:\s+(?:in|from)\s+([\w`]+))?$", s, re.I)
+            if not m:
+                raise SqlParseError(s)
+            db = (m.group(1) or self.default_db).strip("`")
+            return self.spark.createDataFrame(
+                [(t,) for t in self.admin.list_tables(db)], "table_name string"
+            )
+        if low.startswith("show partitions"):
+            m = re.match(r"show\s+partitions\s+([\w.`]+)$", s, re.I)
+            if not m:
+                raise SqlParseError(s)
+            db, name = self._qualify(m.group(1))
+            key = self.admin.get_table_info(db, name).partition_keys[0]
+            return self.spark.createDataFrame(
+                [(f"{key}={p.spec[key]}",) for p in self.admin.list_partitions(db, name)],
+                "partition string",
+            )
+        if low.startswith("show create table"):
+            m = re.match(r"show\s+create\s+table\s+([\w.`]+)$", s, re.I)
+            if not m:
+                raise SqlParseError(s)
+            db, name = self._qualify(m.group(1))
+            return self.spark.createDataFrame(
+                [(self._render_create(db, name),)], "create_statement string"
+            )
+        raise SqlParseError(s)
+
+    def _render_create(self, db: str, name: str) -> str:
+        sch = self.admin.get_table_info(db, name)
+        cols = [
+            f"  `{f.name}` {f.type}" + ("" if f.nullable else " NOT NULL")
+            for f in sch.fields
+        ]
+        if sch.primary_key:
+            cols.append(f"  PRIMARY KEY ({', '.join(sch.primary_key)}) NOT ENFORCED")
+        out = f"CREATE TABLE {db}.{name} (\n" + ",\n".join(cols) + "\n)"
+        if sch.partition_keys:
+            out += f" PARTITIONED BY ({', '.join(sch.partition_keys)})"
+        opts = {"bucket.num": str(sch.num_buckets), **sch.properties}
+        if sch.bucket_keys and sch.bucket_keys != [
+            c for c in sch.primary_key if c not in sch.partition_keys
+        ]:
+            opts["bucket.key"] = ",".join(sch.bucket_keys)
+        pairs = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(opts.items()))
+        return out + f" WITH ({pairs})"
+
+    def _describe(self, s: str) -> DataFrame:
+        m = re.match(r"desc(?:ribe)?\s+([\w.`]+)$", s, re.I)
+        if not m:
+            raise SqlParseError(s)
+        db, name = self._qualify(m.group(1))
+        sch = self.admin.get_table_info(db, name)
+        rows = [
+            (
+                f.name,
+                f.type,
+                f.nullable,
+                "PRI" if f.name in sch.primary_key else
+                ("PART" if f.name in sch.partition_keys else ""),
+            )
+            for f in sch.fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, nullable boolean, key string"
+        )
+
+    # ------------------------------------------------------------------ #
+    # INSERT INTO
+    # ------------------------------------------------------------------ #
+    def _insert(self, s: str) -> None:
+        m = re.match(r"insert\s+into\s+([\w.`]+)\s+(.*)$", s, re.I | re.S)
+        if not m:
+            raise SqlParseError(s)
+        db, name = self._qualify(m.group(1))
+        source = m.group(2).strip()
+        t = FlussTable(self.catalog, db, name)
+        cols = t.schema.data_columns()
+        if source.lower().startswith("values"):
+            # VALUES rows bind positionally to the table's columns
+            df = self.spark.sql(
+                f"SELECT * FROM ({source}) AS _v({', '.join(cols)})"
+            )
+        else:
+            self._register_all_views()
+            df = self.spark.sql(source)
+            if len(df.columns) != len(cols):
+                raise SqlParseError(
+                    f"INSERT arity mismatch: query yields {len(df.columns)} "
+                    f"columns, table has {len(cols)}"
+                )
+            df = df.toDF(*cols)  # positional binding, Flink-style
+        # cast to the DECLARED column types: SQL literals infer narrow
+        # types (0.5 -> DECIMAL(2,1)) and the log's explicit read schema
+        # would misread a physically-decimal file as its declared type
+        from pyspark.sql import functions as F
+
+        from fluss_spark.types import parse_type
+
+        df = df.select(
+            *[
+                F.col(f.name).cast(parse_type(f.type)).alias(f.name)
+                for f in t.schema.fields
+            ]
+        )
+        if t.kv is not None:
+            t.upsert(df)
+        else:
+            t.append(df)
