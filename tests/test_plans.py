@@ -310,3 +310,39 @@ def test_minhash_estimate_no_cartesian(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_map_side_only(spark, sf_dir):
+    """PII scrub is one codegen'd map stage: regex counts + redaction
+    chain + fingerprint, zero exchanges at any corpus size."""
+    df = QUERIES["tx_pii_scrub"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_passage_dedup_single_shuffle(spark, sf_dir):
+    """Passage dedup's only exchange is the first-occurrence window on
+    the 16-byte fingerprint — chunking/explosion happen map-side
+    (the load_spread persist pins the input layout; nothing else
+    may shuffle)."""
+    df = QUERIES["dd_passage_dedup"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the only query-owned exchange is the fp hash partition; the
+    # round-robin exchange inside InMemoryRelation is the shared
+    # persisted load_spread stage, not per-query work
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    assert "hashpartitioning(chunk_fp" in plan, plan
+    # Spark plans a PARTIAL WindowGroupLimit: top-1-per-fp reduces
+    # map-side BEFORE the shuffle — the property that keeps the
+    # exchange linear in distinct passages, not total passages
+    assert "row_number(), 1, Partial" in plan, plan
+
+
+def test_sq8_rerank_broadcasts_no_shuffle_scan(spark, sf_dir):
+    """SQ8: the 1-row quantizer stats and the query set broadcast; the
+    corpus scan itself never shuffles into a SortMergeJoin. The only
+    exchanges are the two per-query top-N rank reductions."""
+    df = QUERIES["ann_sq8_rerank"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
