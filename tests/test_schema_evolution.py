@@ -308,3 +308,112 @@ def test_stream_reader_era_transparent_file_source_refuses(spark, admin, tmp_pat
     assert polled is not None
     batch, _bid = polled
     assert {r["a"]: r["label"] for r in batch.collect()} == {1: "x", 2: "y"}
+
+
+# -- property test: random alter/write interleavings vs a Python model ----
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# an action = (kind, selector); selectors index into current state so
+# every generated action is interpreted against the live schema
+_actions = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "add", "drop", "rename", "widen"]),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(actions=_actions)
+def test_random_alter_write_interleavings_match_model(spark_session, actions, tmp_path_factory):
+    """Any interleaving of appends with add/drop/rename/widen alters must
+    read back exactly what a trivial Python model predicts — every era's
+    files resolved by field id onto the final schema."""
+    spark = spark_session
+    admin = Admin(Catalog(str(tmp_path_factory.mktemp("wh"))))
+    admin.create_table(
+        "db", "p",
+        TableSchema(fields=[Field("k", "BIGINT"), Field("c0", "INT")], num_buckets=2),
+    )
+    from fluss_spark.admin import AlterColumnType, RenameColumn
+
+    # model: ordered columns (name -> spark dtype) + rows as dicts keyed
+    # by FINAL name via a field-identity map (same anchor as field ids)
+    cols: list[str] = ["k", "c0"]  # identity keys, stable across renames
+    names: dict[str, str] = {"k": "k", "c0": "c0"}  # identity -> current name
+    types: dict[str, str] = {"k": "bigint", "c0": "int"}
+    rows: list[dict[str, object]] = []  # keyed by identity
+    next_col, next_val, wrote = 1, 0, False
+
+    for kind, sel in actions:
+        live = [c for c in cols if names[c] is not None]
+        if kind == "append":
+            t = FlussTable(admin.catalog, "db", "p")
+            vals = {}
+            for c in live:
+                if types[c] == "string":
+                    vals[c] = f"s{next_val}"
+                elif types[c] in ("double", "float"):
+                    vals[c] = float(next_val)  # model mirrors Spark's float
+                else:
+                    vals[c] = next_val
+                next_val += 1
+            ddl = ", ".join(f"`{names[c]}` {types[c]}" for c in live)
+            t.append(
+                spark.createDataFrame([tuple(vals[c] for c in live)], ddl),
+                ordering=[names["k"]],
+            )
+            rows.append(vals)
+            wrote = True
+        elif kind == "add":
+            ident = f"n{next_col}"
+            next_col += 1
+            typ = ["int", "string", "double"][sel % 3]
+            admin.alter_table("db", "p", [AddColumn(ident, typ.upper())])
+            cols.append(ident)
+            names[ident], types[ident] = ident, typ
+            for r in rows:
+                r[ident] = None
+        elif kind == "drop":
+            droppable = [c for c in cols if names[c] is not None and c != "k"]
+            if not droppable:
+                continue
+            c = droppable[sel % len(droppable)]
+            admin.alter_table("db", "p", [DropColumn(names[c])])
+            names[c] = None
+        elif kind == "rename":
+            renameable = [c for c in cols if names[c] is not None]
+            c = renameable[sel % len(renameable)]
+            new = f"r{next_col}"
+            next_col += 1
+            admin.alter_table("db", "p", [RenameColumn(names[c], new)])
+            names[c] = new
+        elif kind == "widen":
+            widenable = [
+                c for c in cols
+                if names[c] is not None and types[c] in ("int", "float")
+            ]
+            if not widenable:
+                continue
+            c = widenable[sel % len(widenable)]
+            new_t = {"int": "bigint", "float": "double"}[types[c]]
+            admin.alter_table("db", "p", [AlterColumnType(names[c], new_t.upper())])
+            types[c] = new_t
+
+    t = FlussTable(admin.catalog, "db", "p")
+    df = t.scan(spark)
+    live = [c for c in cols if names[c] is not None]
+    assert [f.name for f in t.schema.fields] == [names[c] for c in live]
+    got = sorted(
+        (tuple(r[names[c]] for c in live) for r in df.collect()), key=repr
+    )
+    want = sorted((tuple(r.get(c) for c in live) for r in rows), key=repr)
+    assert got == want
+    if wrote:
+        dtypes = dict(df.dtypes)
+        assert all(dtypes[names[c]] == types[c] for c in live)
