@@ -1,0 +1,154 @@
+"""Fluent client facade parity (client/table/Table.java:39-76):
+newScan/newLookup/newAppend/newUpsert builders over the engine."""
+
+from __future__ import annotations
+
+import pytest
+
+from fluss_spark import predicates as P
+from fluss_spark.client import connect
+from fluss_spark.types import Field, TableSchema
+
+
+@pytest.fixture()
+def conn(tmp_path):
+    return connect(str(tmp_path / "wh"))
+
+
+def _make_log(conn, spark):
+    admin = conn.get_admin()
+    t = admin.create_table(
+        "db", "lg", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2)
+    )
+    t.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)], "a int, b string"),
+        ordering=["a"],
+    )
+    return conn.get_table("db", "lg")
+
+
+def test_scan_builder_project_filter_limit(spark, conn):
+    table = _make_log(conn, spark)
+    base = table.new_scan()
+    scan = base.project(["b"]).filter(P.greater_than("a", 15))
+    assert base._project is None  # immutable refinement (Scan.java:35)
+    rows = {r["b"] for r in scan.create_batch_scanner(spark).collect()}
+    assert rows == {"v16", "v17", "v18", "v19"}
+    assert scan.create_batch_scanner(spark).columns == ["b"]
+    # index-based projection resolves against the declared column order
+    assert table.new_scan().project([1]).create_batch_scanner(spark).columns == ["b"]
+    assert table.new_scan().limit(3).create_batch_scanner(spark).count() == 3
+
+
+def test_log_scanner_with_projection(spark, conn):
+    table = _make_log(conn, spark)
+    rdr = table.new_scan().project(["a"]).create_log_scanner(spark, startup_mode="earliest")
+    df, _bid = rdr.poll()
+    assert df.columns == ["a"] and df.count() == 20
+    with pytest.raises(ValueError, match="limit"):
+        table.new_scan().limit(5).create_log_scanner(spark)
+
+
+def test_append_writer_buffers_one_commit(spark, conn):
+    admin = conn.get_admin()
+    admin.create_table("db", "aw", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1))
+    table = conn.get_table("db", "aw")
+    w = table.new_append().create_writer(spark)
+    w.append({"a": 1, "b": "x"})
+    w.append((2, "y"))  # positional binding
+    w.flush()
+    w.flush()  # empty flush is a no-op, not an empty commit
+    t = conn.catalog.current_commit("db", "aw")
+    assert t.version == 1
+    df = table.new_scan().create_batch_scanner(spark)
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "y")]
+    with pytest.raises(ValueError, match="unknown columns"):
+        w.append({"nope": 1})
+    with pytest.raises(ValueError, match="Primary Key"):
+        table.new_upsert()
+
+
+def test_upsert_writer_order_and_delete(spark, conn):
+    admin = conn.get_admin()
+    admin.create_table(
+        "db", "uw",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING"), Field("n", "INT")],
+            primary_key=["k"], num_buckets=2,
+        ),
+    )
+    table = conn.get_table("db", "uw")
+    w = table.new_upsert().create_writer(spark)
+    w.upsert({"k": 1, "v": "a", "n": 1})
+    w.upsert({"k": 2, "v": "b", "n": 2})
+    w.upsert({"k": 1, "v": "a2", "n": 10})  # same key again: later wins
+    w.delete({"k": 2})
+    w.flush()
+    snap = {r["k"]: (r["v"], r["n"]) for r in table.new_scan().create_batch_scanner(spark).collect()}
+    assert snap == {1: ("a2", 10)}
+    with pytest.raises(ValueError, match="Log Table"):
+        table.new_append()
+
+
+def test_partial_update_writer(spark, conn):
+    admin = conn.get_admin()
+    admin.create_table(
+        "db", "pw",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING"), Field("n", "INT")],
+            primary_key=["k"], num_buckets=1,
+        ),
+    )
+    table = conn.get_table("db", "pw")
+    full = table.new_upsert().create_writer(spark)
+    full.upsert({"k": 1, "v": "a", "n": 5})
+    full.flush()
+    pw = table.new_upsert().partial_update("k", "v").create_writer(spark)
+    pw.upsert({"k": 1, "v": "patched"})
+    pw.flush()
+    snap = {r["k"]: (r["v"], r["n"]) for r in table.new_scan().create_batch_scanner(spark).collect()}
+    assert snap == {1: ("patched", 5)}  # n untouched by the partial write
+    with pytest.raises(ValueError, match="outside the target set"):
+        pw.upsert({"k": 1, "n": 9})
+
+
+def test_lookuper_and_prefix_lookuper(spark, conn):
+    admin = conn.get_admin()
+    admin.create_table(
+        "db", "lk",
+        TableSchema(
+            fields=[Field("acct", "BIGINT"), Field("seq", "BIGINT"), Field("v", "STRING")],
+            primary_key=["acct", "seq"], bucket_keys=["acct"], num_buckets=2,
+        ),
+    )
+    table = conn.get_table("db", "lk")
+    w = table.new_upsert().create_writer(spark)
+    for s in range(3):
+        w.upsert({"acct": 7, "seq": s, "v": f"r{s}"})
+    w.upsert({"acct": 8, "seq": 0, "v": "other"})
+    w.flush()
+    lk = table.new_lookup().create_lookuper(spark)
+    got = lk.lookup(7, 2).collect()
+    assert len(got) == 1 and got[0]["v"] == "r2"
+    plk = table.new_lookup().lookup_by("acct").create_lookuper(spark)
+    assert plk.lookup(7).count() == 3
+    with pytest.raises(ValueError, match="expected values"):
+        lk.lookup(7)
+
+
+def test_snapshot_and_bucket_scan(spark, conn):
+    admin = conn.get_admin()
+    admin.create_table(
+        "db", "sv",
+        TableSchema(fields=[Field("k", "BIGINT"), Field("v", "STRING")], primary_key=["k"], num_buckets=2),
+    )
+    table = conn.get_table("db", "sv")
+    w = table.new_upsert().create_writer(spark)
+    w.upsert({"k": 1, "v": "old"})
+    w.flush()
+    first_snap = conn.catalog.current_commit("db", "sv").snapshot_version
+    w.upsert({"k": 1, "v": "new"})
+    w.flush()
+    assert table.new_scan().create_batch_scanner(spark).collect()[0]["v"] == "new"
+    # time travel via snapshot id (Scan.java:99-104)
+    assert table.new_scan().create_batch_scanner(spark, snapshot_id=first_snap).collect()[0]["v"] == "old"
