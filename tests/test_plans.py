@@ -346,3 +346,14 @@ def test_sq8_rerank_broadcasts_no_shuffle_scan(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_adc_broadcast_training(spark, sf_dir):
+    """PQ training/encoding must broadcast the codebooks (metadata-sized)
+    and never shuffle the corpus into a SortMergeJoin or cross-join it;
+    the assignment argmin aggregates with map-side partials."""
+    df = QUERIES["ann_pq_adc"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -417,3 +417,27 @@ def test_random_alter_write_interleavings_match_model(spark_session, actions, tm
     if wrote:
         dtypes = dict(df.dtypes)
         assert all(dtypes[names[c]] == types[c] for c in live)
+
+
+def test_era_reads_span_tiers(spark, admin):
+    """Rename mid-life, then tier old commits to remote: the scan must
+    era-map BOTH tiers (old-era remote files, old-era local files, and
+    new-era local files all project onto the current name)."""
+    from fluss_spark import maintenance
+    from fluss_spark.admin import RenameColumn
+
+    t = admin.create_table(
+        "db", "et", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1)
+    )
+    for i in range(3):  # commits 1-3 under the original schema
+        t.append(spark.createDataFrame([(i, f"old{i}")], "a int, b string"), ordering=["a"])
+    admin.alter_table("db", "et", [RenameColumn("b", "label")])
+    t2 = FlussTable(admin.catalog, "db", "et")
+    t2.append(spark.createDataFrame([(3, "new3")], "a int, label string"), ordering=["a"])
+    # tier the two oldest commits (both old-era) to remote
+    assert maintenance.tier_log(t2, local_segments=2) == 2
+    rows = {r["a"]: r["label"] for r in t2.scan(spark).collect()}
+    assert rows == {0: "old0", 1: "old1", 2: "old2", 3: "new3"}
+    # offsets/time travel still fence correctly across tiers + eras
+    tt = t2.log.scan(spark, as_of_commit=2)
+    assert {r["a"]: r["label"] for r in tt.collect()} == {0: "old0", 1: "old1"}
