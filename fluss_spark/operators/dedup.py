@@ -1029,3 +1029,69 @@ def dd_passage_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "chunk_idx", "chunk_fp")
     )
+
+
+# ---------------------------------------------------------------------- #
+# URL canonicalization dedup
+# ---------------------------------------------------------------------- #
+
+# The corpus has no URL column; a deterministic messy URL is derived
+# from (source, lang, doc_id) on BOTH sides — mixed-case scheme/host,
+# a www. prefix, and utm_*/ref tracking params sandwiched between real
+# params. The normalize -> group pipeline below is the actual operator
+# (the first dedup pass every web-crawl pipeline runs).
+_SQL_URL = """
+  concat('HTTPS://WWW.', source, '.Example.com/doc/',
+         CAST(doc_id % 25 AS VARCHAR),
+         '?id=', CAST(doc_id % 25 AS VARCHAR),
+         '&utm_source=feed&ref=', CAST(doc_id % 7 AS VARCHAR),
+         '&lang=', lang)
+"""
+_URL_TRACKING = r"&(utm_[a-z]+|ref)=[^&]*"
+
+
+@register(
+    "dd_url_normalize",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_SQL_URL} AS url FROM documents),
+    n AS (
+      SELECT doc_id,
+             regexp_replace(replace(lower(url), '://www.', '://'),
+                            '{_URL_TRACKING}', '', 'g') AS norm_url
+      FROM u
+    )
+    SELECT norm_url, count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM n GROUP BY norm_url HAVING count(*) > 1
+    """,
+)
+def dd_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization dedup: lowercase, strip the www. host
+    prefix, drop utm_*/ref tracking parameters (whole-param regex, so
+    real params around them survive), then ONE shuffle on the
+    normalized URL to find pages crawled under many surface forms.
+    Map-side normalization at scan speed; output is linear in
+    duplicated URLs."""
+    d = load(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.com/doc/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit("?id="),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit("&utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    norm = F.regexp_replace(
+        F.replace(F.lower(url), F.lit("://www."), F.lit("://")),
+        _URL_TRACKING,
+        "",
+    )
+    return (
+        d.select("doc_id", norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )

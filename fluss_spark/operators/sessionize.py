@@ -318,3 +318,54 @@ def op_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_norm), 4).cast("double").alias("p"),
     )
+
+
+_PATH_LEN = 3  # events per path window
+_PATH_TOP = 20
+
+
+@register(
+    "op_user_paths",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (
+      SELECT concat(event_type, '>', e2, '>', e3) AS path, count(*) AS n
+      FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rank
+    FROM p ORDER BY n DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def op_user_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """User-journey path analysis: the corpus's top {_PATH_TOP} length-
+    {_PATH_LEN} event sequences (the Sankey/funnel-discovery primitive).
+    One window pass per user builds sliding event trigrams via lead()
+    — no self-joins — then a global count + top-N reduction. Scale
+    shape: the user_id partitioning is the same exchange sessionize/
+    funnel use; the per-path aggregation is map-side combined and the
+    final top-N is a TakeOrdered, not a full sort."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    p = (
+        o.select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        p.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PATH_TOP)
+        .orderBy("rank")
+    )
