@@ -12,5 +12,22 @@ Reference (behavior only, not code): /root/reference (apache/fluss).
 
 from fluss_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def connect(warehouse: str):
+    """Entry point mirroring the reference's ConnectionFactory: returns
+    a Connection with get_table()/get_admin() (see fluss_spark.client)."""
+    from fluss_spark.client import connect as _connect
+
+    return _connect(warehouse)
+
+
+def sql_session(warehouse: str, spark, default_db: str = "fluss"):
+    """SQL statement executor over a warehouse (see fluss_spark.sql_ddl)."""
+    from fluss_spark.catalog import Catalog
+    from fluss_spark.sql_ddl import FlussSqlSession
+
+    return FlussSqlSession(Catalog(warehouse), spark, default_db)
+
+
+__all__ = ["get_spark", "connect", "sql_session"]
 __version__ = "0.1.0"
