@@ -59,13 +59,14 @@ _PRIORITY = [
     "tx_lang_id",
     "tx_fingerprint",
     "tx_corpus_stats",
-    "tx_hash_sample",
     "tx_shard_packing",
-    "tx_repetition_score",
-    # tx_word_entropy rotated out of the 50-entry window for
-    # l4_lookup_join (still locally oracle-checked like every query)
-    "tx_bpe_token_count",
     "tx_stratified_sample",
+    "tx_pii_scrub",
+    # tx_hash_sample / tx_repetition_score / tx_bpe_token_count /
+    # tx_word_entropy rotated out of the 50-entry window for the
+    # session-3 flagship operators (passage dedup, SQ8, PII scrub) —
+    # all still locally oracle-checked like every registered query
+    "dd_passage_dedup",
     # tx_blocklist_redact: rotated out of the 50-entry driver window to
     # make room for s9_tiered_log_scan; still oracle-checked locally by
     # tests/test_oracle_parity.py over the full registry.
@@ -83,6 +84,7 @@ _PRIORITY = [
     "ann_ivf_topk",
     "ann_ivf_nprobe",
     "ann_hyperplane_lsh",
+    "ann_sq8_rerank",
     # multimodal plumbing
     "mm_decode_metadata",
     "mm_frame_sample",

@@ -937,3 +937,79 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------- #
+# recall audit: approximate vs exact top-k
+# ---------------------------------------------------------------------- #
+
+
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT * FROM e WHERE vec_id < {_N_QUERIES}
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.v) /
+                          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM q JOIN e c ON q.vec_id != c.vec_id
+      ) WHERE rank <= {_TOP_K}
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.v) /
+                          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM q JOIN e c ON q.vec_id != c.vec_id AND q.label = c.label
+      ) WHERE rank <= {_TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS INT) AS n_hits,
+           round(count(a.neighbor_id) / {_TOP_K}.0, 4) AS recall
+    FROM exact x
+    LEFT JOIN approx a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@{_TOP_K} of the IVF (cell-restricted, nprobe=1) search
+    against the exact brute-force ranking — the accuracy audit every
+    approximate index needs before a 100 TB rollout (the ANN analog of
+    dd_minhash_estimate's sketch audit). IVF misses true neighbors that
+    live outside the query's cell, so recall is genuinely < 1 here and
+    the measurement is non-trivial.
+
+    Scale shape: both rankings are the existing broadcast-query plans;
+    the audit itself joins two k-row-per-query sets — output is
+    O(queries), the expensive scans are the ones already being run."""
+    e = _embeddings(spark, sf)
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    exact = cosine_topk(q, e, _TOP_K).select("query_id", "neighbor_id")
+    approx = cosine_topk(q, e, _TOP_K, same_label_only=True).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["a_neighbor"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg(
+            F.count("a_neighbor").cast("int").alias("n_hits"),
+            F.round(F.count("a_neighbor") / float(_TOP_K), 4).alias("recall"),
+        )
+    )
