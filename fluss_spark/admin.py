@@ -10,7 +10,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
-from fluss_spark.catalog import Catalog, TableNotFoundError
+from fluss_spark.catalog import Catalog, DatabaseNotFoundError, TableNotFoundError
 from fluss_spark.table import FlussTable, create_table
 from fluss_spark.types import Field, TableSchema
 
@@ -152,7 +152,26 @@ _IMMUTABLE_OPTIONS = (
     "schema.retired-columns",
     "schema.evolution",
     "schema.id",
+    "schema.max-field-id",
 )
+
+_SORT_COLS_PROP = "table.log.compaction.sort-columns"
+
+
+def _update_sort_columns(props: dict, old: str, new: str | None) -> None:
+    """Keep the clustered-compaction column list in sync with renames
+    (new=name) and drops (new=None) so compact_log never chases a
+    stale column name."""
+    raw = props.get(_SORT_COLS_PROP)
+    if not raw:
+        return
+    cols = [c.strip() for c in raw.split(",")]
+    cols = [new if c == old else c for c in cols]
+    cols = [c for c in cols if c is not None]
+    if cols:
+        props[_SORT_COLS_PROP] = ",".join(cols)
+    else:
+        props.pop(_SORT_COLS_PROP, None)
 
 
 class Admin:
@@ -167,8 +186,11 @@ class Admin:
         comment: str | None = None,
         properties: dict[str, str] | None = None,
     ) -> None:
+        existed = db in self.catalog.list_databases()
         self.catalog.create_database(db, ignore_if_exists)
-        if comment is not None or properties:
+        # an existing database's info is NOT overwritten by an
+        # ignore_if_exists re-create — the whole call is a no-op then
+        if not existed and (comment is not None or properties):
             self._write_dbinfo(db, comment, properties or {})
 
     def _dbinfo_path(self, db: str) -> str:
@@ -191,7 +213,7 @@ class Admin:
         import os
 
         if db not in self.catalog.list_databases():
-            raise TableNotFoundError(db)
+            raise DatabaseNotFoundError(db)
         comment, props = None, {}
         p = self._dbinfo_path(db)
         if os.path.exists(p):
@@ -323,6 +345,15 @@ class Admin:
                 ],
             }
             needs_era = False
+            # field ids are NEVER reused, even after DropColumn frees the
+            # highest id: era records resolve columns BY id, so a reused
+            # id would resurrect the dropped column's values from
+            # old-era files into the new column. The high-water mark
+            # persists in schema.max-field-id (monotone).
+            next_id = max(
+                int(props.get("schema.max-field-id", "-1")),
+                max((f.field_id for f in fields), default=-1),
+            ) + 1
             for ch in changes:
                 if isinstance(ch, AddColumn):
                     if any(f.name == ch.name for f in fields):
@@ -338,7 +369,10 @@ class Admin:
                             f"column name was previously dropped and old data "
                             f"files still carry it: {ch.name} (use a new name)"
                         )
-                    fields.append(Field(ch.name, ch.type, nullable=True, agg=ch.agg))
+                    fields.append(
+                        Field(ch.name, ch.type, nullable=True, field_id=next_id, agg=ch.agg)
+                    )
+                    next_id += 1
                 elif isinstance(ch, DropColumn):
                     if not any(f.name == ch.name for f in fields):
                         raise InvalidAlterTableException(f"no such column: {ch.name}")
@@ -353,6 +387,7 @@ class Admin:
                     fields = [f for f in fields if f.name != ch.name]
                     retired.add(ch.name)
                     props["schema.retired-columns"] = ",".join(sorted(retired))
+                    _update_sort_columns(props, ch.name, None)
                 elif isinstance(ch, RenameColumn):
                     src = next((f for f in fields if f.name == ch.name), None)
                     if src is None:
@@ -390,6 +425,7 @@ class Admin:
                     # old physical name still lives in old files: retire it
                     retired.add(ch.name)
                     props["schema.retired-columns"] = ",".join(sorted(retired))
+                    _update_sort_columns(props, ch.name, ch.new_name)
                     protected = set(primary_key + bucket_keys + schema.partition_keys)
                     needs_era = True
                 elif isinstance(ch, AlterColumnType):
@@ -426,6 +462,15 @@ class Admin:
                         raise InvalidAlterTableException(
                             f"option is immutable after creation: {ch.key}"
                         )
+                    if ch.key == _SORT_COLS_PROP:
+                        names = {f.name for f in fields}
+                        bad = [
+                            c.strip() for c in ch.value.split(",") if c.strip() not in names
+                        ]
+                        if bad:
+                            raise InvalidAlterTableException(
+                                f"unknown sort column(s): {bad}"
+                            )
                     if ch.key == "table.log.tiered.local-segments":
                         # validated HERE so the append path never raises
                         # AFTER its commit succeeded (auto-tiering runs
@@ -468,6 +513,7 @@ class Admin:
                 schema.to_json(),
             )
             props["schema.id"] = str(old_id + 1)
+            props["schema.max-field-id"] = str(next_id - 1)
             new_schema = TableSchema(
                 fields=fields,
                 primary_key=primary_key,
@@ -533,11 +579,27 @@ class Admin:
             )
 
     def drop_partition(
-        self, db: str, name: str, spec: dict[str, str], ignore_if_not_exists: bool = True
+        self,
+        db: str,
+        name: str,
+        spec: dict[str, str],
+        ignore_if_not_exists: bool = True,
+        spark: SparkSession | None = None,
     ) -> None:
         """Admin.dropPartition (Admin.java:390): unregister AND delete the
-        partition's data dirs from every commit dir in both tiers."""
+        partition's data dirs from every commit dir in both tiers.
+
+        On a partitioned PRIMARY KEY table the snapshot stores partition
+        values as data columns (snapshot dirs partition only by bucket),
+        so dropping log dirs alone would leave the rows alive in the
+        snapshot while their WAL is gone. A pk-table drop therefore
+        first runs an engine DELETE of the partition's rows (changelog
+        -D + snapshot rewrite — needs `spark`), then removes the log
+        dirs, which also erases the delete events themselves (the same
+        end state TTL expiry produces)."""
         import json
+
+        from pyspark.sql import functions as F
 
         from fluss_spark import maintenance
         from fluss_spark.catalog import Catalog as _C
@@ -546,8 +608,18 @@ class Admin:
         key = t.schema.partition_keys[0]
         if set(spec) != {key}:
             raise ValueError(f"partition spec must be exactly {{{key!r}: value}}, got {spec}")
+        if t.kv is not None and spark is None:
+            raise ValueError(
+                "dropPartition on a primary-key table rewrites the snapshot "
+                "(rows live there keyed by data columns) — pass spark="
+            )
+        val = spec[key]
+        if t.kv is not None:
+            # outside the lock: delete_where takes the write lock itself
+            has_rows = maintenance.materialized_partitions(t)
+            if val in has_rows:
+                t.delete_where(spark, F.col(key) == F.lit(val))
         with self.catalog.write_lock(db, name):
-            val = spec[key]
             active = maintenance.registered_partitions(t)
             known = set(active) | maintenance.materialized_partitions(t)
             if val not in known:
@@ -585,7 +657,27 @@ class Admin:
                     if fn.endswith(".parquet"):
                         files += 1
                         size += os.path.getsize(os.path.join(dirpath, fn))
-        return TableStats(num_rows=t.count(), size_bytes=size, num_files=files)
+        if t.kv is None:
+            num_rows = t.count()  # offset watermarks: exact for log tables
+        else:
+            # PK table: live rows = the current snapshot. The manifest
+            # maps bucket -> data dir and each dir partitions by
+            # __bucket, so summing Parquet-footer row counts of exactly
+            # the manifest's (bucket, dir) pairs is exact and
+            # metadata-only (a dir's OTHER buckets may be superseded by
+            # newer dirs and must not be counted).
+            import pyarrow.parquet as pq
+
+            num_rows = 0
+            manifest = t.kv._manifest(state.snapshot_version) or {}
+            for bkt, data_dir in manifest.items():
+                bdir = os.path.join(t.kv.snapshot_dir, data_dir, f"__bucket={bkt}")
+                if not os.path.isdir(bdir):
+                    continue
+                for fn in os.listdir(bdir):
+                    if fn.endswith(".parquet"):
+                        num_rows += pq.read_metadata(os.path.join(bdir, fn)).num_rows
+        return TableStats(num_rows=num_rows, size_bytes=size, num_files=files)
 
     # -- remote log manifests (Admin.listRemoteLogManifests) --------------
     def list_remote_log_manifests(self, db: str, name: str) -> dict[int, list[str]]:

@@ -31,6 +31,10 @@ class TableNotFoundError(KeyError):
     pass
 
 
+class DatabaseNotFoundError(KeyError):
+    pass
+
+
 @dataclass
 class CommitState:
     version: int

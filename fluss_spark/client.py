@@ -208,6 +208,10 @@ class _BufferedWriter:
     def _push(self, record: dict | tuple, extra: dict | None = None) -> None:
         cols = self._t.schema.data_columns()
         if not isinstance(record, dict):
+            if len(record) != len(cols):
+                raise ValueError(
+                    f"record has {len(record)} values, table has columns {cols}"
+                )
             record = dict(zip(cols, record))
         unknown = set(record) - set(cols)
         if unknown:
@@ -295,7 +299,12 @@ class UpsertWriter(_BufferedWriter):
 
     def upsert(self, record: dict | tuple) -> None:
         if not isinstance(record, dict):
-            record = dict(zip(self._allowed(), record))
+            allowed = self._allowed()
+            if len(record) != len(allowed):
+                raise ValueError(
+                    f"record has {len(record)} values, expected {allowed}"
+                )
+            record = dict(zip(allowed, record))
         extra = {"__op": "U", "__client_seq": self._seq}
         self._seq += 1
         self._check_partial(record)
@@ -304,6 +313,8 @@ class UpsertWriter(_BufferedWriter):
     def delete(self, record: dict | tuple) -> None:
         pk = self._t.schema.primary_key
         if not isinstance(record, dict):
+            if len(record) != len(pk):
+                raise ValueError(f"delete key has {len(record)} values, pk is {pk}")
             record = dict(zip(pk, record))
         extra = {"__op": "D", "__client_seq": self._seq}
         self._seq += 1

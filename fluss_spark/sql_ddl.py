@@ -74,7 +74,7 @@ class FlussSqlSession:
         if low.startswith("insert into"):
             return self._insert(s)
         if low.startswith(("select", "with ", "values")):
-            self._register_all_views()
+            self._register_referenced_views(s)
             return self.spark.sql(s)
         raise SqlParseError(f"unsupported statement: {s[:80]}")
 
@@ -91,6 +91,24 @@ class FlussSqlSession:
     def _register_all_views(self) -> None:
         for db in self.admin.list_databases():
             register_sql_views(self.catalog, self.spark, db)
+
+    def _register_referenced_views(self, stmt: str) -> None:
+        """Register (refresh) only the engine views the statement's text
+        mentions — view plans bind the commit state at registration, so
+        re-registering per statement is what keeps reads fresh, but
+        paying that for EVERY table in the warehouse made each
+        statement O(tables). A superset match (table name as a
+        substring) is fine: registering an extra table is harmless."""
+        hit = False
+        for db in self.admin.list_databases():
+            wanted = [
+                t for t in self.catalog.list_tables(db) if f"{db}_{t}" in stmt
+            ]
+            if wanted:
+                register_sql_views(self.catalog, self.spark, db, tables=wanted)
+                hit = True
+        if not hit:  # nothing recognized: conservative full refresh
+            self._register_all_views()
 
     @staticmethod
     def _parse_options(segment: str) -> dict[str, str]:
@@ -284,10 +302,10 @@ class FlussSqlSession:
             if not m:
                 raise SqlParseError(s)
             db, name = self._qualify(m.group(1))
+            parts = self.admin.list_partitions(db, name)  # validates partitioned
             key = self.admin.get_table_info(db, name).partition_keys[0]
             return self.spark.createDataFrame(
-                [(f"{key}={p.spec[key]}",) for p in self.admin.list_partitions(db, name)],
-                "partition string",
+                [(f"{key}={p.spec[key]}",) for p in parts], "partition string"
             )
         if low.startswith("show create table"):
             m = re.match(r"show\s+create\s+table\s+([\w.`]+)$", s, re.I)
@@ -355,7 +373,7 @@ class FlussSqlSession:
                 f"SELECT * FROM ({source}) AS _v({', '.join(cols)})"
             )
         else:
-            self._register_all_views()
+            self._register_referenced_views(source)
             df = self.spark.sql(source)
             if len(df.columns) != len(cols):
                 raise SqlParseError(

@@ -223,3 +223,58 @@ def test_schema_history_by_id(spark, admin):
     }["label"]
     with pytest.raises(ValueError, match="no such schema id"):
         admin.get_table_info("db", "hist", schema_id=9)
+
+
+def test_table_stats_pk_table(spark, admin):
+    """Stats on a PRIMARY KEY table: num_rows = live snapshot rows
+    (footer sums over exactly the manifest's bucket dirs), not the
+    log-offset count (which counts every changelog event)."""
+    t = admin.create_table(
+        "db", "stpk",
+        TableSchema(fields=[Field("k", "BIGINT"), Field("v", "STRING")], primary_key=["k"], num_buckets=2),
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"), ordering=["k"])
+    t.upsert(spark.createDataFrame([(2, "b2")], "k long, v string"), ordering=["k"])
+    stats = admin.get_table_stats("db", "stpk")
+    assert stats.num_rows == 3  # 3 live keys, not 5 changelog events
+    assert stats.num_files > 0 and stats.size_bytes > 0
+
+
+def test_drop_partition_pk_table_rewrites_snapshot(spark, admin):
+    """Dropping a partition of a PK table must remove its rows from the
+    SNAPSHOT too (they live there keyed by data columns), not just the
+    log dirs — otherwise snapshot and changelog permanently disagree."""
+    t = admin.create_table(
+        "db", "ppk",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("p", "STRING"), Field("v", "STRING")],
+            primary_key=["k", "p"],
+            bucket_keys=["k"],
+            partition_keys=["p"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "2024", "a"), (2, "2024", "b"), (3, "2025", "c")],
+            "k long, p string, v string",
+        ),
+        ordering=["k"],
+    )
+    with pytest.raises(ValueError, match="pass spark"):
+        admin.drop_partition("db", "ppk", {"p": "2024"})
+    admin.drop_partition("db", "ppk", {"p": "2024"}, spark=spark)
+    t2 = FlussTable(admin.catalog, "db", "ppk")
+    assert {r["p"] for r in t2.snapshot(spark).collect()} == {"2025"}
+    assert {p.spec["p"] for p in admin.list_partitions("db", "ppk")} == {"2025"}
+
+
+def test_create_database_does_not_clobber_info(admin):
+    admin.create_database("d1", comment="orig", properties={"owner": "ml"})
+    admin.create_database("d1", ignore_if_exists=True, comment="other")
+    info = admin.get_database_info("d1")
+    assert info.comment == "orig" and info.properties == {"owner": "ml"}
+    from fluss_spark.catalog import DatabaseNotFoundError
+
+    with pytest.raises(DatabaseNotFoundError):
+        admin.get_database_info("ghost")

@@ -152,3 +152,21 @@ def test_snapshot_and_bucket_scan(spark, conn):
     assert table.new_scan().create_batch_scanner(spark).collect()[0]["v"] == "new"
     # time travel via snapshot id (Scan.java:99-104)
     assert table.new_scan().create_batch_scanner(spark, snapshot_id=first_snap).collect()[0]["v"] == "old"
+
+
+def test_writer_arity_validated(spark, conn):
+    admin = conn.get_admin()
+    admin.create_table(
+        "db", "ar",
+        TableSchema(fields=[Field("k", "BIGINT"), Field("v", "STRING"), Field("n", "INT")], primary_key=["k"], num_buckets=1),
+    )
+    table = conn.get_table("db", "ar")
+    w = table.new_upsert().create_writer(spark)
+    with pytest.raises(ValueError, match="expected"):
+        w.upsert((1, "x"))  # missing n: must raise, not write NULLs
+    with pytest.raises(ValueError, match="delete key"):
+        w.delete((1, "extra"))
+    admin.create_table("db", "ar2", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1))
+    aw = conn.get_table("db", "ar2").new_append().create_writer(spark)
+    with pytest.raises(ValueError, match="values, table has"):
+        aw.append((1, "x", "extra"))

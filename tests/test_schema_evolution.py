@@ -441,3 +441,58 @@ def test_era_reads_span_tiers(spark, admin):
     # offsets/time travel still fence correctly across tiers + eras
     tt = t2.log.scan(spark, as_of_commit=2)
     assert {r["a"]: r["label"] for r in tt.collect()} == {0: "old0", 1: "old1"}
+
+
+def test_field_ids_never_reused_after_drop(spark, admin):
+    """Era reads resolve BY id: dropping the highest-id column and then
+    adding a new one must mint a FRESH id, or the new column would
+    resurrect the dropped column's values from old-era files."""
+    from fluss_spark.admin import RenameColumn
+
+    t = admin.create_table(
+        "db", "idr",
+        TableSchema(fields=[Field("a", "INT"), Field("b", "STRING"), Field("c", "STRING")], num_buckets=1),
+    )
+    t.append(
+        spark.createDataFrame([(1, "bee", "secret")], "a int, b string, c string"),
+        ordering=["a"],
+    )
+    # create an era record (rename), so old files resolve by id
+    admin.alter_table("db", "idr", [RenameColumn("a", "a2")])
+    old_c_id = next(
+        f.field_id for f in admin.get_table_info("db", "idr").fields if f.name == "c"
+    )
+    admin.alter_table("db", "idr", [DropColumn("c")])
+    admin.alter_table("db", "idr", [AddColumn("d", "STRING")])
+    sch = admin.get_table_info("db", "idr")
+    new_d_id = next(f.field_id for f in sch.fields if f.name == "d")
+    assert new_d_id != old_c_id  # id not recycled
+    rows = FlussTable(admin.catalog, "db", "idr").scan(spark).collect()
+    assert rows[0]["d"] is None  # NOT 'secret' resurrected from the old file
+
+
+def test_sort_columns_follow_rename_and_drop(spark, admin):
+    from fluss_spark import maintenance
+    from fluss_spark.admin import RenameColumn
+
+    t = admin.create_table(
+        "db", "sc",
+        TableSchema(
+            fields=[Field("a", "INT"), Field("grp", "INT")],
+            num_buckets=1,
+            properties={"table.log.compaction.sort-columns": "grp"},
+        ),
+    )
+    for i in range(2):
+        t.append(spark.createDataFrame([(i, i % 2)], "a int, grp int"), ordering=["a"])
+    admin.alter_table("db", "sc", [RenameColumn("grp", "bucketed")])
+    sch = admin.get_table_info("db", "sc")
+    assert sch.properties["table.log.compaction.sort-columns"] == "bucketed"
+    t2 = FlussTable(admin.catalog, "db", "sc")
+    assert maintenance.compact_log(t2, spark, target_commits=2) == 2  # no stale-name crash
+    admin.alter_table("db", "sc", [DropColumn("bucketed")])
+    assert "table.log.compaction.sort-columns" not in admin.get_table_info("db", "sc").properties
+    with pytest.raises(InvalidAlterTableException, match="unknown sort column"):
+        admin.alter_table(
+            "db", "sc", [SetOption("table.log.compaction.sort-columns", "nope")]
+        )

@@ -121,3 +121,9 @@ def test_create_with_decimal_and_pk_bucket_key(spark, fsql):
 
     t = FlussTable(fsql.catalog, "fluss", "ledger")
     assert t.prefix_lookup(spark, {"acct": 7}).count() == 1
+
+
+def test_show_partitions_non_partitioned_clean_error(spark, fsql):
+    fsql.sql("CREATE TABLE flat (a INT) WITH ('bucket.num' = '1')")
+    with pytest.raises(ValueError, match="not a partitioned"):
+        fsql.sql("SHOW PARTITIONS flat")
