@@ -633,6 +633,29 @@ def ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
 # scalar-quantized search + exact rerank (SQ8)
 # ---------------------------------------------------------------------- #
 
+def _exact_rerank(cand: DataFrame, approx_out: Column) -> DataFrame:
+    """Shared tail of the quantized searches: exact-cosine rerank of an
+    overfetched candidate set (query_id, neighbor_id, qv, cv, approx)
+    down to the top k, surfacing the quantized score as approx_dot
+    for auditability."""
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("__cos", cos)
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            approx_out.alias("approx_dot"),
+            F.round("__cos", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 _SQ_OVERFETCH = 30  # candidates kept per query before the exact rerank
 
 
@@ -722,22 +745,7 @@ def ann_sq8_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("arn", F.row_number().over(aw))
         .filter(F.col("arn") <= _SQ_OVERFETCH)
     )
-    cos = dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
-    )
-    rw = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("__cos", cos)
-        .withColumn("rank", F.row_number().over(rw))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("approx").cast("bigint").alias("approx_dot"),
-            F.round("__cos", 4).alias("cosine"),
-            "rank",
-        )
-    )
+    return _exact_rerank(cand, F.col("approx").cast("bigint"))
 
 
 # ---------------------------------------------------------------------- #
@@ -921,22 +929,7 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("arn") <= _SQ_OVERFETCH)
         .join(c_exact, "neighbor_id")
     )
-    cos = dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
-    )
-    rw = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("__cos", cos)
-        .withColumn("rank", F.row_number().over(rw))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("approx", 4).alias("approx_dot"),
-            F.round("__cos", 4).alias("cosine"),
-            "rank",
-        )
-    )
+    return _exact_rerank(cand, F.round("approx", 4))
 
 
 # ---------------------------------------------------------------------- #

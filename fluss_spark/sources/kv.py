@@ -344,14 +344,12 @@ class KvStore:
     def _snapshot_schema(self, era=None):
         from pyspark.sql import types as T
 
+        from fluss_spark.types import era_struct_fields
+
         if era is None:
             fields = list(self.schema.to_struct_type().fields)
         else:  # physical layout of a pre-rename/retype snapshot dir
-            fields = [
-                T.StructField(era[f.field_id][0], parse_type(era[f.field_id][1]), True)
-                for f in self.schema.fields
-                if f.field_id in era
-            ]
+            fields = era_struct_fields(self.schema, era)
         fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         return T.StructType(fields)
 
@@ -377,7 +375,9 @@ class KvStore:
             .parquet(os.path.join(self.snapshot_dir, data_dir))
         )
         if era is not None:
-            df = df.select(self.log.era_projection(era, [BUCKET_COL]))
+            from fluss_spark.types import era_projection
+
+            df = df.select(era_projection(self.schema, era, [BUCKET_COL]))
         return df
 
     def changelog(self, spark: SparkSession, start_offsets: dict[int, int] | None = None) -> DataFrame:

@@ -116,16 +116,12 @@ class LogStore:
         surfaced as NULL by the projection, not the read schema."""
         from pyspark.sql import types as T
 
-        from fluss_spark.types import parse_type
+        from fluss_spark.types import era_struct_fields
 
         if era is None:
             fields = list(self.schema.to_struct_type().fields)
         else:
-            fields = [
-                T.StructField(era[f.field_id][0], parse_type(era[f.field_id][1]), True)
-                for f in self.schema.fields
-                if f.field_id in era
-            ]
+            fields = era_struct_fields(self.schema, era)
         if self.schema.is_pk_table:
             fields.append(T.StructField(CHANGE_TYPE_COL, T.StringType(), False))
             fields.append(T.StructField("__seq", T.LongType(), True))
@@ -140,20 +136,9 @@ class LogStore:
         return T.StructType(fields)
 
     def era_projection(self, era, extra_cols: list[str]):
-        """Columns mapping one era's physical layout onto the CURRENT
-        schema: resolve by field id (alias), widen by cast; fields added
-        after the era read as typed NULLs. System columns pass through."""
-        from fluss_spark.types import parse_type
+        from fluss_spark.types import era_projection
 
-        cols = []
-        for f in self.schema.fields:
-            cur_t = parse_type(f.type)
-            if f.field_id in era:
-                phys_name, _ = era[f.field_id]
-                cols.append(F.col(phys_name).cast(cur_t).alias(f.name))
-            else:
-                cols.append(F.lit(None).cast(cur_t).alias(f.name))
-        return cols + [F.col(c) for c in extra_cols]
+        return era_projection(self.schema, era, extra_cols)
 
     # ------------------------------------------------------------------ #
     # append (S1)

@@ -267,3 +267,33 @@ def era_fields_for_commit(
         if commit_version <= era["until"]:
             return {f["id"]: (f["name"], f["type"]) for f in era["fields"]}
     return None
+
+
+def era_struct_fields(schema: "TableSchema", era: dict[int, tuple[str, str]]):
+    """Physical StructFields of one era's layout, restricted to fields
+    that still exist in the CURRENT schema (matched by id). Fields added
+    after the era are surfaced as NULLs by era_projection, not read."""
+    from pyspark.sql import types as T
+
+    return [
+        T.StructField(era[f.field_id][0], parse_type(era[f.field_id][1]), True)
+        for f in schema.fields
+        if f.field_id in era
+    ]
+
+
+def era_projection(schema: "TableSchema", era: dict[int, tuple[str, str]], extra_cols):
+    """Columns mapping one era's physical layout onto the CURRENT
+    schema: resolve by field id (alias), widen by cast; fields added
+    after the era read as typed NULLs. System columns pass through."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in schema.fields:
+        cur_t = parse_type(f.type)
+        if f.field_id in era:
+            phys_name, _ = era[f.field_id]
+            cols.append(F.col(phys_name).cast(cur_t).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(cur_t).alias(f.name))
+    return cols + [F.col(c) for c in extra_cols]
