@@ -892,7 +892,7 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     a1 = assign(c0)
-    c1 = (
+    c1_plan = (
         a1.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
         .groupBy("m", "cid", "pos")
         .agg(F.avg("x").alias("mean"))
@@ -903,6 +903,15 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
                 lambda s: s["mean"],
             ).alias("c")
         )
+    )
+    # materialize the trained codebooks ONCE: {_PQ_M} x {_PQ_K} rows of
+    # {_PQ_SUBDIM} doubles — metadata-sized (the kmeans_assign
+    # precedent). Two downstream consumers (code assignment + vector
+    # reconstruction) would otherwise each plan AND execute the whole
+    # training subtree.
+    c1 = spark.createDataFrame(
+        [(int(r["m"]), int(r["cid"]), [float(x) for x in r["c"]]) for r in c1_plan.collect()],
+        "m int, cid int, c array<double>",
     )
     codes = assign(c1)
     recon = (
