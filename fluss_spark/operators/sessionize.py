@@ -369,3 +369,71 @@ def op_user_paths(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= _PATH_TOP)
         .orderBy("rank")
     )
+
+
+_Z_THRESHOLD = 2.5
+_Z_MIN_EVENTS = 5
+
+
+@register(
+    "op_anomaly_zscore",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, x,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx,
+             sum(x * x) OVER w AS sxx
+      FROM c WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, event_id,
+           round((x - CAST(sx AS DOUBLE) / n)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        / (CAST(n AS DOUBLE) * (n - 1))), 4) AS z
+    FROM s
+    WHERE n >= {_Z_MIN_EVENTS}
+      AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) > 0
+      AND abs((x - CAST(sx AS DOUBLE) / n)
+              / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     / (CAST(n AS DOUBLE) * (n - 1)))) > {_Z_THRESHOLD}
+    """,
+)
+def op_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user anomaly detection: events whose value is more than
+    {_Z_THRESHOLD} sample standard deviations from the user's own mean
+    (users with < {_Z_MIN_EVENTS} events skipped) — the per-entity
+    outlier flagging pass a metrics/abuse pipeline runs.
+
+    Determinism note (why cents): a float threshold filter on an
+    order-dependent aggregate is engine-ambiguous — sum(double) varies
+    in ulps with accumulation order, and a z sitting on the threshold
+    could flip membership between engines. Values here are 2-decimal,
+    so the moments are computed from EXACT integer power sums of cents
+    (n, Σx, Σx² — all < 2^53), making mean/stddev/z bit-identical IEEE
+    arithmetic on both sides. One shuffle on user_id — the same
+    exchange every other per-user operator in this family uses."""
+    ev = load(spark, sf, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("user_id")
+    s = (
+        c.withColumn("n", F.count("*").over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w))
+    )
+    n = F.col("n")
+    mean = F.col("sx").cast("double") / n
+    var_num = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    std = F.sqrt(var_num / (n.cast("double") * (n - 1)))
+    z = (F.col("x") - mean) / std
+    return (
+        s.filter((n >= _Z_MIN_EVENTS) & (var_num > 0) & (F.abs(z) > _Z_THRESHOLD))
+        .select("user_id", "event_id", F.round(z, 4).alias("z"))
+    )

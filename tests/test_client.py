@@ -170,3 +170,29 @@ def test_writer_arity_validated(spark, conn):
     aw = conn.get_table("db", "ar2").new_append().create_writer(spark)
     with pytest.raises(ValueError, match="values, table has"):
         aw.append((1, "x", "extra"))
+
+
+def test_projecting_log_scanner_checkpoint_resume(spark, conn, tmp_path):
+    """The projection wrapper must not break exactly-once resume: a new
+    scanner on the same checkpoint dir continues from the committed
+    offsets and still applies the projection per batch."""
+    admin = conn.get_admin()
+    admin.create_table("db", "ck", TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=1))
+    raw = conn.get_table("db", "ck")._t
+    raw.append(spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string"), ordering=["a"])
+    table = conn.get_table("db", "ck")
+    ckpt = str(tmp_path / "ck")
+    rdr = table.new_scan().project(["a"]).create_log_scanner(
+        spark, checkpoint_dir=ckpt, startup_mode="earliest"
+    )
+    df, bid = rdr.poll()
+    assert df.columns == ["a"] and sorted(r["a"] for r in df.collect()) == [1, 2]
+    rdr.commit_batch()
+    raw.append(spark.createDataFrame([(3, "z")], "a int, b string"), ordering=["a"])
+    # a FRESH scanner on the same checkpoint resumes past batch 0
+    rdr2 = table.new_scan().project(["a"]).create_log_scanner(
+        spark, checkpoint_dir=ckpt, startup_mode="earliest"
+    )
+    df2, bid2 = rdr2.poll()
+    assert bid2 == bid + 1
+    assert df2.columns == ["a"] and [r["a"] for r in df2.collect()] == [3]
