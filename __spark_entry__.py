@@ -23,71 +23,74 @@ registry.load_all_queries()
 # operators take the window — the relational family keeps its two rounds
 # of driver-green history and stays covered by tests/test_oracle_parity.py,
 # which runs the identical compare over ALL registered queries.
+# Round-4 rotation: the 27 queries that never had a driver CORRECTNESS
+# row (union of r1-r3) take the window, alongside 10 engine-core
+# sentinels (m1/m3/m6/m7/l1/l2/s6/s9/t9/a1) that keep continuous driver
+# history for the heart of the system, plus the engine-family members
+# with a single round of history.  Everything rotated out stays covered
+# by tests/test_oracle_parity.py, which runs the identical compare over
+# ALL registered queries.
 _PRIORITY = [
-    # engine core: merge semantics, lookups, hybrid scan, time travel
+    # engine-core sentinels (driver-green r3; keep continuous history)
     "m1_changelog_emission",
-    "m2_delete_replay",
     "m3_partial_update",
-    "m4_default_merge_snapshot",
-    "m5_first_row_snapshot",
     "m6_versioned_snapshot",
     "m7_aggregation_snapshot",
     "l1_pk_lookup",
     "l2_prefix_lookup",
-    "l4_lookup_join",
     "s6_hybrid_snapshot_log",
-    "s8_offset_time_travel",
     "s9_tiered_log_scan",
-    "t4_incremental_view",
     "t9_log_changelog_view",
-    "p6_partition_pruned_scan",
     "a1_count_metadata",
-    # dedup family
-    "dd_exact",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "dd_ngram_jaccard",
-    "dd_embedding_cosine",
-    "dd_lsh_verify_pipeline",
-    "dd_contamination",
-    "dd_lsh_canonical",
+    # --- never driver-checked before this round (27) ---
+    # engine/windows/subqueries
+    "t5_sliding_window",
+    "t5_session_window",
+    "subquery_tpch_q2",
+    "subquery_tpch_q20",
+    "dd_exact_engine",
+    # text analysis
+    "tx_top_terms",
+    "tx_hash_sample",
+    "tx_repetition_score",
+    "tx_word_entropy",
+    "tx_length_histogram",
+    "tx_bpe_token_count",
+    "tx_blocklist_redact",
+    "tx_domain_mix",
+    "tx_unigram_logloss",
+    # dedup
+    "dd_prefix_cluster",
+    "dd_url_normalize",
+    # similarity search
+    "ann_kmeans_ivf",
+    "emb_label_stats",
+    "ann_range_search",
+    "ann_pq_adc",
+    "ann_recall_audit",
+    # bitmap wire format
+    "fn_rb_binary_roundtrip",
+    # multimodal
+    "mm_feature_extract",
+    "mm_resize_pipeline",
+    # event analytics
+    "op_transition_matrix",
+    "op_user_paths",
+    "op_anomaly_zscore",
+    # --- fill: engine family with one round of driver history ---
+    "m2_delete_replay",
+    "m4_default_merge_snapshot",
+    "m5_first_row_snapshot",
+    "l4_lookup_join",
+    "s8_offset_time_travel",
+    "t4_incremental_view",
+    "p6_partition_pruned_scan",
+    "dd_passage_dedup",
+    "ann_sq8_rerank",
     "dd_cluster_components",
     "dd_minhash_estimate",
-    # text analysis
-    "tx_token_count",
-    "tx_quality_score",
-    "tx_lang_id",
-    "tx_fingerprint",
-    "tx_corpus_stats",
-    "tx_shard_packing",
-    "tx_stratified_sample",
     "tx_pii_scrub",
-    # tx_hash_sample / tx_repetition_score / tx_bpe_token_count /
-    # tx_word_entropy rotated out of the 50-entry window for the
-    # session-3 flagship operators (passage dedup, SQ8, PII scrub) —
-    # all still locally oracle-checked like every registered query
-    "dd_passage_dedup",
-    # tx_blocklist_redact: rotated out of the 50-entry driver window to
-    # make room for s9_tiered_log_scan; still oracle-checked locally by
-    # tests/test_oracle_parity.py over the full registry.
-    # event-stream operators
     "op_sessionize",
-    "op_asof_join",
-    "op_funnel",
-    "op_retention_cohort",
-    "op_interval_join",
-    # bitmap functions
-    "fn_rb_build_cardinality",
-    "fn_rb_and_or_agg",
-    # similarity search
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_ivf_nprobe",
-    "ann_hyperplane_lsh",
-    "ann_sq8_rerank",
-    # multimodal plumbing
-    "mm_decode_metadata",
-    "mm_frame_sample",
 ]
 
 
