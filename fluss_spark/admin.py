@@ -634,31 +634,56 @@ class Admin:
 
     # -- stats (Admin.getTableStats) --------------------------------------
     def get_table_stats(self, db: str, name: str) -> TableStats:
-        """Admin.getTableStats (Admin.java:563): exact row count from the
-        offset watermarks (the A1 metadata path) + file count/bytes from
-        a driver-side walk of the committed file set (log both tiers +
-        the current snapshot's referenced dirs)."""
+        """Admin.getTableStats (Admin.java:563): exact live row count +
+        file count/bytes from a driver-side walk (log both tiers + the
+        current snapshot's referenced dirs). Row count sources: offset
+        watermarks (the A1 metadata path) for unpartitioned log tables;
+        Parquet footers over surviving committed files for PARTITIONED
+        log tables (partition drops delete dirs without rebasing
+        offsets, so watermarks would over-count); snapshot-manifest
+        footers for pk tables."""
         import os
+
+        import pyarrow.parquet as pq
 
         t = FlussTable(self.catalog, db, name)
         state = self.catalog.current_commit(db, name)
-        size, files = 0, 0
+        size, files, log_footer_rows = 0, 0, 0
         roots = [t.log.log_dir, t.log.remote_dir]
         if t.kv is not None and state.snapshot_version >= 0:
             roots += [
                 os.path.join(t.kv.snapshot_dir, d)
                 for d in sorted(t.kv.referenced_data_dirs(state.snapshot_version))
             ]
+        count_footers = t.kv is None and bool(t.schema.partition_keys)
         for root in roots:
             if not os.path.isdir(root):
                 continue
+            in_log_tier = root in (t.log.log_dir, t.log.remote_dir)
             for dirpath, _dirs, names in os.walk(root):
+                committed = True
+                if in_log_tier and count_footers:
+                    rel = os.path.relpath(dirpath, root)
+                    head = rel.split(os.sep, 1)[0]
+                    if head.startswith("__commit="):
+                        committed = int(head.split("=")[1]) <= state.version
                 for fn in names:
                     if fn.endswith(".parquet"):
                         files += 1
-                        size += os.path.getsize(os.path.join(dirpath, fn))
+                        full = os.path.join(dirpath, fn)
+                        size += os.path.getsize(full)
+                        if in_log_tier and count_footers and committed:
+                            log_footer_rows += pq.read_metadata(full).num_rows
         if t.kv is None:
-            num_rows = t.count()  # offset watermarks: exact for log tables
+            if t.schema.partition_keys:
+                # offset watermarks over-count once a partition is
+                # dropped (drop_partition/auto_partition delete dirs
+                # without rebasing offsets) — sum Parquet footers of the
+                # SURVIVING files instead: still metadata-only, and it
+                # equals what scan() returns.
+                num_rows = log_footer_rows
+            else:
+                num_rows = t.count()  # offset watermarks: exact here
         else:
             # PK table: live rows = the current snapshot. The manifest
             # maps bucket -> data dir and each dir partitions by
@@ -666,8 +691,6 @@ class Admin:
             # the manifest's (bucket, dir) pairs is exact and
             # metadata-only (a dir's OTHER buckets may be superseded by
             # newer dirs and must not be counted).
-            import pyarrow.parquet as pq
-
             num_rows = 0
             manifest = t.kv._manifest(state.snapshot_version) or {}
             for bkt, data_dir in manifest.items():

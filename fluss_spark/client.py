@@ -199,6 +199,30 @@ class Lookuper:
         return self._t.prefix_lookup(self._spark, key)
 
 
+def _coerce(v, dt):
+    """Python-side convenience coercions the old JSON path provided:
+    int literals for FLOAT/DOUBLE/DECIMAL columns and ISO strings for
+    DATE/TIMESTAMP columns. Everything else must already match the
+    declared type (createDataFrame verifies and raises — better than
+    the JSON path's silent nulling)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(dt, (T.FloatType, T.DoubleType)) and isinstance(v, int):
+        return float(v)
+    if isinstance(dt, T.DecimalType) and isinstance(v, (int, float, str)):
+        return decimal.Decimal(str(v))
+    if isinstance(dt, T.DateType) and isinstance(v, str):
+        return datetime.date.fromisoformat(v)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) and isinstance(v, str):
+        return datetime.datetime.fromisoformat(v)
+    return v
+
+
 class _BufferedWriter:
     def __init__(self, table: FlussTable, spark: SparkSession):
         self._t = table
@@ -222,27 +246,27 @@ class _BufferedWriter:
         if not self._rows:
             return None
         rows, self._rows = self._rows, []
-        import json
+        # build tuples against the DECLARED schema (per-row dicts may be
+        # ragged: partial updates / deletes carry only some columns).
+        # createDataFrame with an explicit schema preserves bytes for
+        # BINARY columns and non-finite doubles — a JSON round-trip
+        # turned bytes into their repr string and NaN/Infinity rows into
+        # corrupt records that PERMISSIVE mode silently nulled.
+        from pyspark.sql import types as T
 
-        # route through JSON + explicit schema: per-row dicts may be
-        # ragged (partial updates / deletes carry only some columns) and
-        # values must land as the DECLARED types, not inferred ones
         extra_fields = sorted(
             {k for r in rows for k in r} - set(self._t.schema.data_columns())
         )
-        from pyspark.sql import types as T
-
         fields = [f.to_struct_field() for f in self._t.schema.fields]
         for e in extra_fields:
             fields.append(
                 T.StructField(e, T.LongType() if e == "__client_seq" else T.StringType(), True)
             )
-        return self._spark.read.json(
-            self._spark.sparkContext.parallelize(
-                [json.dumps(r, default=str) for r in rows], 1
-            ),
-            schema=T.StructType(fields),
-        )
+        schema = T.StructType(fields)
+        data = [
+            tuple(_coerce(r.get(f.name), f.dataType) for f in fields) for r in rows
+        ]
+        return self._spark.createDataFrame(data, schema)
 
 
 class Append:

@@ -403,17 +403,32 @@ def drop_partition_dirs(table: FlussTable, values: list[str]) -> None:
                     shutil.rmtree(pdir, ignore_errors=True)
 
 
-def auto_partition(table: FlussTable, now: datetime | None = None) -> dict[str, list[str]]:
+def auto_partition(
+    table: FlussTable, now: datetime | None = None, spark=None
+) -> dict[str, list[str]]:
     """Time-based partition lifecycle (table.auto-partition.*): creates
     the next `num-precreate` time partitions as empty dirs and drops
     partitions older than `num-retention`. Returns {'created': [...],
     'dropped': [...]}. Partition values use the reference's time-unit
-    formats (yyyyMMdd etc., ConfigOptions.java:1726-1812)."""
+    formats (yyyyMMdd etc., ConfigOptions.java:1726-1812).
+
+    On a PRIMARY KEY table expired rows live in the KV snapshot (its
+    dirs partition by bucket, the partition value is a data column), so
+    retention must route through the engine's delete path, exactly like
+    Admin.drop_partition — pass `spark`. Without a session the call
+    refuses rather than leave snapshot rows that the dropped log dirs
+    can no longer explain."""
     props = table.schema.properties
     if props.get("table.auto-partition.enabled", "false") != "true":
         return {"created": [], "dropped": []}
     if not table.schema.partition_keys:
         raise ValueError("auto-partitioning requires a partitioned table")
+    if table.kv is not None and spark is None:
+        raise ValueError(
+            "auto_partition retention on a primary-key table deletes rows "
+            "through the engine (they live in the KV snapshot keyed by "
+            "data columns) — pass spark="
+        )
     unit = props.get("table.auto-partition.time-unit", "DAY").upper()
     n_pre = int(props.get("table.auto-partition.num-precreate", "2"))
     n_keep = int(props.get("table.auto-partition.num-retention", "7"))
@@ -435,6 +450,16 @@ def auto_partition(table: FlussTable, now: datetime | None = None) -> dict[str, 
     cutoff = (now - n_keep * _UNIT_DELTA[unit]).strftime(fmt)
     keepers = [p for p in active if p >= cutoff]
     dropped = [p for p in active if p < cutoff]
+    if table.kv is not None and dropped:
+        # pk table: delete expired rows through the engine FIRST (same
+        # order as Admin.drop_partition — snapshot consistency), then
+        # remove the log dirs below
+        from pyspark.sql import functions as F
+
+        key = table.schema.partition_keys[0]
+        to_delete = [p for p in dropped if p in on_disk]
+        if to_delete:
+            table.delete_where(spark, F.col(key).isin(to_delete))
     Catalog._write_atomic(meta_path, json.dumps({"active": keepers}))
     drop_partition_dirs(table, dropped)
     return {"created": [c for c in created if c not in existing], "dropped": dropped}

@@ -6,11 +6,13 @@ training-data pipelines (a first-class goal, see repo brief). The
 Spark-side plumbing — schema convention, partition-preserving batch
 iteration, UDF signatures, bounded batch sizes — is real and tested.
 Codecs are PLUGGABLE: each kernel probes for its library at runtime
-(PIL for images, PyAV for video) and `decode_mode` selects the path —
+(PIL for images — falling back to the vendored pure-stdlib PNG codec
+in fluss_spark/functions/png.py, so the image "real" path always
+executes — and PyAV for video) and `decode_mode` selects the path:
 "fake" (default) derives deterministic pseudo-results from the payload
 bytes so the whole pipeline stays oracle-checkable, "real" uses the
-probed codec and raises NotImplementedError at the exact plug point if
-the library is absent (it is not in this image), "auto" uses the codec
+probed codec (raising NotImplementedError at the exact plug point only
+where no codec exists, i.e. video without PyAV), "auto" uses the codec
 when present and falls back to fake.
 
 Schema convention for a multimodal column `media`:
@@ -37,7 +39,12 @@ _PYAV = _UNSET
 
 
 def _image_codec():
-    """Probe for PIL once per process; None when unavailable."""
+    """Probe for PIL once per process; when unavailable, fall back to
+    the vendored pure-stdlib PNG codec (fluss_spark.functions.png —
+    same open/size/format/resize/save surface, PNG-only scope), so
+    decode_mode="real" is executable in every environment for at least
+    one real format. PIL, when installed, takes precedence (all
+    formats)."""
     global _PIL_IMAGE
     if _PIL_IMAGE is _UNSET:
         try:
@@ -45,7 +52,9 @@ def _image_codec():
 
             _PIL_IMAGE = importlib.import_module("PIL.Image")
         except ImportError:
-            _PIL_IMAGE = None
+            from fluss_spark.functions import png as _png_fallback
+
+            _PIL_IMAGE = _png_fallback
     return _PIL_IMAGE
 
 

@@ -534,6 +534,18 @@ def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
     nprobe/n_cells of the corpus. Everything after probe selection is the
     same broadcast-query + per-query top-k reduction as nprobe=1."""
     e = _embeddings(spark, sf)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_multiprobe_topk(e, q, _TOP_K, _N_PROBE)
+
+
+def ivf_multiprobe_topk(e: DataFrame, q: DataFrame, k: int, nprobe: int) -> DataFrame:
+    """Multi-probe IVF over a corpus (vec_id, label=cell, v) and a query
+    set (query_id, qv): centroid derivation (map-side partial agg,
+    broadcast), nprobe nearest cells per query, cell-restricted scan,
+    per-query top-k reduction — the parameterized core of
+    ann_ivf_nprobe."""
     cents = (
         e.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
@@ -541,9 +553,6 @@ def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s["m"]).alias("c"))
-    )
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     d2 = (
         dot(F.col("qv"), F.col("qv"))
@@ -555,7 +564,7 @@ def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
         q.crossJoin(F.broadcast(cents))
         .withColumn("__d2", d2)
         .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= _N_PROBE)
+        .filter(F.col("__rn") <= nprobe)
         .select("query_id", "qv", "cell")
     )
     cand = e.join(
@@ -569,7 +578,7 @@ def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
         cand.select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
         .withColumn("__cos", cos)
         .withColumn("__rk", F.row_number().over(w_rank))
-        .filter(F.col("__rk") <= _TOP_K)
+        .filter(F.col("__rk") <= k)
         .select(
             "query_id",
             "neighbor_id",
@@ -577,6 +586,49 @@ def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
             F.col("__rk").alias("rank"),
         )
     )
+
+
+def select_nprobe(
+    e: DataFrame, q: DataFrame, target_recall: float = 0.8, k: int = _TOP_K
+) -> tuple[int, dict[int, float]]:
+    """Accuracy-SLA parameter selection: the smallest nprobe whose mean
+    recall@k (vs the exact broadcast-query ranking) meets the target —
+    the ANN analog of the reference's lake freshness SLA
+    (`table.datalake.freshness`, ConfigOptions.java:1831-1886): a
+    declared quality bound the maintenance side tunes itself to meet,
+    instead of a hand-picked magic constant.
+
+    Returns (chosen_nprobe, {nprobe: measured_mean_recall}); falls back
+    to n_cells (exhaustive probing == exact) if the target is never met
+    earlier. Each probe evaluation is one cell-restricted scan +
+    a k-row-per-query join — the audit output is O(queries), the scans
+    are the same plans the production search runs."""
+    exact = cosine_topk(q.select(
+        F.col("query_id").alias("vec_id"), F.lit(None).alias("label"), F.col("qv").alias("v")
+    ), e, k).select("query_id", "neighbor_id")
+    exact = exact.persist()
+    n_exact = exact.count()  # also materializes the persist
+    if n_exact == 0:
+        return 1, {}
+    n_cells = e.select("label").distinct().count()
+    measured: dict[int, float] = {}
+    try:
+        for nprobe in range(1, n_cells + 1):
+            approx = ivf_multiprobe_topk(e, q, k, nprobe).select(
+                "query_id", F.col("neighbor_id").alias("a_neighbor")
+            )
+            hits = exact.join(
+                approx,
+                (exact["query_id"] == approx["query_id"])
+                & (exact["neighbor_id"] == approx["a_neighbor"]),
+                "left_semi",
+            ).count()
+            measured[nprobe] = hits / n_exact
+            if measured[nprobe] >= target_recall:
+                return nprobe, measured
+    finally:
+        exact.unpersist()
+    return n_cells, measured
 
 
 _RANGE_THR = 0.25
@@ -713,7 +765,15 @@ def ann_sq8_rerank(spark: SparkSession, sf: str) -> DataFrame:
     scored scan is a broadcast join of the (small) query set; the only
     shuffles are the two per-query top-N reductions. At 100 TB the code
     column is what sits in memory/SSD (the float column stays in cold
-    storage and is fetched only for the overfetched candidates)."""
+    storage and is fetched only for the overfetched candidates).
+    Past {_SQ_BLAS_THRESHOLD} queries the per-pair JVM zip_with dot
+    (O(queries) interpreted array passes per candidate) switches to one
+    BLAS matmul per Arrow batch with in-kernel per-partition top-N —
+    see _sq8_candidates."""
+    return _sq8_search(spark, sf, _N_QUERIES)
+
+
+def _sq8_search(spark: SparkSession, sf: str, n_queries: int, force_kernel: bool = False) -> DataFrame:
     e = _embeddings(spark, sf)
     st = e.agg(
         F.min(F.array_min("v")).alias("mn"), F.max(F.array_max("v")).alias("mx")
@@ -726,26 +786,92 @@ def ann_sq8_rerank(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: F.round((x - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 255.0)),
         ).alias("code"),
     )
-    q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = coded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("code").alias("qcode"),
     )
-    c = coded.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.col("code").alias("ccode"),
-    )
+    cand = _sq8_candidates(coded, q, n_queries, force_kernel)
+    return _exact_rerank(cand, F.col("approx").cast("bigint"))
+
+
+_SQ_BLAS_THRESHOLD = 32  # queries; above this the BLAS kernel wins
+
+
+def _sq8_candidates(
+    coded: DataFrame, q: DataFrame, n_queries: int, force_kernel: bool = False
+) -> DataFrame:
+    """Top-{_SQ_OVERFETCH} SQ8 candidates per query, two strategies with
+    identical output (codes are small integers, so the float64 matmul is
+    EXACT — sums stay far below 2^53):
+
+    - few queries: broadcast join + JVM zip_with integer dot — zero
+      Python, fine while the per-candidate cost O(queries x dim) is
+      interpreter-cheap;
+    - many queries (> {_SQ_BLAS_THRESHOLD}): one numpy matmul
+      (batch_codes @ query_codes.T) per Arrow batch inside mapInPandas,
+      with the per-partition top-{_SQ_OVERFETCH} reduction IN-KERNEL so
+      the rank shuffle carries O(partitions x queries x {_SQ_OVERFETCH})
+      rows (the builder's 200k x 5 stress measured the zip_with path at
+      ~10s — it scales linearly with query count; the matmul path is one
+      BLAS call regardless)."""
     aw = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id")
     )
-    cand = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("approx", dot(F.col("qcode"), F.col("ccode")))
-        .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") <= _SQ_OVERFETCH)
+    if n_queries <= _SQ_BLAS_THRESHOLD and not force_kernel:
+        c = coded.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("code").alias("ccode"),
+        )
+        return (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("approx", dot(F.col("qcode"), F.col("ccode")))
+            .withColumn("arn", F.row_number().over(aw))
+            .filter(F.col("arn") <= _SQ_OVERFETCH)
+        )
+    import numpy as np
+
+    q_rows = sorted(q.collect(), key=lambda r: r["query_id"])  # nq rows: metadata
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    QC = np.array([r["qcode"] for r in q_rows], dtype=np.float64)  # nq x dim
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf["code"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            A = C @ QC.T  # n x nq, exact in float64
+            outs = []
+            for qi in range(len(q_ids)):
+                keep = ids != q_ids[qi]
+                a, nid = A[:, qi][keep], ids[keep]
+                top = np.lexsort((nid, -a))[:_SQ_OVERFETCH]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(top), q_ids[qi]),
+                            "neighbor_id": nid[top],
+                            "approx": a[top],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = coded.select("vec_id", "code").mapInPandas(
+        score, "query_id long, neighbor_id long, approx double"
     )
-    return _exact_rerank(cand, F.col("approx").cast("bigint"))
+    c_exact = coded.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    return (
+        scored.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= _SQ_OVERFETCH)
+        .join(c_exact, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+    )
 
 
 # ---------------------------------------------------------------------- #
@@ -841,11 +967,15 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     broadcast metadata. Training assignments are broadcast joins + one
     rank window; codebook update is a per-(cell, dim) mean aggregation;
     nothing ever shuffles the corpus except the two per-query top-N
-    reductions. At 100 TB the stored index is {_PQ_M} bytes/vector
-    (64x smaller than float64); a production kernel replaces the
-    reconstruction join with per-query lookup tables inside an Arrow
-    kernel — the dataflow (broadcast codebooks, scan-side scoring) is
-    identical.
+    reductions. The search side is the honest ADC shape: the stored
+    index is the packed {_PQ_M}-codes column ({_PQ_M} bytes/vector, 64x
+    smaller than float64), per-query {_PQ_M} x {_PQ_K} distance lookup
+    tables are computed ONCE from the (metadata-sized) codebooks and
+    query vectors, and an Arrow kernel scores the code column by LUT
+    summation — no 64-double vector is ever reconstructed, and each
+    scan partition emits only its top {_SQ_OVERFETCH} per query (the
+    map-side partial of the global top-N), so the rank shuffle carries
+    O(partitions x queries x {_SQ_OVERFETCH}) rows, not the corpus.
 
     All {_PQ_M} subspaces train in ONE chain: the corpus explodes to
     (vec_id, m, subvector) rows once and every stage joins on m —
@@ -913,17 +1043,67 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         [(int(r["m"]), int(r["cid"]), [float(x) for x in r["c"]]) for r in c1_plan.collect()],
         "m int, cid int, c array<double>",
     )
-    codes = assign(c1)
-    recon = (
-        codes.join(F.broadcast(c1), ["m", "cid"])
+    # the stored index: one packed code array per vector ({_PQ_M} small
+    # ints — the {_PQ_M}-bytes/vector column that lives in memory at
+    # 100 TB; sv never leaves the assignment stage)
+    packed = (
+        assign(c1)
         .groupBy("vec_id")
         .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "c"))), lambda s: s["c"]
-                )
-            ).alias("r")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))), lambda s: s["cid"]
+            ).alias("code")
         )
+    )
+    # per-query ADC lookup tables from the two metadata-sized pieces we
+    # already hold driver-side: lut[q][m][cid] = dot(query_sub_m,
+    # codebook[m][cid]); approx(query, vec) = sum_m lut[q][m][code[m]]
+    # == dot(query, reconstructed vector), without materializing it
+    import numpy as np
+
+    cb = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM))
+    for r in c1.collect():
+        cb[r["m"], r["cid"]] = r["c"]
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["v"] for r in q_rows]).reshape(len(q_rows), _PQ_M, _PQ_SUBDIM)
+    lut = np.einsum("qmd,mkd->qmk", Q, cb)  # nq x M x K
+
+    def adc_score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = np.vstack(pdf["code"].to_numpy())  # n x M codes
+            ids = pdf["vec_id"].to_numpy()
+            outs = []
+            for qi in range(len(q_ids)):
+                approx = lut[qi][np.arange(_PQ_M), C].sum(axis=1)
+                keep = ids != q_ids[qi]  # self-exclusion
+                a, nid = approx[keep], ids[keep]
+                # per-partition partial of the global top-N: exact order
+                # (approx desc, neighbor_id asc) so boundary ties keep
+                # the same rows the global window would
+                top = np.lexsort((nid, -a))[:_SQ_OVERFETCH]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(top), q_ids[qi]),
+                            "neighbor_id": nid[top],
+                            "approx": a[top],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = packed.mapInPandas(
+        adc_score, "query_id long, neighbor_id long, approx double"
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -931,12 +1111,10 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     c_exact = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
     aw = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
     cand = (
-        recon.withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("approx", dot(F.col("qv"), F.col("r")))
-        .withColumn("arn", F.row_number().over(aw))
+        scored.withColumn("arn", F.row_number().over(aw))
         .filter(F.col("arn") <= _SQ_OVERFETCH)
         .join(c_exact, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
     )
     return _exact_rerank(cand, F.round("approx", 4))
 

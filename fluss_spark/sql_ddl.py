@@ -98,11 +98,17 @@ class FlussSqlSession:
         re-registering per statement is what keeps reads fresh, but
         paying that for EVERY table in the warehouse made each
         statement O(tables). A superset match (table name as a
-        substring) is fine: registering an extra table is harmless."""
+        substring) is fine: registering an extra table is harmless.
+        Matching is case-insensitive on BOTH sides — Spark resolves temp
+        view names case-insensitively, so a differently-cased reference
+        must still refresh the view (else it reads a stale plan)."""
+        low_stmt = stmt.lower()
         hit = False
         for db in self.admin.list_databases():
             wanted = [
-                t for t in self.catalog.list_tables(db) if f"{db}_{t}" in stmt
+                t
+                for t in self.catalog.list_tables(db)
+                if f"{db}_{t}".lower() in low_stmt
             ]
             if wanted:
                 register_sql_views(self.catalog, self.spark, db, tables=wanted)

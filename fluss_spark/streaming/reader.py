@@ -180,19 +180,43 @@ def read_stream(
             "(offset-based, tier-transparent), or pass static_tiers=True "
             "if no tiering will run while this stream is active."
         )
+    from fluss_spark.sources.log import COMMIT_DIR_COL
     from fluss_spark.types import evolution_eras
 
-    if evolution_eras(table.schema):
+    eras = evolution_eras(table.schema)
+    if eras:
         # a single readStream schema cannot map per-file eras: files
         # written before a rename/retype carry old physical names and
         # would silently surface NULLs. The offset-based LogStreamReader
         # goes through scan() per micro-batch and is era-transparent.
-        raise ValueError(
-            "read_stream on a table with renamed/retyped columns: the "
-            "file source reads one fixed schema and cannot resolve old "
-            "files by field id. Use LogStreamReader (era-transparent), "
-            "or compact_log() to rewrite old files to the current schema."
-        )
+        # The era records themselves are permanent metadata, so gate on
+        # the FILES, not the records: once no surviving commit dir (in
+        # either tier) predates the newest era boundary — old segments
+        # compacted, TTL-expired, or dropped — every file carries the
+        # current schema and the file source is safe again.
+        max_until = max(e["until"] for e in eras)
+
+        def _has_old_era_commits(root: str) -> bool:
+            if not os.path.isdir(root):
+                return False
+            return any(
+                e.name.startswith(f"{COMMIT_DIR_COL}=")
+                and int(e.name.split("=")[1]) <= max_until
+                for e in os.scandir(root)
+            )
+
+        if _has_old_era_commits(table.log.log_dir) or _has_old_era_commits(
+            table.log.remote_dir
+        ):
+            raise ValueError(
+                "read_stream on a table with renamed/retyped columns: the "
+                "file source reads one fixed schema and cannot resolve "
+                "pre-alter files by field id. Use LogStreamReader "
+                "(era-transparent); read_stream re-enables automatically "
+                "once no surviving log segment predates the alter (after "
+                "compact_log() on the local tier plus TTL expiry or "
+                "tier cleanup of any pre-alter remote segments)."
+            )
     schema = table.log.file_schema()
     sdf = (
         spark.readStream.schema(schema)

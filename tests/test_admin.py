@@ -278,3 +278,28 @@ def test_create_database_does_not_clobber_info(admin):
 
     with pytest.raises(DatabaseNotFoundError):
         admin.get_database_info("ghost")
+
+
+def test_table_stats_after_partition_drop(spark, admin):
+    """drop_partition deletes files without rebasing offsets — stats on
+    a partitioned log table must count SURVIVING rows (what scan()
+    returns), not the offset watermarks."""
+    t = admin.create_table(
+        "db", "stp",
+        TableSchema(
+            fields=[Field("a", "INT"), Field("p", "STRING")],
+            partition_keys=["p"],
+            num_buckets=2,
+        ),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024"), (2, "2024"), (3, "2025")], "a int, p string"
+        ),
+        ordering=["a"],
+    )
+    assert admin.get_table_stats("db", "stp").num_rows == 3
+    admin.drop_partition("db", "stp", {"p": "2024"})
+    t2 = FlussTable(admin.catalog, "db", "stp")
+    assert t2.scan(spark).count() == 1
+    assert admin.get_table_stats("db", "stp").num_rows == 1

@@ -196,3 +196,30 @@ def test_projecting_log_scanner_checkpoint_resume(spark, conn, tmp_path):
     df2, bid2 = rdr2.poll()
     assert bid2 == bid + 1
     assert df2.columns == ["a"] and [r["a"] for r in df2.collect()] == [3]
+
+
+def test_writer_preserves_binary_and_nonfinite_doubles(spark, conn):
+    """The buffered writers must round-trip BINARY values and NaN/inf
+    doubles bit-faithfully (a JSON-serialized drain turned bytes into
+    repr strings and silently nulled non-finite rows)."""
+    import math
+
+    admin = conn.get_admin()
+    admin.create_table(
+        "db", "bin",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("payload", "BYTES"), Field("x", "DOUBLE")],
+            primary_key=["k"],
+            num_buckets=1,
+        ),
+    )
+    table = conn.get_table("db", "bin")
+    w = table.new_upsert().create_writer(spark)
+    w.upsert({"k": 1, "payload": b"\x00\xffbin", "x": float("nan")})
+    w.upsert({"k": 2, "payload": b"", "x": float("inf")})
+    w.upsert({"k": 3, "payload": None, "x": 2})  # int literal for DOUBLE
+    w.flush()
+    rows = {r["k"]: r for r in table.new_scan().create_batch_scanner(spark).collect()}
+    assert bytes(rows[1]["payload"]) == b"\x00\xffbin" and math.isnan(rows[1]["x"])
+    assert bytes(rows[2]["payload"]) == b"" and math.isinf(rows[2]["x"])
+    assert rows[3]["payload"] is None and rows[3]["x"] == 2.0

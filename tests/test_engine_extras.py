@@ -387,3 +387,49 @@ def test_cosine_pairs_kernel_chunked_matches_bruteforce():
     ref = {(min(x, y), max(x, y)): C[i, j] for x, y, i, j in zip(ids[iu[keep]], ids[ju[keep]], iu[keep], ju[keep])}
     for r in got.itertuples():
         assert abs(ref[(r.vec_a, r.vec_b)] - r.cosine) < 1e-12
+
+
+def test_sq8_blas_kernel_matches_jvm_path(spark, sf_dir):
+    """The two SQ8 candidate-scoring strategies (broadcast-join zip_with
+    dot vs per-batch BLAS matmul with in-kernel partial top-N) must
+    produce IDENTICAL results — codes are small integers, so the float64
+    matmul is exact and no rounding tolerance is needed."""
+    from fluss_spark.operators.similarity import _sq8_search
+
+    jvm = _sq8_search(spark, sf_dir, 5).collect()
+    blas = _sq8_search(spark, sf_dir, 5, force_kernel=True).collect()
+    assert sorted(map(tuple, jvm)) == sorted(map(tuple, blas))
+    assert len(jvm) == 50
+    # and the kernel path engages automatically past the threshold
+    from fluss_spark import plans
+
+    wide = _sq8_search(spark, sf_dir, 40)
+    assert "MapInPandas" in plans.physical_plan(wide)
+    assert wide.groupBy("query_id").count().count() == 40
+
+
+def test_select_nprobe_meets_recall_target(spark):
+    """Accuracy-SLA parameter selection: on a corpus with genuine cosine
+    cluster structure, select_nprobe returns the SMALLEST nprobe whose
+    measured recall@10 meets the 0.8 target — and the selection is
+    non-trivial (nprobe=1 misses the target, so the audit actually
+    drives the choice)."""
+    import numpy as np
+
+    from fluss_spark.operators.similarity import select_nprobe
+
+    rng = np.random.default_rng(42)
+    k_cells, n, d = 6, 900, 16
+    centers = rng.normal(size=(k_cells, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rng2 = np.random.default_rng(7)
+    cells = rng2.integers(0, k_cells, n)
+    V = centers[cells] + 0.5 * rng2.normal(size=(n, d))
+    rows = [(int(i), int(cells[i]), [float(x) for x in V[i]]) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nprobe, measured = select_nprobe(e, q, target_recall=0.8)
+    assert nprobe == 2
+    assert measured[1] < 0.8 <= measured[2]

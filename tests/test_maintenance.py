@@ -409,3 +409,43 @@ def test_auto_compaction_bounds_lookup_fanin(spark, catalog):
     rows = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
     assert len(rows) == 70
     assert rows[10] == 10.0 + 1  # written by batch i=1 last (10..29 overlap)
+
+
+def test_auto_partition_pk_table_deletes_snapshot_rows(spark, catalog):
+    """auto_partition retention on a PRIMARY KEY table must delete
+    expired rows through the engine (they live in the KV snapshot keyed
+    by data columns), exactly like Admin.drop_partition — and must
+    refuse without a Spark session rather than orphan them."""
+    t = create_table(
+        catalog, "db", "ap_pk",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("dt", "STRING"), Field("v", "STRING")],
+            primary_key=["k", "dt"],
+            bucket_keys=["k"],
+            partition_keys=["dt"],
+            num_buckets=2,
+            properties={
+                "table.auto-partition.enabled": "true",
+                "table.auto-partition.time-unit": "DAY",
+                "table.auto-partition.num-precreate": "1",
+                "table.auto-partition.num-retention": "3",
+            },
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "20260801", "old"), (2, "20260812", "new")],
+            "k long, dt string, v string",
+        ),
+        ordering=["k"],
+    )
+    now = datetime(2026, 8, 13, tzinfo=timezone.utc)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pass spark"):
+        auto_partition(t, now=now)
+    result = auto_partition(t, now=now, spark=spark)
+    assert "20260801" in result["dropped"]
+    # rows gone from BOTH read surfaces: snapshot and log scan
+    assert {r["dt"] for r in t.snapshot(spark).collect()} == {"20260812"}
+    assert {r["dt"] for r in t.scan(spark).collect()} == {"20260812"}

@@ -87,6 +87,41 @@ def test_lookup_prunes_bucket_partition(spark, catalog):
     assert [r["v"] for r in lk.collect()] == ["v7b"]
 
 
+def test_prefix_lookup_prunes_bucket_partition(spark, catalog):
+    """The L2 prefix lookup resolves the owning bucket driver-side
+    exactly like L1: ONE scan over ONE manifest data dir, pruned to one
+    __bucket partition dir, bucket-key equality pushed to Parquet."""
+    t = create_table(
+        catalog, "db", "plan_pfx",
+        TableSchema(
+            fields=[
+                Field("k", "INT", nullable=False),
+                Field("s", "INT", nullable=False),
+                Field("v", "STRING"),
+            ],
+            primary_key=["k", "s"],
+            bucket_keys=["k"],
+            num_buckets=4,
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, j, f"v{i}.{j}") for i in range(25) for j in range(2)],
+            "k int, s int, v string",
+        )
+    )
+    t.upsert(spark.createDataFrame([(7, 0, "v7b")], "k int, s int, v string"))
+    ver = catalog.current_commit("db", "plan_pfx").snapshot_version
+    assert len(t.kv.referenced_data_dirs(ver)) >= 2
+    lk = t.prefix_lookup(spark, {"k": 7})
+    plan = plans.physical_plan(lk)
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Union" not in plan, plan
+    plans.assert_contains(plans.partition_filters(lk), "__bucket")
+    plans.assert_contains(plans.pushed_filters(lk), "EqualTo(k,7)")
+    assert sorted(r["v"] for r in lk.collect()) == ["v7.1", "v7b"]
+
+
 def test_star_join_broadcasts_dims(spark, sf_dir):
     df = QUERIES["join_star_broadcast"](spark, sf_dir)
     assert plans.has_broadcast_join(df)

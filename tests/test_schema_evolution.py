@@ -308,6 +308,14 @@ def test_stream_reader_era_transparent_file_source_refuses(spark, admin, tmp_pat
     assert polled is not None
     batch, _bid = polled
     assert {r["a"]: r["label"] for r in batch.collect()} == {1: "x", 2: "y"}
+    # the guard gates on surviving FILES, not the permanent era records:
+    # compact_log rewrites every pre-alter local segment under the
+    # current schema, after which read_stream re-enables
+    from fluss_spark.maintenance import compact_log
+
+    assert compact_log(t2, spark, target_commits=1) == 2
+    sdf = read_stream(t2, spark)
+    assert sdf.isStreaming and "label" in sdf.schema.names
 
 
 # -- property test: random alter/write interleavings vs a Python model ----

@@ -127,3 +127,21 @@ def test_show_partitions_non_partitioned_clean_error(spark, fsql):
     fsql.sql("CREATE TABLE flat (a INT) WITH ('bucket.num' = '1')")
     with pytest.raises(ValueError, match="not a partitioned"):
         fsql.sql("SHOW PARTITIONS flat")
+
+
+def test_select_view_refresh_is_case_insensitive(spark, fsql):
+    """Spark resolves temp view names case-insensitively; the scoped
+    view-refresh match must too, or a differently-cased SELECT reads the
+    stale plan bound at a previous registration."""
+    fsql.sql("CREATE TABLE cased (a INT) WITH ('bucket.num' = '1')")
+    fsql.sql("INSERT INTO cased VALUES (1)")
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_cased").collect()[0]["c"] == 1
+    fsql.sql("INSERT INTO cased VALUES (2)")
+    # another registered table also matching keeps hit=True (no
+    # conservative full refresh masking the miss)
+    fsql.sql("CREATE TABLE other (b INT) WITH ('bucket.num' = '1')")
+    got = fsql.sql("SELECT count(*) AS c FROM FLUSS_CASED, fluss_other").collect()
+    # fluss_other is empty -> the cross join yields 0 rows (c=0), but
+    # the cased view must have refreshed; observe via a direct re-query
+    assert got[0]["c"] == 0
+    assert fsql.sql("SELECT count(*) AS c FROM FLUSS_CASED").collect()[0]["c"] == 2

@@ -163,10 +163,15 @@ def test_streaming_earliest_replays_remote_tier(spark, catalog, tmp_path):
     assert got == [0, 1, 2, 3]
 
 
-def test_stream_dedupe_matches_batch_exact(spark, catalog, tmp_path):
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_stream_dedupe_matches_batch_exact(spark, catalog, tmp_path, sf):
     """Streaming first-occurrence dedup over a document log == batch
     exact-dedup canonical set (fingerprint-keyed). Uses the native file
-    stream + dropDuplicates state; availableNow drains the full log."""
+    stream + dropDuplicates state; availableNow drains the full log.
+    Runs at sf0.01 AND sf0.1 (the bench scale — same equality the
+    sessionize stream proves at sf0.1 in test_streaming)."""
     from fluss_spark.registry import load, load_all_queries
     from fluss_spark.streaming.reader import read_stream
     from fluss_spark.streaming.stateful import dedupe_stream
@@ -174,7 +179,6 @@ def test_stream_dedupe_matches_batch_exact(spark, catalog, tmp_path):
     from fluss_spark.types import Field, TableSchema
 
     load_all_queries()
-    sf = "/root/testdata/sf0.01"
     docs = load(spark, sf, "documents").select("doc_id", "text")
     t = create_table(
         catalog, "db", "doc_log",
