@@ -77,6 +77,12 @@ _PRIORITY = [
     "op_transition_matrix",
     "op_user_paths",
     "op_anomaly_zscore",
+    # new this round (zero driver history): materialized tables,
+    # IVF-PQ, the composed curation funnel
+    "t11_materialized_table",
+    "ann_ivfpq_adc",
+    "tx_curation_pipeline",
+    "l5_delta_join",
     # --- fill: engine family with one round of driver history ---
     "m2_delete_replay",
     "m4_default_merge_snapshot",
@@ -87,10 +93,10 @@ _PRIORITY = [
     "p6_partition_pruned_scan",
     "dd_passage_dedup",
     "ann_sq8_rerank",
-    "dd_cluster_components",
-    "dd_minhash_estimate",
-    "tx_pii_scrub",
-    "op_sessionize",
+    # tx_pii_scrub + op_sessionize + dd_minhash_estimate +
+    # dd_cluster_components rotate out (driver-green r3) to keep the
+    # window at 50 with the round-4 flagships in; all still locally
+    # oracle-checked by test_oracle_parity over the registry.
 ]
 
 

@@ -34,6 +34,20 @@ class KvSnapshotMetadata:
 
 
 @dataclass
+class LakeSnapshot:
+    """Admin.getLatestLakeSnapshot (Admin.java:485-529): a commit-pinned
+    file set any external Parquet reader can scan for a consistent view
+    of the table — the log IS the lake here, so no tiering copy exists
+    and the "lake snapshot" is simply the committed file listing. What
+    this cannot do (documented divergence, README): write Iceberg/
+    Paimon catalog metadata for these files."""
+
+    snapshot_id: int  # the commit version the listing is pinned to
+    table_bucket_offsets: dict[int, int]  # bucket -> next offset to resume
+    files: list[str]  # absolute parquet paths (log tiers, or pk snapshot)
+
+
+@dataclass
 class KvSnapshotLeaseInfo:
     """Admin.createKvSnapshotLease (Admin.java:460): a pinned snapshot."""
 
@@ -327,6 +341,20 @@ class Admin:
             schema = self.catalog.get_schema(db, name)
             fields = list(schema.fields)
             props = dict(schema.properties)
+            if "materialized-table.definition-query" in props and any(
+                isinstance(c, (AddColumn, DropColumn, RenameColumn, AlterColumnType))
+                for c in changes
+            ):
+                # an MT's schema is DERIVED from its definition query
+                # (ddl.md "Schema Definition": "You cannot manually
+                # specify column names and types") — a column alter
+                # would silently diverge from what the next refresh
+                # writes. Option changes remain allowed.
+                raise InvalidAlterTableException(
+                    f"{db}.{name} is a materialized table: its columns are "
+                    "inferred from the definition query and cannot be "
+                    "altered (SET/RESET options are allowed)"
+                )
             primary_key = list(schema.primary_key)
             bucket_keys = list(schema.bucket_keys)
             protected = set(
@@ -701,6 +729,44 @@ class Admin:
                     if fn.endswith(".parquet"):
                         num_rows += pq.read_metadata(os.path.join(bdir, fn)).num_rows
         return TableStats(num_rows=num_rows, size_bytes=size, num_files=files)
+
+    # -- lake snapshot (Admin.getLatestLakeSnapshot) ----------------------
+    def get_latest_lake_snapshot(self, db: str, name: str) -> LakeSnapshot:
+        """Admin.getLatestLakeSnapshot (Admin.java:485-529): the latest
+        consistent file set + resume offsets. For a pk table this is the
+        current KV snapshot's manifest files; for a log table, every
+        committed log file across both tiers. Hand `files` to any engine
+        that reads Parquet; resume streaming from
+        `table_bucket_offsets` (the reference returns exactly this pair:
+        snapshot id + per-bucket end offsets)."""
+        import os
+
+        t = FlussTable(self.catalog, db, name)
+        state = self.catalog.current_commit(db, name)
+        offsets = {int(b): o for b, o in state.log_hwm.items()}
+        files: list[str] = []
+        if t.kv is not None:
+            if state.snapshot_version < 0:
+                return LakeSnapshot(-1, offsets, [])
+            meta = self.get_kv_snapshot_metadata(db, name, state.snapshot_version)
+            return LakeSnapshot(
+                state.snapshot_version,
+                meta.log_offsets,
+                [os.path.join(t.kv.snapshot_dir, f) for f in meta.files],
+            )
+        for tier in (t.log.remote_dir, t.log.log_dir):
+            if not os.path.isdir(tier):
+                continue
+            for e in sorted(os.scandir(tier), key=lambda e: e.name):
+                if not e.name.startswith("__commit="):
+                    continue
+                if int(e.name.split("=")[1]) > state.version:
+                    continue  # uncommitted staging: never listed
+                for dirpath, _dirs, names in os.walk(e.path):
+                    for fn in sorted(names):
+                        if fn.endswith(".parquet"):
+                            files.append(os.path.join(dirpath, fn))
+        return LakeSnapshot(state.version, offsets, files)
 
     # -- remote log manifests (Admin.listRemoteLogManifests) --------------
     def list_remote_log_manifests(self, db: str, name: str) -> dict[int, list[str]]:

@@ -149,16 +149,28 @@ class Scan:
             def __getattr__(self, name):  # checkpointing etc. pass through
                 return getattr(reader, name)
 
+            @staticmethod
+            def _apply(df):
+                if flt is not None:
+                    df = df.filter(flt)
+                if proj is not None:
+                    df = df.select(*proj)
+                return df
+
             def poll(self):
                 polled = reader.poll()
                 if polled is None:
                     return None
                 df, batch_id = polled
-                if flt is not None:
-                    df = df.filter(flt)
-                if proj is not None:
-                    df = df.select(*proj)
-                return df, batch_id
+                return self._apply(df), batch_id
+
+            def process_available(self, fn, max_batches: int = 1000):
+                # the raw reader's drain calls ITS OWN poll, so the
+                # projection must wrap the batch function — a plain
+                # passthrough would silently deliver unprojected rows
+                return reader.process_available(
+                    lambda df, bid: fn(self._apply(df), bid), max_batches=max_batches
+                )
 
         return _ProjectingReader()
 

@@ -667,3 +667,144 @@ def t4_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_users") > 0)  # groups fully retracted disappear
     )
+
+
+@register(
+    "t11_materialized_table",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def t11_materialized_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized table lifecycle end-to-end (reference: CREATE
+    MATERIALIZED TABLE, engine-flink/ddl.md; stored with
+    materialized-table.* props, FlinkConnectorOptions.java:241-294):
+    the MT is created over an engine log table holding HALF the events
+    (schema inferred from the query), the source then advances, and one
+    CONTINUOUS-mode tick (source-version probe -> recompute -> commit ->
+    trim the stale refresh) re-materializes. The scanned contents must
+    equal the aggregate over ALL events — proving the refresh actually
+    replaced the stale half-data result rather than appending to it."""
+    key = ("mt", sf)
+    if key not in _CACHE:
+        from fluss_spark.materialized import continuous_refresh
+        from fluss_spark.sql_ddl import FlussSqlSession
+
+        wh = tempfile.mkdtemp(prefix="fluss_eq_mt_")
+        _TMPDIRS.append(wh)
+        cat = Catalog(wh)
+        fsql = FlussSqlSession(cat, spark, default_db="db")
+        ev = _events_batch(spark, sf)
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT"),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            num_buckets=4,
+        )
+        t = create_table(cat, "db", "mt_src", schema)
+        half = _max_event_id(sf) // 2
+        t.append(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        fsql.sql(
+            """
+            CREATE MATERIALIZED TABLE mt_view
+            FRESHNESS = INTERVAL '1' SECOND
+            AS SELECT event_type, count(*) AS n_events,
+                      round(sum(value), 2) AS sum_value
+               FROM db_mt_src GROUP BY event_type
+            """
+        )
+        t.append(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        n = continuous_refresh(fsql, "db", "mt_view", rounds=1)
+        assert n == 1, "source advanced -> the continuous tick must refresh"
+        _CACHE[key] = (cat, "mt_view")
+    cat, name = _CACHE[key]
+    return (
+        FlussTable(cat, "db", name)
+        .scan(spark)
+        .select("event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "l5_delta_join",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, value FROM events WHERE event_id % 2 = 0
+    ), r AS (
+      SELECT user_id, event_id, value FROM events WHERE event_id % 2 = 1
+    )
+    SELECT l.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(max(l.event_id) AS BIGINT) AS max_left,
+           CAST(max(r.event_id) AS BIGINT) AS max_right
+    FROM l JOIN r ON l.user_id = r.user_id AND l.event_id < r.event_id
+    GROUP BY l.user_id
+    """,
+)
+def l5_delta_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta join (L5, Flink22DeltaJoinITCase): a double-sided streaming
+    join served from the STORAGE's indexes instead of engine state —
+    each arriving left row probes the right table by key and vice
+    versa. Batch-shaped equivalence: both sides are ENGINE log tables
+    bucketed on the join key (the reference's index = our bucket
+    routing), joined on that key with the event-time residual
+    (l.event_id < r.event_id: only pairs where the probe row is newer).
+    Per-user aggregate keeps output linear in keys, not pairs.
+
+    At 100 TB both tables route writes by the SAME key hash, so a
+    co-located (storage-partitioned) join needs no re-shuffle of
+    either side in an engine that exploits bucketing metadata; Spark
+    without DSv2 bucketing info plans one hash exchange per side on
+    the same key — the minimal-shuffle plan available to a file
+    source."""
+    key = ("delta_join", sf)
+    if key not in _CACHE:
+        wh = tempfile.mkdtemp(prefix="fluss_eq_dj_")
+        _TMPDIRS.append(wh)
+        cat = Catalog(wh)
+        ev = _events_batch(spark, sf)
+        schema_fields = [
+            Field("user_id", "BIGINT"),
+            Field("event_id", "BIGINT"),
+            Field("value", "DOUBLE"),
+        ]
+        for name, parity in (("dj_left", 0), ("dj_right", 1)):
+            t = create_table(
+                cat,
+                "db",
+                name,
+                TableSchema(
+                    fields=list(schema_fields), bucket_keys=["user_id"], num_buckets=8
+                ),
+            )
+            t.append(
+                ev.filter(F.col("event_id") % 2 == parity).select(
+                    "user_id", "event_id", "value"
+                ),
+                ordering=["event_id"],
+            )
+        _CACHE[key] = (cat, "dj_left")
+    cat, _ = _CACHE[key]
+    left = FlussTable(cat, "db", "dj_left").scan(spark).select(
+        "user_id", F.col("event_id").alias("l_event")
+    )
+    right = FlussTable(cat, "db", "dj_right").scan(spark).select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("r_event")
+    )
+    return (
+        left.join(
+            right,
+            (left["user_id"] == right["r_user"]) & (left["l_event"] < right["r_event"]),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("l_event").alias("max_left"),
+            F.max("r_event").alias("max_right"),
+        )
+    )

@@ -902,8 +902,10 @@ def _sql_pq_assign(src: str, cents: str) -> str:
     """
 
 
-def _pq_oracle() -> str:
-    parts = ["WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+def _pq_oracle(cell_restricted: bool = False) -> str:
+    parts = [
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+    ]
     for m in range(_PQ_M):
         a, b = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
         parts.append(f", s{m} AS (SELECT vec_id, v[{a}:{b}] AS v FROM e)")
@@ -919,6 +921,7 @@ def _pq_oracle() -> str:
             f" FROM a2_{m} a JOIN c1_{m} c USING (cid))"
         )
     union = " UNION ALL ".join(f"SELECT * FROM r_{m}" for m in range(_PQ_M))
+    cell_cond = "AND q.label = c.label" if cell_restricted else ""
     parts.append(
         f""", recon AS (
       SELECT vec_id, flatten(list(c ORDER BY m)) AS r
@@ -932,7 +935,7 @@ def _pq_oracle() -> str:
              ) AS arn
       FROM e q
       JOIN recon r ON q.vec_id != r.vec_id
-      JOIN e c ON c.vec_id = r.vec_id
+      JOIN e c ON c.vec_id = r.vec_id {cell_cond}
       WHERE q.vec_id < {_N_QUERIES}
     ), rer AS (
       SELECT query_id, neighbor_id, approx,
@@ -982,9 +985,23 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     a per-subspace loop of 8 parallel subplans planned 3x slower and
     ran 3x slower (24 separate broadcast builds vs 2)."""
     e = _embeddings(spark, sf)
-    # (vec_id, m, sv): every subspace of every vector, derived map-side
+    cb, packed = _pq_train_pack(spark, e)
+    return _pq_adc_search(spark, e, packed, cb, same_cell_only=False)
+
+
+def _pq_train_pack(spark: SparkSession, e: DataFrame):
+    """Train the {_PQ_M} codebooks in one exploded chain and pack the
+    stored index column. Returns (codebooks ndarray M x K x SUBDIM,
+    packed DF (vec_id, label, code)) — codebooks are driver-held
+    metadata, `packed` is the {_PQ_M}-bytes/vector column."""
+    import numpy as np
+
+    # (vec_id, m, sv): every subspace of every vector, derived map-side;
+    # label rides along so the packed index can serve cell-restricted
+    # (IVF-PQ) searches without a second corpus join
     sub = e.select(
         "vec_id",
+        "label",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
@@ -1017,8 +1034,9 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
             .agg(
                 F.min_by("cid", F.struct("__d2", "cid")).alias("cid"),
                 F.first("sv").alias("sv"),  # constant within the group
+                F.first("label").alias("label"),
             )
-            .select("vec_id", "m", "sv", "cid")
+            .select("vec_id", "m", "sv", "cid", "label")
         )
 
     a1 = assign(c0)
@@ -1052,23 +1070,41 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("m", "cid"))), lambda s: s["cid"]
-            ).alias("code")
+            ).alias("code"),
+            F.first("label").alias("label"),
         )
     )
-    # per-query ADC lookup tables from the two metadata-sized pieces we
-    # already hold driver-side: lut[q][m][cid] = dot(query_sub_m,
-    # codebook[m][cid]); approx(query, vec) = sum_m lut[q][m][code[m]]
-    # == dot(query, reconstructed vector), without materializing it
-    import numpy as np
-
     cb = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM))
     for r in c1.collect():
         cb[r["m"], r["cid"]] = r["c"]
+    return cb, packed
+
+
+def _pq_adc_search(
+    spark: SparkSession,
+    e: DataFrame,
+    packed: DataFrame,
+    cb,
+    same_cell_only: bool,
+) -> DataFrame:
+    """ADC search over the packed code column: per-query {_PQ_M} x
+    {_PQ_K} distance lookup tables from the two metadata-sized pieces
+    held driver-side — lut[q][m][cid] = dot(query_sub_m,
+    codebook[m][cid]); approx(query, vec) = sum_m lut[q][m][code[m]] ==
+    dot(query, reconstructed vector) without materializing it.
+    `same_cell_only` masks candidates to the query's coarse cell
+    IN-KERNEL (the IVF-PQ composition: at 100 TB the cell is a
+    partition directory and pruning happens at the scan — the kernel
+    mask is the same restriction expressed on an unpartitioned
+    corpus)."""
+    import numpy as np
+
     q_rows = sorted(
-        e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "v").collect(),
+        e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "label", "v").collect(),
         key=lambda r: r["vec_id"],
     )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_labels = [r["label"] for r in q_rows]
     Q = np.array([r["v"] for r in q_rows]).reshape(len(q_rows), _PQ_M, _PQ_SUBDIM)
     lut = np.einsum("qmd,mkd->qmk", Q, cb)  # nq x M x K
 
@@ -1081,10 +1117,13 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
                 continue
             C = np.vstack(pdf["code"].to_numpy())  # n x M codes
             ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy() if same_cell_only else None
             outs = []
             for qi in range(len(q_ids)):
                 approx = lut[qi][np.arange(_PQ_M), C].sum(axis=1)
                 keep = ids != q_ids[qi]  # self-exclusion
+                if same_cell_only:
+                    keep &= labels == q_labels[qi]
                 a, nid = approx[keep], ids[keep]
                 # per-partition partial of the global top-N: exact order
                 # (approx desc, neighbor_id asc) so boundary ties keep
@@ -1117,6 +1156,22 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(q), "query_id")
     )
     return _exact_rerank(cand, F.round("approx", 4))
+
+
+@register("ann_ivfpq_adc", oracle=_pq_oracle(cell_restricted=True))
+def ann_ivfpq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ: the production 100-TB index composition — a coarse
+    quantizer (the stored cell label, standing in for kmeans_assign
+    output exactly as in ann_ivf_topk) restricts each query's candidate
+    set to its cell, and PQ/ADC scores the survivors from the packed
+    {_PQ_M}-byte code column. Search cost = (corpus / n_cells) LUT sums
+    per query; memory = {_PQ_M} bytes/vector; the exact rerank touches
+    only the overfetched top {_SQ_OVERFETCH} per query. On partitioned
+    storage the cell restriction IS partition pruning (P6) — the same
+    pipeline reads only the probed cells' directories."""
+    e = _embeddings(spark, sf)
+    cb, packed = _pq_train_pack(spark, e)
+    return _pq_adc_search(spark, e, packed, cb, same_cell_only=True)
 
 
 # ---------------------------------------------------------------------- #

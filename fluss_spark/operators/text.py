@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fluss_spark.registry import load, register
+from fluss_spark.registry import load, load_spread, register
 
 # shared SQL fragment (DuckDB side) for the token array
 _SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -730,4 +730,114 @@ def tx_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_count(F.col("aug"), F.lit(_PII_IP)).cast("int").alias("n_ip"),
         F.regexp_count(F.col("aug"), F.lit(_PII_PHONE)).cast("int").alias("n_phone"),
         F.md5(red.cast("binary")).alias("redacted_fp"),
+    )
+
+
+@register(
+    "tx_curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END AS n_tok,
+             round(
+               0.4 * (CASE WHEN length(text)=0 THEN 0
+                      ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END)
+             + 0.3 * least(1.0, (CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END) / 100.0)
+             + 0.3 * (CASE WHEN trim(text)='' THEN 0
+                      ELSE 1.0 - len(list_filter({_SQL_TOKENS}, x -> length(x) <= 2))::DOUBLE
+                               / len({_SQL_TOKENS}) END),
+             4) AS q,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h
+      FROM documents
+    ), f AS (
+      SELECT *,
+             q >= 0.70 AS q_pass,
+             (q >= 0.70 AND doc_id = min(CASE WHEN q >= 0.70 THEN doc_id END)
+                              OVER (PARTITION BY fp)) AS is_canon
+      FROM t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(n_tok) AS BIGINT) AS tok_raw,
+           CAST(count(CASE WHEN q_pass THEN 1 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN q_pass THEN n_tok ELSE 0 END) AS BIGINT) AS tok_quality,
+           CAST(count(CASE WHEN is_canon THEN 1 END) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN is_canon THEN n_tok ELSE 0 END) AS BIGINT) AS tok_unique,
+           CAST(count(CASE WHEN is_canon AND h < 50 THEN 1 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN is_canon AND h < 50 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_sampled
+    FROM f
+    """,
+)
+def tx_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed corpus-curation funnel (the C4/Dolma preprocessing
+    shape): quality filter -> exact dedup among survivors -> hash
+    sample, reporting doc and token counts AFTER EVERY STAGE — the
+    funnel report every training-data run ships with its output.
+
+    Each stage reuses the engine's certified primitive: the
+    tx_quality_score formula (threshold on the ROUNDED value — the
+    float-filter determinism rule), dd_exact's normalized-md5
+    fingerprint with min-doc_id canonical election restricted to
+    quality survivors, tx_hash_sample's deterministic md5 bucket.
+
+    Scale shape: ONE pass over the corpus; the only exchange is the
+    fingerprint window for canonical election (hash-partitioned,
+    map-side projected), then a scalar aggregate. The funnel costs one
+    shuffle at any corpus size — no per-stage re-scans."""
+    from pyspark.sql.window import Window
+
+    d = load_spread(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(tok))
+    n = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_short = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.filter(tok, lambda t: F.length(t) <= 2))
+    )
+    quality = F.round(
+        0.4 * F.when(n == 0, F.lit(0.0)).otherwise(n_alpha.cast("double") / n)
+        + 0.3 * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + 0.3
+        * F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            1.0 - n_short.cast("double") / n_tok
+        ),
+        4,
+    )
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    staged = d.select(
+        "doc_id", n_tok.alias("n_tok"), quality.alias("q"), fp.alias("fp"), h.alias("h")
+    )
+    w = Window.partitionBy("fp")
+    q_pass = F.col("q") >= 0.70
+    canon = F.min(F.when(q_pass, F.col("doc_id"))).over(w)
+    flags = staged.select(
+        "n_tok",
+        "h",
+        q_pass.alias("q_pass"),
+        (q_pass & (F.col("doc_id") == canon)).alias("is_canon"),
+    )
+    b = lambda c: c.cast("bigint")  # noqa: E731
+    return flags.agg(
+        b(F.count("*")).alias("n_raw"),
+        b(F.sum("n_tok")).alias("tok_raw"),
+        b(F.count(F.when(F.col("q_pass"), 1))).alias("n_quality"),
+        b(F.sum(F.when(F.col("q_pass"), F.col("n_tok")).otherwise(0))).alias("tok_quality"),
+        b(F.count(F.when(F.col("is_canon"), 1))).alias("n_unique"),
+        b(F.sum(F.when(F.col("is_canon"), F.col("n_tok")).otherwise(0))).alias("tok_unique"),
+        b(F.count(F.when(F.col("is_canon") & (F.col("h") < 50), 1))).alias("n_sampled"),
+        b(
+            F.sum(
+                F.when(F.col("is_canon") & (F.col("h") < 50), F.col("n_tok")).otherwise(0)
+            )
+        ).alias("tok_sampled"),
     )

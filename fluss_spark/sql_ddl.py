@@ -48,6 +48,10 @@ class FlussSqlSession:
         self.admin = Admin(catalog)
         self.spark = spark
         self.default_db = default_db
+        # (db, table) -> (commit version, schema id) whose plan the
+        # current temp views bind; re-registration is skipped while
+        # both are unchanged
+        self._view_versions: dict[tuple[str, str], tuple] = {}
 
     # ------------------------------------------------------------------ #
     def sql(self, statement: str) -> DataFrame | None:
@@ -57,6 +61,12 @@ class FlussSqlSession:
             return self._create_database(s)
         if low.startswith("drop database"):
             return self._drop_database(s)
+        if low.startswith("create materialized table"):
+            return self._create_materialized(s)
+        if low.startswith("alter materialized table"):
+            return self._alter_materialized(s)
+        if low.startswith("drop materialized table"):
+            return self._drop_table(s, materialized=True)
         if low.startswith("create table"):
             return self._create_table(s)
         if low.startswith("drop table"):
@@ -101,20 +111,42 @@ class FlussSqlSession:
         substring) is fine: registering an extra table is harmless.
         Matching is case-insensitive on BOTH sides — Spark resolves temp
         view names case-insensitively, so a differently-cased reference
-        must still refresh the view (else it reads a stale plan)."""
+        must still refresh the view (else it reads a stale plan).
+
+        A matched table re-registers only when its COMMIT VERSION moved
+        past the version its current views bind (one metadata read vs
+        re-planning 2-4 scans) — repeated SELECTs over unchanged tables
+        pay a version probe, nothing else."""
         low_stmt = stmt.lower()
         hit = False
         for db in self.admin.list_databases():
-            wanted = [
+            matched = [
                 t
                 for t in self.catalog.list_tables(db)
                 if f"{db}_{t}".lower() in low_stmt
             ]
-            if wanted:
-                register_sql_views(self.catalog, self.spark, db, tables=wanted)
-                hit = True
+            if not matched:
+                continue
+            hit = True
+            stale = []
+            for t in matched:
+                # version pair: data commits AND schema alters (every
+                # alter bumps schema.id) both invalidate the bound plan
+                v = (
+                    self.catalog.current_commit(db, t).version,
+                    self.catalog.get_schema(db, t).properties.get("schema.id", "0"),
+                )
+                if self._view_versions.get((db, t)) != v:
+                    stale.append((t, v))
+            if stale:
+                register_sql_views(
+                    self.catalog, self.spark, db, tables=[t for t, _ in stale]
+                )
+                for t, v in stale:
+                    self._view_versions[(db, t)] = v
         if not hit:  # nothing recognized: conservative full refresh
             self._register_all_views()
+            self._view_versions.clear()
 
     @staticmethod
     def _parse_options(segment: str) -> dict[str, str]:
@@ -153,6 +185,35 @@ class FlussSqlSession:
     # CREATE / DROP TABLE
     # ------------------------------------------------------------------ #
     def _create_table(self, s: str) -> None:
+        like = re.match(
+            r"create\s+table\s+(if\s+not\s+exists\s+)?([\w.`]+)\s+like\s+([\w.`]+)"
+            r"(?:\s*\(\s*(including|excluding)\s+options\s*\))?\s*$",
+            s,
+            re.I,
+        )
+        if like:
+            # CREATE TABLE ... LIKE (reference ddl.md:190-208): same
+            # schema/partitioning/bucketing; EXCLUDING OPTIONS drops the
+            # table properties (keys, buckets and partitioning are
+            # structure, not options — always copied, like Flink)
+            db, name = self._qualify(like.group(2))
+            sdb, sname = self._qualify(like.group(3))
+            src = self.admin.get_table_info(sdb, sname)
+            props = {} if (like.group(4) or "including").lower() == "excluding" else dict(src.properties)
+            from fluss_spark.types import EVOLUTION_PROP
+
+            props.pop(EVOLUTION_PROP, None)  # new table has no eras
+            schema = TableSchema(
+                fields=[Field(f.name, f.type, nullable=f.nullable, agg=f.agg) for f in src.fields],
+                primary_key=list(src.primary_key),
+                bucket_keys=list(src.bucket_keys),
+                num_buckets=src.num_buckets,
+                partition_keys=list(src.partition_keys),
+                properties=props,
+            )
+            self.admin.create_database(db)
+            create_table(self.catalog, db, name, schema, if_not_exists=bool(like.group(1)))
+            return
         m = re.match(
             r"create\s+table\s+(if\s+not\s+exists\s+)?([\w.`]+)\s*\(", s, re.I
         )
@@ -235,14 +296,76 @@ class FlussSqlSession:
         self.admin.create_database(db)
         create_table(self.catalog, db, name, schema, if_not_exists=bool(m.group(1)))
 
-    def _drop_table(self, s: str) -> None:
-        m = re.match(r"drop\s+table\s+(if\s+exists\s+)?([\w.`]+)", s, re.I)
+    def _drop_table(self, s: str, materialized: bool = False) -> None:
+        m = re.match(
+            r"drop\s+(?:materialized\s+)?table\s+(if\s+exists\s+)?([\w.`]+)", s, re.I
+        )
         if not m:
             raise SqlParseError(s)
         db, name = self._qualify(m.group(2))
         if m.group(1) and not self.admin.table_exists(db, name):
             return
+        if materialized:
+            from fluss_spark.materialized import is_materialized
+
+            if not is_materialized(self.catalog.get_schema(db, name)):
+                raise SqlParseError(f"{db}.{name} is not a materialized table")
         self.admin.drop_table(db, name)
+
+    # ------------------------------------------------------------------ #
+    # MATERIALIZED TABLE (reference: engine-flink/ddl.md, stored as
+    # regular tables with materialized-table.* props,
+    # FlinkConnectorOptions.java:241-294)
+    # ------------------------------------------------------------------ #
+    def _create_materialized(self, s: str) -> None:
+        from fluss_spark.materialized import create_materialized_table
+
+        m = re.match(
+            r"create\s+materialized\s+table\s+(if\s+not\s+exists\s+)?([\w.`]+)\s+"
+            r"freshness\s*=\s*interval\s+'(\d+)'\s+(second|minute|hour|day)s?\s+"
+            r"(?:with\s*\((.*?)\)\s+)?as\s+(.*)$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise SqlParseError(
+                "CREATE MATERIALIZED TABLE <name> FRESHNESS = INTERVAL '<n>' "
+                "<SECOND|MINUTE|HOUR|DAY> [WITH (...)] AS <query>"
+            )
+        db, name = self._qualify(m.group(2))
+        options = self._parse_options(m.group(5)) if m.group(5) else {}
+        create_materialized_table(
+            self,
+            db,
+            name,
+            m.group(6).strip(),
+            freshness=int(m.group(3)),
+            freshness_unit=m.group(4).upper(),
+            options=options,
+            if_not_exists=bool(m.group(1)),
+        )
+
+    def _alter_materialized(self, s: str) -> None:
+        from fluss_spark.materialized import (
+            refresh_materialized_table,
+            set_refresh_status,
+        )
+
+        m = re.match(
+            r"alter\s+materialized\s+table\s+([\w.`]+)\s+(suspend|resume|refresh)\s*$",
+            s,
+            re.I,
+        )
+        if not m:
+            raise SqlParseError(f"unsupported ALTER MATERIALIZED TABLE action: {s[:60]}")
+        db, name = self._qualify(m.group(1))
+        action = m.group(2).lower()
+        if action == "suspend":
+            set_refresh_status(self.catalog, db, name, "SUSPENDED")
+        elif action == "resume":
+            set_refresh_status(self.catalog, db, name, "ACTIVATED")
+        else:
+            refresh_materialized_table(self, db, name)
 
     # ------------------------------------------------------------------ #
     # ALTER TABLE
@@ -325,6 +448,20 @@ class FlussSqlSession:
 
     def _render_create(self, db: str, name: str) -> str:
         sch = self.admin.get_table_info(db, name)
+        from fluss_spark.materialized import FRESH_PROP, MT_PREFIX, Q_PROP, UNIT_PROP
+
+        if Q_PROP in sch.properties:
+            p = sch.properties
+            out = (
+                f"CREATE MATERIALIZED TABLE {db}.{name}\n"
+                f"FRESHNESS = INTERVAL '{p[FRESH_PROP]}' {p[UNIT_PROP]}"
+            )
+            user_opts = {
+                k: v for k, v in p.items() if not k.startswith(MT_PREFIX)
+            }
+            user_opts["bucket.num"] = str(sch.num_buckets)
+            pairs = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(user_opts.items()))
+            return out + f"\nWITH ({pairs})\nAS {p[Q_PROP]}"
         cols = [
             f"  `{f.name}` {f.type}" + ("" if f.nullable else " NOT NULL")
             for f in sch.fields

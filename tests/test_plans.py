@@ -392,3 +392,17 @@ def test_pq_adc_broadcast_training(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_curation_pipeline_single_shuffle(spark, sf_dir):
+    """The composed curation funnel (quality -> dedup -> sample ->
+    funnel counts) costs ONE corpus exchange — the fingerprint window
+    for canonical election; the final scalar aggregate reduces
+    map-side partials."""
+    df = QUERIES["tx_curation_pipeline"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "hashpartitioning(fp" in plan, plan
+    # exchanges: the fp window + the single-partition gather of the
+    # scalar aggregate's partials (which carries ONE row per task)
+    assert plan.count("ENSURE_REQUIREMENTS") <= 2, plan
+    assert plans.has_partial_aggregation(df)

@@ -145,3 +145,169 @@ def test_select_view_refresh_is_case_insensitive(spark, fsql):
     # the cased view must have refreshed; observe via a direct re-query
     assert got[0]["c"] == 0
     assert fsql.sql("SELECT count(*) AS c FROM FLUSS_CASED").collect()[0]["c"] == 2
+
+
+def test_create_table_like(spark, fsql):
+    """CREATE TABLE LIKE (reference ddl.md:190-208): structure always
+    copies; INCLUDING/EXCLUDING OPTIONS controls table properties."""
+    fsql.sql("""
+        CREATE TABLE src_t (
+            k BIGINT, dt STRING, v STRING,
+            PRIMARY KEY (k, dt) NOT ENFORCED
+        ) PARTITIONED BY (dt)
+          WITH ('bucket.num' = '2', 'bucket.key' = 'k', 'table.log.ttl' = '7d')
+    """)
+    fsql.sql("CREATE TABLE copy_t LIKE src_t")
+    sch = fsql.admin.get_table_info("fluss", "copy_t")
+    assert sch.primary_key == ["k", "dt"] and sch.partition_keys == ["dt"]
+    assert sch.bucket_keys == ["k"] and sch.num_buckets == 2
+    assert sch.properties.get("table.log.ttl") == "7d"
+    fsql.sql("CREATE TABLE bare_t LIKE src_t (EXCLUDING OPTIONS)")
+    bare = fsql.admin.get_table_info("fluss", "bare_t")
+    assert bare.primary_key == ["k", "dt"] and "table.log.ttl" not in bare.properties
+    # the copy is a real independent table
+    fsql.sql("INSERT INTO copy_t VALUES (1, 'd1', 'x')")
+    assert fsql.sql("SELECT * FROM fluss_copy_t").count() == 1
+    assert fsql.admin.get_table_stats("fluss", "src_t").num_rows == 0
+
+
+def test_materialized_table_lifecycle(spark, fsql):
+    """CREATE MATERIALIZED TABLE: schema inferred from the query, each
+    refresh replaces the contents (older refresh commits trimmed),
+    SUSPEND blocks refresh, RESUME re-enables, SHOW CREATE renders the
+    materialized form, DROP removes it."""
+    from fluss_spark.materialized import (
+        LAST_TS_PROP,
+        Q_PROP,
+        refresh_materialized_table,
+    )
+    from fluss_spark.table import FlussTable
+
+    fsql.sql("CREATE TABLE orders_t (shop_id BIGINT, amount BIGINT) WITH ('bucket.num' = '2')")
+    fsql.sql("INSERT INTO orders_t VALUES (1, 10), (1, 5), (2, 7)")
+    fsql.sql("""
+        CREATE MATERIALIZED TABLE shop_summary
+        FRESHNESS = INTERVAL '5' SECOND
+        AS SELECT shop_id, count(*) AS order_count, sum(amount) AS total_amount
+           FROM fluss_orders_t GROUP BY shop_id
+    """)
+    sch = fsql.admin.get_table_info("fluss", "shop_summary")
+    assert [f.name for f in sch.fields] == ["shop_id", "order_count", "total_amount"]
+    assert Q_PROP in sch.properties and LAST_TS_PROP in sch.properties
+    got = {r["shop_id"]: (r["order_count"], r["total_amount"])
+           for r in fsql.sql("SELECT * FROM fluss_shop_summary").collect()}
+    assert got == {1: (2, 15), 2: (1, 7)}
+
+    # refresh replaces contents — no accumulation across refreshes
+    fsql.sql("INSERT INTO orders_t VALUES (2, 3)")
+    fsql.sql("ALTER MATERIALIZED TABLE shop_summary REFRESH")
+    got = {r["shop_id"]: (r["order_count"], r["total_amount"])
+           for r in fsql.sql("SELECT * FROM fluss_shop_summary").collect()}
+    assert got == {1: (2, 15), 2: (2, 10)}
+    # exactly one live refresh commit on disk (older ones trimmed)
+    t = FlussTable(fsql.catalog, "fluss", "shop_summary")
+    import os
+    dirs = [d for d in os.listdir(t.log.log_dir) if d.startswith("__commit=")]
+    assert len(dirs) == 1
+    # A1 metadata count stays exact after trims (log_start rebased)
+    assert t.count() == 2
+
+    fsql.sql("ALTER MATERIALIZED TABLE shop_summary SUSPEND")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SUSPENDED"):
+        refresh_materialized_table(fsql, "fluss", "shop_summary")
+    fsql.sql("ALTER MATERIALIZED TABLE shop_summary RESUME")
+    refresh_materialized_table(fsql, "fluss", "shop_summary")
+
+    create_stmt = fsql.sql("SHOW CREATE TABLE shop_summary").collect()[0][0]
+    assert create_stmt.startswith("CREATE MATERIALIZED TABLE")
+    assert "INTERVAL '5' SECOND" in create_stmt
+
+    with _pytest.raises(SqlParseError, match="not a materialized"):
+        fsql.sql("DROP MATERIALIZED TABLE orders_t")
+    fsql.sql("DROP MATERIALIZED TABLE shop_summary")
+    assert not fsql.admin.table_exists("fluss", "shop_summary")
+
+
+def test_materialized_continuous_refresh(spark, fsql):
+    """CONTINUOUS mode at micro-batch granularity: refresh fires only
+    when a source table's commit version advanced; refresh_all_due
+    follows the freshness interval."""
+    from fluss_spark.materialized import (
+        continuous_refresh,
+        refresh_all_due,
+        refresh_due,
+        sources_changed,
+    )
+
+    fsql.sql("CREATE TABLE ev_t (k BIGINT, v BIGINT) WITH ('bucket.num' = '1')")
+    fsql.sql("INSERT INTO ev_t VALUES (1, 1)")
+    fsql.sql("""
+        CREATE MATERIALIZED TABLE ev_sum
+        FRESHNESS = INTERVAL '1' SECOND
+        AS SELECT sum(v) AS s FROM fluss_ev_t
+    """)
+    sch = fsql.catalog.get_schema("fluss", "ev_sum")
+    assert not sources_changed(fsql.catalog, sch)  # just refreshed
+    assert continuous_refresh(fsql, "fluss", "ev_sum", rounds=1) == 0  # no-op tick
+
+    fsql.sql("INSERT INTO ev_t VALUES (2, 10)")
+    assert sources_changed(fsql.catalog, fsql.catalog.get_schema("fluss", "ev_sum"))
+    assert continuous_refresh(fsql, "fluss", "ev_sum", rounds=1) == 1
+    assert fsql.sql("SELECT s FROM fluss_ev_sum").collect()[0]["s"] == 11
+
+    # freshness-interval maintenance path
+    sch = fsql.catalog.get_schema("fluss", "ev_sum")
+    import time
+
+    assert not refresh_due(sch)  # fresh
+    assert refresh_due(sch, now_ms=int(time.time() * 1000) + 2_000)  # 1s lapsed
+    assert refresh_all_due(fsql, now_ms=int(time.time() * 1000) + 2_000) == [
+        "fluss.ev_sum"
+    ]
+
+
+def test_view_refresh_skips_unchanged_versions(spark, fsql, monkeypatch):
+    """The per-statement view refresh re-registers a matched table only
+    when its commit version or schema id moved — repeated SELECTs over
+    unchanged tables pay a metadata probe, not a re-plan."""
+    import fluss_spark.sql_ddl as sd
+
+    fsql.sql("CREATE TABLE vc (a INT) WITH ('bucket.num' = '1')")
+    fsql.sql("INSERT INTO vc VALUES (1)")
+    calls = []
+    orig = sd.register_sql_views
+    monkeypatch.setattr(
+        sd, "register_sql_views", lambda *a, **k: (calls.append(a), orig(*a, **k))[1]
+    )
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_vc").collect()[0]["c"] == 1
+    n1 = len(calls)
+    assert n1 >= 1  # first statement binds the view
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_vc").collect()[0]["c"] == 1
+    assert len(calls) == n1  # unchanged -> skipped
+    fsql.sql("INSERT INTO vc VALUES (2)")
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_vc").collect()[0]["c"] == 2
+    assert len(calls) == n1 + 1  # new commit -> exactly one refresh
+    fsql.sql("ALTER TABLE vc ADD COLUMN b STRING")
+    assert "b" in fsql.sql("SELECT * FROM fluss_vc").columns  # schema.id bump
+
+
+def test_materialized_table_rejects_column_alters(spark, fsql):
+    """An MT's columns are inferred from its query (ddl.md 'Schema
+    Definition') — column alters must be rejected; option SET stays
+    allowed."""
+    from fluss_spark.admin import InvalidAlterTableException
+
+    fsql.sql("CREATE TABLE mtsrc (k BIGINT) WITH ('bucket.num' = '1')")
+    fsql.sql("INSERT INTO mtsrc VALUES (1)")
+    fsql.sql("""
+        CREATE MATERIALIZED TABLE mtv
+        FRESHNESS = INTERVAL '1' MINUTE
+        AS SELECT count(*) AS n FROM fluss_mtsrc
+    """)
+    with pytest.raises(InvalidAlterTableException, match="materialized"):
+        fsql.sql("ALTER TABLE mtv ADD COLUMN extra STRING")
+    with pytest.raises(InvalidAlterTableException, match="materialized"):
+        fsql.sql("ALTER TABLE mtv RENAME COLUMN n TO m")
+    fsql.sql("ALTER TABLE mtv SET ('table.log.ttl' = '30d')")  # options ok
