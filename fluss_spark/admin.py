@@ -294,6 +294,15 @@ class Admin:
     def drop_table(self, db: str, name: str) -> None:
         self.catalog.drop_table(db, name)
 
+    def rebucket_table(self, db: str, name: str, new_buckets: int, spark) -> int:
+        """Change the table's bucket count (one-shot rewrite; streaming
+        subscriptions fence on the bucket epoch). The parallelism lever
+        the reference lacks — its bucket.num is immutable at creation.
+        See maintenance.rebucket_table for the full contract."""
+        from fluss_spark import maintenance
+
+        return maintenance.rebucket_table(FlussTable(self.catalog, db, name), spark, new_buckets)
+
     def alter_table(
         self,
         db: str,
@@ -684,23 +693,35 @@ class Admin:
                 for d in sorted(t.kv.referenced_data_dirs(state.snapshot_version))
             ]
         count_footers = t.kv is None and bool(t.schema.partition_keys)
+        # LOCAL WINS on tier overlap (crashed tier_log): a commit present
+        # in both tiers must count once, like scan() reads it once
+        local_commits = set()
+        if os.path.isdir(t.log.log_dir):
+            local_commits = {
+                e.name
+                for e in os.scandir(t.log.log_dir)
+                if e.name.startswith("__commit=")
+            }
         for root in roots:
             if not os.path.isdir(root):
                 continue
             in_log_tier = root in (t.log.log_dir, t.log.remote_dir)
             for dirpath, _dirs, names in os.walk(root):
-                committed = True
-                if in_log_tier and count_footers:
+                counted = True
+                if in_log_tier:
                     rel = os.path.relpath(dirpath, root)
                     head = rel.split(os.sep, 1)[0]
                     if head.startswith("__commit="):
-                        committed = int(head.split("=")[1]) <= state.version
+                        counted = int(head.split("=")[1]) <= state.version and not (
+                            root == t.log.remote_dir and head in local_commits
+                        )
                 for fn in names:
                     if fn.endswith(".parquet"):
-                        files += 1
                         full = os.path.join(dirpath, fn)
-                        size += os.path.getsize(full)
-                        if in_log_tier and count_footers and committed:
+                        if not (in_log_tier and not counted):
+                            files += 1
+                            size += os.path.getsize(full)
+                        if in_log_tier and count_footers and counted:
                             log_footer_rows += pq.read_metadata(full).num_rows
         if t.kv is None:
             if t.schema.partition_keys:
@@ -754,6 +775,16 @@ class Admin:
                 meta.log_offsets,
                 [os.path.join(t.kv.snapshot_dir, f) for f in meta.files],
             )
+        # LOCAL WINS on tier overlap: a crashed cross-device tier_log can
+        # leave a commit in BOTH tiers (sources/log.py scan dedups the
+        # same way) — listing both copies would double-count its rows
+        local_names = set()
+        if os.path.isdir(t.log.log_dir):
+            local_names = {
+                e.name
+                for e in os.scandir(t.log.log_dir)
+                if e.name.startswith("__commit=")
+            }
         for tier in (t.log.remote_dir, t.log.log_dir):
             if not os.path.isdir(tier):
                 continue
@@ -762,6 +793,8 @@ class Admin:
                     continue
                 if int(e.name.split("=")[1]) > state.version:
                     continue  # uncommitted staging: never listed
+                if tier == t.log.remote_dir and e.name in local_names:
+                    continue
                 for dirpath, _dirs, names in os.walk(e.path):
                     for fn in sorted(names):
                         if fn.endswith(".parquet"):

@@ -269,7 +269,14 @@ class _BufferedWriter:
         extra_fields = sorted(
             {k for r in rows for k in r} - set(self._t.schema.data_columns())
         )
-        fields = [f.to_struct_field() for f in self._t.schema.fields]
+        # all-nullable drain schema: delete / partial-update rows
+        # legitimately leave non-key NOT NULL columns unset, and the
+        # engine enforces declared nullability at its own boundary —
+        # createDataFrame's verifier must not reject them here
+        fields = [
+            T.StructField(sf.name, sf.dataType, True, metadata=sf.metadata)
+            for sf in (f.to_struct_field() for f in self._t.schema.fields)
+        ]
         for e in extra_fields:
             fields.append(
                 T.StructField(e, T.LongType() if e == "__client_seq" else T.StringType(), True)

@@ -23,6 +23,12 @@ import zlib
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3}  # color type -> samples per pixel
 
+# marks this module as the limited (PNG-only) fallback codec:
+# decode_mode="auto" must NOT auto-upgrade to "real" on its account —
+# arbitrary payloads (JPEG, fake md5 bytes) would crash instead of
+# falling back to the fake path. Explicit decode_mode="real" uses it.
+IS_FALLBACK = True
+
 
 class PngImage:
     """Decoded raster: row-major 8-bit samples, `channels` per pixel."""

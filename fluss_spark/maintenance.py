@@ -472,3 +472,135 @@ def _parse_duration_ms(s: str) -> int:
         if s.endswith(suffix):
             return int(float(s[: -len(suffix)]) * mult)
     return int(s)  # bare millis
+
+
+BUCKET_EPOCH_PROP = "table.bucket.epoch"
+
+
+def rebucket_table(table: FlussTable, spark: SparkSession, new_buckets: int) -> int:
+    """Change a table's bucket count — the parallelism lever the
+    reference does NOT have (bucket.num is fixed at creation; the
+    rebalance procedures move replicas between servers but never
+    re-split a table, website/docs/engine-flink/procedures.md:354-560).
+    Spark-first it is one declarative rewrite:
+
+      - the whole log (both tiers, era-projected) re-routes by the new
+        bucket hash; per-KEY order is preserved because new offsets are
+        assigned in (old bucket, old offset) order — every key lived in
+        exactly one old bucket, so its rows keep their relative order
+        inside the new bucket (the W3 ordering contract);
+      - offsets restart 0-based per new bucket; high watermarks come
+        from the rewritten footers; log_start resets (all history is in
+        the one rewritten commit);
+      - PK tables also rewrite the snapshot into a fresh manifest keyed
+        by the new bucket ids (lookups route with the new count
+        immediately);
+      - `table.bucket.epoch` bumps: per-bucket OFFSETS ARE NOT
+        COMPARABLE across a rebucket, so streaming subscriptions must
+        restart — LogStreamReader checkpoints record the epoch and
+        refuse to resume across a mismatch (the honest contract; the
+        alternative is silently misread offset ranges).
+
+    Returns the new commit version. O(table) rewrite — an explicit
+    admin operation, like the reference's own cluster rebalance."""
+    if new_buckets < 1:
+        raise ValueError("bucket count must be >= 1")
+    schema = table.schema
+    if new_buckets == schema.num_buckets:
+        return table.catalog.current_commit(table.db, table.name).version
+    with table.catalog.write_lock(table.db, table.name):
+        return _rebucket_locked(table, spark, new_buckets)
+
+
+def _rebucket_locked(table: FlussTable, spark: SparkSession, new_buckets: int) -> int:
+    from pyspark.sql.window import Window
+
+    log = table.log
+    schema = table.schema
+    state = table.catalog.current_commit(table.db, table.name)
+    version = state.version + 1
+
+    df = log.scan(spark, tiers="all")
+    if schema.bucket_keys:
+        nb = F.pmod(F.hash(*schema.bucket_keys), F.lit(new_buckets)).cast("int")
+    else:
+        # keyless log table: no routing contract to honor — any
+        # deterministic spread works
+        nb = F.pmod(F.hash(F.col(BUCKET_COL), F.col(OFFSET_COL)), F.lit(new_buckets)).cast("int")
+    w = Window.partitionBy("__nb").orderBy(BUCKET_COL, OFFSET_COL)
+    out = (
+        df.withColumn("__nb", nb)
+        .withColumn("__no", (F.row_number().over(w) - 1).cast("long"))
+        .drop(BUCKET_COL, OFFSET_COL)
+        .withColumnRenamed("__nb", BUCKET_COL)
+        .withColumnRenamed("__no", OFFSET_COL)
+    )
+    data_cols = [c for c in out.columns if c not in (BUCKET_COL, OFFSET_COL)]
+    out = out.select(*data_cols, BUCKET_COL, OFFSET_COL)
+    staged = log.staging_path(version)
+    part_cols = list(schema.partition_keys) + [BUCKET_COL]
+    codec = schema.properties.get("table.log.compression", "snappy")
+    (
+        out.write.mode("overwrite")
+        .option("compression", codec)
+        .partitionBy(*part_cols)
+        .parquet(staged)
+    )
+    per_bucket = log._footer_hwm(staged)
+    if per_bucket is None:
+        written = spark.read.schema(log.file_schema()).parquet(staged)
+        per_bucket = {
+            int(r[BUCKET_COL]): int(r["mx"])
+            for r in written.groupBy(BUCKET_COL).agg(F.max(OFFSET_COL).alias("mx")).collect()
+        }
+    hwm = {str(b): mx + 1 for b, mx in per_bucket.items()}
+
+    # publish the rewritten log, then retire every pre-rebucket commit
+    # dir in both tiers (they carry the OLD bucket layout)
+    log.publish(version)
+    new_state = CommitState(
+        version=version,
+        log_hwm=hwm,
+        snapshot_version=state.snapshot_version,
+        auto_increment=state.auto_increment,
+        ts_ms=int(time.time() * 1000),
+        log_start={},
+    )
+    for tier_dir in (log.remote_dir, log.log_dir):
+        if not os.path.isdir(tier_dir):
+            continue
+        for e in os.scandir(tier_dir):
+            if e.name.startswith(f"{COMMIT_DIR_COL}=") and int(e.name.split("=")[1]) < version:
+                shutil.rmtree(e.path, ignore_errors=True)
+
+    # PK tables: rewrite the snapshot under the new bucket routing
+    if table.kv is not None and state.snapshot_version >= 0:
+        kv = table.kv
+        data_dir = f"data-v{version}"
+        snap = kv.snapshot(spark)
+        bucket_expr = F.pmod(F.hash(*schema.bucket_keys), F.lit(new_buckets)).cast("int")
+        (
+            snap.withColumn("__bucket", bucket_expr)
+            .repartition(min(new_buckets, 32), F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(kv.snapshot_dir, data_dir))
+        )
+        kv._write_manifest(version, {b: data_dir for b in range(new_buckets)})
+        new_state = CommitState(
+            version=version,
+            log_hwm=hwm,
+            snapshot_version=version,
+            auto_increment=state.auto_increment,
+            ts_ms=new_state.ts_ms,
+            log_start={},
+        )
+    table.catalog.commit(table.db, table.name, new_state)
+
+    # schema: new bucket count + epoch bump (subscription fence)
+    sch = table.catalog.get_schema(table.db, table.name)
+    sch.num_buckets = new_buckets
+    epoch = int(sch.properties.get(BUCKET_EPOCH_PROP, "0")) + 1
+    sch.properties[BUCKET_EPOCH_PROP] = str(epoch)
+    table.catalog.set_schema(table.db, table.name, sch)
+    return version

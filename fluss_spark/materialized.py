@@ -151,6 +151,11 @@ def refresh_materialized_table(fsql, db: str, name: str, force: bool = False) ->
             "it (or refresh with force=True)"
         )
     fsql._register_referenced_views(props[Q_PROP])
+    # record source versions BEFORE executing the query: a source commit
+    # landing mid-refresh then re-triggers the next continuous tick
+    # (recording after would absorb it and serve stale data forever)
+    sources = [s for s in props.get(SOURCES_PROP, "").split(",") if s]
+    versions_at_start = _source_versions(t.catalog, sources)
     df = fsql.spark.sql(props[Q_PROP])
     df = df.select(
         *[F.col(f.name).cast(parse_type(f.type)).alias(f.name) for f in t.schema.fields]
@@ -158,14 +163,13 @@ def refresh_materialized_table(fsql, db: str, name: str, force: bool = False) ->
     t.append(df)
     state = t.catalog.current_commit(db, name)
     _truncate_commits_before(t, state.version)
-    sources = [s for s in props.get(SOURCES_PROP, "").split(",") if s]
     _set_props(
         t.catalog,
         db,
         name,
         {
             LAST_TS_PROP: str(int(time.time() * 1000)),
-            SOURCE_VERSIONS_PROP: _source_versions(t.catalog, sources),
+            SOURCE_VERSIONS_PROP: versions_at_start,
         },
     )
     return state.version

@@ -72,10 +72,14 @@ def _video_codec():
 
 
 def _resolve_mode(decode_mode: str, codec) -> str:
-    """'auto' -> 'real' when the codec import succeeded, else 'fake';
-    'real' with no codec raises at the plug point."""
+    """'auto' -> 'real' only when a FULL codec (PIL/PyAV) is importable
+    — the vendored PNG-only fallback does not qualify (auto must
+    survive arbitrary payloads, and the fallback rejects non-PNG);
+    explicit 'real' uses whichever codec is available and raises at the
+    plug point when none is."""
     if decode_mode == "auto":
-        return "real" if codec is not None else "fake"
+        full = codec is not None and not getattr(codec, "IS_FALLBACK", False)
+        return "real" if full else "fake"
     return decode_mode
 
 

@@ -540,13 +540,11 @@ def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_multiprobe_topk(e, q, _TOP_K, _N_PROBE)
 
 
-def ivf_multiprobe_topk(e: DataFrame, q: DataFrame, k: int, nprobe: int) -> DataFrame:
-    """Multi-probe IVF over a corpus (vec_id, label=cell, v) and a query
-    set (query_id, qv): centroid derivation (map-side partial agg,
-    broadcast), nprobe nearest cells per query, cell-restricted scan,
-    per-query top-k reduction — the parameterized core of
-    ann_ivf_nprobe."""
-    cents = (
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """Per-cell centroids from the corpus: per-(cell, dim) mean via
+    map-side partial aggregation — k x dim output, metadata-sized at
+    any corpus size, so probe-selection joins can broadcast it."""
+    return (
         e.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(F.avg("x").alias("m"))
@@ -554,6 +552,19 @@ def ivf_multiprobe_topk(e: DataFrame, q: DataFrame, k: int, nprobe: int) -> Data
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s["m"]).alias("c"))
     )
+
+
+def ivf_multiprobe_topk(
+    e: DataFrame, q: DataFrame, k: int, nprobe: int, cents: DataFrame | None = None
+) -> DataFrame:
+    """Multi-probe IVF over a corpus (vec_id, label=cell, v) and a query
+    set (query_id, qv): centroid derivation (or a precomputed/persisted
+    `cents` — select_nprobe passes one so its per-nprobe evaluations
+    don't re-aggregate the corpus), nprobe nearest cells per query,
+    cell-restricted scan, per-query top-k reduction — the parameterized
+    core of ann_ivf_nprobe."""
+    if cents is None:
+        cents = ivf_centroids(e)
     d2 = (
         dot(F.col("qv"), F.col("qv"))
         - 2 * dot(F.col("qv"), F.col("c"))
@@ -611,10 +622,15 @@ def select_nprobe(
     if n_exact == 0:
         return 1, {}
     n_cells = e.select("label").distinct().count()
+    # centroids don't change across nprobe evaluations: derive once,
+    # persist the k x dim rows (metadata-sized) instead of re-running
+    # the full-corpus aggregation per probe count tried
+    cents = ivf_centroids(e).persist()
+    cents.count()
     measured: dict[int, float] = {}
     try:
         for nprobe in range(1, n_cells + 1):
-            approx = ivf_multiprobe_topk(e, q, k, nprobe).select(
+            approx = ivf_multiprobe_topk(e, q, k, nprobe, cents=cents).select(
                 "query_id", F.col("neighbor_id").alias("a_neighbor")
             )
             hits = exact.join(
@@ -628,6 +644,7 @@ def select_nprobe(
                 return nprobe, measured
     finally:
         exact.unpersist()
+        cents.unpersist()
     return n_cells, measured
 
 

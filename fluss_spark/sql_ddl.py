@@ -102,6 +102,40 @@ class FlussSqlSession:
         for db in self.admin.list_databases():
             register_sql_views(self.catalog, self.spark, db)
 
+    def _table_fingerprint(self, db: str, t: str) -> tuple:
+        """Cheap staleness probe for the view cache: commit version plus
+        the PHYSICAL layout facts a bound plan depends on — schema.json
+        mtime (alters, drop+recreate), partitions.json mtime
+        (drop_partition/auto_partition delete subdirs WITHOUT a commit),
+        and the commit-dir name sets of both tiers (tier_log, compaction
+        and TTL move/remove whole dirs, also commit-free). Pure driver
+        metadata reads; no Spark work."""
+        import os
+
+        tdir = self.catalog.table_dir(db, t)
+
+        def _names(d: str) -> tuple:
+            try:
+                return tuple(
+                    sorted(e.name for e in os.scandir(d) if e.name.startswith("__commit="))
+                )
+            except FileNotFoundError:
+                return ()
+
+        def _mtime(p: str) -> int:
+            try:
+                return os.stat(p).st_mtime_ns
+            except FileNotFoundError:
+                return 0
+
+        return (
+            self.catalog.current_commit(db, t).version,
+            _mtime(os.path.join(tdir, "meta", "schema.json")),
+            _mtime(os.path.join(tdir, "meta", "partitions.json")),
+            _names(os.path.join(tdir, "log")),
+            _names(os.path.join(tdir, "remote")),
+        )
+
     def _register_referenced_views(self, stmt: str) -> None:
         """Register (refresh) only the engine views the statement's text
         mentions — view plans bind the commit state at registration, so
@@ -130,12 +164,7 @@ class FlussSqlSession:
             hit = True
             stale = []
             for t in matched:
-                # version pair: data commits AND schema alters (every
-                # alter bumps schema.id) both invalidate the bound plan
-                v = (
-                    self.catalog.current_commit(db, t).version,
-                    self.catalog.get_schema(db, t).properties.get("schema.id", "0"),
-                )
+                v = self._table_fingerprint(db, t)
                 if self._view_versions.get((db, t)) != v:
                     stale.append((t, v))
             if stale:
@@ -204,7 +233,17 @@ class FlussSqlSession:
 
             props.pop(EVOLUTION_PROP, None)  # new table has no eras
             schema = TableSchema(
-                fields=[Field(f.name, f.type, nullable=f.nullable, agg=f.agg) for f in src.fields],
+                fields=[
+                    Field(
+                        f.name,
+                        f.type,
+                        nullable=f.nullable,
+                        agg=f.agg,
+                        auto_increment=f.auto_increment,
+                        comment=f.comment,
+                    )
+                    for f in src.fields
+                ],
                 primary_key=list(src.primary_key),
                 bucket_keys=list(src.bucket_keys),
                 num_buckets=src.num_buckets,
@@ -221,34 +260,52 @@ class FlussSqlSession:
             raise SqlParseError(s)
         db, name = self._qualify(m.group(2))
         # body = everything inside the FIRST balanced paren pair (regex
-        # can't balance; a greedy match would swallow the WITH clause)
+        # can't balance; a greedy match would swallow the WITH clause);
+        # quote-aware so ')' or '(' inside a COMMENT literal don't count
         start = m.end() - 1
         depth = 0
         end = -1
+        q_open = False
         for j in range(start, len(s)):
-            if s[j] == "(":
-                depth += 1
-            elif s[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    end = j
-                    break
+            if s[j] == "'":
+                q_open = not q_open
+            elif not q_open:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = j
+                        break
         if end < 0:
             raise SqlParseError(s)
         body, tail = s[start + 1 : end], s[end + 1 :]
 
-        # split column defs on top-level commas (parens nest in DECIMAL(p,s))
-        parts, depth, cur = [], 0, []
-        for ch in body:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
+        # split column defs on top-level commas — parens nest in
+        # DECIMAL(p,s), and commas inside COMMENT '...' literals must
+        # not split (quote-aware; '' is the escaped quote)
+        parts, depth, cur, in_q = [], 0, [], False
+        i = 0
+        while i < len(body):
+            ch = body[i]
+            if ch == "'":
+                if in_q and i + 1 < len(body) and body[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_q = not in_q
+                cur.append(ch)
+            elif not in_q and ch == "," and depth == 0:
                 parts.append("".join(cur))
                 cur = []
             else:
+                if not in_q:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
                 cur.append(ch)
+            i += 1
         if cur:
             parts.append("".join(cur))
 
@@ -262,14 +319,22 @@ class FlussSqlSession:
                 primary_key = [c.strip().strip("`") for c in pk.group(1).split(",")]
                 continue
             cm = re.match(
-                r"`?(\w+)`?\s+([\w()<>,\s]+?)(\s+not\s+null)?(\s+comment\s+'[^']*')?$",
+                r"`?(\w+)`?\s+([\w()<>,\s]+?)(\s+not\s+null)?"
+                r"(?:\s+comment\s+'((?:[^']|'')*)')?$",
                 p,
                 re.I,
             )
             if not cm:
                 raise SqlParseError(f"bad column definition: {p!r}")
+            comment = cm.group(4)
             fields.append(
-                Field(cm.group(1), cm.group(2).strip(), nullable=not cm.group(3))
+                Field(
+                    cm.group(1),
+                    cm.group(2).strip(),
+                    nullable=not cm.group(3),
+                    # SQL quote escaping: '' inside the literal -> '
+                    comment=comment.replace("''", "'") if comment else comment,
+                )
             )
 
         part_keys: list[str] = []
@@ -463,7 +528,13 @@ class FlussSqlSession:
             pairs = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(user_opts.items()))
             return out + f"\nWITH ({pairs})\nAS {p[Q_PROP]}"
         cols = [
-            f"  `{f.name}` {f.type}" + ("" if f.nullable else " NOT NULL")
+            f"  `{f.name}` {f.type}"
+            + ("" if f.nullable else " NOT NULL")
+            + (
+                f" COMMENT '{f.comment.replace(chr(39), chr(39) * 2)}'"
+                if f.comment
+                else ""
+            )
             for f in sch.fields
         ]
         if sch.primary_key:
@@ -492,11 +563,12 @@ class FlussSqlSession:
                 f.nullable,
                 "PRI" if f.name in sch.primary_key else
                 ("PART" if f.name in sch.partition_keys else ""),
+                f.comment,
             )
             for f in sch.fields
         ]
         return self.spark.createDataFrame(
-            rows, "name string, type string, nullable boolean, key string"
+            rows, "name string, type string, nullable boolean, key string, comment string"
         )
 
     # ------------------------------------------------------------------ #

@@ -51,6 +51,7 @@ class LogStreamReader:
         self._offsets: dict[int, int] | None = None
         self._batch_id = 0
         self._pending_snapshot = False
+        self._epoch = self._bucket_epoch()  # offsets belong to this epoch
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
             self._load_checkpoint()
@@ -77,11 +78,27 @@ class LogStreamReader:
     def _ckpt_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "offsets.json")
 
+    def _bucket_epoch(self) -> str:
+        """Current bucket epoch (table.bucket.epoch, bumped by
+        maintenance.rebucket_table) read FRESH from the catalog — the
+        reader's bound schema predates an out-of-band rebucket."""
+        t = self.table
+        return (
+            t.catalog.get_schema(t.db, t.name)
+            .properties.get("table.bucket.epoch", "0")
+        )
+
     def _load_checkpoint(self) -> None:
         p = self._ckpt_path()
         if os.path.exists(p):
             with open(p) as f:
                 d = json.load(f)
+            if d.get("epoch", "0") != self._epoch:
+                raise ValueError(
+                    "checkpoint predates a rebucket of this table: per-bucket "
+                    "offsets are not comparable across bucket counts — restart "
+                    "the subscription with a fresh checkpoint dir"
+                )
             self._offsets = {int(k): v for k, v in d["offsets"].items()}
             self._batch_id = d["batch_id"]
             self._pending_snapshot = False
@@ -93,13 +110,25 @@ class LogStreamReader:
 
         Catalog._write_atomic(
             self._ckpt_path(),
-            json.dumps({"offsets": self._offsets, "batch_id": self._batch_id}),
+            json.dumps(
+                {
+                    "offsets": self._offsets,
+                    "batch_id": self._batch_id,
+                    "epoch": self._epoch,
+                }
+            ),
         )
 
     # -- polling ----------------------------------------------------------
     def poll(self) -> tuple[DataFrame, int] | None:
         """One micro-batch: (DataFrame, batch_id), or None if caught up.
         The checkpoint advances only on commit_batch()."""
+        if self._bucket_epoch() != self._epoch:
+            raise ValueError(
+                "table was rebucketed while this subscription was active: "
+                "per-bucket offsets are not comparable across bucket counts "
+                "— restart the reader (fresh checkpoint dir)"
+            )
         if self._offsets is None:
             self._offsets = self._initial_offsets()
             if self._pending_snapshot:

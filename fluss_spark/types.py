@@ -71,6 +71,7 @@ class Field:
     field_id: int = -1
     agg: str | None = None  # aggregation merge-engine function for this column
     auto_increment: bool = False  # M10 (Schema.java:552, server/kv/autoinc/)
+    comment: str | None = None  # Schema.Column.comment (Schema.java:590-602)
 
     def to_struct_field(self) -> T.StructField:
         md = {"fieldId": self.field_id}
@@ -78,6 +79,8 @@ class Field:
             md["agg"] = self.agg
         if self.auto_increment:
             md["autoIncrement"] = True
+        if self.comment:
+            md["comment"] = self.comment
         return T.StructField(self.name, parse_type(self.type), self.nullable, metadata=md)
 
 
@@ -168,6 +171,7 @@ class TableSchema:
                         "fieldId": f.field_id,
                         **({"agg": f.agg} if f.agg else {}),
                         **({"autoIncrement": True} if f.auto_increment else {}),
+                        **({"comment": f.comment} if f.comment else {}),
                     }
                     for f in self.fields
                 ],
@@ -192,6 +196,7 @@ class TableSchema:
                     field_id=f.get("fieldId", -1),
                     agg=f.get("agg"),
                     auto_increment=f.get("autoIncrement", False),
+                    comment=f.get("comment"),
                 )
                 for f in d["fields"]
             ],

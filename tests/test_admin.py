@@ -338,3 +338,36 @@ def test_latest_lake_snapshot(spark, admin):
     ps = admin.get_latest_lake_snapshot("db", "lake_pk")
     got = {r["k"]: r["v"] for r in spark.read.parquet(*ps.files).select("k", "v").collect()}
     assert got == {1: "a2", 2: "b"}
+
+
+def test_lake_snapshot_and_stats_dedupe_tier_overlap(spark, admin):
+    """A crashed cross-device tier_log leaves a commit in BOTH tiers
+    (scan dedups local-wins) — the lake-snapshot file set and the
+    partitioned-log footer row count must dedupe the same way."""
+    import shutil
+
+    t = admin.create_table(
+        "db", "ovl",
+        TableSchema(
+            fields=[Field("a", "INT"), Field("p", "STRING")],
+            partition_keys=["p"],
+            num_buckets=1,
+        ),
+    )
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(i, "x"), (i + 10, "y")], "a int, p string"),
+            ordering=["a"],
+        )
+    # simulate the crash state: commit 1 COPIED to remote, local not
+    # yet deleted
+    import os
+
+    src = os.path.join(t.log.log_dir, "__commit=1")
+    dst = os.path.join(t.log.remote_dir, "__commit=1")
+    os.makedirs(t.log.remote_dir, exist_ok=True)
+    shutil.copytree(src, dst)
+    assert t.scan(spark).count() == 6  # scan dedups (local wins)
+    snap = admin.get_latest_lake_snapshot("db", "ovl")
+    assert spark.read.parquet(*snap.files).count() == 6  # no double count
+    assert admin.get_table_stats("db", "ovl").num_rows == 6

@@ -253,3 +253,29 @@ def test_projecting_log_scanner_checkpointed_redelivery(spark, conn, tmp_path):
     ) == 1
     # filter drops a=5, projection keeps only 'a' — through the wrapper
     assert got == [(["a"], [42])]
+
+
+def test_delete_with_not_null_non_key_column(spark, conn):
+    """delete() buffers only the key — non-key NOT NULL columns arrive
+    as None in the drain and must not be rejected there (the engine
+    owns nullability enforcement at its own boundary)."""
+    admin = conn.get_admin()
+    admin.create_table(
+        "db", "nn",
+        TableSchema(
+            fields=[
+                Field("k", "BIGINT"),
+                Field("v", "STRING", nullable=False),
+            ],
+            primary_key=["k"],
+            num_buckets=1,
+        ),
+    )
+    table = conn.get_table("db", "nn")
+    w = table.new_upsert().create_writer(spark)
+    w.upsert({"k": 1, "v": "a"})
+    w.upsert({"k": 2, "v": "b"})
+    w.delete({"k": 2})
+    w.flush()
+    rows = {r["k"]: r["v"] for r in table.new_scan().create_batch_scanner(spark).collect()}
+    assert rows == {1: "a"}

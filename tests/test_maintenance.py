@@ -449,3 +449,95 @@ def test_auto_partition_pk_table_deletes_snapshot_rows(spark, catalog):
     # rows gone from BOTH read surfaces: snapshot and log scan
     assert {r["dt"] for r in t.snapshot(spark).collect()} == {"20260812"}
     assert {r["dt"] for r in t.scan(spark).collect()} == {"20260812"}
+
+
+def test_rebucket_log_table(spark, catalog):
+    """rebucket_table re-routes every row by the new bucket hash,
+    reassigns contiguous 0-based offsets per new bucket, preserves
+    per-key relative order, keeps A1 metadata counts exact, and future
+    appends route with the new count."""
+    from fluss_spark.maintenance import rebucket_table
+    from fluss_spark.table import FlussTable
+
+    t = create_table(
+        catalog, "db", "rb_log",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("seq", "BIGINT")],
+            bucket_keys=["k"],
+            num_buckets=2,
+        ),
+    )
+    rows = [(i % 7, i) for i in range(100)]
+    t.append(spark.createDataFrame(rows[:50], "k long, seq long"), ordering=["seq"])
+    t.append(spark.createDataFrame(rows[50:], "k long, seq long"), ordering=["seq"])
+    rebucket_table(t, spark, 8)
+    t2 = FlussTable(catalog, "db", "rb_log")
+    assert t2.schema.num_buckets == 8
+    got = t2.scan(spark).select("k", "seq", "__bucket", "__offset").collect()
+    assert len(got) == 100
+    assert t2.count() == 100  # metadata count exact after the rewrite
+    # per-key order: seq ascending implies offset ascending within key
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for r in got:
+        per_key[r["k"]].append((r["seq"], r["__offset"], r["__bucket"]))
+    for k, items in per_key.items():
+        items.sort()
+        offs = [o for _, o, _ in items]
+        assert offs == sorted(offs), f"key {k} order broken"
+        assert len({b for _, _, b in items}) == 1  # one bucket per key
+    # offsets contiguous 0-based per bucket
+    per_bucket = defaultdict(list)
+    for r in got:
+        per_bucket[r["__bucket"]].append(r["__offset"])
+    for b, offs in per_bucket.items():
+        assert sorted(offs) == list(range(len(offs)))
+    # future appends route by the new count
+    t2.append(spark.createDataFrame([(3, 1000)], "k long, seq long"), ordering=["seq"])
+    newest = t2.scan(spark).filter(F.col("seq") == 1000).collect()[0]
+    assert newest["__bucket"] == per_key[3][0][2]  # same bucket as key 3
+
+
+def test_rebucket_pk_table_and_stream_fence(spark, catalog, tmp_path):
+    """PK rebucket rewrites the snapshot (lookups route with the new
+    count immediately); streaming subscriptions across the rebucket are
+    fenced by the bucket epoch, live and from checkpoints."""
+    import pytest as _pytest
+
+    from fluss_spark.maintenance import rebucket_table
+    from fluss_spark.streaming.reader import LogStreamReader
+    from fluss_spark.table import FlussTable
+
+    t = create_table(
+        catalog, "db", "rb_pk",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING")],
+            primary_key=["k"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, v string"))
+    t.upsert(spark.createDataFrame([(7, "v7b")], "k long, v string"))
+
+    ckpt = str(tmp_path / "rb_ckpt")
+    live = LogStreamReader(t, spark, checkpoint_dir=ckpt, startup_mode="earliest")
+    assert live.process_available(lambda df, bid: None) == 1  # drain + checkpoint
+
+    rebucket_table(t, spark, 6)
+    t2 = FlussTable(catalog, "db", "rb_pk")
+    assert t2.schema.num_buckets == 6
+    assert {r["k"]: r["v"] for r in t2.snapshot(spark).collect()}[7] == "v7b"
+    assert t2.lookup(spark, {"k": 7}).collect()[0]["v"] == "v7b"
+    # changelog still replays per-key in order under the new layout
+    cl = t2.changelog(spark).filter(F.col("k") == 7).orderBy("_log_offset").collect()
+    assert [r["_change_type"] for r in cl] == ["+I", "-U", "+U"]
+    # live reader: fenced at the next poll
+    with _pytest.raises(ValueError, match="rebucketed"):
+        live.poll()
+    # checkpoint resume: fenced at construction
+    with _pytest.raises(ValueError, match="rebucket"):
+        LogStreamReader(t2, spark, checkpoint_dir=ckpt)
+    # incremental upsert after rebucket lands correctly
+    t2.upsert(spark.createDataFrame([(7, "v7c")], "k long, v string"))
+    assert t2.lookup(spark, {"k": 7}).collect()[0]["v"] == "v7c"

@@ -117,3 +117,27 @@ def test_real_decode_and_resize_through_spark(spark):
     # resized payloads are themselves valid PNGs with the right raster size
     sample = png.decode(bytes(next(iter(resized.collect()))["media"]))
     assert sample.size == (32, 32) and len(sample.tobytes()) == 32 * 32 * 3
+
+
+def test_auto_mode_does_not_upgrade_to_png_fallback(spark):
+    """decode_mode='auto' must fall back to fake when only the PNG-only
+    fallback codec is available (no PIL in this image) — arbitrary
+    payloads would otherwise crash in the kernel instead of decoding
+    fake."""
+    from fluss_spark.operators.multimodal import (
+        _image_codec,
+        _resolve_mode,
+        decode_images,
+    )
+
+    codec = _image_codec()
+    assert codec is not None  # fallback always present
+    if getattr(codec, "IS_FALLBACK", False):
+        assert _resolve_mode("auto", codec) == "fake"
+        assert _resolve_mode("real", codec) == "real"  # explicit real uses it
+    # fake md5 payloads through auto mode: must decode via the fake path
+    media = spark.createDataFrame(
+        [(1, b"\x10" * 16, "image/fake")], "doc_id long, media binary, mime string"
+    )
+    out = decode_images(media, decode_mode="auto").collect()
+    assert out[0]["width"] == 1 + 0x10 % 64

@@ -311,3 +311,91 @@ def test_materialized_table_rejects_column_alters(spark, fsql):
     with pytest.raises(InvalidAlterTableException, match="materialized"):
         fsql.sql("ALTER TABLE mtv RENAME COLUMN n TO m")
     fsql.sql("ALTER TABLE mtv SET ('table.log.ttl' = '30d')")  # options ok
+
+
+def test_materialized_table_empty_refresh_replaces(spark, fsql):
+    """A refresh whose query result became EMPTY must still commit and
+    trim the stale refresh — the MT reads as empty, not as yesterday's
+    rows (empty appends commit a version, so truncation keys off it)."""
+    from fluss_spark.materialized import refresh_materialized_table
+    from fluss_spark.table import FlussTable
+
+    fsql.sql("""
+        CREATE TABLE kvs (k BIGINT, live BIGINT,
+                          PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO kvs VALUES (1, 1), (2, 1)")
+    fsql.sql("""
+        CREATE MATERIALIZED TABLE live_keys
+        FRESHNESS = INTERVAL '1' MINUTE
+        AS SELECT k FROM fluss_kvs__snapshot WHERE live = 1
+    """)
+    t = FlussTable(fsql.catalog, "fluss", "live_keys")
+    assert t.scan(spark).count() == 2
+    fsql.sql("INSERT INTO kvs VALUES (1, 0), (2, 0)")  # upsert: all dead
+    refresh_materialized_table(fsql, "fluss", "live_keys")
+    assert t.scan(spark).count() == 0
+
+
+def test_column_comments_roundtrip(spark, fsql):
+    """Column comments (Schema.Column.comment, Schema.java:590-602):
+    parsed at CREATE, persisted in the schema JSON, surfaced by
+    DESCRIBE and SHOW CREATE TABLE."""
+    fsql.sql("""
+        CREATE TABLE cmt (
+            k BIGINT NOT NULL COMMENT 'the key',
+            v STRING COMMENT 'payload text',
+            plain INT
+        ) WITH ('bucket.num' = '1')
+    """)
+    desc = {r["name"]: r["comment"] for r in fsql.sql("DESCRIBE cmt").collect()}
+    assert desc == {"k": "the key", "v": "payload text", "plain": None}
+    stmt = fsql.sql("SHOW CREATE TABLE cmt").collect()[0][0]
+    assert "COMMENT 'the key'" in stmt and "COMMENT 'payload text'" in stmt
+    # survives the JSON round-trip (fresh schema read)
+    sch = fsql.catalog.get_schema("fluss", "cmt")
+    assert [f.comment for f in sch.fields] == ["the key", "payload text", None]
+
+
+def test_view_cache_invalidates_on_commit_free_mutations(spark, fsql):
+    """tier_log and drop_partition mutate files WITHOUT committing a
+    version — the view cache must catch both (commit-dir name sets +
+    partitions.json mtime in the fingerprint), or SELECTs would execute
+    stale plans over moved/deleted files."""
+    from fluss_spark import maintenance
+    from fluss_spark.table import FlussTable
+
+    fsql.sql("""
+        CREATE TABLE tl (a INT, p STRING) PARTITIONED BY (p)
+        WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO tl VALUES (1, '2024'), (2, '2025')")
+    fsql.sql("INSERT INTO tl VALUES (3, '2025')")
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_tl").collect()[0]["c"] == 3
+    t = FlussTable(fsql.catalog, "fluss", "tl")
+    # tiering moves a sealed commit dir; the cached plan's file list is
+    # now wrong — the fingerprint must force a re-register
+    assert maintenance.tier_log(t, local_segments=1) == 1
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_tl").collect()[0]["c"] == 3
+    # partition drop deletes subdirs without a commit
+    fsql.admin.drop_partition("fluss", "tl", {"p": "2024"})
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_tl").collect()[0]["c"] == 2
+
+
+def test_comment_with_quote_and_comma_roundtrips(spark, fsql):
+    """Escaped quotes ('') and commas inside COMMENT literals must
+    survive parse -> SHOW CREATE -> re-parse."""
+    fsql.sql("""
+        CREATE TABLE cq (
+            k BIGINT COMMENT 'user''s id, primary',
+            v STRING
+        ) WITH ('bucket.num' = '1')
+    """)
+    sch = fsql.catalog.get_schema("fluss", "cq")
+    assert sch.fields[0].comment == "user's id, primary"
+    stmt = fsql.sql("SHOW CREATE TABLE cq").collect()[0][0]
+    assert "COMMENT 'user''s id, primary'" in stmt
+    # re-executing the rendered DDL reproduces the comment
+    fsql.sql(stmt.replace("fluss.cq", "fluss.cq2"))
+    assert fsql.catalog.get_schema("fluss", "cq2").fields[0].comment == "user's id, primary"
