@@ -81,7 +81,7 @@ class FlussSqlSession:
             return self._show(s)
         if low.startswith(("describe ", "desc ")):
             return self._describe(s)
-        if low.startswith("insert into"):
+        if low.startswith(("insert into", "insert overwrite")):
             return self._insert(s)
         if low.startswith(("select", "with ", "values")):
             self._register_referenced_views(s)
@@ -253,6 +253,16 @@ class FlussSqlSession:
             self.admin.create_database(db)
             create_table(self.catalog, db, name, schema, if_not_exists=bool(like.group(1)))
             return
+        ctas = re.match(
+            r"create\s+table\s+(if\s+not\s+exists\s+)?([\w.`]+)\s+"
+            r"(?:partitioned\s+by\s*\(([^)]*)\)\s+)?"
+            r"(?:with\s*\((.*?)\)\s+)?"
+            r"as\s+((?:select|with|values)\b.*)$",
+            s,
+            re.I | re.S,
+        )
+        if ctas:
+            return self._create_table_as(ctas)
         m = re.match(
             r"create\s+table\s+(if\s+not\s+exists\s+)?([\w.`]+)\s*\(", s, re.I
         )
@@ -360,6 +370,47 @@ class FlussSqlSession:
         )
         self.admin.create_database(db)
         create_table(self.catalog, db, name, schema, if_not_exists=bool(m.group(1)))
+
+    def _create_table_as(self, m: re.Match) -> None:
+        """CREATE TABLE [IF NOT EXISTS] name [PARTITIONED BY (...)]
+        [WITH (...)] AS <query> — Flink-style CTAS: the schema (names,
+        types, nullability) derives from the query plan, the table is
+        created atomically-with-respect-to-this-session and the query
+        result is appended as its first commit. CTAS creates LOG tables
+        only (a primary key is declared structure, not derivable from a
+        query — same restriction as Flink's CTAS); IF NOT EXISTS on an
+        existing table skips both the create and the insert."""
+        db, name = self._qualify(m.group(2))
+        if m.group(1) and self.admin.table_exists(db, name):
+            return
+        query = m.group(5).strip()
+        self._register_referenced_views(query)
+        df = self.spark.sql(query)
+        options = self._parse_options(m.group(4)) if m.group(4) else {}
+        part_keys = (
+            [c.strip().strip("`") for c in m.group(3).split(",")] if m.group(3) else []
+        )
+        from fluss_spark.types import type_name
+
+        fields = [
+            Field(f.name, type_name(f.dataType), nullable=f.nullable)
+            for f in df.schema.fields
+        ]
+        num_buckets = int(options.pop("bucket.num", "4"))
+        bucket_keys = [
+            c.strip() for c in options.pop("bucket.key", "").split(",") if c.strip()
+        ]
+        schema = TableSchema(
+            fields=fields,
+            primary_key=[],
+            bucket_keys=bucket_keys,
+            num_buckets=num_buckets,
+            partition_keys=part_keys,
+            properties=options,
+        )
+        self.admin.create_database(db)
+        create_table(self.catalog, db, name, schema, if_not_exists=bool(m.group(1)))
+        FlussTable(self.catalog, db, name).append(df)
 
     def _drop_table(self, s: str, materialized: bool = False) -> None:
         m = re.match(
@@ -575,13 +626,30 @@ class FlussSqlSession:
     # INSERT INTO
     # ------------------------------------------------------------------ #
     def _insert(self, s: str) -> None:
-        m = re.match(r"insert\s+into\s+([\w.`]+)\s+(.*)$", s, re.I | re.S)
+        m = re.match(
+            r"insert\s+(into|overwrite)\s+([\w.`]+)\s*"
+            r"(?:partition\s*\(([^)]*)\)\s*)?(.*)$",
+            s,
+            re.I | re.S,
+        )
         if not m:
             raise SqlParseError(s)
-        db, name = self._qualify(m.group(1))
-        source = m.group(2).strip()
+        overwrite = m.group(1).lower() == "overwrite"
+        db, name = self._qualify(m.group(2))
+        source = m.group(4).strip()
         t = FlussTable(self.catalog, db, name)
-        cols = t.schema.data_columns()
+        # static partition spec: INSERT ... t PARTITION (dt = '2024-01-01')
+        # binds the partition column as a literal; the query supplies the
+        # remaining columns (Flink static-partition form)
+        static: dict[str, str] = {}
+        if m.group(3):
+            for part in m.group(3).split(","):
+                k, _, v = part.partition("=")
+                k = k.strip().strip("`")
+                if k not in t.schema.partition_keys:
+                    raise SqlParseError(f"{k!r} is not a partition key of {db}.{name}")
+                static[k] = v.strip().strip("'")
+        cols = [c for c in t.schema.data_columns() if c not in static]
         if source.lower().startswith("values"):
             # VALUES rows bind positionally to the table's columns
             df = self.spark.sql(
@@ -593,7 +661,7 @@ class FlussSqlSession:
             if len(df.columns) != len(cols):
                 raise SqlParseError(
                     f"INSERT arity mismatch: query yields {len(df.columns)} "
-                    f"columns, table has {len(cols)}"
+                    f"columns, table expects {len(cols)}"
                 )
             df = df.toDF(*cols)  # positional binding, Flink-style
         # cast to the DECLARED column types: SQL literals infer narrow
@@ -605,11 +673,56 @@ class FlussSqlSession:
 
         df = df.select(
             *[
-                F.col(f.name).cast(parse_type(f.type)).alias(f.name)
+                F.lit(static[f.name]).cast(parse_type(f.type)).alias(f.name)
+                if f.name in static
+                else F.col(f.name).cast(parse_type(f.type)).alias(f.name)
                 for f in t.schema.fields
             ]
         )
+        if overwrite:
+            return self._insert_overwrite(t, df)
         if t.kv is not None:
             t.upsert(df)
         else:
             t.append(df)
+
+    def _insert_overwrite(self, t: FlussTable, df: DataFrame) -> None:
+        """INSERT OVERWRITE (Flink semantics over the engine's commit
+        mechanics): primary-key tables reject it (as in the reference —
+        overwrite bypasses the merge engine); an unpartitioned log table
+        replaces its whole contents (append the new commit, then trim
+        every older commit — the materialized-table refresh mechanics,
+        physical removal + log_start rebase so A1 metadata counts stay
+        exact); a partitioned log table overwrites exactly the
+        partitions present in the incoming data (Flink dynamic mode;
+        a static PARTITION clause pins that set to one value) by
+        routing each through Admin.drop_partition, then appending."""
+        if t.kv is not None:
+            raise SqlParseError(
+                "INSERT OVERWRITE is not supported on primary-key tables "
+                "(write through the merge engine with INSERT INTO)"
+            )
+        from fluss_spark.materialized import _truncate_commits_before
+
+        if not t.schema.partition_keys:
+            t.append(df)
+            state = self.catalog.current_commit(t.db, t.name)
+            _truncate_commits_before(t, state.version)
+            return
+        # dynamic overwrite: the affected-partition set must be fixed
+        # BEFORE the append re-executes the plan (persist so the query
+        # runs once; partition values are metadata-sized)
+        key = t.schema.partition_keys[0]
+        df = df.persist()
+        try:
+            # partition specs are strings (directory names) on the
+            # catalog side — compare in that domain
+            incoming = {str(r[0]) for r in df.select(key).distinct().collect()}
+            existing = {
+                p.spec[key] for p in self.admin.list_partitions(t.db, t.name)
+            }
+            for val in sorted(incoming & existing):
+                self.admin.drop_partition(t.db, t.name, {key: val})
+            t.append(df)
+        finally:
+            df.unpersist()

@@ -399,3 +399,78 @@ def test_comment_with_quote_and_comma_roundtrips(spark, fsql):
     # re-executing the rendered DDL reproduces the comment
     fsql.sql(stmt.replace("fluss.cq", "fluss.cq2"))
     assert fsql.catalog.get_schema("fluss", "cq2").fields[0].comment == "user's id, primary"
+
+
+def test_create_table_as_select(spark, fsql):
+    """CTAS: schema derives from the query plan, result lands as the
+    first commit, options/partitioning apply."""
+    fsql.sql("CREATE TABLE src2 (a INT, b STRING, s DOUBLE) WITH ('bucket.num' = '1')")
+    fsql.sql("INSERT INTO src2 VALUES (1, 'x', 0.5), (2, 'y', 1.5), (3, 'x', 2.5)")
+    fsql.sql("""
+        CREATE TABLE agg WITH ('bucket.num' = '2') AS
+        SELECT b, count(*) AS n, sum(s) AS total
+        FROM fluss_src2 GROUP BY b
+    """)
+    sch = fsql.catalog.get_schema("fluss", "agg")
+    assert [f.name for f in sch.fields] == ["b", "n", "total"]
+    assert sch.num_buckets == 2 and not sch.is_pk_table
+    got = {r["b"]: (r["n"], r["total"]) for r in fsql.sql("SELECT * FROM fluss_agg").collect()}
+    assert got == {"x": (2, 3.0), "y": (1, 1.5)}
+    # IF NOT EXISTS on an existing table skips create AND insert
+    fsql.sql("CREATE TABLE IF NOT EXISTS agg AS SELECT b, count(*) AS n, sum(s) AS total FROM fluss_src2 GROUP BY b")
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_agg").collect()[0]["c"] == 2
+
+
+def test_ctas_partitioned(spark, fsql):
+    fsql.sql("CREATE TABLE ev (a INT, p STRING) WITH ('bucket.num' = '1')")
+    fsql.sql("INSERT INTO ev VALUES (1, '2024'), (2, '2025')")
+    fsql.sql("""
+        CREATE TABLE ev_p PARTITIONED BY (p) WITH ('bucket.num' = '1')
+        AS SELECT a, p FROM fluss_ev
+    """)
+    sch = fsql.catalog.get_schema("fluss", "ev_p")
+    assert sch.partition_keys == ["p"]
+    parts = {r["partition"] for r in fsql.sql("SHOW PARTITIONS ev_p").collect()}
+    assert parts == {"p=2024", "p=2025"}
+
+
+def test_insert_overwrite_unpartitioned(spark, fsql):
+    """Full-table replace on a log table: older commits trimmed
+    (physical removal + log_start rebase), A1 metadata count exact."""
+    from fluss_spark.table import FlussTable
+
+    fsql.sql("CREATE TABLE ow (a INT, b STRING) WITH ('bucket.num' = '2')")
+    fsql.sql("INSERT INTO ow VALUES (1, 'old'), (2, 'old')")
+    fsql.sql("INSERT INTO ow VALUES (3, 'old')")
+    fsql.sql("INSERT OVERWRITE ow VALUES (10, 'new'), (11, 'new')")
+    rows = {(r["a"], r["b"]) for r in fsql.sql("SELECT * FROM fluss_ow").collect()}
+    assert rows == {(10, "new"), (11, "new")}
+    # metadata count (A1) agrees after the trim
+    t = FlussTable(fsql.catalog, "fluss", "ow")
+    assert fsql.admin.get_table_stats("fluss", "ow").num_rows == 2
+    # overwrite on a pk table is rejected (merge engine owns writes)
+    fsql.sql("CREATE TABLE owpk (k INT, v STRING, PRIMARY KEY (k) NOT ENFORCED) WITH ('bucket.num' = '1')")
+    with pytest.raises(SqlParseError, match="primary-key"):
+        fsql.sql("INSERT OVERWRITE owpk VALUES (1, 'a')")
+
+
+def test_insert_overwrite_partitioned_dynamic_and_static(spark, fsql):
+    """Partitioned overwrite replaces exactly the partitions present in
+    the incoming data (dynamic), or the one named by the static
+    PARTITION clause; untouched partitions keep their rows."""
+    fsql.sql("""
+        CREATE TABLE owp (a INT, dt STRING) PARTITIONED BY (dt)
+        WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO owp VALUES (1, '2024'), (2, '2024'), (3, '2025'), (4, '2026')")
+    # dynamic: incoming data touches 2024 only -> 2025/2026 survive
+    fsql.sql("INSERT OVERWRITE owp VALUES (10, '2024')")
+    rows = {(r["a"], r["dt"]) for r in fsql.sql("SELECT * FROM fluss_owp").collect()}
+    assert rows == {(10, "2024"), (3, "2025"), (4, "2026")}
+    # static: PARTITION (dt = '2025') binds the literal; query supplies `a` only
+    fsql.sql("INSERT OVERWRITE owp PARTITION (dt = '2025') VALUES (30)")
+    rows = {(r["a"], r["dt"]) for r in fsql.sql("SELECT * FROM fluss_owp").collect()}
+    assert rows == {(10, "2024"), (30, "2025"), (4, "2026")}
+    # INSERT INTO with a static partition appends without replacing
+    fsql.sql("INSERT INTO owp PARTITION (dt = '2026') VALUES (40)")
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_owp WHERE dt = '2026'").collect()[0]["c"] == 2
