@@ -78,25 +78,27 @@ _PRIORITY = [
     "op_user_paths",
     "op_anomaly_zscore",
     # new this round (zero driver history): materialized tables,
-    # IVF-PQ, the composed curation funnel
+    # IVF-PQ, the composed curation funnel, semantic dedup, perplexity
+    # bucketing, temperature sampling
     "t11_materialized_table",
     "ann_ivfpq_adc",
     "tx_curation_pipeline",
     "l5_delta_join",
+    "dd_semdedup",
+    "tx_perplexity_buckets",
+    "tx_temperature_sample",
     # --- fill: engine family with one round of driver history ---
     "m2_delete_replay",
-    "m4_default_merge_snapshot",
-    "m5_first_row_snapshot",
     "l4_lookup_join",
-    "s8_offset_time_travel",
     "t4_incremental_view",
     "p6_partition_pruned_scan",
     "dd_passage_dedup",
     "ann_sq8_rerank",
     # tx_pii_scrub + op_sessionize + dd_minhash_estimate +
-    # dd_cluster_components rotate out (driver-green r3) to keep the
-    # window at 50 with the round-4 flagships in; all still locally
-    # oracle-checked by test_oracle_parity over the registry.
+    # dd_cluster_components (driver-green r3) and m4/m5/s8
+    # (driver-green r3) rotate out to keep the window at 50 with the
+    # round-4 flagships in; all still locally oracle-checked by
+    # test_oracle_parity over the registry.
 ]
 
 

@@ -1095,3 +1095,105 @@ def dd_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------- #
+# semantic dedup (SemDeDup): k-means cells + intra-cell cosine pruning
+# ---------------------------------------------------------------------- #
+
+_SEM_THR = 0.35
+
+
+def _semdedup_oracle() -> str:
+    """Unrolled SQL derivation: the same 2-round Lloyd chain the
+    ann_kmeans_ivf oracle uses, then a correlated EXISTS implementing
+    the keep-first-by-id rule within each cell."""
+    from fluss_spark.operators.similarity import (
+        _KM_K,
+        _sql_km_assign,
+        _sql_km_update,
+    )
+
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT {_KM_K}
+    ), a1 AS ({_sql_km_assign("c0")}
+    ), c1 AS ({_sql_km_update("a1")}
+    ), a2 AS ({_sql_km_assign("c1")}
+    ), c2 AS ({_sql_km_update("a2")}
+    ), a3 AS ({_sql_km_assign("c2")})
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cell,
+           NOT EXISTS (
+             SELECT 1 FROM a3 b
+             WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+               AND {cos} >= {_SEM_THR}
+           ) AS kept
+    FROM a3 a
+    """
+
+
+def _semdedup_kernel(thr: float):
+    """Per-cell Arrow kernel: drop a vector iff some LOWER-id vector in
+    the same cell has cosine >= thr with it (keep-first-by-id — the
+    deterministic, non-chained variant of SemDeDup's per-cluster prune).
+    The cosine matrix is computed in column chunks so peak memory is
+    |cell| x CHUNK, never |cell|^2 at once."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        n = len(V)
+        dropped = np.zeros(n, dtype=bool)
+        chunk = 2048
+        rows = np.arange(n)[:, None]
+        for j0 in range(0, n, chunk):
+            S = V @ V[j0 : j0 + chunk].T  # n x c
+            cols = (j0 + np.arange(S.shape[1]))[None, :]
+            hit = (S >= thr) & (rows < cols)
+            dropped[j0 : j0 + S.shape[1]] = hit.any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "kept": ~dropped,
+            }
+        )
+
+    return kernel
+
+
+@register("dd_semdedup", oracle=_semdedup_oracle())
+def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings
+    with the deterministic k-means coarse quantizer, then within each
+    cell drop every vector whose cosine to a lower-id cellmate reaches
+    the threshold — near-duplicate *meanings*, not near-duplicate bytes.
+
+    Scale shape: clustering is the IVF trainer (map-side partial sums,
+    k x dim driver state), the prune is one shuffle on the cell id and a
+    chunked BLAS matmul per cell — at 100 TB the cells bound the
+    quadratic term exactly like the IVF search path, and the output is
+    one row per vector (linear). Keep-first-by-id makes the result
+    order-free and SQL-derivable (correlated EXISTS in the oracle), so
+    this is a full hash-match parity entry despite the iterative
+    trainer."""
+    from fluss_spark.operators.similarity import _KM_ITERS, _KM_K, kmeans_assign
+
+    e = load_spread(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cells = kmeans_assign(e, k=_KM_K, iters=_KM_ITERS)
+    assigned = e.join(cells, "vec_id")
+    return assigned.groupBy("cell").applyInPandas(
+        _semdedup_kernel(_SEM_THR), "vec_id long, cell int, kept boolean"
+    )

@@ -841,3 +841,194 @@ def tx_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("tok_sampled"),
     )
+
+
+# -- perplexity buckets (CCNet-style head/middle/tail) --------------------
+
+# z-score band half-width (in corpus std units) separating the buckets
+_PPL_BAND = 0.4
+
+_SQL_PPL_DOC = f"""
+    tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), freq AS (
+      SELECT term, count(*)::DOUBLE AS n FROM tok GROUP BY term
+    ), tot AS (
+      SELECT sum(n) AS nt FROM freq
+    ), doc AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             round(-avg(ln(f.n / tot.nt)), 4) AS avg_logloss
+      FROM tok t JOIN freq f USING (term), tot
+      GROUP BY t.doc_id
+    )
+"""
+
+
+@register(
+    "tx_perplexity_buckets",
+    oracle=f"""
+    WITH {_SQL_PPL_DOC}, q AS (
+      SELECT doc_id, n_tokens, avg_logloss,
+             CAST(round(avg_logloss * 10000) AS BIGINT) AS ql
+      FROM doc
+    ), st AS (
+      SELECT count(*) AS n, CAST(sum(ql) AS BIGINT) AS s,
+             CAST(sum(ql * ql) AS BIGINT) AS ss
+      FROM q
+    )
+    SELECT doc_id, n_tokens, avg_logloss,
+           CASE WHEN CAST(ql AS DOUBLE) <=
+                     CAST(s AS DOUBLE) / n - {_PPL_BAND} *
+                     sqrt(CAST(ss AS DOUBLE) / n -
+                          (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                THEN 'head'
+                WHEN CAST(ql AS DOUBLE) <=
+                     CAST(s AS DOUBLE) / n + {_PPL_BAND} *
+                     sqrt(CAST(ss AS DOUBLE) / n -
+                          (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM q, st
+    """,
+)
+def tx_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-unigram logloss, then split the corpus into head (most
+    fluent), middle, and tail around the corpus mean ± {_PPL_BAND}·std.
+
+    Scale shape: no global sort/ntile — the cutoffs come from a
+    2-number corpus aggregate computed over the QUANTIZED score
+    (round(logloss·1e4) as long), so the power sums are exact integers
+    (the filtered-aggregate determinism pattern from op_anomaly_zscore:
+    double addition is order-dependent, integer addition is not) and the
+    bucket edges are bit-identical on both engines. The aggregate
+    broadcasts back onto the corpus, so bucketing is map-side — the
+    plan is score (one term shuffle, vocabulary-sized), reduce to one
+    stats row, stamp buckets with zero further exchanges."""
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("n"))
+    tot = freq.agg(F.sum("n").alias("nt"))
+    lm = freq.crossJoin(F.broadcast(tot)).select(
+        "term", F.log(F.col("n") / F.col("nt")).alias("logp")
+    )
+    doc = (
+        tok.join(F.broadcast(lm), on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("avg_logloss"),
+        )
+    )
+    q = doc.withColumn(
+        "ql", F.round(F.col("avg_logloss") * 10000).cast("long")
+    )
+    st = q.agg(
+        F.count("*").alias("n"),
+        F.sum("ql").alias("s"),
+        F.sum(F.col("ql") * F.col("ql")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    std = F.sqrt(F.col("ss").cast("double") / F.col("n") - mean * mean)
+    return (
+        q.crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_logloss",
+            F.when(
+                F.col("ql").cast("double") <= mean - _PPL_BAND * std, "head"
+            )
+            .when(F.col("ql").cast("double") <= mean + _PPL_BAND * std, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+# -- temperature-scaled domain sampling -----------------------------------
+
+_TEMP_ALPHA = 0.3  # sampling temperature exponent (multilingual-LM style)
+
+
+@register(
+    "tx_temperature_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, count(*) AS n_orig FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(sum(n_orig) AS BIGINT) AS total FROM w
+    ), wq AS (
+      SELECT source, n_orig,
+             CAST(round(pow(CAST(n_orig AS DOUBLE) / total, {_TEMP_ALPHA}) * 1000000000) AS BIGINT) AS wq
+      FROM w, t
+    ), ws AS (
+      SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM wq
+    ), rates AS (
+      SELECT source, n_orig,
+             least(1.0, (CAST(wq AS DOUBLE) / wsum) * (total / 2.0) / n_orig) AS keep_rate
+      FROM wq, ws, t
+    )
+    SELECT d.source, max(r.n_orig) AS n_orig,
+           round(max(r.keep_rate), 6) AS keep_rate,
+           count(*) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+          < r.keep_rate
+    GROUP BY d.source
+    """,
+)
+def tx_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled domain sampling (the multilingual/data-mixture
+    rule p_d ∝ (n_d/N)^α): raising small domains and damping large ones
+    with α={_TEMP_ALPHA}, targeting N/2 sampled rows overall. Unlike
+    tx_domain_mix's fixed per-domain weights, the weights here derive
+    from the observed shares — the Gopher/PaLM sampling-temperature
+    shape.
+
+    Scale + determinism: the per-domain frame is domain-sized (tiny);
+    the temperature weight is QUANTIZED to an integer (round(share^α ·
+    1e9)) before the normalizing sum so the aggregate is exact, then the
+    keep decision is the shared md5 PRF against a broadcast rate —
+    map-side filter, no corpus shuffle at any scale."""
+    d = load(spark, sf, "documents")
+    w = d.groupBy("source").agg(F.count("*").alias("n_orig"))
+    tot = w.agg(F.sum("n_orig").alias("total"))
+    wq = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_orig",
+        "total",
+        F.round(
+            F.pow(F.col("n_orig").cast("double") / F.col("total"), F.lit(_TEMP_ALPHA))
+            * 1000000000
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    ws = wq.agg(F.sum("wq").alias("wsum"))
+    rates = wq.crossJoin(F.broadcast(ws)).select(
+        "source",
+        "n_orig",
+        F.least(
+            F.lit(1.0),
+            (F.col("wq").cast("double") / F.col("wsum"))
+            * (F.col("total") / F.lit(2.0))
+            / F.col("n_orig"),
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), on="source")
+        .filter(u < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(
+            F.max("n_orig").alias("n_orig"),
+            F.round(F.max("keep_rate"), 6).alias("keep_rate"),
+            F.count("*").alias("n_kept"),
+        )
+    )

@@ -406,3 +406,36 @@ def test_curation_pipeline_single_shuffle(spark, sf_dir):
     # scalar aggregate's partials (which carries ONE row per task)
     assert plan.count("ENSURE_REQUIREMENTS") <= 2, plan
     assert plans.has_partial_aggregation(df)
+
+
+def test_semdedup_no_cartesian_single_cell_shuffle(spark, sf_dir):
+    """dd_semdedup's prune is one exchange on the cell id feeding the
+    per-cell kernel — never a pairwise self-join of the corpus."""
+    df = QUERIES["dd_semdedup"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the chunked BLAS prune kernel
+
+
+def test_perplexity_buckets_broadcast_stats(spark, sf_dir):
+    """The bucket edges come from a 1-row stats aggregate broadcast back
+    onto the scored corpus — bucket stamping adds no exchange beyond the
+    score's own shuffles (term freq + per-doc reduce)."""
+    df = QUERIES["tx_perplexity_buckets"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_sample_map_side_filter(spark, sf_dir):
+    """tx_temperature_sample keeps rows via a broadcast rate join + PRF
+    filter: the corpus is never hash-exchanged on a row key — the only
+    exchanges belong to the domain-sized aggregates and the final
+    per-source reduce."""
+    df = QUERIES["tx_temperature_sample"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # no exchange keyed on doc_id: the per-row keep decision is map-side
+    assert "hashpartitioning(doc_id" not in plan
