@@ -1032,3 +1032,159 @@ def tx_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_kept"),
         )
     )
+
+
+# -- BPE tokenizer training (unrolled merge rounds) -----------------------
+
+_BPE_ROUNDS = 3
+
+
+def _sql_bpe_round(prev: str, n: int) -> str:
+    """One unrolled BPE round over the vocabulary CTE `prev`
+    (wid, freq, syms): count adjacent pairs weighted by word frequency,
+    pick the argmax (count DESC, then pair lexicographically), then
+    apply it greedily left-to-right. Greedy = within each island of
+    consecutive hit positions (hits can only conflict when adjacent),
+    keep alternating positions starting from the island's first — the
+    leftmost-first rule as a window expression."""
+    return f"""
+    p{n} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq, syms, CAST(unnest(range(1, len(syms))) AS INT) AS i
+        FROM {prev}
+      )
+      GROUP BY 1, 2
+    ), m{n} AS (
+      SELECT l, r, cnt FROM p{n} ORDER BY cnt DESC, l, r LIMIT 1
+    ), e{n} AS (
+      SELECT wid, freq, i, syms[i] AS a,
+             CASE WHEN i < len(syms) THEN syms[i + 1] END AS b
+      FROM (
+        SELECT wid, freq, syms,
+               CAST(unnest(range(1, len(syms) + 1)) AS INT) AS i
+        FROM {prev}
+      )
+    ), h{n} AS (
+      SELECT wid, i, i - row_number() OVER (PARTITION BY wid ORDER BY i) AS grp
+      FROM e{n}
+      WHERE a = (SELECT l FROM m{n}) AND b = (SELECT r FROM m{n})
+    ), sel{n} AS (
+      SELECT wid, i, true AS sel FROM h{n}
+      QUALIFY (i - min(i) OVER (PARTITION BY wid, grp)) % 2 = 0
+    ), v{n} AS (
+      SELECT wid, freq,
+             list(CASE WHEN sel THEN a || b ELSE a END ORDER BY i) AS syms
+      FROM (
+        SELECT e.wid, e.freq, e.i, e.a, e.b,
+               coalesce(s.sel, false) AS sel,
+               coalesce(lag(coalesce(s.sel, false))
+                        OVER (PARTITION BY e.wid ORDER BY e.i), false) AS prev_sel
+        FROM e{n} e LEFT JOIN sel{n} s USING (wid, i)
+      ) WHERE NOT prev_sel
+      GROUP BY wid, freq
+    )"""
+
+
+def _bpe_oracle() -> str:
+    rounds = "".join(
+        "," + _sql_bpe_round(f"v{n - 1}", n) for n in range(1, _BPE_ROUNDS + 1)
+    )
+    union = "\nUNION ALL ".join(
+        f"SELECT {n} AS round, l AS merge_left, r AS merge_right, cnt AS pair_count FROM m{n}"
+        for n in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH w0 AS (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest({_SQL_TOKENS}) AS word
+        FROM documents WHERE trim(text) <> ''
+      ) GROUP BY word
+    ), v0 AS (
+      SELECT row_number() OVER (ORDER BY word) AS wid, freq,
+             [substr(word, CAST(i AS INT), 1) for i in range(1, len(word) + 1)] AS syms
+      FROM w0
+    ){rounds}
+    {union}
+    """
+
+
+def _bpe_merge_kernel(l: str, r: str):
+    """Apply one learned merge to the vocabulary, greedy left-to-right —
+    map-side over the (distinct-word) vocab table, never the corpus."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            merged = []
+            for syms in pdf["syms"]:
+                s = list(syms)
+                out = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                merged.append(out)
+            yield pd.DataFrame({"freq": pdf["freq"], "syms": merged})
+
+    return kernel
+
+
+@register("tx_bpe_train", oracle=_bpe_oracle())
+def tx_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer TRAINING (the GPT-2/SentencePiece merge loop, not
+    just tokenization): {_BPE_ROUNDS} unrolled rounds of count-adjacent-
+    pairs -> merge-the-argmax, returning the learned merge table.
+
+    Scale shape: training runs over the VOCABULARY (distinct words +
+    frequencies — one corpus shuffle, then vocabulary-sized forever),
+    which is how production BPE trainers stay tractable: a 100 TB corpus
+    has a ~100M-row vocab. Each round is one map-side pair explode +
+    partial-agg shuffle on the pair key, a 1-row argmax collect
+    (metadata-sized, like the k-means trainer), and a broadcast-closure
+    Arrow kernel applying the merge greedily left-to-right. The oracle
+    unrolls all rounds in SQL, expressing the greedy merge as an
+    islands-window selection — full hash-match parity for an iterative
+    trainer. Ties break (count DESC, pair ASC) on both sides."""
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # no wid on the Spark side: the oracle's windows need one, but here
+    # the merge kernel is per-row and the pair agg is keyless-of-word
+    vocab = words.select(
+        "freq",
+        F.filter(F.split(F.col("word"), ""), lambda x: x != "").alias("syms"),
+    )
+    out_rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    )
+                ).alias("pr"),
+            )
+            .select(F.col("pr.0").alias("l"), F.col("pr.1").alias("r"), "freq")
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()[0]
+        out_rows.append((rnd, top["l"], top["r"], top["cnt"]))
+        vocab = vocab.mapInPandas(
+            _bpe_merge_kernel(top["l"], top["r"]),
+            "freq long, syms array<string>",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out_rows, "round int, merge_left string, merge_right string, pair_count long"
+    )

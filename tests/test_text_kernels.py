@@ -1,0 +1,51 @@
+"""Greedy BPE-merge semantics: the Arrow kernel and the oracle's
+islands-window SQL must agree on the hard cases — overlapping hits in
+same-symbol runs, where leftmost-first merging is order-sensitive."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from fluss_spark.operators.text import _bpe_merge_kernel, _sql_bpe_round
+
+
+def _kernel_merge(syms: list[str], l: str, r: str) -> list[str]:
+    k = _bpe_merge_kernel(l, r)
+    out = list(k(iter([pd.DataFrame({"freq": [1], "syms": [syms]})])))
+    return list(out[0]["syms"][0])
+
+
+def test_kernel_greedy_leftmost():
+    # runs of identical symbols: leftmost-first, no re-merge of output
+    assert _kernel_merge(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert _kernel_merge(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _kernel_merge(list("aaaaa"), "a", "a") == ["aa", "aa", "a"]
+    # merged token never cascades within the same round
+    assert _kernel_merge(list("abab"), "a", "b") == ["ab", "ab"]
+    assert _kernel_merge(list("aab"), "a", "b") == ["a", "ab"]
+    # multi-char symbols match exactly, not by prefix
+    assert _kernel_merge(["x", "ab", "b"], "a", "b") == ["x", "ab", "b"]
+
+
+def test_sql_round_matches_kernel_on_runs():
+    """The islands-window SQL (one unrolled round) reproduces the
+    kernel's greedy merge on run-heavy vocabularies."""
+    vocab = [
+        (1, 40, list("aaaa")),
+        (2, 30, list("aaa")),
+        (3, 20, list("aaaaa")),
+        (4, 10, list("baab")),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v0 (wid BIGINT, freq BIGINT, syms VARCHAR[])")
+    con.executemany("INSERT INTO v0 VALUES (?, ?, ?)", vocab)
+    sql = f"WITH {_sql_bpe_round('v0', 1)[5:]} SELECT wid, syms FROM v1 ORDER BY wid"
+    got = dict(con.sql(sql).fetchall())
+    # argmax pair is (a, a): freq-weighted cnt = 3*40 + 2*30 + 4*20 + 1*10
+    top = con.sql(
+        f"WITH {_sql_bpe_round('v0', 1)[5:]} SELECT l, r, cnt FROM m1"
+    ).fetchone()
+    assert top == ("a", "a", 270)
+    for wid, freq, syms in vocab:
+        assert got[wid] == _kernel_merge(syms, "a", "a"), (wid, got[wid])
