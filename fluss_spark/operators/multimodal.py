@@ -352,3 +352,141 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_no", F.lower(F.hex("frame")).alias("frame_fp")
     )
+
+
+# ---------------------------------------------------------------------- #
+# audio
+# ---------------------------------------------------------------------- #
+
+_SOUNDFILE = _UNSET
+
+
+def _audio_codec():
+    """Probe for soundfile once per process; fall back to the vendored
+    pure-stdlib WAV codec (fluss_spark.functions.wav, PCM16 mono only)
+    so decode_mode="real" is executable for at least one real audio
+    format in every environment."""
+    global _SOUNDFILE
+    if _SOUNDFILE is _UNSET:
+        try:
+            import importlib
+
+            _SOUNDFILE = importlib.import_module("soundfile")
+        except ImportError:
+            from fluss_spark.functions import wav as _wav_fallback
+
+            _SOUNDFILE = _wav_fallback
+    return _SOUNDFILE
+
+
+def _audio_decode(codec, b: bytes):
+    """(samples as float64 in [-1, 1], rate) through whichever codec the
+    probe found."""
+    import numpy as np
+
+    if getattr(codec, "IS_FALLBACK", False):
+        samples, rate = codec.decode(bytes(b))
+        return np.asarray(samples, dtype=np.float64) / 32768.0, rate
+    import io
+
+    data, rate = codec.read(io.BytesIO(bytes(b)), dtype="float64")
+    if data.ndim > 1:  # downmix to mono
+        data = data.mean(axis=1)
+    return data, rate
+
+
+def synthesize_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic fake audio payloads (same opaque-binary convention
+    as synthesize_media): 16 md5 bytes standing in for an encoded clip."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("audio"),
+        F.lit("audio/fake").alias("mime"),
+    )
+
+
+def segment_audio(
+    audio_df: DataFrame, seg_ms: int = 500, decode_mode: str = "fake"
+) -> DataFrame:
+    """Fixed-window audio segmentation with per-segment RMS — the
+    decode→window→score shape of an ASR/VAD ingest stage (1:N exploding
+    kernel like sample_frames). Real path: decode through the probed
+    codec (soundfile, else the stdlib WAV fallback), slice into seg_ms
+    windows, RMS per window in numpy. Fake path: segment count, RMS and
+    fingerprint derive from the payload hex so the whole pipeline is
+    SQL-recomputable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        codec = _audio_codec()
+        mode = _resolve_mode(decode_mode, codec)
+        for pdf in batches:
+            rows = {"doc_id": [], "seg_no": [], "start_ms": [], "rms": [], "seg_fp": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["audio"]):
+                if mode == "real":
+                    if codec is None:
+                        raise NotImplementedError(
+                            "audio codec not available; install soundfile — decode "
+                            "plugs in via soundfile.read(io.BytesIO(b))"
+                        )
+                    samples, rate = _audio_decode(codec, b)
+                    seg_len = max(1, rate * seg_ms // 1000)
+                    n_seg = (len(samples) + seg_len - 1) // seg_len
+                    for i in range(n_seg):
+                        seg = samples[i * seg_len : (i + 1) * seg_len]
+                        rows["doc_id"].append(doc_id)
+                        rows["seg_no"].append(i)
+                        rows["start_ms"].append(i * seg_ms)
+                        rows["rms"].append(float(np.sqrt(np.mean(seg * seg))))
+                        rows["seg_fp"].append(
+                            hashlib.md5(seg.tobytes()).hexdigest()
+                        )
+                    continue
+                hexp = bytes(b).hex()
+                n_seg = 1 + int(hexp[2:4], 16) % 4  # fake duration from payload
+                for i in range(n_seg):
+                    h = hashlib.md5(f"{hexp}|a|{i}".encode()).hexdigest()
+                    rows["doc_id"].append(doc_id)
+                    rows["seg_no"].append(i)
+                    rows["start_ms"].append(i * seg_ms)
+                    # pseudo loudness in [0, 1): both sides derive the
+                    # SAME int then divide — identical doubles, no round
+                    rows["rms"].append((int(h[:4], 16) % 1000) / 1000.0)
+                    rows["seg_fp"].append(h)
+            yield pd.DataFrame(rows)
+
+    return audio_df.mapInPandas(
+        run, schema="doc_id bigint, seg_no int, start_ms int, rms double, seg_fp string"
+    )
+
+
+@register(
+    "mm_audio_segment",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hexp,
+             1 + (('0x' || substr(md5(text), 3, 2))::INTEGER % 4) AS n_seg
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS seg_no, CAST(i * 500 AS INT) AS start_ms,
+           (('0x' || substr(md5(hexp || '|a|' || i::VARCHAR), 1, 4))::INTEGER % 1000)
+             / 1000.0 AS rms,
+           md5(hexp || '|a|' || i::VARCHAR) AS seg_fp
+    FROM m JOIN range(0, 4) r(i) ON i < n_seg
+    """,
+)
+def mm_audio_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio segmentation end-to-end: opaque binary payload →
+    mapInPandas 1:N window explosion with per-segment RMS and
+    fingerprint (the VAD/ASR ingest shape). The registered query runs
+    the fake path so the exploding kernel — batch iteration, schema,
+    row multiplication, per-segment scoring — is value-checked against
+    a SQL recomputation; the REAL path (stdlib WAV fallback or
+    soundfile) is exercised by test_multimodal_codec.py on actual PCM16
+    payloads."""
+    docs = load_spread(spark, sf, "documents")
+    audio = synthesize_audio(docs)
+    return segment_audio(audio, seg_ms=500, decode_mode="fake")

@@ -141,3 +141,58 @@ def test_auto_mode_does_not_upgrade_to_png_fallback(spark):
     )
     out = decode_images(media, decode_mode="auto").collect()
     assert out[0]["width"] == 1 + 0x10 % 64
+
+
+def test_wav_roundtrip_and_real_segmentation(spark):
+    """The stdlib WAV fallback executes decode_mode='real' for audio:
+    PCM16 payloads decode, segment into 500 ms windows, and the
+    per-segment RMS matches a straight numpy recomputation."""
+    import numpy as np
+
+    from fluss_spark.functions import wav
+    from fluss_spark.operators.multimodal import segment_audio
+
+    s = [0, 1000, -1000, 32767, -32768]
+    assert wav.decode(wav.encode(s, 16000)) == (s, 16000)
+
+    rows = []
+    for doc_id, n in ((1, 24000), (2, 8000), (3, 100)):
+        samples = [int(2000 * ((i * doc_id) % 7 - 3)) for i in range(n)]
+        rows.append((doc_id, bytearray(wav.encode(samples, 16000))))
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    got = {
+        (r["doc_id"], r["seg_no"]): r
+        for r in segment_audio(df, 500, decode_mode="real").collect()
+    }
+    # 16 kHz x 500 ms = 8000-sample windows: 24000 -> 3, 8000 -> 1, 100 -> 1
+    assert sorted(got) == [(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)]
+    assert got[(1, 2)]["start_ms"] == 1000
+    seg0 = np.asarray(
+        [2000 * ((i * 1) % 7 - 3) for i in range(8000)], dtype=np.float64
+    ) / 32768.0
+    assert abs(got[(1, 0)]["rms"] - float(np.sqrt(np.mean(seg0 * seg0)))) < 1e-12
+    # short clip: one partial window, RMS over its actual samples
+    tail = np.asarray(
+        [2000 * ((i * 3) % 7 - 3) for i in range(100)], dtype=np.float64
+    ) / 32768.0
+    assert abs(got[(3, 0)]["rms"] - float(np.sqrt(np.mean(tail * tail)))) < 1e-12
+
+
+def test_audio_auto_mode_stays_fake_with_fallback(spark):
+    """Same auto-mode contract as images: the WAV-only fallback must not
+    auto-upgrade (arbitrary fake payloads are not WAV containers)."""
+    from fluss_spark.operators.multimodal import (
+        _audio_codec,
+        _resolve_mode,
+        segment_audio,
+    )
+
+    codec = _audio_codec()
+    assert codec is not None
+    if getattr(codec, "IS_FALLBACK", False):
+        assert _resolve_mode("auto", codec) == "fake"
+    media = spark.createDataFrame(
+        [(1, b"\x10" * 16, "audio/fake")], "doc_id long, audio binary, mime string"
+    )
+    out = segment_audio(media, decode_mode="auto").collect()
+    assert len(out) == 1 + 0x10 % 4  # fake n_seg from payload hex byte 1
