@@ -1154,7 +1154,9 @@ def _semdedup_kernel(thr: float):
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         n = len(V)
         dropped = np.zeros(n, dtype=bool)
-        chunk = 2048
+        # bound the n x chunk score block to ~256 MB regardless of cell
+        # size (cells grow with the corpus; the kernel must not)
+        chunk = max(128, min(2048, (32 << 20) // max(n, 1)))
         rows = np.arange(n)[:, None]
         for j0 in range(0, n, chunk):
             S = V @ V[j0 : j0 + chunk].T  # n x c
