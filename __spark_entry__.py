@@ -89,15 +89,15 @@ _PRIORITY = [
     "tx_temperature_sample",
     "tx_bpe_train",
     "mm_audio_segment",
+    "emb_pca_topcomponent",
     # --- fill: engine family with one round of driver history ---
     "m2_delete_replay",
     "l4_lookup_join",
     "t4_incremental_view",
-    "p6_partition_pruned_scan",
     # tx_pii_scrub + op_sessionize + dd_minhash_estimate +
     # dd_cluster_components (driver-green r3) and m4/m5/s8/
-    # ann_sq8_rerank/dd_passage_dedup (driver-green r3) rotate out to
-    # keep the window at 50 with the round-4 flagships in; all still
+    # ann_sq8_rerank/dd_passage_dedup/p6 (driver-green r3) rotate out
+    # to keep the window at 50 with the round-4 flagships in; all still
     # locally oracle-checked by test_oracle_parity over the registry.
 ]
 

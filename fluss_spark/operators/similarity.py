@@ -1265,3 +1265,137 @@ def ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.count("a_neighbor") / float(_TOP_K), 4).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------- #
+# embedding diagnostics: top principal component (power iteration)
+# ---------------------------------------------------------------------- #
+
+_PCA_Q = 1_000_000  # per-coordinate quantization scale for exact Gram sums
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    """Unrolled SQL derivation: integer-quantized Gram matrix (exact
+    sums — double addition is order-dependent, int addition is not),
+    then {_PCA_ITERS} power-iteration rounds as matvec/normalize CTE
+    pairs from the all-ones start, sign fixed by the max-|component|
+    coordinate."""
+    # one matvec + normalize pair per unrolled round
+    rounds = "".join(
+        f""", y{k} AS (
+      SELECT g.i AS j, sum(CAST(g.g AS DOUBLE) * x{k - 1}.xj) AS yj
+      FROM gram g JOIN x{k - 1} ON g.j = x{k - 1}.j GROUP BY g.i
+    ), x{k} AS (
+      SELECT j, yj / (SELECT sqrt(sum(yj * yj)) FROM y{k}) AS xj FROM y{k}
+    )"""
+        for k in range(1, _PCA_ITERS + 1)
+    )
+    n = _PCA_ITERS
+    return f"""
+    WITH vq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {_PCA_Q}) AS BIGINT)) AS v
+      FROM embeddings
+    ), coords AS (
+      SELECT vec_id, CAST(unnest(range(1, len(v) + 1)) AS INT) AS i,
+             unnest(v) AS x
+      FROM vq
+    ), gram AS (
+      SELECT a.i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+      FROM coords a JOIN coords b USING (vec_id)
+      GROUP BY a.i, b.i
+    ), x0 AS (
+      SELECT CAST(unnest(range(1, {_DIM} + 1)) AS INT) AS j, 1.0 AS xj
+    ){rounds}, lam AS (
+      SELECT sum(CAST(g.g AS DOUBLE) * a.xj * b.xj) AS l
+      FROM gram g JOIN x{n} a ON g.i = a.j JOIN x{n} b ON g.j = b.j
+    ), tr AS (
+      SELECT CAST(sum(g) AS DOUBLE) AS t FROM gram WHERE i = j
+    ), sg AS (
+      SELECT CASE WHEN (
+        SELECT xj FROM x{n}
+        ORDER BY abs(xj) DESC, j LIMIT 1
+      ) < 0 THEN -1.0 ELSE 1.0 END AS s
+    )
+    SELECT CAST(x{n}.j - 1 AS INT) AS dim,
+           round(x{n}.xj * sg.s, 6) AS component,
+           round(lam.l / tr.t, 6) AS explained_ratio
+    FROM x{n}, sg, lam, tr
+    """
+
+
+@register("emb_pca_topcomponent", oracle=_pca_oracle())
+def emb_pca_topcomponent(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embedding corpus + its explained-
+    variance ratio — the collapse/anisotropy diagnostic run before
+    trusting an embedding space for dedup or retrieval (a dominant
+    component means cosine similarities are inflated by a common
+    direction).
+
+    Scale shape: the Gram matrix is computed from INTEGER-quantized
+    coordinates as map-side per-partition partial sums (the k-means-
+    trainer dataflow: dim x dim driver state, one 4096-row collect —
+    metadata-sized at any corpus size), so the sums are exact and both
+    engines derive bit-identical Gram entries. Power iteration then
+    runs driver-side on the {_DIM}x{_DIM} matrix — O(dim^2) work that
+    would be wasted as a distributed job. The oracle unrolls the same
+    {_PCA_ITERS} rounds as matvec CTEs."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_spread(spark, sf, "embeddings").select(
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * _PCA_Q).cast("long")
+        ).alias("v")
+    )
+
+    def partials(batches):
+        G = np.zeros((_DIM, _DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            V = np.vstack([np.asarray(x, dtype=np.int64) for x in pdf["v"]])
+            G += V.T @ V
+        if seen:
+            ii, jj = np.indices(G.shape)
+            yield pd.DataFrame(
+                {"i": ii.ravel() + 1, "j": jj.ravel() + 1, "g": G.ravel()}
+            )
+
+    gram_rows = (
+        e.mapInPandas(partials, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    G = np.zeros((_DIM, _DIM), dtype=np.float64)
+    tr = 0
+    for r in gram_rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+        if r["i"] == r["j"]:
+            tr += r["g"]
+    x = np.ones(_DIM, dtype=np.float64)
+    for _ in range(_PCA_ITERS):
+        y = G @ x
+        x = y / np.sqrt((y * y).sum())
+    lam = float(x @ G @ x)
+    # sign convention: the max-|component| coordinate (ties -> lowest
+    # dim) is non-negative — same rule as the oracle's ORDER BY
+    k = min(
+        range(_DIM), key=lambda d: (-abs(x[d]), d)
+    )
+    if x[k] < 0:
+        x = -x
+    out = spark.createDataFrame(
+        [(d, float(x[d]), lam / tr) for d in range(_DIM)],
+        "dim int, component double, explained_ratio double",
+    )
+    return out.select(
+        "dim",
+        F.round("component", 6).alias("component"),
+        F.round("explained_ratio", 6).alias("explained_ratio"),
+    )
