@@ -83,7 +83,17 @@ class FlussSqlSession:
             return self._describe(s)
         if low.startswith(("insert into", "insert overwrite")):
             return self._insert(s)
-        if low.startswith(("select", "with ", "values")):
+        if low.startswith("truncate table"):
+            return self._truncate(s)
+        if low.startswith("use "):
+            db = s[4:].strip().strip("`")
+            if db not in self.admin.list_databases():
+                from fluss_spark.catalog import DatabaseNotFoundError
+
+                raise DatabaseNotFoundError(db)
+            self.default_db = db
+            return None
+        if low.startswith(("select", "with ", "values", "explain")):
             self._register_referenced_views(s)
             return self.spark.sql(s)
         raise SqlParseError(f"unsupported statement: {s[:80]}")
@@ -685,6 +695,27 @@ class FlussSqlSession:
             t.upsert(df)
         else:
             t.append(df)
+
+    def _truncate(self, s: str) -> None:
+        """TRUNCATE TABLE: a log table trims every commit (physical
+        removal + log_start rebase, so A1 metadata counts stay exact and
+        offsets keep monotone history); a primary-key table deletes all
+        live rows THROUGH the merge engine (changelog -D + snapshot
+        rewrite), preserving CDC semantics for downstream consumers."""
+        m = re.match(r"truncate\s+table\s+([\w.`]+)$", s, re.I)
+        if not m:
+            raise SqlParseError(s)
+        db, name = self._qualify(m.group(1))
+        t = FlussTable(self.catalog, db, name)
+        if t.kv is not None:
+            from pyspark.sql import functions as F
+
+            t.delete_where(self.spark, F.lit(True))
+            return
+        from fluss_spark.materialized import _truncate_commits_before
+
+        state = self.catalog.current_commit(db, name)
+        _truncate_commits_before(t, state.version + 1)
 
     def _insert_overwrite(self, t: FlussTable, df: DataFrame) -> None:
         """INSERT OVERWRITE (Flink semantics over the engine's commit

@@ -474,3 +474,43 @@ def test_insert_overwrite_partitioned_dynamic_and_static(spark, fsql):
     # INSERT INTO with a static partition appends without replacing
     fsql.sql("INSERT INTO owp PARTITION (dt = '2026') VALUES (40)")
     assert fsql.sql("SELECT count(*) AS c FROM fluss_owp WHERE dt = '2026'").collect()[0]["c"] == 2
+
+
+def test_use_explain_truncate(spark, fsql):
+    import pytest as _pytest
+
+    from fluss_spark.catalog import DatabaseNotFoundError
+
+    fsql.sql("CREATE DATABASE analytics")
+    fsql.sql("USE analytics")
+    fsql.sql("CREATE TABLE tt (a INT, b STRING) WITH ('bucket.num' = '1')")
+    assert fsql.admin.table_exists("analytics", "tt")
+    fsql.sql("INSERT INTO tt VALUES (1, 'x'), (2, 'y')")
+    with _pytest.raises(DatabaseNotFoundError):
+        fsql.sql("USE nope")
+    # EXPLAIN routes through Spark SQL over the registered views
+    plan = fsql.sql("EXPLAIN SELECT * FROM analytics_tt WHERE a = 1").collect()[0][0]
+    assert "Physical Plan" in plan or "Filter" in plan
+    # TRUNCATE on a log table trims all commits; A1 metadata stays exact
+    fsql.sql("TRUNCATE TABLE tt")
+    assert fsql.sql("SELECT count(*) AS c FROM analytics_tt").collect()[0]["c"] == 0
+    assert fsql.admin.get_table_stats("analytics", "tt").num_rows == 0
+    # appends after truncate keep working (offsets stay monotone)
+    fsql.sql("INSERT INTO tt VALUES (3, 'z')")
+    assert fsql.sql("SELECT count(*) AS c FROM analytics_tt").collect()[0]["c"] == 1
+
+
+def test_truncate_pk_table_emits_deletes(spark, fsql):
+    """TRUNCATE on a pk table goes through the merge engine: downstream
+    changelog consumers see the -D events."""
+    fsql.sql("""
+        CREATE TABLE tkv (k INT, v STRING, PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO tkv VALUES (1, 'a'), (2, 'b')")
+    fsql.sql("TRUNCATE TABLE tkv")
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_tkv__snapshot").collect()[0]["c"] == 0
+    dels = fsql.sql(
+        "SELECT count(*) AS c FROM fluss_tkv__changelog WHERE _change_type = '-D'"
+    ).collect()[0]["c"]
+    assert dels == 2
