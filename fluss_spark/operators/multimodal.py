@@ -191,17 +191,63 @@ def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     deterministic fake embedding is the first 8 payload bytes / 255
     (payload = unhex(md5(text)), so the oracle recomputes the identical
     vector in SQL — the kernel's batch iteration, Arrow transfer and
-    array output are value-checked, not just row-counted). Real model
-    inference batches through this same kernel."""
+    array output are value-checked, not just row-counted). The REAL
+    path (pixel statistics through the probed image codec) runs in
+    test_multimodal_codec.py on actual PNG payloads."""
     docs = load_spread(spark, sf, "documents")
     media = synthesize_media(docs)
+    return extract_features(media, decode_mode="fake")
+
+
+def extract_features(media_df: DataFrame, decode_mode: str = "fake") -> DataFrame:
+    """Image -> feature-vector kernel. Real path: decode through the
+    probed codec (PIL, else the vendored PNG fallback) and emit pixel
+    statistics — per-channel means, per-channel variance proxy, and
+    normalized dimensions (8 features) — the stand-in for a real
+    encoder's forward pass, exercising decode + raster math in-kernel.
+    Fake path: first 8 payload bytes / 255 (SQL-recomputable)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = _image_codec()
+        mode = _resolve_mode(decode_mode, codec)
         for pdf in batches:
-            feats = pdf["media"].map(lambda b: [float(x) / 255.0 for x in b[:8]])
+            if mode == "real":
+                if codec is None:
+                    raise NotImplementedError(
+                        "image codec not available; install Pillow — feature "
+                        "extraction plugs in via PIL.Image.open + numpy stats"
+                    )
+                import io
+
+                import numpy as np
+
+                def _feats(b):
+                    img = codec.open(io.BytesIO(bytes(b)))
+                    w, h = img.size
+                    px = np.frombuffer(img.tobytes(), dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    ch = px.reshape(-1, max(1, len(px) // (w * h)))
+                    means = ch.mean(axis=0) / 255.0
+                    var = float(ch.var()) / (255.0 * 255.0)
+                    out = list(means[:3])
+                    out += [out[-1]] * (3 - len(out))
+                    return out + [
+                        var,
+                        min(w, 4096) / 4096.0,
+                        min(h, 4096) / 4096.0,
+                        float(ch.shape[1]) / 4.0,
+                        float(px.mean() >= 128),
+                    ]
+
+                feats = pdf["media"].map(_feats)
+            else:
+                feats = pdf["media"].map(
+                    lambda b: [float(x) / 255.0 for x in b[:8]]
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
-    return media.mapInPandas(run, schema="doc_id bigint, features array<double>")
+    return media_df.mapInPandas(run, schema="doc_id bigint, features array<double>")
 
 
 def resize_images(media_df: DataFrame, width: int, height: int, decode_mode: str = "fake") -> DataFrame:

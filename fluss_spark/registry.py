@@ -35,6 +35,47 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+_WORKER_PKG_SESSIONS: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make `fluss_spark` importable on Spark PYTHON WORKERS regardless
+    of the driver's cwd/PYTHONPATH: several Arrow kernels (codec probes,
+    shared verify/merge helpers) are module-level functions, which
+    cloudpickle serializes BY REFERENCE — the worker must import the
+    package to unpickle them. A driver launched from outside the repo
+    (sys.path.insert at runtime) does not propagate its sys.path to the
+    forked workers, so ship the package once per session via addPyFile
+    (the same mechanism a real cluster deployment uses)."""
+    key = session_key(spark)
+    if key in _WORKER_PKG_SESSIONS:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    import fluss_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(fluss_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"fluss_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "fluss_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _WORKER_PKG_SESSIONS.add(key)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table (columnar Parquet scan; Catalyst
     prunes columns and pushes filters down to the reader).
@@ -51,6 +92,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # oracle parity regardless of the caller's session: DuckDB timestamps
     # are UTC-naive, so all timestamp arithmetic must run in UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_worker_imports(spark)
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")

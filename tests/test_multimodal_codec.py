@@ -196,3 +196,34 @@ def test_audio_auto_mode_stays_fake_with_fallback(spark):
     )
     out = segment_audio(media, decode_mode="auto").collect()
     assert len(out) == 1 + 0x10 % 4  # fake n_seg from payload hex byte 1
+
+
+def test_real_feature_extract_pixel_stats(spark):
+    """decode_mode='real' feature extraction: decode actual PNGs through
+    the fallback codec, emit per-channel means + variance + dims — the
+    values must match a direct numpy recomputation."""
+    import numpy as np
+
+    from fluss_spark.operators.multimodal import extract_features
+
+    img = _rgb_image(6, 3)
+    payload = png.encode(img)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload), "image/png")], "doc_id long, media binary, mime string"
+    )
+    out = extract_features(df, decode_mode="real").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 7
+    f = out[0]["features"]
+    px = np.frombuffer(img.tobytes(), dtype=np.uint8).astype(np.float64).reshape(-1, 3)
+    assert np.allclose(f[:3], px.mean(axis=0) / 255.0)
+    assert abs(f[3] - px.var() / 255.0**2) < 1e-12
+    assert f[4] == 6 / 4096.0 and f[5] == 3 / 4096.0
+    assert f[6] == 3 / 4.0  # channel count
+    # grey image: single-channel mean replicated into the 3 slots
+    grey = png.PngImage(2, 2, 1, bytes([10, 20, 30, 40]))
+    df = spark.createDataFrame(
+        [(8, bytearray(png.encode(grey)), "image/png")],
+        "doc_id long, media binary, mime string",
+    )
+    g = extract_features(df, decode_mode="real").collect()[0]["features"]
+    assert g[0] == g[1] == g[2] == (10 + 20 + 30 + 40) / 4 / 255.0
