@@ -952,3 +952,19 @@ class Admin:
         if not os.path.isdir(mdir):
             return []
         return sorted(int(e.name[1:-5]) for e in os.scandir(mdir) if e.name.endswith(".json"))
+
+    # -- ACLs (Admin.java:573-600; semantics in fluss_spark/security.py) --
+    def list_acls(self, flt=None) -> list:
+        from fluss_spark import security
+
+        return security.list_acls(self.catalog, flt or security.MATCH_ANY)
+
+    def create_acls(self, bindings: list) -> list:
+        from fluss_spark import security
+
+        return security.create_acls(self.catalog, bindings)
+
+    def drop_acls(self, filters: list) -> list:
+        from fluss_spark import security
+
+        return security.drop_acls(self.catalog, filters)

@@ -43,7 +43,14 @@ class FlussSqlSession:
     None for DDL/DML commands.
     """
 
-    def __init__(self, catalog: Catalog, spark: SparkSession, default_db: str = "fluss"):
+    def __init__(
+        self,
+        catalog: Catalog,
+        spark: SparkSession,
+        default_db: str = "fluss",
+        principal: str | None = None,
+        super_users: list[str] | None = None,
+    ):
         self.catalog = catalog
         self.admin = Admin(catalog)
         self.spark = spark
@@ -52,11 +59,22 @@ class FlussSqlSession:
         # current temp views bind; re-registration is skipped while
         # both are unchanged
         self._view_versions: dict[tuple[str, str], tuple] = {}
+        # ACL enforcement (security.py, DefaultAuthorizer semantics):
+        # a session without a principal is an open/unauthenticated
+        # session (reference with the authorizer disabled); with one,
+        # every statement is checked against the warehouse ACLs.
+        self.principal = principal
+        if principal is not None:
+            from fluss_spark.security import Authorizer
+
+            self._authorizer = Authorizer(catalog, super_users=super_users)
 
     # ------------------------------------------------------------------ #
     def sql(self, statement: str) -> DataFrame | None:
         s = statement.strip().rstrip(";").strip()
         low = s.lower()
+        if self.principal is not None:
+            self._authorize_statement(s, low)
         if low.startswith("create database"):
             return self._create_database(s)
         if low.startswith("drop database"):
@@ -145,6 +163,90 @@ class FlussSqlSession:
             _names(os.path.join(tdir, "log")),
             _names(os.path.join(tdir, "remote")),
         )
+
+    def _referenced_tables(self, stmt: str) -> list[tuple[str, str]]:
+        """Engine tables the statement's text mentions as `<db>_<table>`
+        view names (case-insensitive superset match — same rule the view
+        refresh uses)."""
+        low_stmt = stmt.lower()
+        out = []
+        for db in self.admin.list_databases():
+            for t in self.catalog.list_tables(db):
+                if f"{db}_{t}".lower() in low_stmt:
+                    out.append((db, t))
+        return out
+
+    def _authorize_statement(self, s: str, low: str) -> None:
+        """Statement -> (operation, resource) mapping for the ACL check
+        (security.Authorizer; reference authorizes each RPC the same
+        way server-side). Reads check READ on every referenced table;
+        DDL checks CREATE on the database / DROP/ALTER on the table;
+        writes check WRITE on the target table."""
+        from fluss_spark import security as sec
+
+        def chk(op: str, res) -> None:
+            self._authorizer.check(self.principal, op, res)
+
+        if low.startswith("create database"):
+            chk("CREATE", sec.Resource.cluster())
+            return
+        if low.startswith("drop database"):
+            m = re.match(r"drop\s+database\s+(?:if\s+exists\s+)?([\w.`]+)", s, re.I)
+            if m:
+                chk("DROP", sec.Resource.database(m.group(1).strip("`")))
+            return
+        if low.startswith(("create materialized table", "create table")):
+            m = re.match(
+                r"create\s+(?:materialized\s+)?table\s+(?:if\s+not\s+exists\s+)?([\w.`]+)",
+                s,
+                re.I,
+            )
+            if m:
+                db, _ = self._qualify(m.group(1))
+                chk("CREATE", sec.Resource.database(db))
+            # CTAS / MT definitions also read their sources
+            for rdb, rt in self._referenced_tables(s):
+                chk("READ", sec.Resource.table(rdb, rt))
+            return
+        if low.startswith(("drop table", "drop materialized table")):
+            m = re.match(
+                r"drop\s+(?:materialized\s+)?table\s+(?:if\s+exists\s+)?([\w.`]+)",
+                s,
+                re.I,
+            )
+            if m:
+                db, t = self._qualify(m.group(1))
+                chk("DROP", sec.Resource.table(db, t))
+            return
+        if low.startswith(("alter table", "alter materialized table")):
+            m = re.match(r"alter\s+(?:materialized\s+)?table\s+([\w.`]+)", s, re.I)
+            if m:
+                db, t = self._qualify(m.group(1))
+                chk("ALTER", sec.Resource.table(db, t))
+            return
+        if low.startswith(("insert into", "insert overwrite", "truncate table")):
+            m = re.match(
+                r"(?:insert\s+(?:into|overwrite)|truncate\s+table)\s+([\w.`]+)", s, re.I
+            )
+            target = self._qualify(m.group(1)) if m else None
+            if target:
+                chk("WRITE", sec.Resource.table(*target))
+            for rdb, rt in self._referenced_tables(s):
+                if (rdb, rt) != target:
+                    chk("READ", sec.Resource.table(rdb, rt))
+            return
+        if low.startswith(("show", "describe ", "desc ")):
+            m = re.search(r"(?:table|partitions|describe|desc)\s+([\w.`]+)\s*$", s, re.I)
+            if m and not low.startswith(("show tables", "show databases")):
+                db, t = self._qualify(m.group(1))
+                chk("DESCRIBE", sec.Resource.table(db, t))
+            else:
+                chk("DESCRIBE", sec.Resource.cluster())
+            return
+        if low.startswith(("select", "with ", "values", "explain")):
+            for rdb, rt in self._referenced_tables(s):
+                chk("READ", sec.Resource.table(rdb, rt))
+            return
 
     def _register_referenced_views(self, stmt: str) -> None:
         """Register (refresh) only the engine views the statement's text
