@@ -712,8 +712,10 @@ class Admin:
                     rel = os.path.relpath(dirpath, root)
                     head = rel.split(os.sep, 1)[0]
                     if head.startswith("__commit="):
-                        counted = int(head.split("=")[1]) <= state.version and not (
-                            root == t.log.remote_dir and head in local_commits
+                        hv = int(head.split("=")[1])
+                        counted = (
+                            state.log_floor <= hv <= state.version
+                            and not (root == t.log.remote_dir and head in local_commits)
                         )
                 for fn in names:
                     if fn.endswith(".parquet"):
@@ -791,8 +793,9 @@ class Admin:
             for e in sorted(os.scandir(tier), key=lambda e: e.name):
                 if not e.name.startswith("__commit="):
                     continue
-                if int(e.name.split("=")[1]) > state.version:
-                    continue  # uncommitted staging: never listed
+                v = int(e.name.split("=")[1])
+                if v > state.version or v < state.log_floor:
+                    continue  # uncommitted staging / rebucket-shadowed: never listed
                 if tier == t.log.remote_dir and e.name in local_names:
                     continue
                 for dirpath, _dirs, names in os.walk(e.path):

@@ -45,6 +45,13 @@ class CommitState:
     # bucket -> first readable offset; advances when TTL trims the log
     # head (earliest offsets / metadata count stay exact after expiry)
     log_start: dict[str, int] = field(default_factory=dict)
+    # commit dirs with version < log_floor are SHADOWED: a whole-log
+    # rewrite (rebucket) republished their rows under a new layout, so
+    # scans must never read them. The floor advances atomically WITH the
+    # rewrite commit — physical deletion of the shadowed dirs can then
+    # happen after (and survive a crash in between) without the catalog
+    # ever pointing at deleted data. 0 = nothing shadowed.
+    log_floor: int = 0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)

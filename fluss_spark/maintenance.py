@@ -164,6 +164,7 @@ def _compact_log_locked(
         auto_increment=state.auto_increment,
         ts_ms=int(time.time() * 1000),
         log_start=state.log_start,
+        log_floor=state.log_floor,
     )
     log.publish(version)
     table.catalog.commit(table.db, table.name, new_state)
@@ -202,6 +203,12 @@ def _expire_log_ttl_locked(table: FlussTable, cutoff: int) -> int:
         if not e.name.startswith(f"{COMMIT_DIR_COL}="):
             continue
         v = int(e.name.split("=")[1])
+        if v < state.log_floor:
+            # shadowed pre-rebucket dir a crash left behind: plain
+            # garbage — delete, but NEVER rebase log_start from its
+            # old-layout watermarks
+            shutil.rmtree(e.path, ignore_errors=True)
+            continue
         cs = history.get(v)
         # never delete the newest commit or anything at/after the cutoff
         if cs is None or v >= state.version or cs.ts_ms >= cutoff:
@@ -226,6 +233,7 @@ def _expire_log_ttl_locked(table: FlussTable, cutoff: int) -> int:
                 auto_increment=state.auto_increment,
                 ts_ms=int(time.time() * 1000),
                 log_start=starts,
+                log_floor=state.log_floor,
             ),
         )
     return deleted
@@ -268,6 +276,7 @@ def _compact_snapshot_locked(table: FlussTable, spark: SparkSession, max_dirs: i
         auto_increment=state.auto_increment,
         ts_ms=int(time.time() * 1000),
         log_start=state.log_start,
+        log_floor=state.log_floor,
     )
     table.catalog.commit(table.db, table.name, new_state)
     return True
@@ -555,25 +564,11 @@ def _rebucket_locked(table: FlussTable, spark: SparkSession, new_buckets: int) -
         }
     hwm = {str(b): mx + 1 for b, mx in per_bucket.items()}
 
-    # publish the rewritten log, then retire every pre-rebucket commit
-    # dir in both tiers (they carry the OLD bucket layout)
-    log.publish(version)
-    new_state = CommitState(
-        version=version,
-        log_hwm=hwm,
-        snapshot_version=state.snapshot_version,
-        auto_increment=state.auto_increment,
-        ts_ms=int(time.time() * 1000),
-        log_start={},
-    )
-    for tier_dir in (log.remote_dir, log.log_dir):
-        if not os.path.isdir(tier_dir):
-            continue
-        for e in os.scandir(tier_dir):
-            if e.name.startswith(f"{COMMIT_DIR_COL}=") and int(e.name.split("=")[1]) < version:
-                shutil.rmtree(e.path, ignore_errors=True)
-
-    # PK tables: rewrite the snapshot under the new bucket routing
+    # PK tables: rewrite the snapshot under the new bucket routing.
+    # Runs BEFORE anything is published — the new data dir + manifest
+    # file are invisible orphans until the commit below flips
+    # snapshot_version, so a crash here loses nothing.
+    snapshot_version = state.snapshot_version
     if table.kv is not None and state.snapshot_version >= 0:
         kv = table.kv
         data_dir = f"data-v{version}"
@@ -587,20 +582,50 @@ def _rebucket_locked(table: FlussTable, spark: SparkSession, new_buckets: int) -
             .parquet(os.path.join(kv.snapshot_dir, data_dir))
         )
         kv._write_manifest(version, {b: data_dir for b in range(new_buckets)})
-        new_state = CommitState(
+        snapshot_version = version
+
+    # crash-safe publication order (the _truncate_commits_before rule:
+    # nothing committed is ever deleted before the catalog stops
+    # pointing at it):
+    #   1. publish the staged rewrite (still > current -> invisible)
+    #   2. commit the new state; log_floor=version atomically shadows
+    #      every pre-rebucket commit dir, so scans never read the old
+    #      layout even while its dirs still exist
+    #   3. bump bucket count + epoch (subscription fence)
+    #   4. only THEN physically retire the shadowed dirs — a crash
+    #      anywhere above leaves either the fully-old or the fully-new
+    #      table; leftover shadowed dirs are fenced garbage that TTL
+    #      expiry also sweeps
+    log.publish(version)
+    table.catalog.commit(
+        table.db,
+        table.name,
+        CommitState(
             version=version,
             log_hwm=hwm,
-            snapshot_version=version,
+            snapshot_version=snapshot_version,
             auto_increment=state.auto_increment,
-            ts_ms=new_state.ts_ms,
+            ts_ms=int(time.time() * 1000),
             log_start={},
-        )
-    table.catalog.commit(table.db, table.name, new_state)
-
-    # schema: new bucket count + epoch bump (subscription fence)
+            log_floor=version,
+        ),
+    )
     sch = table.catalog.get_schema(table.db, table.name)
     sch.num_buckets = new_buckets
     epoch = int(sch.properties.get(BUCKET_EPOCH_PROP, "0")) + 1
     sch.properties[BUCKET_EPOCH_PROP] = str(epoch)
     table.catalog.set_schema(table.db, table.name, sch)
+    _retire_shadowed_commits(log, version)
     return version
+
+
+def _retire_shadowed_commits(log: LogStore, floor: int) -> None:
+    """Delete commit dirs below the published log_floor (both tiers).
+    Pure garbage collection: the floor already fences them from every
+    reader, so this is safe to crash out of and to re-run."""
+    for tier_dir in (log.remote_dir, log.log_dir):
+        if not os.path.isdir(tier_dir):
+            continue
+        for e in os.scandir(tier_dir):
+            if e.name.startswith(f"{COMMIT_DIR_COL}=") and int(e.name.split("=")[1]) < floor:
+                shutil.rmtree(e.path, ignore_errors=True)

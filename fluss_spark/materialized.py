@@ -215,6 +215,7 @@ def _truncate_commits_before(t: FlussTable, keep_version: int) -> int:
                     auto_increment=state.auto_increment,
                     ts_ms=int(time.time() * 1000),
                     log_start=starts,
+                    log_floor=state.log_floor,
                 ),
             )
         return deleted

@@ -181,8 +181,14 @@ def mm_decode_metadata(spark: SparkSession, sf: str) -> DataFrame:
     "mm_feature_extract",
     oracle="""
     SELECT doc_id,
-           [ ('0x' || substr(md5(text), 2 * i - 1, 2))::INTEGER / 255.0
-             for i in range(1, 9) ] AS features
+           ('0x' || substr(md5(text),  1, 2))::INTEGER / 255.0 AS f0,
+           ('0x' || substr(md5(text),  3, 2))::INTEGER / 255.0 AS f1,
+           ('0x' || substr(md5(text),  5, 2))::INTEGER / 255.0 AS f2,
+           ('0x' || substr(md5(text),  7, 2))::INTEGER / 255.0 AS f3,
+           ('0x' || substr(md5(text),  9, 2))::INTEGER / 255.0 AS f4,
+           ('0x' || substr(md5(text), 11, 2))::INTEGER / 255.0 AS f5,
+           ('0x' || substr(md5(text), 13, 2))::INTEGER / 255.0 AS f6,
+           ('0x' || substr(md5(text), 15, 2))::INTEGER / 255.0 AS f7
     FROM documents
     """,
 )
@@ -191,12 +197,18 @@ def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     deterministic fake embedding is the first 8 payload bytes / 255
     (payload = unhex(md5(text)), so the oracle recomputes the identical
     vector in SQL — the kernel's batch iteration, Arrow transfer and
-    array output are value-checked, not just row-counted). The REAL
-    path (pixel statistics through the probed image codec) runs in
+    array output are value-checked, not just row-counted). The vector
+    is unpacked into scalar columns f0..f7 for the comparator (the
+    driver canonicalizes by sorting every column; a list-typed column
+    is unhashable there — the r4 CORRECTNESS error row). The REAL path
+    (pixel statistics through the probed image codec) runs in
     test_multimodal_codec.py on actual PNG payloads."""
     docs = load_spread(spark, sf, "documents")
     media = synthesize_media(docs)
-    return extract_features(media, decode_mode="fake")
+    feats = extract_features(media, decode_mode="fake")
+    return feats.select(
+        "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
+    )
 
 
 def extract_features(media_df: DataFrame, decode_mode: str = "fake") -> DataFrame:

@@ -16,7 +16,9 @@ and the decision procedure of `server/authorizer/DefaultAuthorizer.java`:
   - DESCRIBE is implied by READ/WRITE/CREATE/DROP/ALTER
     (`OPS_MAPPING`, `DefaultAuthorizer.java:109-118`);
   - an entry with operation ALL matches any operation; the wildcard
-    principal `User:*` and wildcard host `*` match anyone/anywhere;
+    principal `*:*` (WILD_CARD_PRINCIPAL — BOTH type and name `*`,
+    exactly as the reference; `User:*` is just a user literally named
+    `*`) and wildcard host `*` match anyone/anywhere;
   - super-users bypass every check.
 
 Storage is a JSON file under the warehouse (`_security/acls.json`,
@@ -53,7 +55,9 @@ class AuthorizationError(PermissionError):
 
 @dataclass(frozen=True)
 class FlussPrincipal:
-    """FlussPrincipal.java: (type, name); 'User:*' is the wildcard."""
+    """FlussPrincipal.java: (type, name); '*:*' is the wildcard
+    (WILD_CARD_PRINCIPAL). 'User:*' is NOT a wildcard — it names the
+    user literally called '*'."""
 
     name: str
     type: str = "User"

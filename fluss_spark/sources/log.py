@@ -273,6 +273,7 @@ class LogStore:
             auto_increment=auto_next,
             ts_ms=ts_ms,
             log_start=state.log_start,
+            log_floor=state.log_floor,
         )
         if not defer_commit:
             self.publish(version)
@@ -340,12 +341,20 @@ class LogStore:
         """
         state = self.catalog.current_commit(self.db, self.table)
         current = as_of_commit if as_of_commit is not None else state.version
+        # commits below the floor were republished under a new bucket
+        # layout (rebucket); they are unreadable garbage even if a crash
+        # left their dirs on disk. Time travel below the floor is
+        # impossible by construction (the rewrite collapsed history).
+        floor = state.log_floor
 
         def _commits(d: str) -> list[str]:
             if not os.path.isdir(d):
                 return []
             return [
-                e.name for e in os.scandir(d) if e.name.startswith(f"{COMMIT_DIR_COL}=")
+                e.name
+                for e in os.scandir(d)
+                if e.name.startswith(f"{COMMIT_DIR_COL}=")
+                and int(e.name.split("=")[1]) >= floor
             ]
 
         from functools import reduce
@@ -423,6 +432,11 @@ class LogStore:
             return self._empty_scan(spark)
         df = reduce(lambda a, b: a.unionByName(b), frames)
         df = df.filter(F.col(COMMIT_DIR_COL) <= current)
+        if floor > 0:
+            # partition-dir pruning, no file reads (the local identity
+            # fast path lists its whole root; this is what fences any
+            # shadowed pre-rebucket dir a crash left behind)
+            df = df.filter(F.col(COMMIT_DIR_COL) >= floor)
         if start_offsets:
             cond = F.lit(False)
             for b, off in start_offsets.items():

@@ -187,6 +187,18 @@ class FlussSqlSession:
         def chk(op: str, res) -> None:
             self._authorizer.check(self.principal, op, res)
 
+        # file-source table refs (FROM parquet.`/path`) name no engine
+        # view, so the per-table READ checks below would never fire —
+        # an authenticated principal could read ANY path unchecked.
+        # Path-based access has no ACL resource to check against, so it
+        # is rejected outright for authenticated sessions.
+        if re.search(r"(?:\bfrom|\bjoin)\s+\w+\s*\.\s*`", low):
+            raise sec.AuthorizationError(
+                "path-based table references (format.`path`) are not "
+                "allowed in an authenticated session: they bypass "
+                "table-level ACLs"
+            )
+
         if low.startswith("create database"):
             chk("CREATE", sec.Resource.cluster())
             return
@@ -204,6 +216,18 @@ class FlussSqlSession:
             if m:
                 db, _ = self._qualify(m.group(1))
                 chk("CREATE", sec.Resource.database(db))
+            # CREATE TABLE ... LIKE copies the source's full schema,
+            # comments and properties — that is a DESCRIBE of the
+            # source, and the dotted db.tbl form never matches the
+            # db_tbl substring rule below, so check it explicitly
+            lk = re.match(
+                r"create\s+table\s+(?:if\s+not\s+exists\s+)?[\w.`]+\s+like\s+([\w.`]+)",
+                s,
+                re.I,
+            )
+            if lk:
+                sdb, sname = self._qualify(lk.group(1))
+                chk("DESCRIBE", sec.Resource.table(sdb, sname))
             # CTAS / MT definitions also read their sources
             for rdb, rt in self._referenced_tables(s):
                 chk("READ", sec.Resource.table(rdb, rt))
@@ -842,20 +866,21 @@ class FlussSqlSession:
             state = self.catalog.current_commit(t.db, t.name)
             _truncate_commits_before(t, state.version)
             return
-        # dynamic overwrite: the affected-partition set must be fixed
-        # BEFORE the append re-executes the plan (persist so the query
-        # runs once; partition values are metadata-sized)
+        # dynamic overwrite: the query result must be DURABLY pinned
+        # before drop_partition deletes target dirs — persist() is
+        # best-effort (cache eviction would recompute the plan against
+        # deleted files on a self-referencing overwrite: FileNotFound
+        # or silent row loss). localCheckpoint(eager) is a true lineage
+        # cut: the materialized blocks are the plan, nothing re-reads
+        # the source.
         key = t.schema.partition_keys[0]
-        df = df.persist()
-        try:
-            # partition specs are strings (directory names) on the
-            # catalog side — compare in that domain
-            incoming = {str(r[0]) for r in df.select(key).distinct().collect()}
-            existing = {
-                p.spec[key] for p in self.admin.list_partitions(t.db, t.name)
-            }
-            for val in sorted(incoming & existing):
-                self.admin.drop_partition(t.db, t.name, {key: val})
-            t.append(df)
-        finally:
-            df.unpersist()
+        df = df.localCheckpoint(eager=True)
+        # partition specs are strings (directory names) on the
+        # catalog side — compare in that domain
+        incoming = {str(r[0]) for r in df.select(key).distinct().collect()}
+        existing = {
+            p.spec[key] for p in self.admin.list_partitions(t.db, t.name)
+        }
+        for val in sorted(incoming & existing):
+            self.admin.drop_partition(t.db, t.name, {key: val})
+        t.append(df)

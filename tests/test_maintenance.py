@@ -541,3 +541,86 @@ def test_rebucket_pk_table_and_stream_fence(spark, catalog, tmp_path):
     # incremental upsert after rebucket lands correctly
     t2.upsert(spark.createDataFrame([(7, "v7c")], "k long, v string"))
     assert t2.lookup(spark, {"k": 7}).collect()[0]["v"] == "v7c"
+
+
+def test_rebucket_crash_windows_never_lose_committed_data(spark, catalog, monkeypatch):
+    """ADVICE r4 (high): the old ordering deleted pre-rebucket commit
+    dirs BEFORE the catalog commit — a crash in between lost committed
+    data. Now log_floor advances atomically with the commit and retire
+    runs last, so each crash window leaves a readable table:
+      (a) crash before publish/commit -> fully-old table intact;
+      (b) crash after commit but before retire -> fully-new table; the
+          shadowed dirs are fenced by log_floor everywhere (scan, A1
+          count, stats, lake snapshot) and TTL sweeps them as garbage."""
+    import os
+
+    import fluss_spark.maintenance as mnt
+    from fluss_spark.maintenance import rebucket_table
+    from fluss_spark.table import FlussTable
+
+    t = create_table(
+        catalog, "db", "rb_crash",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("v", "STRING")],
+            primary_key=["k"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(30)], "k long, v string"))
+    t.upsert(spark.createDataFrame([(5, "v5b")], "k long, v string"))
+
+    # (a) crash during the log publish: nothing published, old state intact
+    import pytest as _pytest
+
+    def _boom(_version):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(t.log, "publish", _boom)
+    with _pytest.raises(RuntimeError, match="crash before commit"):
+        rebucket_table(t, spark, 6)
+    monkeypatch.undo()
+    ta = FlussTable(catalog, "db", "rb_crash")
+    assert ta.schema.num_buckets == 2
+    assert ta.snapshot(spark).count() == 30
+    assert {r["k"]: r["v"] for r in ta.scan(spark).collect() if r["k"] == 5}
+
+    # (b) crash after commit, before physical retire of shadowed dirs
+    pre_scan = ta.scan(spark).count()
+    monkeypatch.setattr(mnt, "_retire_shadowed_commits", lambda log, floor: None)
+    rebucket_table(ta, spark, 6)
+    monkeypatch.undo()
+    t2 = FlussTable(catalog, "db", "rb_crash")
+    state = catalog.current_commit("db", "rb_crash")
+    assert state.log_floor == state.version > 0
+    # shadowed old-layout dirs really are still on disk
+    leftover = [
+        e.name for e in os.scandir(t2.log.log_dir)
+        if e.name.startswith("__commit=") and int(e.name.split("=")[1]) < state.log_floor
+    ]
+    assert leftover, "test setup: expected shadowed dirs to survive the 'crash'"
+    # every read surface fences them
+    assert t2.scan(spark).count() == pre_scan  # no double-read of old dirs
+    assert t2.snapshot(spark).count() == 30
+    assert t2.lookup(spark, {"k": 5}).collect()[0]["v"] == "v5b"
+    from fluss_spark.admin import Admin
+
+    admin = Admin(catalog)
+    lake = admin.get_latest_lake_snapshot("db", "rb_crash")
+    assert not any(f"__commit={d.split('=')[1]}" in f for d in leftover for f in lake.files)
+    # TTL expiry sweeps the fenced garbage without touching log_start
+    sch = catalog.get_schema("db", "rb_crash")
+    sch.properties["table.log.ttl"] = "365d"
+    catalog.set_schema("db", "rb_crash", sch)
+    from fluss_spark.maintenance import expire_log_ttl
+
+    expire_log_ttl(FlussTable(catalog, "db", "rb_crash"), spark)
+    assert not any(
+        e.name.startswith("__commit=") and int(e.name.split("=")[1]) < state.log_floor
+        for e in os.scandir(t2.log.log_dir)
+    )
+    after = catalog.current_commit("db", "rb_crash")
+    assert after.log_start == {}  # garbage sweep never rebases offsets
+    # table still fully correct after the sweep
+    t3 = FlussTable(catalog, "db", "rb_crash")
+    assert t3.snapshot(spark).count() == 30
+    assert t3.lookup(spark, {"k": 5}).collect()[0]["v"] == "v5b"

@@ -3,6 +3,8 @@ DefaultAuthorizer.java decision procedure) and SQL-session enforcement."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from fluss_spark import security as sec
@@ -116,3 +118,68 @@ def test_sql_session_enforcement(spark, tmp_path):
     assert adm.list_acls() == []
     with pytest.raises(AuthorizationError):
         reader.sql("SELECT * FROM fluss_t")  # grants are gone
+
+
+def test_sql_session_rejects_path_reads_and_like_leak(spark, tmp_path):
+    """ADVICE r4: (1) FROM parquet.`/path` names no engine view, so the
+    per-table READ checks never fired — full read bypass; now rejected
+    outright for authenticated sessions. (2) CREATE TABLE ... LIKE
+    db.tbl never matched the db_tbl substring rule — a principal with
+    only CREATE could copy any table's schema; now checks DESCRIBE on
+    the source."""
+    from fluss_spark.sql_ddl import FlussSqlSession
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    root = FlussSqlSession(catalog, spark, principal="root", super_users=["User:root"])
+    root.sql("CREATE TABLE fluss.secrets (a INT) WITH ('bucket.num' = '1')")
+    root.sql("INSERT INTO fluss.secrets VALUES (42)")
+
+    # zero-grant principal: path-based read bypass is closed
+    nobody = FlussSqlSession(catalog, spark, principal="nobody")
+    log_dir = os.path.join(catalog.table_dir("fluss", "secrets"), "log")
+    for stmt in (
+        f"SELECT * FROM parquet.`{log_dir}`",
+        f"SELECT * FROM fluss_secrets x JOIN parquet.`{log_dir}` y ON 1=1",
+        f"EXPLAIN SELECT * FROM parquet.`{log_dir}`",
+        f"WITH c AS (SELECT * FROM parquet.`{log_dir}`) SELECT * FROM c",
+    ):
+        with pytest.raises(AuthorizationError, match="path-based"):
+            nobody.sql(stmt)
+    # an unauthenticated session (authorizer disabled) still may
+    open_s = FlussSqlSession(catalog, spark)
+    assert open_s.sql(f"SELECT count(*) AS c FROM parquet.`{log_dir}`").collect()[0]["c"] == 1
+
+    # CREATE on one database must not allow copying another database's
+    # schema via LIKE (within the SAME db, CREATE implies DESCRIBE by
+    # the reference's OPS_MAPPING hierarchy — that part is by design)
+    root.sql("CREATE DATABASE priv")
+    root.sql("CREATE TABLE priv.vault (s STRING) WITH ('bucket.num' = '1')")
+    _grant(catalog, "builder", "CREATE", Resource.database("fluss"))
+    builder = FlussSqlSession(catalog, spark, principal="builder")
+    with pytest.raises(AuthorizationError, match="DESCRIBE"):
+        builder.sql("CREATE TABLE fluss.copy LIKE priv.vault")
+    # with DESCRIBE on the source it works
+    _grant(catalog, "builder", "DESCRIBE", Resource.table("priv", "vault"))
+    builder.sql("CREATE TABLE fluss.copy LIKE priv.vault")
+    assert catalog.table_exists("fluss", "copy")
+    # a LIKE '%pattern%' predicate inside CTAS is NOT a LIKE-copy:
+    # no spurious DESCRIBE check on a column name
+    _grant(catalog, "builder", "READ", Resource.table("fluss", "secrets"))
+    builder.sql(
+        "CREATE TABLE fluss.copy2 AS SELECT a FROM fluss_secrets "
+        "WHERE CAST(a AS STRING) LIKE '4%'"
+    )
+    assert catalog.table_exists("fluss", "copy2")
+
+
+def test_wildcard_principal_is_star_star_not_user_star(tmp_path):
+    """ADVICE r4: 'User:*' is a user literally named '*', not a
+    wildcard — only '*:*' (WILD_CARD_PRINCIPAL) matches anyone."""
+    catalog = Catalog(str(tmp_path / "wh"))
+    t = Resource.table("db", "x")
+    _grant(catalog, "User:*", "READ", t)
+    a = Authorizer(catalog)
+    assert not a.authorized("alice", "READ", t)  # NOT a wildcard grant
+    assert a.authorized("*", "READ", t)  # the literal user named '*'
+    _grant(catalog, "*:*", "READ", t)
+    assert a.authorized("alice", "READ", t)  # the real wildcard
