@@ -23,15 +23,18 @@ registry.load_all_queries()
 # operators take the window — the relational family keeps its two rounds
 # of driver-green history and stays covered by tests/test_oracle_parity.py,
 # which runs the identical compare over ALL registered queries.
-# Round-4 rotation: the 27 queries that never had a driver CORRECTNESS
-# row (union of r1-r3) take the window, alongside 10 engine-core
-# sentinels (m1/m3/m6/m7/l1/l2/s6/s9/t9/a1) that keep continuous driver
-# history for the heart of the system, plus the engine-family members
-# with a single round of history.  Everything rotated out stays covered
-# by tests/test_oracle_parity.py, which runs the identical compare over
-# ALL registered queries.
+# Round-5 rotation. The union of the r1-r4 windows covers all 137
+# previously-registered queries; the only non-green r4 row was
+# mm_feature_extract (driver canonicalizer crashed on its list column —
+# output now unpacked to scalars, keep it in for a green row). This
+# round's window = 10 engine-core sentinels (continuous driver history)
+# + the round-5 additions (learned quality classifier, BM25 retrieval,
+# RAG chunking) + mm_feature_extract + the single-driver-history
+# queries from the r4 window whose green row is newest-only. Everything
+# rotated out stays covered by tests/test_oracle_parity.py, which runs
+# the identical compare over ALL registered queries.
 _PRIORITY = [
-    # engine-core sentinels (driver-green r3; keep continuous history)
+    # engine-core sentinels (driver-green every round; keep continuous)
     "m1_changelog_emission",
     "m3_partial_update",
     "m6_versioned_snapshot",
@@ -42,44 +45,13 @@ _PRIORITY = [
     "s9_tiered_log_scan",
     "t9_log_changelog_view",
     "a1_count_metadata",
-    # --- never driver-checked before this round (27) ---
-    # engine/windows/subqueries
-    "t5_sliding_window",
-    "t5_session_window",
-    "subquery_tpch_q2",
-    "subquery_tpch_q20",
-    "dd_exact_engine",
-    # text analysis
-    "tx_top_terms",
-    "tx_hash_sample",
-    "tx_repetition_score",
-    "tx_word_entropy",
-    "tx_length_histogram",
-    "tx_bpe_token_count",
-    "tx_blocklist_redact",
-    "tx_domain_mix",
-    "tx_unigram_logloss",
-    # dedup
-    "dd_prefix_cluster",
-    "dd_url_normalize",
-    # similarity search
-    "ann_kmeans_ivf",
-    "emb_label_stats",
-    "ann_range_search",
-    "ann_pq_adc",
-    "ann_recall_audit",
-    # bitmap wire format
-    "fn_rb_binary_roundtrip",
-    # multimodal
+    # --- new this round (zero driver history) ---
+    "tx_quality_classifier",
+    "bm25_topk",
+    "tx_chunk_sliding",
+    # --- r4 error row, output fixed this round ---
     "mm_feature_extract",
-    "mm_resize_pipeline",
-    # event analytics
-    "op_transition_matrix",
-    "op_user_paths",
-    "op_anomaly_zscore",
-    # new this round (zero driver history): materialized tables,
-    # IVF-PQ, the composed curation funnel, semantic dedup, perplexity
-    # bucketing, temperature sampling
+    # --- single round of driver history (green only in r4) ---
     "t11_materialized_table",
     "ann_ivfpq_adc",
     "tx_curation_pipeline",
@@ -90,15 +62,35 @@ _PRIORITY = [
     "tx_bpe_train",
     "mm_audio_segment",
     "emb_pca_topcomponent",
-    # --- fill: engine family with one round of driver history ---
-    "m2_delete_replay",
-    "l4_lookup_join",
-    "t4_incremental_view",
-    # tx_pii_scrub + op_sessionize + dd_minhash_estimate +
-    # dd_cluster_components (driver-green r3) and m4/m5/s8/
-    # ann_sq8_rerank/dd_passage_dedup/p6 (driver-green r3) rotate out
-    # to keep the window at 50 with the round-4 flagships in; all still
-    # locally oracle-checked by test_oracle_parity over the registry.
+    "t5_sliding_window",
+    "t5_session_window",
+    "subquery_tpch_q2",
+    "subquery_tpch_q20",
+    "dd_exact_engine",
+    "tx_top_terms",
+    "tx_hash_sample",
+    "tx_repetition_score",
+    "tx_word_entropy",
+    "tx_length_histogram",
+    "tx_bpe_token_count",
+    "tx_blocklist_redact",
+    "tx_domain_mix",
+    "tx_unigram_logloss",
+    "dd_prefix_cluster",
+    "dd_url_normalize",
+    "ann_kmeans_ivf",
+    "emb_label_stats",
+    "ann_range_search",
+    "ann_pq_adc",
+    "ann_recall_audit",
+    "fn_rb_binary_roundtrip",
+    "mm_resize_pipeline",
+    "op_transition_matrix",
+    "op_user_paths",
+    "op_anomaly_zscore",
+    # (window is exactly 50: 10 sentinels + 3 new + 1 fixed + 36
+    # single-history; m2/l4/t4 and the rest keep their r4-green rows
+    # and remain under the local parity suite)
 ]
 
 

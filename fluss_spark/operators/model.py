@@ -1,0 +1,342 @@
+"""Model-based curation operators: a distributed trained quality
+classifier, BM25 retrieval, and RAG chunking over the `documents`
+table.
+
+These extend the LLM-data-pipeline family (SURVEY §2 note) beyond
+heuristics: tx_quality_score is the cheap 100-TB pre-filter; the
+classifier here is the next stage every production pipeline runs — a
+LEARNED quality model (the CCNet/LLaMA fastText-classifier stage)
+trained ON the cluster with the same determinism discipline as the
+rest of the repo (quantized-integer gradient sums -> bit-identical
+accumulation regardless of partitioning; the op_anomaly_zscore
+pattern applied to model training).
+
+Scale design:
+  - training is K full-corpus passes, each ONE map-side-combinable
+    aggregation returning 4 BIGINTs + a count (driver state = the
+    4-float weight vector, broadcast back as plan literals) — the
+    textbook distributed-GD dataflow, no per-row state on the driver;
+  - scoring is map-side only (weights are literals in the projection);
+  - BM25 keeps df/avglen as broadcast 1-row stats (no collect) and
+    shuffles only the (doc, term) tf pairs for the query's terms —
+    |terms| * |matching docs|, not the corpus;
+  - chunking is generate-only (explode over a sequence) — zero
+    exchanges, linear output in chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_spark.registry import load, register
+
+_SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+# ---------------------------------------------------------------------- #
+# tx_quality_classifier: distributed logistic regression (2 GD steps)
+# ---------------------------------------------------------------------- #
+# label: lang = 'en'; features: intercept, saturated token count,
+# alphabetic ratio, short-token ratio (the tx_quality_score signals).
+# Two gradient steps unrolled; per-row gradient contributions are
+# quantized to integers (floor(g*1e6 + 0.5)) so the cross-partition SUM
+# is exact int64 arithmetic — the only floating point is the per-row
+# sigmoid and the final 4-float weight update, both order-independent.
+_LR = 4.0
+_Q = 1_000_000  # gradient quantization
+
+
+def _feature_cols() -> dict[str, Column]:
+    tok = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(tok))
+    n = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_short = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.filter(tok, lambda t: F.length(t) <= 2))
+    )
+    return {
+        "y": (F.col("lang") == "en").cast("int"),
+        "x1": F.least(n_tok, F.lit(200)).cast("double") / 200.0,
+        "x2": F.when(n == 0, F.lit(0.0)).otherwise(n_alpha.cast("double") / n),
+        "x3": F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            1.0 - n_short.cast("double") / n_tok
+        ),
+    }
+
+
+_SQL_FEATS = f"""
+  SELECT doc_id,
+         (lang = 'en')::INT AS y,
+         least(CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END, 200)::DOUBLE / 200.0 AS x1,
+         CASE WHEN length(text)=0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END AS x2,
+         CASE WHEN (CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END) = 0 THEN 0.0
+              ELSE 1.0 - len(list_filter({_SQL_TOKENS}, t -> length(t) <= 2))::DOUBLE
+                   / len({_SQL_TOKENS}) END AS x3
+  FROM documents
+"""
+
+
+def _grad_sql(p_expr: str) -> str:
+    """One gradient aggregation as SQL: quantized int sums per feature."""
+    terms = {"g0": "1.0", "g1": "x1", "g2": "x2", "g3": "x3"}
+    cols = ", ".join(
+        f"sum(CAST(floor((y - ({p_expr})) * {x} * {_Q} + 0.5) AS BIGINT)) AS {g}"
+        for g, x in terms.items()
+    )
+    return f"SELECT count(*) AS n, {cols} FROM feats"
+
+
+@register(
+    "tx_quality_classifier",
+    oracle=f"""
+    WITH feats AS ({_SQL_FEATS}),
+    s1 AS ({_grad_sql('0.5')}),
+    b1 AS (
+      SELECT {_LR} * g0 / ({_Q}.0 * n) AS b0,
+             {_LR} * g1 / ({_Q}.0 * n) AS b1,
+             {_LR} * g2 / ({_Q}.0 * n) AS b2,
+             {_LR} * g3 / ({_Q}.0 * n) AS b3
+      FROM s1
+    ),
+    s2 AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor((y - 1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2 + b3*x3)))) * 1.0 * {_Q} + 0.5) AS BIGINT)) AS g0,
+             sum(CAST(floor((y - 1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2 + b3*x3)))) * x1 * {_Q} + 0.5) AS BIGINT)) AS g1,
+             sum(CAST(floor((y - 1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2 + b3*x3)))) * x2 * {_Q} + 0.5) AS BIGINT)) AS g2,
+             sum(CAST(floor((y - 1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2 + b3*x3)))) * x3 * {_Q} + 0.5) AS BIGINT)) AS g3
+      FROM feats, b1
+    ),
+    b2 AS (
+      SELECT b1.b0 + {_LR} * s2.g0 / ({_Q}.0 * s2.n) AS b0,
+             b1.b1 + {_LR} * s2.g1 / ({_Q}.0 * s2.n) AS b1,
+             b1.b2 + {_LR} * s2.g2 / ({_Q}.0 * s2.n) AS b2,
+             b1.b3 + {_LR} * s2.g3 / ({_Q}.0 * s2.n) AS b3
+      FROM s1, b1, s2
+    )
+    SELECT doc_id, y,
+           round(1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2 + b3*x3))), 4) AS prob,
+           (round(1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2 + b3*x3))), 4) >= 0.5)::INT AS pred
+    FROM feats, b2
+    """,
+)
+def tx_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned quality classifier, trained distributed: logistic
+    regression via 2 unrolled gradient steps. Each step is ONE
+    aggregation whose per-row contributions are quantized to int64
+    (exact, order-independent sums — the determinism pattern from
+    op_anomaly_zscore applied to training); the model state (4 floats)
+    lives on the driver and returns to the executors as plan literals.
+    At 100 TB this is K corpus passes with map-side partial aggregation
+    and a broadcast weight vector — the canonical distributed-GD shape
+    (parameter-server-free, like MLlib's treeAggregate path)."""
+    d = load(spark, sf, "documents")
+    fc = _feature_cols()
+    feats = d.select(
+        "doc_id", fc["y"].alias("y"), fc["x1"].alias("x1"),
+        fc["x2"].alias("x2"), fc["x3"].alias("x3"),
+    )
+
+    def grad(beta: list[float]) -> tuple[int, list[int]]:
+        z = (
+            F.lit(beta[0])
+            + F.lit(beta[1]) * F.col("x1")
+            + F.lit(beta[2]) * F.col("x2")
+            + F.lit(beta[3]) * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = F.col("y") - p
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(
+                F.floor(resid * x * F.lit(_Q) + F.lit(0.5)).cast("bigint")
+            ).alias(f"g{j}")
+            for j, x in enumerate(
+                [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+            )
+        ]
+        r = feats.agg(*aggs).collect()[0]  # 1 row: count + 4 bigints
+        return int(r["n"]), [int(r[f"g{j}"]) for j in range(4)]
+
+    beta = [0.0, 0.0, 0.0, 0.0]  # step 1: p == 0.5 exactly
+    for _ in range(2):
+        n, g = grad(beta)
+        beta = [b + _LR * gj / (_Q * n) for b, gj in zip(beta, g)]
+
+    z = (
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("x2")
+        + F.lit(beta[3]) * F.col("x3")
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return feats.select(
+        "doc_id", "y", prob.alias("prob"), (prob >= 0.5).cast("int").alias("pred")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# bm25_topk: lexical retrieval (the RAG/eval-retrieval primitive)
+# ---------------------------------------------------------------------- #
+_BM25_TERMS = ["data", "model", "learning"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 20
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks,
+             CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, term,
+             len(list_filter(toks, t -> t = term)) AS tf
+      FROM toks, unnest({_BM25_TERMS!r}::VARCHAR[]) AS u(term)
+    ),
+    tf_pos AS (SELECT * FROM tf WHERE tf > 0),
+    df AS (
+      SELECT term, count(*) AS df FROM tf_pos GROUP BY term
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(sum(CAST(floor(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({_BM25_K1} + 1.0)
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS score
+      FROM tf_pos JOIN df USING (term), stats
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, score, rank FROM ranked WHERE rank <= {_BM25_K}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed term query — the lexical half
+    of every RAG / decontamination / eval-retrieval stack. Corpus
+    statistics (N, avgdl, per-term df) stay as broadcast 1-row /
+    |terms|-row frames (no collect); only (doc, term) pairs with tf>0
+    shuffle — |query terms| * |matching docs|, not the corpus. Final
+    top-k is a single TakeOrdered (rank ties broken by doc_id so the
+    result SET is deterministic)."""
+    d = load(spark, sf, "documents")
+    tok = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = d.select(
+        "doc_id",
+        tok.alias("toks"),
+        F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(tok)).alias("dl"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf = (
+        toks.select(
+            "doc_id", "dl", F.explode(terms).alias("term"), F.col("toks")
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(F.filter("toks", lambda t: t == F.col("term"))).alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    # per-term contributions quantize to int64 BEFORE the sum (a double
+    # sum's value depends on partition visit order; exact integer sums
+    # don't — the repo-wide filtered-aggregate determinism rule)
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(contrib * F.lit(1_000_000) + F.lit(0.5)).cast("bigint")
+                )
+                / 1_000_000.0,
+                4,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("doc_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# tx_chunk_sliding: RAG chunking (overlapping token windows, 1:N)
+# ---------------------------------------------------------------------- #
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@register(
+    "tx_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks,
+             CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END AS n
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS start
+      FROM toks WHERE n > 0
+    )
+    SELECT s.doc_id,
+           CAST(s.start / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           len(list_slice(t.toks, s.start + 1, s.start + {_CHUNK_LEN})) AS n_chunk_tok,
+           md5(array_to_string(list_slice(t.toks, s.start + 1, s.start + {_CHUNK_LEN}), ' ')) AS chunk_fp
+    FROM starts s JOIN toks t USING (doc_id)
+    """,
+)
+def tx_chunk_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window RAG chunking: 64-token chunks at stride 48
+    (16-token overlap), one output row per chunk with a content
+    fingerprint. Pure generate (sequence + explode + slice) — ZERO
+    exchanges, output linear in chunks; at 100 TB this runs entirely
+    map-side and feeds the embedding stage partition-by-partition."""
+    d = load(spark, sf, "documents")
+    tok = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = d.select(
+        "doc_id",
+        tok.alias("toks"),
+        F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(tok)).alias("n"),
+    ).filter(F.col("n") > 0)
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, _CHUNK_LEN)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )

@@ -162,5 +162,6 @@ def load_all_queries() -> None:
     import fluss_spark.operators.text  # noqa: F401
     import fluss_spark.operators.similarity  # noqa: F401
     import fluss_spark.operators.bitmap_queries  # noqa: F401
+    import fluss_spark.operators.model  # noqa: F401
     import fluss_spark.operators.multimodal  # noqa: F401
     import fluss_spark.operators.sessionize  # noqa: F401

@@ -14,6 +14,7 @@ optional backticks for identifiers).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,42 @@ from fluss_spark.admin import (
 from fluss_spark.catalog import Catalog
 from fluss_spark.table import FlussTable, create_table, register_sql_views
 from fluss_spark.types import Field, TableSchema
+
+
+def _acl_str(b) -> str:
+    """Reference list_acl row format (procedures.md:141):
+    resource="...";permission="...";principal="...";operation="...";host="..."
+    """
+    return (
+        f'resource="{b.resource.type}:{b.resource.name}";'
+        f'permission="{b.entry.permission}";'
+        f'principal="{b.entry.principal.type}:{b.entry.principal.name}";'
+        f'operation="{b.entry.operation}";host="{b.entry.host}"'
+    )
+
+
+def _acl_filter(args: dict, res_of):
+    """Build an AclBindingFilter from procedure args; 'ANY' wildcards."""
+    from fluss_spark import security as sec
+
+    r = args.get("resource", "ANY")
+    if str(r).upper() == "ANY":
+        rtype, rname = sec.ANY, None
+    else:
+        res = res_of(str(r))
+        rtype, rname = res.type, res.name
+    p = args.get("principal", "ANY")
+    principal = None if str(p).upper() == "ANY" else sec.FlussPrincipal.parse(p)
+    op = str(args.get("operation", "ANY")).upper()
+    h = args.get("host", "ANY")
+    host = None if str(h).upper() == "ANY" else str(h)
+    return sec.AclBindingFilter(
+        resource_type=rtype,
+        resource_name=rname,
+        principal=principal,
+        operation=op,
+        host=host,
+    )
 
 
 class SqlParseError(ValueError):
@@ -103,6 +140,8 @@ class FlussSqlSession:
             return self._insert(s)
         if low.startswith("truncate table"):
             return self._truncate(s)
+        if low.startswith("call"):
+            return self._call(s)
         if low.startswith("use "):
             db = s[4:].strip().strip("`")
             if db not in self.admin.list_databases():
@@ -271,6 +310,21 @@ class FlussSqlSession:
             for rdb, rt in self._referenced_tables(s):
                 chk("READ", sec.Resource.table(rdb, rt))
             return
+        if low.startswith("call"):
+            # ACL + cluster-config management is a cluster-level ALTER
+            # (listing is DESCRIBE); maintenance procedures are ALTER on
+            # their target table
+            proc, args = self._parse_call(s)
+            if proc in ("add_acl", "drop_acl", "set_cluster_configs",
+                        "reset_cluster_configs"):
+                chk("ALTER", sec.Resource.cluster())
+            elif proc in ("list_acl", "get_cluster_configs"):
+                chk("DESCRIBE", sec.Resource.cluster())
+            else:
+                target = args.get("table") or (args.get("_pos") or [None])[0]
+                if target:
+                    chk("ALTER", sec.Resource.table(*self._qualify(str(target))))
+            return
 
     def _register_referenced_views(self, stmt: str) -> None:
         """Register (refresh) only the engine views the statement's text
@@ -320,6 +374,173 @@ class FlussSqlSession:
             m.group(1): m.group(2)
             for m in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", segment)
         }
+
+    # ------------------------------------------------------------------ #
+    # CALL procedures (engine-flink/procedures.md)
+    # ------------------------------------------------------------------ #
+    def _parse_call(self, s: str) -> tuple[str, dict]:
+        """CALL [catalog.]sys.<proc>(args): named `k => 'v'` pairs or
+        positional literals; returns (proc, {named..., "_pos": [...]}).
+        """
+        m = re.match(r"call\s+(?:[\w`]+\.)?sys\.(\w+)\s*\((.*)\)\s*$", s, re.I | re.S)
+        if not m:
+            m2 = re.match(r"call\s+(?:[\w`]+\.)?sys\.(\w+)\s*$", s, re.I)
+            if m2:
+                return m2.group(1).lower(), {"_pos": []}
+            raise SqlParseError(f"unsupported CALL statement: {s[:80]}")
+        proc, body = m.group(1).lower(), m.group(2)
+        args: dict = {"_pos": []}
+        for part in self._split_top_level(body):
+            part = part.strip()
+            if not part:
+                continue
+            nm = re.match(r"(\w+)\s*=>\s*(.+)$", part, re.S)
+            if nm:
+                args[nm.group(1).lower()] = self._call_literal(nm.group(2).strip())
+            else:
+                args["_pos"].append(self._call_literal(part))
+        return proc, args
+
+    @staticmethod
+    def _split_top_level(body: str) -> list[str]:
+        """Split on commas outside quotes (procedure arg values may
+        contain commas, e.g. config lists)."""
+        out, cur, in_q = [], [], False
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c == "'":
+                if in_q and i + 1 < len(body) and body[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_q = not in_q
+                cur.append(c)
+            elif c == "," and not in_q:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+            i += 1
+        out.append("".join(cur))
+        return out
+
+    @staticmethod
+    def _call_literal(tok: str):
+        if tok.startswith("'") and tok.endswith("'"):
+            return tok[1:-1].replace("''", "'")
+        try:
+            return int(tok)
+        except ValueError:
+            return tok.strip("`")
+
+    def _call(self, s: str) -> DataFrame | None:
+        """Reference procedure surface (engine-flink/procedures.md:19-160
+        for the ACL family, :161-353 for cluster configs) plus the
+        engine's own maintenance levers exposed the same way. Rebalance
+        procedures (add_server_tag etc., :354-560) are dissolved by the
+        single-engine architecture — there are no servers to tag."""
+        from fluss_spark import security as sec
+
+        proc, args = self._parse_call(s)
+        pos = args.pop("_pos", [])
+
+        def res_of(rname: str):
+            if rname.upper() == "CLUSTER":
+                return sec.Resource.cluster()
+            if "." in rname:
+                return sec.Resource.table(*rname.split(".", 1))
+            return sec.Resource.database(rname)
+
+        def _rows(rows: list[str]) -> DataFrame:
+            return self.spark.createDataFrame(
+                [(r,) for r in rows], "result string"
+            )
+
+        if proc == "add_acl":
+            r = args.get("resource") or (pos + [None])[0]
+            entry = sec.AccessControlEntry(
+                sec.FlussPrincipal.parse(args["principal"]),
+                args["operation"],
+                args.get("host", "*"),
+                args.get("permission", "ALLOW"),
+            )
+            added = sec.create_acls(self.catalog, [sec.AclBinding(res_of(r), entry)])
+            return _rows([_acl_str(b) for b in added])
+        if proc == "drop_acl":
+            flt = _acl_filter(args, res_of)
+            dropped = sec.drop_acls(self.catalog, [flt])
+            return _rows([_acl_str(b) for b in dropped])
+        if proc == "list_acl":
+            flt = _acl_filter(args, res_of)
+            return _rows([_acl_str(b) for b in sec.list_acls(self.catalog, flt)])
+
+        if proc in ("get_cluster_configs", "set_cluster_configs", "reset_cluster_configs"):
+            import json as _json
+
+            path = os.path.join(self.catalog.warehouse, "_cluster", "configs.json")
+            try:
+                with open(path) as f:
+                    cfg = _json.load(f)
+            except FileNotFoundError:
+                cfg = {}
+            if proc == "set_cluster_configs":
+                # pairs: set_cluster_configs('k1','v1','k2','v2') or named
+                pairs = pos if pos else [x for kv in args.items() for x in kv]
+                for k, v in zip(pairs[::2], pairs[1::2]):
+                    cfg[str(k)] = str(v)
+            elif proc == "reset_cluster_configs":
+                keys = pos or list(args.values())
+                for k in keys:
+                    cfg.pop(str(k), None)
+            if proc != "get_cluster_configs":
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump(cfg, f, indent=1, sort_keys=True)
+                os.replace(tmp, path)
+            keys = pos or list(args.values()) if proc == "get_cluster_configs" else sorted(cfg)
+            shown = [k for k in (keys or sorted(cfg)) if k in cfg]
+            return _rows([f'{k}="{cfg[k]}"' for k in shown])
+
+        # engine maintenance procedures (beyond the reference's surface:
+        # its rebalance moves replicas between servers; these operate on
+        # the storage layout itself)
+        from fluss_spark import maintenance as mnt
+
+        if proc not in (
+            "compact_log", "compact_snapshot", "expire_snapshots",
+            "expire_log_ttl", "tier_log", "rebucket",
+        ):
+            raise SqlParseError(f"unknown procedure: sys.{proc}")
+        target = args.get("table") or (pos + [None])[0]
+        if target is None:
+            raise SqlParseError(f"CALL sys.{proc}: missing table argument")
+        db, name = self._qualify(str(target))
+        t = FlussTable(self.catalog, db, name)
+        if proc == "compact_log":
+            n = mnt.compact_log(
+                t, self.spark, target_commits=int(args.get("target_commits", 2))
+            )
+            return _rows([f"compacted_commits={n}"])
+        if proc == "compact_snapshot":
+            did = mnt.compact_snapshot(
+                t, self.spark, max_dirs=int(args.get("max_dirs", 8))
+            )
+            return _rows([f"compacted={str(did).lower()}"])
+        if proc == "expire_snapshots":
+            n = mnt.expire_snapshots(t, keep=int(args.get("keep", 2)))
+            return _rows([f"expired_data_dirs={n}"])
+        if proc == "expire_log_ttl":
+            n = mnt.expire_log_ttl(t, self.spark)
+            return _rows([f"expired_commits={n}"])
+        if proc == "tier_log":
+            n = mnt.tier_log(t)
+            return _rows([f"tiered_commits={n}"])
+        if proc == "rebucket":
+            v = mnt.rebucket_table(t, self.spark, int(args["buckets"]))
+            return _rows([f"commit_version={v}"])
+        raise SqlParseError(f"unknown procedure: sys.{proc}")
 
     # ------------------------------------------------------------------ #
     # databases

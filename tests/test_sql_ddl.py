@@ -514,3 +514,105 @@ def test_truncate_pk_table_emits_deletes(spark, fsql):
         "SELECT count(*) AS c FROM fluss_tkv__changelog WHERE _change_type = '-D'"
     ).collect()[0]["c"]
     assert dels == 2
+
+
+def test_call_acl_procedures(spark, fsql):
+    """CALL sys.add_acl / list_acl / drop_acl — the reference's ACL
+    procedure surface (engine-flink/procedures.md:19-160), same named
+    arguments, same list_acl row format."""
+    out = fsql.sql("""
+        CALL sys.add_acl(
+          resource => 'CLUSTER',
+          permission => 'ALLOW',
+          principal => 'User:Alice',
+          operation => 'READ',
+          host => '*'
+        )
+    """).collect()
+    assert len(out) == 1 and 'principal="User:Alice"' in out[0]["result"]
+    fsql.sql(
+        "CALL sys.add_acl(resource => 'mydb.mytbl', permission => 'ALLOW',"
+        " principal => 'User:Bob', operation => 'WRITE')"
+    )
+    rows = [r["result"] for r in fsql.sql("CALL sys.list_acl(resource => 'ANY')").collect()]
+    assert len(rows) == 2
+    assert any('resource="TABLE:mydb.mytbl"' in r and 'operation="WRITE"' in r for r in rows)
+    only_bob = [
+        r["result"]
+        for r in fsql.sql(
+            "CALL sys.list_acl(resource => 'ANY', principal => 'User:Bob')"
+        ).collect()
+    ]
+    assert len(only_bob) == 1 and 'host="*"' in only_bob[0]
+    dropped = fsql.sql(
+        "CALL sys.drop_acl(resource => 'ANY', permission => 'ANY',"
+        " principal => 'User:Alice', operation => 'ANY', host => 'ANY')"
+    ).collect()
+    assert len(dropped) == 1
+    assert len(fsql.sql("CALL sys.list_acl(resource => 'ANY')").collect()) == 1
+    # the grants are live in the authorizer (same store)
+    from fluss_spark.security import Authorizer, Resource
+
+    assert Authorizer(fsql.catalog).authorized("Bob", "WRITE", Resource.table("mydb", "mytbl"))
+
+
+def test_call_cluster_configs(spark, fsql):
+    fsql.sql("CALL sys.set_cluster_configs('datalake.format', 'none', 'x.y', '5')")
+    got = [r["result"] for r in fsql.sql("CALL sys.get_cluster_configs()").collect()]
+    assert got == ['datalake.format="none"', 'x.y="5"']
+    one = [r["result"] for r in fsql.sql("CALL sys.get_cluster_configs('x.y')").collect()]
+    assert one == ['x.y="5"']
+    fsql.sql("CALL sys.reset_cluster_configs('x.y')")
+    assert [r["result"] for r in fsql.sql("CALL sys.get_cluster_configs()").collect()] == [
+        'datalake.format="none"'
+    ]
+
+
+def test_call_maintenance_procedures(spark, fsql):
+    fsql.sql("CREATE TABLE mt1 (k BIGINT, v STRING) WITH ('bucket.num' = '2')")
+    for i in range(3):
+        fsql.sql(f"INSERT INTO mt1 VALUES ({i}, 'v{i}')")
+    out = fsql.sql("CALL sys.compact_log(table => 'mt1', target_commits => 2)").collect()
+    assert out[0]["result"].startswith("compacted_commits=")
+    assert int(out[0]["result"].split("=")[1]) >= 2
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_mt1").collect()[0]["c"] == 3
+    out = fsql.sql("CALL sys.rebucket(table => 'mt1', buckets => 4)").collect()
+    assert out[0]["result"].startswith("commit_version=")
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_mt1").collect()[0]["c"] == 3
+    out = fsql.sql("CALL sys.tier_log('mt1')").collect()
+    assert out[0]["result"].startswith("tiered_commits=")
+    with pytest.raises(SqlParseError, match="unknown procedure"):
+        fsql.sql("CALL sys.nonsense('x')")
+
+
+def test_call_procedures_authorized(spark, tmp_path):
+    """ACL/config procedures need cluster ALTER (list: DESCRIBE);
+    maintenance procedures need ALTER on the target table."""
+    from fluss_spark.security import (
+        AccessControlEntry,
+        AclBinding,
+        AuthorizationError,
+        FlussPrincipal,
+        Resource,
+        create_acls,
+    )
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    root = FlussSqlSession(catalog, spark, principal="root", super_users=["User:root"])
+    root.sql("CREATE TABLE fluss.t1 (k BIGINT) WITH ('bucket.num' = '1')")
+    nobody = FlussSqlSession(catalog, spark, principal="nobody")
+    with pytest.raises(AuthorizationError):
+        nobody.sql("CALL sys.add_acl(resource => 'CLUSTER', principal => 'User:n', operation => 'READ')")
+    with pytest.raises(AuthorizationError):
+        nobody.sql("CALL sys.list_acl(resource => 'ANY')")
+    with pytest.raises(AuthorizationError):
+        nobody.sql("CALL sys.compact_log(table => 't1')")
+    create_acls(
+        catalog,
+        [AclBinding(
+            Resource.table("fluss", "t1"),
+            AccessControlEntry(FlussPrincipal("op"), "ALTER"),
+        )],
+    )
+    op = FlussSqlSession(catalog, spark, principal="op")
+    assert op.sql("CALL sys.compact_log(table => 't1')").collect()[0]["result"] == "compacted_commits=0"
