@@ -49,6 +49,8 @@ _PRIORITY = [
     "tx_quality_classifier",
     "bm25_topk",
     "tx_chunk_sliding",
+    "a2_minmax_metadata",
+    "l6_index_lookup",
     # --- r4 error row, output fixed this round ---
     "mm_feature_extract",
     # --- single round of driver history (green only in r4) ---
@@ -67,10 +69,8 @@ _PRIORITY = [
     "subquery_tpch_q2",
     "subquery_tpch_q20",
     "dd_exact_engine",
-    "tx_top_terms",
     "tx_hash_sample",
     "tx_repetition_score",
-    "tx_word_entropy",
     "tx_length_histogram",
     "tx_bpe_token_count",
     "tx_blocklist_redact",
@@ -88,9 +88,9 @@ _PRIORITY = [
     "op_transition_matrix",
     "op_user_paths",
     "op_anomaly_zscore",
-    # (window is exactly 50: 10 sentinels + 3 new + 1 fixed + 36
-    # single-history; m2/l4/t4 and the rest keep their r4-green rows
-    # and remain under the local parity suite)
+    # (window is exactly 50: 10 sentinels + 5 new + 1 fixed + 34
+    # single-history; tx_top_terms/tx_word_entropy/m2/l4/t4 and the
+    # rest keep their r4-green rows under the local parity suite)
 ]
 
 

@@ -1,0 +1,147 @@
+"""Secondary indexes over primary-key tables.
+
+The reference's lookup surface stops at L1 (full primary key,
+Lookuper.java:43-56) and L2 (bucket-key prefix of the pk,
+Lookup.java:66-105): point access by any OTHER column is a full scan.
+A secondary index closes that gap using only the engine's own
+primitives — the index IS a primary-key table:
+
+    index schema:  primary_key = [col, *base_pk]
+                   bucket_keys = [col]          (the L2 contract:
+                                                 bucket key = pk prefix)
+
+so `lookup_by` is exactly the L2 prefix-lookup plan — the owning
+bucket resolves driver-side, ONE data dir is scanned — and index
+maintenance is an incremental changelog consumer (T4): each sync reads
+the base table's changelog from the last synced offsets and folds it
+into index upserts/deletes. Rows whose indexed value is NULL are not
+indexed (a NULL never equals a lookup value).
+
+Scale design: a sync shuffles only the NEW changelog slice, grouped by
+(indexed value, pk) — per-pair resolution needs no global order
+because a pk's events all live in one bucket, where offsets are
+totally ordered. The index write is a normal engine transaction
+(bucketed by the indexed column, O(batch) fold). A lookup reads one
+index bucket dir, then prunes the base scan with the (small) pk set —
+an IN-filter on a single-column pk (row-group stats pruning) or a
+broadcast semi-join otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluss_spark.catalog import Catalog
+from fluss_spark.operators.replay import OP_COL
+from fluss_spark.table import FlussTable, create_table
+from fluss_spark.types import Field, TableSchema
+
+INDEX_BASE_PROP = "index.base-table"
+INDEX_COL_PROP = "index.column"
+INDEX_SYNC_PROP = "index.synced-offsets"
+
+
+def index_table_name(table: str, column: str) -> str:
+    return f"{table}__idx__{column}"
+
+
+def create_index(
+    catalog: Catalog, db: str, table: str, column: str, spark: SparkSession
+) -> FlussTable:
+    """Create (and initially populate) a secondary index on `column`."""
+    base = FlussTable(catalog, db, table)
+    if base.kv is None:
+        raise ValueError("secondary indexes require a primary-key base table")
+    pk = base.schema.primary_key
+    if column in pk:
+        raise ValueError(f"{column} is part of the primary key; use L1/L2 lookups")
+    fields = {f.name: f for f in base.schema.fields}
+    if column not in fields:
+        raise ValueError(f"no such column: {column}")
+    schema = TableSchema(
+        fields=[Field(column, fields[column].type, nullable=False)]
+        + [Field(c, fields[c].type, nullable=False) for c in pk],
+        primary_key=[column] + list(pk),
+        bucket_keys=[column],
+        num_buckets=base.schema.num_buckets,
+        properties={
+            INDEX_BASE_PROP: f"{db}.{table}",
+            INDEX_COL_PROP: column,
+            INDEX_SYNC_PROP: "{}",
+        },
+    )
+    idx = create_table(catalog, db, index_table_name(table, column), schema)
+    sync_index(catalog, db, table, column, spark)
+    return idx
+
+
+def sync_index(
+    catalog: Catalog, db: str, table: str, column: str, spark: SparkSession
+) -> int:
+    """Fold the base changelog since the last sync into the index (T4
+    consumption): per (indexed value, pk) pair the LAST event in the
+    slice decides — +I/+U inserts the mapping, -U/-D removes it. All
+    events of a pair share the pk's bucket, so `max_by(_log_offset)`
+    is a total order per pair. Returns changelog rows consumed."""
+    base = FlussTable(catalog, db, table)
+    idx_name = index_table_name(table, column)
+    idx = FlussTable(catalog, db, idx_name)
+    pk = base.schema.primary_key
+    synced = json.loads(idx.schema.properties.get(INDEX_SYNC_PROP, "{}"))
+    start = {int(b): int(o) for b, o in synced.items()}
+
+    cl = base.changelog(spark, start_offsets=start or None)
+    n = cl.count()
+    if n:
+        final = (
+            cl.filter(F.col(column).isNotNull())
+            .groupBy(column, *pk)
+            .agg(F.max_by("_change_type", F.col("_log_offset")).alias("__ct"))
+        )
+        batch = final.select(
+            column,
+            *pk,
+            F.when(F.col("__ct").isin("-U", "-D"), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias(OP_COL),
+        )
+        idx.upsert(batch, ordering=pk)
+
+    # record the high-water mark AFTER the index commit (crash between
+    # the two re-consumes a slice; the fold is idempotent — re-applying
+    # the same final actions yields the same index state)
+    new_offsets = {str(b): o for b, o in base.log.latest_offsets().items()}
+    sch = catalog.get_schema(db, idx_name)
+    sch.properties[INDEX_SYNC_PROP] = json.dumps(new_offsets, sort_keys=True)
+    catalog.set_schema(db, idx_name, sch)
+    return n
+
+
+def index_lookup(
+    catalog: Catalog,
+    db: str,
+    table: str,
+    column: str,
+    value,
+    spark: SparkSession,
+) -> DataFrame:
+    """Point access by a non-key column: L2 prefix lookup on the index
+    (one bucket dir) -> pk set -> pruned base read. Selective values
+    are the contract (like any secondary index); the pk set is
+    collected driver-side when small enough to become an IN-filter,
+    else it stays distributed as a broadcast semi-join."""
+    base = FlussTable(catalog, db, table)
+    idx = FlussTable(catalog, db, index_table_name(table, column))
+    pk = base.schema.primary_key
+    hits = idx.prefix_lookup(spark, {column: value}).select(*pk)
+    if len(pk) == 1:
+        keys = [r[pk[0]] for r in hits.limit(10_001).collect()]
+        if len(keys) <= 10_000:
+            if not keys:
+                return base.snapshot(spark).limit(0)
+            # IN-filter pushes to the scan; row-group stats prune
+            return base.snapshot(spark).filter(F.col(pk[0]).isin(keys))
+    return base.snapshot(spark).join(F.broadcast(hits), on=list(pk), how="left_semi")

@@ -247,6 +247,34 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
                 ev.filter((F.col("event_id") >= i * quarter) & (F.col("event_id") < (i + 1) * quarter))
             )
             t.append(batch, ordering=["event_id"])
+    elif variant == "indexed":
+        # secondary-index lifecycle: pk=event_id, index on user_id;
+        # initial sync over two commits, then deletes + index-key moves
+        # folded in by an incremental sync
+        from fluss_spark.indexes import create_index, sync_index
+
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT", nullable=False),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            primary_key=["event_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        create_index(cat, "db", variant, "user_id", spark)
+        t.delete_where(spark, F.col("event_id") % 97 == 0)
+        t.update_where(
+            spark,
+            F.col("event_id") % 101 == 0,
+            {"user_id": F.col("user_id") + F.lit(1_000_000)},
+        )
+        sync_index(cat, "db", variant, "user_id", spark)
     else:
         raise ValueError(variant)
     _CACHE[key] = (cat, variant)
@@ -617,6 +645,79 @@ def a1_count_metadata(spark: SparkSession, sf: str) -> DataFrame:
     PushdownUtils.countTable / TableStats.rowCount)."""
     t = _build(spark, sf, "plain_log")
     return spark.createDataFrame([(t.count(),)], "cnt bigint")
+
+
+@register(
+    "a2_minmax_metadata",
+    oracle="""
+    SELECT min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events
+    """,
+)
+def a2_minmax_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 batch statistics as a query surface: min/max answered from
+    Parquet footer row-group statistics, DRIVER-SIDE — zero file reads,
+    zero Spark jobs for the aggregate itself (the reference collects
+    exactly these per-batch stats at write time,
+    LogRecordBatchStatisticsCollector; here the Parquet footers ARE the
+    statistics store). Runs over the TIERED table so the footer walk
+    proves the same commit fencing as scan(): both tiers, local-wins
+    overlap, uncommitted and rebucket-shadowed dirs excluded. String
+    columns refuse the metadata path (Parquet may truncate binary
+    stats) and fall back to a scan — exactness over speed."""
+    t = _build(spark, sf, "tiered_log")
+    mm_id = t.log.minmax_from_metadata("event_id")
+    mm_val = t.log.minmax_from_metadata("value")
+    assert mm_id is not None and mm_val is not None  # numeric, no eras
+    return spark.createDataFrame(
+        [(int(mm_id[0]), int(mm_id[1]), float(mm_val[0]), float(mm_val[1]))],
+        "min_event_id bigint, max_event_id bigint, min_value double, max_value double",
+    )
+
+
+@register(
+    "l6_index_lookup",
+    oracle="""
+    WITH u AS (SELECT min(user_id) AS u0 FROM events)
+    SELECT e.event_id, e.user_id AS user_id, e.event_type, round(e.value, 2) AS value
+    FROM events e, u
+    WHERE e.user_id = u.u0 AND e.event_id % 97 != 0 AND e.event_id % 101 != 0
+    UNION ALL
+    SELECT e.event_id, e.user_id + 1000000 AS user_id, e.event_type, round(e.value, 2) AS value
+    FROM events e, u
+    WHERE e.user_id = u.u0 AND e.event_id % 101 = 0 AND e.event_id % 97 != 0
+    """,
+)
+def l6_index_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """L6 — secondary-index lookup, a capability the reference LACKS
+    (its lookup surface stops at L1 full-pk and L2 bucket-key prefix,
+    Lookup.java:66-105; access by any other column is a scan). The
+    index is itself a pk table (pk=[user_id, event_id], bucket
+    key=[user_id] — the L2 contract) maintained incrementally from the
+    base changelog (T4 consumption: last event per (value, pk) pair
+    wins), so a lookup by user_id is the single-bucket-dir L2 plan
+    plus a stats-pruned IN-filter read of the base. The build deletes
+    every 97th event and MOVES every 101st to a shifted user id before
+    an incremental sync — the result proves deletions leave the index
+    and moved keys are found under their new value only."""
+    from fluss_spark.indexes import index_lookup
+
+    t = _build(spark, sf, "indexed")
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(os.path.join(sf, "events.parquet"))
+    idx = md.schema.names.index("user_id")
+    u0 = min(
+        int(md.row_group(rg).column(idx).statistics.min)
+        for rg in range(md.num_row_groups)
+    )
+    cat = t.catalog
+    a = index_lookup(cat, "db", "indexed", "user_id", u0, spark)
+    b = index_lookup(cat, "db", "indexed", "user_id", u0 + 1_000_000, spark)
+    return a.unionByName(b).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
 
 
 @register(

@@ -1002,15 +1002,33 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     a per-subspace loop of 8 parallel subplans planned 3x slower and
     ran 3x slower (24 separate broadcast builds vs 2)."""
     e = _embeddings(spark, sf)
-    cb, packed = _pq_train_pack(spark, e)
+    cb, packed = _pq_train_pack(spark, e, cache_key=(_skey(spark), sf))
     return _pq_adc_search(spark, e, packed, cb, same_cell_only=False)
 
 
-def _pq_train_pack(spark: SparkSession, e: DataFrame):
+_PQ_TRAIN_CACHE: dict = {}
+
+
+def _skey(spark: SparkSession) -> str:
+    from fluss_spark.registry import session_key
+
+    return session_key(spark)
+
+
+def _pq_train_pack(spark: SparkSession, e: DataFrame, cache_key=None):
     """Train the {_PQ_M} codebooks in one exploded chain and pack the
     stored index column. Returns (codebooks ndarray M x K x SUBDIM,
     packed DF (vec_id, label, code)) — codebooks are driver-held
-    metadata, `packed` is the {_PQ_M}-bytes/vector column."""
+    metadata, `packed` is the {_PQ_M}-bytes/vector column.
+
+    The trained index is cached per (session, corpus): ann_pq_adc and
+    ann_ivfpq_adc search the SAME index (that is the point of IVF-PQ —
+    one stored code column, different candidate restriction), so the
+    second query must not pay a second training pass. `packed` persists
+    eagerly so concurrent first consumers don't race a cold cache (the
+    shingle_base rule)."""
+    if cache_key is not None and cache_key in _PQ_TRAIN_CACHE:
+        return _PQ_TRAIN_CACHE[cache_key]
     import numpy as np
 
     # (vec_id, m, sv): every subspace of every vector, derived map-side;
@@ -1094,6 +1112,10 @@ def _pq_train_pack(spark: SparkSession, e: DataFrame):
     cb = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM))
     for r in c1.collect():
         cb[r["m"], r["cid"]] = r["c"]
+    if cache_key is not None:
+        packed = packed.persist()
+        packed.count()  # eager materialization
+        _PQ_TRAIN_CACHE[cache_key] = (cb, packed)
     return cb, packed
 
 
@@ -1187,7 +1209,7 @@ def ann_ivfpq_adc(spark: SparkSession, sf: str) -> DataFrame:
     storage the cell restriction IS partition pruning (P6) — the same
     pipeline reads only the probed cells' directories."""
     e = _embeddings(spark, sf)
-    cb, packed = _pq_train_pack(spark, e)
+    cb, packed = _pq_train_pack(spark, e, cache_key=(_skey(spark), sf))
     return _pq_adc_search(spark, e, packed, cb, same_cell_only=True)
 
 

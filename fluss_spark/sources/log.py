@@ -309,6 +309,67 @@ class LogStore:
                     per_bucket[bucket] = max(per_bucket.get(bucket, -1), int(st.max))
         return per_bucket
 
+    def minmax_from_metadata(self, column: str):
+        """A2 statistics pushdown: (min, max) of a numeric/temporal
+        column from Parquet footer row-group statistics — driver-side,
+        zero file reads, O(files) footer reads (the metadata analog of
+        count_from_metadata; reference A2 collects exactly these batch
+        stats at write time, LogRecordBatchStatisticsCollector).
+
+        Returns None when footer stats cannot answer exactly, and the
+        caller must fall back to a scan: string columns (Parquet may
+        truncate binary stats to prefixes), schema-evolution eras
+        (physical column names differ per era), partition-key columns
+        (values live in dir names, not files), or any file/row-group
+        missing stats. Respects the same commit fencing as scan():
+        uncommitted dirs, rebucket-shadowed dirs (< log_floor), and
+        local-wins tier overlap."""
+        import pyarrow.parquet as pq
+
+        from fluss_spark.types import evolution_eras
+
+        if evolution_eras(self.schema):
+            return None
+        if column in self.schema.partition_keys:
+            return None
+        field = next((f for f in self.schema.fields if f.name == column), None)
+        if field is None or field.type.upper() in ("STRING", "VARCHAR", "BYTES", "BINARY"):
+            return None
+        state = self.catalog.current_commit(self.db, self.table)
+
+        def _dirs(root: str) -> dict[str, str]:
+            if not os.path.isdir(root):
+                return {}
+            return {
+                e.name: e.path
+                for e in os.scandir(root)
+                if e.name.startswith(f"{COMMIT_DIR_COL}=")
+                and state.log_floor <= int(e.name.split("=")[1]) <= state.version
+            }
+
+        local, remote = _dirs(self.log_dir), _dirs(self.remote_dir)
+        paths = list(local.values()) + [
+            p for n, p in remote.items() if n not in local
+        ]
+        lo = hi = None
+        for d in paths:
+            for root, _dirs_, files in os.walk(d):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.read_metadata(os.path.join(root, fn))
+                    try:
+                        idx = md.schema.names.index(column)
+                    except ValueError:
+                        return None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            return None  # e.g. an all-null row group
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+
     # ------------------------------------------------------------------ #
     # scan (S2/S3/S8)
     # ------------------------------------------------------------------ #

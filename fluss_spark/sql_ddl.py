@@ -152,6 +152,7 @@ class FlussSqlSession:
             return None
         if low.startswith(("select", "with ", "values", "explain")):
             self._register_referenced_views(s)
+            s = self._rewrite_time_travel(s)
             return self.spark.sql(s)
         raise SqlParseError(f"unsupported statement: {s[:80]}")
 
@@ -374,6 +375,61 @@ class FlussSqlSession:
             m.group(1): m.group(2)
             for m in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", segment)
         }
+
+    # ------------------------------------------------------------------ #
+    # time travel: <view> VERSION AS OF n | TIMESTAMP AS OF 'ts' (S8)
+    # ------------------------------------------------------------------ #
+    def _rewrite_time_travel(self, s: str) -> str:
+        """S8 as a SQL surface: `FROM db_tbl VERSION AS OF 3` pins the
+        scan to commit 3; `TIMESTAMP AS OF '2026-01-01 00:00:00'`
+        resolves the newest commit at-or-before that wall-clock time
+        (the reference's OffsetSpec.TIMESTAMP applied to whole commits).
+        Implemented by binding a dedicated temp view to the as-of scan
+        and substituting it — Catalyst pushdown still applies, and the
+        `__commit <= v` fence is partition-dir pruning. Travel below a
+        rebucket's log_floor returns empty (that history was rewritten)."""
+
+        def sub(m: re.Match) -> str:
+            base = m.group(1)
+            db_tbl = None
+            for db in self.admin.list_databases():
+                for tname in self.catalog.list_tables(db):
+                    if f"{db}_{tname}".lower() == base.lower():
+                        db_tbl = (db, tname)
+            if db_tbl is None:
+                return m.group(0)  # not an engine view: leave untouched
+            db, tname = db_tbl
+            t = FlussTable(self.catalog, db, tname)
+            lit = m.group(3)
+            if m.group(2).lower() == "version":
+                version = int(lit)
+            else:
+                from datetime import datetime, timezone
+
+                ts = datetime.fromisoformat(lit.strip("'"))
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                ts_ms = int(ts.timestamp() * 1000)
+                versions = [
+                    cs.version
+                    for cs in self.catalog.commit_history(db, tname)
+                    if cs.ts_ms <= ts_ms
+                ]
+                if not versions:
+                    raise SqlParseError(
+                        f"no commit of {db}.{tname} at or before {lit}"
+                    )
+                version = max(versions)
+            view = f"{db}_{tname}__asof_{version}"
+            t.log.scan(self.spark, as_of_commit=version).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"\b([A-Za-z_]\w*)\s+(version|timestamp)\s+as\s+of\s+('[^']*'|\d+)",
+            sub,
+            s,
+            flags=re.I,
+        )
 
     # ------------------------------------------------------------------ #
     # CALL procedures (engine-flink/procedures.md)

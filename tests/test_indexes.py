@@ -1,0 +1,137 @@
+"""Secondary indexes: creation, incremental sync from the changelog,
+prefix-lookup routing, update/delete consistency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_spark.catalog import Catalog
+from fluss_spark.indexes import (
+    create_index,
+    index_lookup,
+    index_table_name,
+    sync_index,
+)
+from fluss_spark.table import FlussTable, create_table
+from fluss_spark.types import Field, TableSchema
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def _base(catalog, spark):
+    t = create_table(
+        catalog, "db", "orders",
+        TableSchema(
+            fields=[
+                Field("order_id", "BIGINT", nullable=False),
+                Field("customer", "STRING"),
+                Field("amount", "DOUBLE"),
+            ],
+            primary_key=["order_id"],
+            num_buckets=4,
+        ),
+    )
+    rows = [(i, f"c{i % 5}", float(i)) for i in range(40)]
+    t.upsert(
+        spark.createDataFrame(rows, "order_id long, customer string, amount double"),
+        ordering=["order_id"],
+    )
+    return t
+
+
+def test_index_create_and_lookup(spark, catalog):
+    t = _base(catalog, spark)
+    create_index(catalog, "db", "orders", "customer", spark)
+    got = index_lookup(catalog, "db", "orders", "customer", "c3", spark).collect()
+    assert sorted(r["order_id"] for r in got) == [3, 8, 13, 18, 23, 28, 33, 38]
+    assert all(r["customer"] == "c3" for r in got)
+    # missing value -> empty, schema preserved
+    empty = index_lookup(catalog, "db", "orders", "customer", "zzz", spark)
+    assert empty.count() == 0 and "amount" in empty.columns
+
+
+def test_index_incremental_sync_updates_and_deletes(spark, catalog):
+    t = _base(catalog, spark)
+    create_index(catalog, "db", "orders", "customer", spark)
+    # move order 3 from c3 to c0, delete order 8, insert order 100 as c3
+    t.upsert(spark.createDataFrame(
+        [(3, "c0", 3.0), (100, "c3", 100.0)],
+        "order_id long, customer string, amount double",
+    ), ordering=["order_id"])
+    t.delete(spark.createDataFrame(
+        [(8, "c3", 8.0)], "order_id long, customer string, amount double"
+    ))
+    n = sync_index(catalog, "db", "orders", "customer", spark)
+    assert n > 0
+    got = sorted(
+        r["order_id"]
+        for r in index_lookup(catalog, "db", "orders", "customer", "c3", spark).collect()
+    )
+    assert got == [13, 18, 23, 28, 33, 38, 100]
+    # the moved key is found under its NEW value
+    moved = index_lookup(catalog, "db", "orders", "customer", "c0", spark)
+    assert 3 in {r["order_id"] for r in moved.collect()}
+    # idempotent: an empty re-sync changes nothing
+    assert sync_index(catalog, "db", "orders", "customer", spark) == 0
+    again = sorted(
+        r["order_id"]
+        for r in index_lookup(catalog, "db", "orders", "customer", "c3", spark).collect()
+    )
+    assert again == got
+
+
+def test_index_multi_update_within_one_sync(spark, catalog):
+    """A -> B -> A within one unsynced slice must resolve to A (the
+    final event per (value, pk) pair wins)."""
+    t = _base(catalog, spark)
+    create_index(catalog, "db", "orders", "customer", spark)
+    up = lambda c: t.upsert(spark.createDataFrame(
+        [(5, c, 5.0)], "order_id long, customer string, amount double"
+    ))
+    up("cX")
+    up("c1")  # back to its original value's sibling
+    sync_index(catalog, "db", "orders", "customer", spark)
+    assert 5 not in {
+        r["order_id"]
+        for r in index_lookup(catalog, "db", "orders", "customer", "cX", spark).collect()
+    }
+    assert 5 in {
+        r["order_id"]
+        for r in index_lookup(catalog, "db", "orders", "customer", "c1", spark).collect()
+    }
+
+
+def test_index_is_l2_plan_and_null_skip(spark, catalog):
+    t = create_table(
+        catalog, "db", "n1",
+        TableSchema(
+            fields=[
+                Field("k", "BIGINT", nullable=False),
+                Field("tag", "STRING"),
+            ],
+            primary_key=["k"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "k long, tag string"
+    ))
+    create_index(catalog, "db", "n1", "tag", spark)
+    idx = FlussTable(catalog, "db", index_table_name("n1", "tag"))
+    # NULL tags are not indexed
+    assert idx.snapshot(spark).count() == 2
+    # the index lookup is the L2 single-scan plan: one file index, no union
+    hits = idx.prefix_lookup(spark, {"tag": "a"})
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1 and "Union" not in plan
+    got = index_lookup(catalog, "db", "n1", "tag", "a", spark)
+    assert sorted(r["k"] for r in got.collect()) == [1, 3]
+    # guards
+    with pytest.raises(ValueError, match="primary key"):
+        create_index(catalog, "db", "n1", "k", spark)
+    with pytest.raises(ValueError, match="no such column"):
+        create_index(catalog, "db", "n1", "nope", spark)

@@ -624,3 +624,49 @@ def test_rebucket_crash_windows_never_lose_committed_data(spark, catalog, monkey
     t3 = FlussTable(catalog, "db", "rb_crash")
     assert t3.snapshot(spark).count() == 30
     assert t3.lookup(spark, {"k": 5}).collect()[0]["v"] == "v5b"
+
+
+def test_minmax_from_metadata(spark, catalog):
+    """A2 footer min/max: exact on numeric columns across both tiers,
+    refuses strings (truncated stats risk) and uncommitted data."""
+    from fluss_spark.maintenance import tier_log
+
+    t = create_table(
+        catalog, "db", "mmx",
+        TableSchema(
+            fields=[Field("k", "BIGINT"), Field("s", "STRING"), Field("x", "DOUBLE")],
+            num_buckets=2,
+        ),
+    )
+    t.append(
+        spark.createDataFrame([(5, "a", 1.5), (9, "b", -2.25)], "k long, s string, x double"),
+        ordering=["k"],
+    )
+    t.append(
+        spark.createDataFrame([(1, "c", 7.125)], "k long, s string, x double"),
+        ordering=["k"],
+    )
+    assert t.log.minmax_from_metadata("k") == (1, 9)
+    assert t.log.minmax_from_metadata("x") == (-2.25, 7.125)
+    assert t.log.minmax_from_metadata("s") is None  # strings refuse
+    assert t.log.minmax_from_metadata("nope") is None
+    # still exact when commits move to the remote tier
+    tier_log(t, local_segments=1)
+    assert t.log.minmax_from_metadata("k") == (1, 9)
+    # staged-but-uncommitted data is fenced: write a fake staging dir
+    import shutil
+
+    from fluss_spark.table import FlussTable
+
+    t2 = FlussTable(catalog, "db", "mmx")
+    staged = t2.log.staging_path(99)
+    src = None
+    import os as _os
+
+    for e in _os.scandir(t2.log.remote_dir):
+        if e.name.startswith("__commit="):
+            src = e.path
+            break
+    shutil.copytree(src, staged)
+    assert t2.log.minmax_from_metadata("k") == (1, 9)  # unchanged
+    shutil.rmtree(staged)

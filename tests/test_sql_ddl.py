@@ -616,3 +616,29 @@ def test_call_procedures_authorized(spark, tmp_path):
     )
     op = FlussSqlSession(catalog, spark, principal="op")
     assert op.sql("CALL sys.compact_log(table => 't1')").collect()[0]["result"] == "compacted_commits=0"
+
+
+def test_select_time_travel(spark, fsql):
+    """S8 as SQL: VERSION AS OF pins a commit; TIMESTAMP AS OF resolves
+    the newest commit at-or-before the wall clock."""
+    fsql.sql("CREATE TABLE tt (k BIGINT, v STRING) WITH ('bucket.num' = '1')")
+    fsql.sql("INSERT INTO tt VALUES (1, 'a')")   # commit 1
+    fsql.sql("INSERT INTO tt VALUES (2, 'b')")   # commit 2
+    fsql.sql("INSERT INTO tt VALUES (3, 'c')")   # commit 3
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_tt").collect()[0]["c"] == 3
+    got = fsql.sql("SELECT k FROM fluss_tt VERSION AS OF 2 ORDER BY k").collect()
+    assert [r["k"] for r in got] == [1, 2]
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_tt VERSION AS OF 1").collect()[0]["c"] == 1
+    # timestamp as-of: far future -> all commits; epoch -> error
+    got = fsql.sql(
+        "SELECT count(*) AS c FROM fluss_tt TIMESTAMP AS OF '2100-01-01 00:00:00'"
+    ).collect()
+    assert got[0]["c"] == 3
+    with pytest.raises(SqlParseError, match="no commit"):
+        fsql.sql("SELECT * FROM fluss_tt TIMESTAMP AS OF '1990-01-01 00:00:00'")
+    # join of two travel points (alias via subquery still works)
+    two = fsql.sql(
+        "SELECT a.k FROM fluss_tt VERSION AS OF 2 a "
+        "JOIN fluss_tt VERSION AS OF 3 b ON a.k = b.k ORDER BY a.k"
+    ).collect()
+    assert [r["k"] for r in two] == [1, 2]
