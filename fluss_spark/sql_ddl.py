@@ -567,12 +567,24 @@ class FlussSqlSession:
         if proc not in (
             "compact_log", "compact_snapshot", "expire_snapshots",
             "expire_log_ttl", "tier_log", "rebucket",
+            "create_index", "sync_index",
         ):
             raise SqlParseError(f"unknown procedure: sys.{proc}")
         target = args.get("table") or (pos + [None])[0]
         if target is None:
             raise SqlParseError(f"CALL sys.{proc}: missing table argument")
         db, name = self._qualify(str(target))
+        if proc in ("create_index", "sync_index"):
+            from fluss_spark import indexes as ix
+
+            column = args.get("column") or (pos + [None, None])[1]
+            if column is None:
+                raise SqlParseError(f"CALL sys.{proc}: missing column argument")
+            if proc == "create_index":
+                ix.create_index(self.catalog, db, name, str(column), self.spark)
+                return _rows([f"index={ix.index_table_name(name, str(column))}"])
+            n = ix.sync_index(self.catalog, db, name, str(column), self.spark)
+            return _rows([f"consumed_changelog_rows={n}"])
         t = FlussTable(self.catalog, db, name)
         if proc == "compact_log":
             n = mnt.compact_log(

@@ -642,3 +642,27 @@ def test_select_time_travel(spark, fsql):
         "JOIN fluss_tt VERSION AS OF 3 b ON a.k = b.k ORDER BY a.k"
     ).collect()
     assert [r["k"] for r in two] == [1, 2]
+
+
+def test_call_index_procedures(spark, fsql):
+    fsql.sql("""
+        CREATE TABLE idx_base (
+            k BIGINT NOT NULL, tag STRING, v DOUBLE,
+            PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('bucket.num' = '2')
+    """)
+    fsql.sql("INSERT INTO idx_base VALUES (1, 'x', 0.5), (2, 'y', 1.5), (3, 'x', 2.5)")
+    out = fsql.sql("CALL sys.create_index(table => 'idx_base', column => 'tag')").collect()
+    assert out[0]["result"] == "index=idx_base__idx__tag"
+    # the index is a first-class table: queryable through its views
+    got = fsql.sql(
+        "SELECT k FROM fluss_idx_base__idx__tag__snapshot WHERE tag = 'x' ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in got] == [1, 3]
+    fsql.sql("INSERT INTO idx_base VALUES (2, 'x', 9.9)")  # move 2 into 'x'
+    out = fsql.sql("CALL sys.sync_index('idx_base', 'tag')").collect()
+    assert out[0]["result"].startswith("consumed_changelog_rows=")
+    got = fsql.sql(
+        "SELECT k FROM fluss_idx_base__idx__tag__snapshot WHERE tag = 'x' ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in got] == [1, 2, 3]
