@@ -42,6 +42,7 @@ from fluss_spark.types import Field, TableSchema
 INDEX_BASE_PROP = "index.base-table"
 INDEX_COL_PROP = "index.column"
 INDEX_SYNC_PROP = "index.synced-offsets"
+INDEX_EPOCH_PROP = "index.synced-bucket-epoch"
 
 
 def index_table_name(table: str, column: str) -> str:
@@ -93,6 +94,20 @@ def sync_index(
     synced = json.loads(idx.schema.properties.get(INDEX_SYNC_PROP, "{}"))
     start = {int(b): int(o) for b, o in synced.items()}
 
+    # rebucket fence (same contract as LogStreamReader): per-bucket
+    # offsets are NOT comparable across a bucket-count change, so a
+    # sync HWM recorded under an older epoch cannot resume — rebuild
+    # the index instead of silently misreading offset ranges
+    epoch = base.schema.properties.get("table.bucket.epoch", "0")
+    seen_epoch = idx.schema.properties.get(INDEX_EPOCH_PROP, "0")
+    if start and epoch != seen_epoch:
+        raise ValueError(
+            f"base table {db}.{table} was rebucketed (epoch {seen_epoch} -> "
+            f"{epoch}) after the last index sync; drop and recreate the "
+            f"index ({idx_name}) — offsets are not comparable across a "
+            "rebucket"
+        )
+
     cl = base.changelog(spark, start_offsets=start or None)
     n = cl.count()
     if n:
@@ -116,6 +131,7 @@ def sync_index(
     new_offsets = {str(b): o for b, o in base.log.latest_offsets().items()}
     sch = catalog.get_schema(db, idx_name)
     sch.properties[INDEX_SYNC_PROP] = json.dumps(new_offsets, sort_keys=True)
+    sch.properties[INDEX_EPOCH_PROP] = epoch
     catalog.set_schema(db, idx_name, sch)
     return n
 

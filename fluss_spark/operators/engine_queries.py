@@ -264,9 +264,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             num_buckets=8,
         )
         t = create_table(cat, "db", variant, schema)
-        half = _max_event_id(sf) // 2
-        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
-        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        t.upsert(ev, ordering=["event_id"])
         create_index(cat, "db", variant, "user_id", spark)
         t.delete_where(spark, F.col("event_id") % 97 == 0)
         t.update_where(

@@ -135,3 +135,25 @@ def test_index_is_l2_plan_and_null_skip(spark, catalog):
         create_index(catalog, "db", "n1", "k", spark)
     with pytest.raises(ValueError, match="no such column"):
         create_index(catalog, "db", "n1", "nope", spark)
+
+
+def test_index_sync_fenced_by_rebucket(spark, catalog):
+    """Per-bucket offsets are not comparable across a rebucket: a sync
+    HWM recorded under an older bucket epoch must refuse to resume
+    (the LogStreamReader contract applied to index maintenance)."""
+    from fluss_spark.maintenance import rebucket_table
+
+    t = _base(catalog, spark)
+    create_index(catalog, "db", "orders", "customer", spark)
+    rebucket_table(t, spark, 8)
+    t2 = FlussTable(catalog, "db", "orders")
+    t2.upsert(spark.createDataFrame(
+        [(200, "c1", 1.0)], "order_id long, customer string, amount double"
+    ))
+    with pytest.raises(ValueError, match="rebucketed"):
+        sync_index(catalog, "db", "orders", "customer", spark)
+    # rebuild path works: drop + recreate
+    catalog.drop_table("db", index_table_name("orders", "customer"))
+    create_index(catalog, "db", "orders", "customer", spark)
+    got = index_lookup(catalog, "db", "orders", "customer", "c1", spark)
+    assert 200 in {r["order_id"] for r in got.collect()}
