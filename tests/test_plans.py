@@ -439,3 +439,44 @@ def test_temperature_sample_map_side_filter(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # no exchange keyed on doc_id: the per-row keep decision is map-side
     assert "hashpartitioning(doc_id" not in plan
+
+
+def test_chunk_sliding_zero_exchange(spark, sf_dir):
+    """RAG chunking is a pure generate (sequence+explode+slice): zero
+    exchanges, linear in chunks."""
+    df = QUERIES["tx_chunk_sliding"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("Exchange") == 0, plan
+    assert "Generate" in plan
+
+
+def test_bm25_broadcasts_stats_no_corpus_sort_join(spark, sf_dir):
+    """BM25: df and corpus stats are metadata-sized broadcasts; the
+    corpus never shuffles into a SortMergeJoin and never cross-joins
+    itself (the stats cross-join is a 1-row broadcast)."""
+    df = QUERIES["bm25_topk"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_quality_classifier_training_is_partial_aggregation(spark, sf_dir):
+    """Each training step must be ONE map-side-combinable aggregation:
+    partial_ functions below the exchange (the gradient sums reduce
+    before the shuffle; the shuffle carries 32 partial rows, not the
+    corpus)."""
+    from fluss_spark.operators.model import _feature_cols
+
+    d = load(spark, sf_dir, "documents")
+    fc = _feature_cols()
+    feats = d.select(
+        "doc_id", fc["y"].alias("y"), fc["x1"].alias("x1"),
+        fc["x2"].alias("x2"), fc["x3"].alias("x3"),
+    )
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor((F.col("y") - 0.5) * 1e6 + 0.5).cast("bigint")).alias("g0"),
+    )
+    plan = plans.physical_plan(agg)
+    assert "partial_count" in plan or "partial_sum" in plan, plan
