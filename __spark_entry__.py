@@ -51,6 +51,7 @@ _PRIORITY = [
     "tx_chunk_sliding",
     "a2_minmax_metadata",
     "l6_index_lookup",
+    "tx_bpe_encode",
     # --- r4 error row, output fixed this round ---
     "mm_feature_extract",
     # --- single round of driver history (green only in r4) ---
@@ -79,7 +80,6 @@ _PRIORITY = [
     "dd_prefix_cluster",
     "dd_url_normalize",
     "ann_kmeans_ivf",
-    "emb_label_stats",
     "ann_range_search",
     "ann_pq_adc",
     "ann_recall_audit",
@@ -88,9 +88,10 @@ _PRIORITY = [
     "op_transition_matrix",
     "op_user_paths",
     "op_anomaly_zscore",
-    # (window is exactly 50: 10 sentinels + 5 new + 1 fixed + 34
-    # single-history; tx_top_terms/tx_word_entropy/m2/l4/t4 and the
-    # rest keep their r4-green rows under the local parity suite)
+    # (window is exactly 50: 10 sentinels + 6 new + 1 fixed + 33
+    # single-history; tx_top_terms/tx_word_entropy/emb_label_stats/
+    # m2/l4/t4 and the rest keep their r4-green rows under the local
+    # parity suite)
 ]
 
 

@@ -1130,36 +1130,35 @@ def _bpe_merge_kernel(l: str, r: str):
                         out.append(s[i])
                         i += 1
                 merged.append(out)
-            yield pd.DataFrame({"freq": pdf["freq"], "syms": merged})
+            yield pd.DataFrame(
+                {"word": pdf["word"], "freq": pdf["freq"], "syms": merged}
+            )
 
     return kernel
 
 
-@register("tx_bpe_train", oracle=_bpe_oracle())
-def tx_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE tokenizer TRAINING (the GPT-2/SentencePiece merge loop, not
-    just tokenization): {_BPE_ROUNDS} unrolled rounds of count-adjacent-
-    pairs -> merge-the-argmax, returning the learned merge table.
+_BPE_CACHE: dict = {}
 
-    Scale shape: training runs over the VOCABULARY (distinct words +
-    frequencies — one corpus shuffle, then vocabulary-sized forever),
-    which is how production BPE trainers stay tractable: a 100 TB corpus
-    has a ~100M-row vocab. Each round is one map-side pair explode +
-    partial-agg shuffle on the pair key, a 1-row argmax collect
-    (metadata-sized, like the k-means trainer), and a broadcast-closure
-    Arrow kernel applying the merge greedily left-to-right. The oracle
-    unrolls all rounds in SQL, expressing the greedy merge as an
-    islands-window selection — full hash-match parity for an iterative
-    trainer. Ties break (count DESC, pair ASC) on both sides."""
+
+def _bpe_train(spark: SparkSession, sf: str):
+    """Shared trainer stage: (merge rows, encoded vocab word->syms).
+    Cached per (session, corpus) — tx_bpe_train returns the merge
+    table, tx_bpe_encode applies the final vocabulary to the corpus;
+    both read the SAME trained state (one training pass, like the PQ
+    index cache)."""
+    from fluss_spark.registry import session_key
+
+    key = (session_key(spark), sf)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
     d = load(spark, sf, "documents").filter(F.trim("text") != "")
     words = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    # no wid on the Spark side: the oracle's windows need one, but here
-    # the merge kernel is per-row and the pair agg is keyless-of-word
     vocab = words.select(
+        "word",
         "freq",
         F.filter(F.split(F.col("word"), ""), lambda x: x != "").alias("syms"),
     )
@@ -1183,8 +1182,100 @@ def tx_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
         out_rows.append((rnd, top["l"], top["r"], top["cnt"]))
         vocab = vocab.mapInPandas(
             _bpe_merge_kernel(top["l"], top["r"]),
-            "freq long, syms array<string>",
+            "word string, freq long, syms array<string>",
         ).localCheckpoint()
+    _BPE_CACHE[key] = (out_rows, vocab)
+    return out_rows, vocab
+
+
+@register("tx_bpe_train", oracle=_bpe_oracle())
+def tx_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer TRAINING (the GPT-2/SentencePiece merge loop, not
+    just tokenization): {_BPE_ROUNDS} unrolled rounds of count-adjacent-
+    pairs -> merge-the-argmax, returning the learned merge table.
+
+    Scale shape: training runs over the VOCABULARY (distinct words +
+    frequencies — one corpus shuffle, then vocabulary-sized forever),
+    which is how production BPE trainers stay tractable: a 100 TB corpus
+    has a ~100M-row vocab. Each round is one map-side pair explode +
+    partial-agg shuffle on the pair key, a 1-row argmax collect
+    (metadata-sized, like the k-means trainer), and a broadcast-closure
+    Arrow kernel applying the merge greedily left-to-right. The oracle
+    unrolls all rounds in SQL, expressing the greedy merge as an
+    islands-window selection — full hash-match parity for an iterative
+    trainer. Ties break (count DESC, pair ASC) on both sides."""
+    out_rows, _vocab = _bpe_train(spark, sf)
     return spark.createDataFrame(
         out_rows, "round int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    rounds = "".join(
+        "," + _sql_bpe_round(f"v{n - 1}", n) for n in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH w0 AS (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest({_SQL_TOKENS}) AS word
+        FROM documents WHERE trim(text) <> ''
+      ) GROUP BY word
+    ), v0 AS (
+      SELECT row_number() OVER (ORDER BY word) AS wid, freq,
+             [substr(word, CAST(i AS INT), 1) for i in range(1, len(word) + 1)] AS syms
+      FROM w0
+    ), v0w AS (
+      SELECT row_number() OVER (ORDER BY word) AS wid, word FROM w0
+    ){rounds}, vmap AS (
+      SELECT v0w.word, v{_BPE_ROUNDS}.syms
+      FROM v{_BPE_ROUNDS} JOIN v0w USING (wid)
+    ), dt0 AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks
+      FROM documents WHERE trim(text) <> ''
+    ), dt AS (
+      SELECT doc_id, pos, toks[pos] AS word FROM (
+        SELECT doc_id, toks, CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos
+        FROM dt0
+      )
+    ), flat AS (
+      SELECT doc_id, pos, si, syms[si] AS sym FROM (
+        SELECT dt.doc_id, dt.pos, vm.syms,
+               CAST(unnest(range(1, len(vm.syms) + 1)) AS INT) AS si
+        FROM dt JOIN vmap vm USING (word)
+      )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bpe,
+           md5(string_agg(sym, ' ' ORDER BY pos, si)) AS bpe_fp
+    FROM flat GROUP BY doc_id
+    """
+
+
+@register("tx_bpe_encode", oracle=_bpe_encode_oracle())
+def tx_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: encode every document with
+    the trained BPE merges (the step that actually runs over 100 TB —
+    training is vocabulary-sized, encoding is corpus-sized). The
+    trained vocabulary maps word -> merged symbols, so encoding is a
+    token explode + one join on the word (broadcast-able while the
+    vocab is small; a plain shuffle join at 100M-word vocab scale) +
+    per-doc reassembly. Output = per-doc BPE token count and an
+    md5 fingerprint of the exact symbol stream — hash-match proves
+    symbol-level identity, not just counts. Shares ONE trained state
+    with tx_bpe_train (session cache)."""
+    _rows, vocab = _bpe_train(spark, sf)
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    )
+    enc = toks.join(F.broadcast(vocab.select("word", "syms")), "word")
+    ordered = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+            lambda s: s["syms"],
+        )
+    )
+    return enc.groupBy("doc_id").agg(
+        F.sum(F.size("syms")).cast("bigint").alias("n_bpe"),
+        F.md5(F.concat_ws(" ", ordered).cast("binary")).alias("bpe_fp"),
     )
