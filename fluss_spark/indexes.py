@@ -108,7 +108,15 @@ def sync_index(
             "rebucket"
         )
 
+    # fix the slice END before reading: a writer committing between the
+    # changelog read and the HWM record would otherwise be skipped
+    # forever (the HWM would cover rows this sync never processed)
+    end = base.log.latest_offsets()
     cl = base.changelog(spark, start_offsets=start or None)
+    bound = F.lit(False)
+    for b, off in end.items():
+        bound = bound | ((F.col("__bucket") == b) & (F.col("_log_offset") < off))
+    cl = cl.filter(bound)
     n = cl.count()
     if n:
         final = (
@@ -127,8 +135,9 @@ def sync_index(
 
     # record the high-water mark AFTER the index commit (crash between
     # the two re-consumes a slice; the fold is idempotent — re-applying
-    # the same final actions yields the same index state)
-    new_offsets = {str(b): o for b, o in base.log.latest_offsets().items()}
+    # the same final actions yields the same index state). The HWM is
+    # the slice bound captured BEFORE the read, never the current tip.
+    new_offsets = {str(b): o for b, o in end.items()}
     sch = catalog.get_schema(db, idx_name)
     sch.properties[INDEX_SYNC_PROP] = json.dumps(new_offsets, sort_keys=True)
     sch.properties[INDEX_EPOCH_PROP] = epoch
