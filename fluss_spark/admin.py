@@ -777,31 +777,16 @@ class Admin:
                 meta.log_offsets,
                 [os.path.join(t.kv.snapshot_dir, f) for f in meta.files],
             )
-        # LOCAL WINS on tier overlap: a crashed cross-device tier_log can
-        # leave a commit in BOTH tiers (sources/log.py scan dedups the
-        # same way) — listing both copies would double-count its rows
-        local_names = set()
-        if os.path.isdir(t.log.log_dir):
-            local_names = {
-                e.name
-                for e in os.scandir(t.log.log_dir)
-                if e.name.startswith("__commit=")
-            }
-        for tier in (t.log.remote_dir, t.log.log_dir):
-            if not os.path.isdir(tier):
-                continue
-            for e in sorted(os.scandir(tier), key=lambda e: e.name):
-                if not e.name.startswith("__commit="):
-                    continue
-                v = int(e.name.split("=")[1])
-                if v > state.version or v < state.log_floor:
-                    continue  # uncommitted staging / rebucket-shadowed: never listed
-                if tier == t.log.remote_dir and e.name in local_names:
-                    continue
-                for dirpath, _dirs, names in os.walk(e.path):
-                    for fn in sorted(names):
-                        if fn.endswith(".parquet"):
-                            files.append(os.path.join(dirpath, fn))
+        # committed_dirs applies the shared fencing invariant: floor <=
+        # v <= current, uncommitted staging never listed, LOCAL WINS on
+        # the crashed-tier_log overlap (listing both copies would
+        # double-count the commit's rows)
+        local, remote = t.log.committed_dirs()
+        for _n, path in sorted(remote.items()) + sorted(local.items()):
+            for dirpath, _dirs, names in os.walk(path):
+                for fn in sorted(names):
+                    if fn.endswith(".parquet"):
+                        files.append(os.path.join(dirpath, fn))
         return LakeSnapshot(state.version, offsets, files)
 
     # -- remote log manifests (Admin.listRemoteLogManifests) --------------

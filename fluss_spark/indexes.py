@@ -92,7 +92,16 @@ def sync_index(
     idx = FlussTable(catalog, db, idx_name)
     pk = base.schema.primary_key
     synced = json.loads(idx.schema.properties.get(INDEX_SYNC_PROP, "{}"))
-    start = {int(b): int(o) for b, o in synced.items()}
+    # scan's start_offsets filter EXCLUDES buckets absent from the
+    # dict, so a bucket that was empty at the previous sync (no HWM
+    # entry) must default to offset 0 — otherwise its first rows would
+    # be dropped from this slice yet covered by the recorded HWM,
+    # silently lost forever
+    start = (
+        {b: int(synced.get(str(b), 0)) for b in range(base.schema.num_buckets)}
+        if synced
+        else {}
+    )
 
     # rebucket fence (same contract as LogStreamReader): per-bucket
     # offsets are NOT comparable across a bucket-count change, so a
@@ -116,7 +125,9 @@ def sync_index(
     bound = F.lit(False)
     for b, off in end.items():
         bound = bound | ((F.col("__bucket") == b) & (F.col("_log_offset") < off))
-    cl = cl.filter(bound)
+    # one pass over the slice: the emptiness probe and the fold read
+    # the same cached blocks instead of scanning the changelog twice
+    cl = cl.filter(bound).persist()
     n = cl.count()
     if n:
         final = (
@@ -132,6 +143,7 @@ def sync_index(
             .alias(OP_COL),
         )
         idx.upsert(batch, ordering=pk)
+    cl.unpersist()
 
     # record the high-water mark AFTER the index commit (crash between
     # the two re-consumes a slice; the fold is idempotent — re-applying

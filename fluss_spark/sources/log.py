@@ -309,6 +309,35 @@ class LogStore:
                     per_bucket[bucket] = max(per_bucket.get(bucket, -1), int(st.max))
         return per_bucket
 
+    def committed_dirs(
+        self, current: int | None = None, tiers: str = "all"
+    ) -> tuple[dict[str, str], dict[str, str]]:
+        """(local, remote) maps of commit-dir name -> path readable
+        under the fencing invariant, in ONE place: log_floor <= v <=
+        current (uncommitted staging and rebucket-shadowed dirs never
+        listed), and remote dirs shadowed by a same-name local dir
+        removed (LOCAL WINS on the crashed-tier_log overlap — reading
+        both would double-count the commit). Every metadata walk
+        (scan, lake snapshot, footer stats) derives from this."""
+        state = self.catalog.current_commit(self.db, self.table)
+        cur = state.version if current is None else current
+        floor = state.log_floor
+
+        def _dirs(root: str) -> dict[str, str]:
+            if not os.path.isdir(root):
+                return {}
+            return {
+                e.name: e.path
+                for e in os.scandir(root)
+                if e.name.startswith(f"{COMMIT_DIR_COL}=")
+                and floor <= int(e.name.split("=")[1]) <= cur
+            }
+
+        local = _dirs(self.log_dir) if tiers in ("all", "local") else {}
+        remote = _dirs(self.remote_dir) if tiers in ("all", "remote") else {}
+        remote = {n: p for n, p in remote.items() if n not in local}
+        return local, remote
+
     def minmax_from_metadata(self, column: str):
         """A2 statistics pushdown: (min, max) of a numeric/temporal
         column from Parquet footer row-group statistics — driver-side,
@@ -330,27 +359,19 @@ class LogStore:
 
         if evolution_eras(self.schema):
             return None
+        if self.schema.is_pk_table:
+            # the WAL retains superseded versions and -U/-D before
+            # images; their values would feed the footer min/max even
+            # though they are not live rows — only the snapshot can
+            # answer exactly
+            return None
         if column in self.schema.partition_keys:
             return None
         field = next((f for f in self.schema.fields if f.name == column), None)
         if field is None or field.type.upper() in ("STRING", "VARCHAR", "BYTES", "BINARY"):
             return None
-        state = self.catalog.current_commit(self.db, self.table)
-
-        def _dirs(root: str) -> dict[str, str]:
-            if not os.path.isdir(root):
-                return {}
-            return {
-                e.name: e.path
-                for e in os.scandir(root)
-                if e.name.startswith(f"{COMMIT_DIR_COL}=")
-                and state.log_floor <= int(e.name.split("=")[1]) <= state.version
-            }
-
-        local, remote = _dirs(self.log_dir), _dirs(self.remote_dir)
-        paths = list(local.values()) + [
-            p for n, p in remote.items() if n not in local
-        ]
+        local, remote = self.committed_dirs()
+        paths = list(local.values()) + list(remote.values())
         lo = hi = None
         for d in paths:
             for root, _dirs_, files in os.walk(d):

@@ -231,8 +231,19 @@ class FlussSqlSession:
         # view, so the per-table READ checks below would never fire —
         # an authenticated principal could read ANY path unchecked.
         # Path-based access has no ACL resource to check against, so it
-        # is rejected outright for authenticated sessions.
-        if re.search(r"(?:\bfrom|\bjoin)\s+\w+\s*\.\s*`", low):
+        # is rejected outright for authenticated sessions. The guard
+        # matches ANY dot-backtick sequence, not just after FROM/JOIN:
+        # comma cross joins (FROM t, parquet.`/p`) and backticked
+        # formats (`parquet`.`/p`) are equally valid Spark SQL. Engine
+        # views are flat `db_tbl` names, so a legitimate QUERY never
+        # needs `X.`...`` (struct fields use unquoted dots). Scoped to
+        # statements whose text reaches spark.sql — pure-DDL forms are
+        # parsed by this session's own grammar and can legitimately
+        # quote identifiers as db.`tbl`.
+        reaches_spark_sql = low.startswith(
+            ("select", "with ", "values", "explain", "insert")
+        ) or re.search(r"\bas\s+select\b", low)
+        if reaches_spark_sql and re.search(r"\.\s*`", low):
             raise sec.AuthorizationError(
                 "path-based table references (format.`path`) are not "
                 "allowed in an authenticated session: they bypass "
@@ -401,8 +412,21 @@ class FlussSqlSession:
             db, tname = db_tbl
             t = FlussTable(self.catalog, db, tname)
             lit = m.group(3)
+            current = self.catalog.current_commit(db, tname).version
             if m.group(2).lower() == "version":
-                version = int(lit)
+                try:
+                    version = int(lit.strip("'"))
+                except ValueError:
+                    raise SqlParseError(f"VERSION AS OF expects an integer, got {lit}") from None
+                if version > current:
+                    # scan's `__commit <= v` fence is relative to the
+                    # requested version: letting v exceed the committed
+                    # tip would read a crashed writer's published-but-
+                    # uncommitted staging dir — a dirty read no other
+                    # surface allows
+                    raise SqlParseError(
+                        f"VERSION AS OF {version}: {db}.{tname} is at commit {current}"
+                    )
             else:
                 from datetime import datetime, timezone
 
@@ -413,7 +437,10 @@ class FlussSqlSession:
                 versions = [
                     cs.version
                     for cs in self.catalog.commit_history(db, tname)
-                    if cs.ts_ms <= ts_ms
+                    # <= current: a crashed writer can leave vN.json
+                    # without CURRENT having moved — never time-travel
+                    # into an uncommitted version
+                    if cs.ts_ms <= ts_ms and cs.version <= current
                 ]
                 if not versions:
                     raise SqlParseError(

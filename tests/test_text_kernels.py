@@ -12,7 +12,9 @@ from fluss_spark.operators.text import _bpe_merge_kernel, _sql_bpe_round
 
 def _kernel_merge(syms: list[str], l: str, r: str) -> list[str]:
     k = _bpe_merge_kernel(l, r)
-    out = list(k(iter([pd.DataFrame({"freq": [1], "syms": [syms]})])))
+    out = list(
+        k(iter([pd.DataFrame({"word": ["w"], "freq": [1], "syms": [syms]})]))
+    )
     return list(out[0]["syms"][0])
 
 
