@@ -98,6 +98,7 @@ def compact_log(
     spark: SparkSession,
     target_commits: int = 8,
     sort_columns: list[str] | None = None,
+    zorder_columns: list[str] | None = None,
 ) -> int:
     """Rewrite all committed log files into one compacted commit dir
     (sorted by bucket/offset -> large row groups, better stats pruning).
@@ -116,9 +117,63 @@ def compact_log(
     disjoint, so predicate pushdown prunes whole row groups instead of
     scanning them (the lake-house sorted-compaction / Z-order-lite
     shape). Per-key order is never derived from file order (readers
-    sort by __offset explicitly), so clustering is always safe."""
+    sort by __offset explicitly), so clustering is always safe.
+
+    `zorder_columns` (or `table.log.compaction.zorder-columns`) clusters
+    by a Z-ORDER curve over 2+ numeric/temporal columns instead: each
+    column is min/max-scaled to 16 bits and the bits interleaved, so
+    file min/max stay narrow on EVERY listed column simultaneously —
+    lexicographic sort keeps only the leading column narrow. The
+    compacted commit is range-partitioned on the curve (multiple files
+    per bucket, each a Z tile), which is what lets a filter on the
+    SECOND column skip files at scan time."""
     with table.catalog.write_lock(table.db, table.name):
-        return _compact_log_locked(table, spark, target_commits, sort_columns)
+        return _compact_log_locked(
+            table, spark, target_commits, sort_columns, zorder_columns
+        )
+
+
+def _zvalue(df, columns: list[str]):
+    """16-bit-per-column Morton (Z-order) curve value as a Column.
+
+    Min/max come from ONE small aggregate over the data being rewritten
+    (the compaction already reads it all); bits interleave so that the
+    curve's prefix locality covers every column equally. Columns must be
+    numeric or temporal — Z-ordering a string hash would buy nothing
+    (hash order has no range locality)."""
+    numeric = {f.name for f in df.schema.fields
+               if f.dataType.typeName() not in ("string", "binary", "array",
+                                                 "map", "struct", "boolean")}
+    bad = [c for c in columns if c not in numeric]
+    if bad:
+        raise ValueError(f"zorder columns must be numeric/temporal: {bad}")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(columns)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(columns)],
+    ).first()
+    k = len(columns)
+    z = F.lit(0).cast("bigint")
+    for j, c in enumerate(columns):
+        mn, mx = stats[f"mn_{j}"], stats[f"mx_{j}"]
+        if mn is None or mx is None or mx == mn:
+            continue
+        scaled = F.least(
+            F.lit(65535),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(mn)))
+                    / F.lit(float(mx) - float(mn))
+                    * 65535.0
+                ).cast("bigint"),
+            ),
+        )
+        # disjoint target bits, so sum == bitwise-or
+        for b in range(16):
+            z = z + F.shiftleft(
+                F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * k + j
+            )
+    return z
 
 
 def _compact_log_locked(
@@ -126,6 +181,7 @@ def _compact_log_locked(
     spark: SparkSession,
     target_commits: int,
     sort_columns: list[str] | None = None,
+    zorder_columns: list[str] | None = None,
 ) -> int:
     log = table.log
     dirs = sorted(
@@ -146,17 +202,37 @@ def _compact_log_locked(
     if sort_columns is None:
         prop = table.schema.properties.get("table.log.compaction.sort-columns")
         sort_columns = [c.strip() for c in prop.split(",")] if prop else []
-    bad = [c for c in sort_columns if c not in df.columns]
+    if zorder_columns is None:
+        prop = table.schema.properties.get("table.log.compaction.zorder-columns")
+        zorder_columns = [c.strip() for c in prop.split(",")] if prop else []
+    if sort_columns and zorder_columns:
+        raise ValueError("sort_columns and zorder_columns are exclusive")
+    bad = [c for c in sort_columns + zorder_columns if c not in df.columns]
     if bad:
         raise ValueError(f"unknown sort column(s): {bad}")
-    order = sort_columns if sort_columns else [OFFSET_COL]
-    (
-        df.repartition(min(log.schema.num_buckets, 32), F.col(BUCKET_COL))
-        .sortWithinPartitions(BUCKET_COL, *order)
-        .write.mode("overwrite")
-        .partitionBy(*part_cols)
-        .parquet(log.staging_path(version))
-    )
+    if zorder_columns:
+        # Z tiles need MULTIPLE files per bucket (each a narrow
+        # hyper-rectangle in footer stats), so range-partition on the
+        # curve inside each bucket instead of one-task-per-bucket
+        zdf = df.withColumn("__z", _zvalue(df, zorder_columns))
+        n_files = min(128, max(16, log.schema.num_buckets * 4))
+        (
+            zdf.repartitionByRange(n_files, F.col(BUCKET_COL), F.col("__z"))
+            .sortWithinPartitions(BUCKET_COL, "__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(log.staging_path(version))
+        )
+    else:
+        order = sort_columns if sort_columns else [OFFSET_COL]
+        (
+            df.repartition(min(log.schema.num_buckets, 32), F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, *order)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(log.staging_path(version))
+        )
     new_state = CommitState(
         version=version,
         log_hwm=state.log_hwm,

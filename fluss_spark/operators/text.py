@@ -1279,3 +1279,112 @@ def tx_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.size("syms")).cast("bigint").alias("n_bpe"),
         F.md5(F.concat_ws(" ", ordered).cast("binary")).alias("bpe_fp"),
     )
+
+
+@register(
+    "tx_boilerplate_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[])
+                  ELSE {_SQL_TOKENS} END AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS seg,
+             md5(array_to_string(toks[(i*3+1):(i*3+3)], ' ')) AS fp
+      FROM t, unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS g(i)
+    ),
+    boiler AS (
+      SELECT fp FROM seg GROUP BY fp HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.seg FROM seg s ANTI JOIN boiler b USING (fp)
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.cleaned_text, '') AS cleaned_text,
+           coalesce(a.n_kept, 0) AS n_kept,
+           CAST(ceil(len(t.toks)/3.0) AS BIGINT) - coalesce(a.n_kept, 0)
+             AS n_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def tx_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style boilerplate removal by CORPUS FREQUENCY: split every
+    document into non-overlapping 3-token segments, count how many
+    distinct documents each segment appears in, and strip segments seen
+    in >= 3 documents (headers/footers/navigation chrome — the
+    repeated-everywhere text that passage dedup's first-occurrence rule
+    deliberately keeps once). Documents are reassembled in segment
+    order; empty docs survive with empty cleaned text.
+
+    Scale shape: the segment explode is map-side; frequency is ONE
+    shuffle on the 16-byte fingerprint with map-side partial distinct;
+    the boilerplate set (frequency >= threshold) is tiny by definition,
+    so the removal join broadcasts it; reassembly reuses the doc_id
+    aggregation. The exploded stage is persisted because it feeds both
+    the frequency count and the removal side (at 100 TB this is the
+    stage you'd checkpoint — recomputing it means a second corpus
+    scan)."""
+    d = load_spread(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.array().cast("array<string>"))
+        .otherwise(tokens(F.col("text")))
+        .alias("toks"),
+    )
+    # stage the segment array as a real column BEFORE the generator:
+    # an explode over an inlined HOF chain re-evaluates it per output
+    # row (see NOTES.md), and sequence(0, -1) on empty docs would
+    # descend — guard with an explicit empty array
+    segs = toks.select(
+        "doc_id",
+        F.when(F.size("toks") == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("toks") / F.lit(3.0)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(F.slice("toks", i * 3 + 1, 3), " "),
+            )
+        )
+        .alias("segs"),
+    )
+    ex = (
+        segs.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
+        .withColumn("fp", F.md5("seg"))
+        .persist()
+    )
+    boiler = (
+        ex.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 3)
+        .select("fp")
+    )
+    kept = ex.join(F.broadcast(boiler), "fp", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = segs.select("doc_id", F.size("segs").cast("bigint").alias("n_segs"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_segs") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

@@ -670,3 +670,59 @@ def test_minmax_from_metadata(spark, catalog):
     shutil.copytree(src, staged)
     assert t2.log.minmax_from_metadata("k") == (1, 9)  # unchanged
     shutil.rmtree(staged)
+
+
+def test_zorder_compaction_layout(spark, catalog):
+    """Z-order compaction must (a) preserve data + offsets exactly and
+    (b) leave every output file narrow in footer min/max on BOTH curve
+    columns — the property that lets a filter on either column skip
+    files, where lexicographic clustering only narrows the leading one."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = create_table(
+        catalog, "db", "z_log",
+        TableSchema(fields=[Field("x", "INT"), Field("y", "INT")], num_buckets=1),
+    )
+    # independent 64x64 grid: x varies fast, y slow
+    df = spark.range(8192).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        ((F.col("id") / 64).cast("int") % 64).cast("int").alias("y"),
+    )
+    t.append(df, ordering=["x", "y"])
+    t.append(df, ordering=["x", "y"])
+    before = sorted(map(tuple, t.scan(spark).select("x", "y", "__offset").collect()))
+
+    assert compact_log(t, spark, target_commits=2, zorder_columns=["x", "y"]) == 2
+
+    after = sorted(map(tuple, t.scan(spark).select("x", "y", "__offset").collect()))
+    assert before == after
+
+    files = glob.glob(f"{t.log.log_dir}/__commit=*/**/*.parquet", recursive=True)
+    assert len(files) >= 8  # multiple Z tiles per bucket, not one big file
+    # average footer span must be narrow on BOTH columns (a boundary
+    # tile straddling a quadrant seam may individually span the range —
+    # inherent to Z curves — but lexicographic clustering would average
+    # the FULL 63 on the trailing column)
+    for col in ("x", "y"):
+        spans = []
+        for f in files:
+            md = pq.read_metadata(f)
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index(col)
+            lo = min(md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups))
+            hi = max(md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups))
+            spans.append(hi - lo)
+        assert sum(spans) / len(spans) <= 40, (col, spans)
+
+    # exclusivity + type guards
+    with pytest.raises(ValueError):
+        compact_log(t, spark, target_commits=1, sort_columns=["x"], zorder_columns=["y"])
+    t2 = create_table(
+        catalog, "db", "z_bad",
+        TableSchema(fields=[Field("s", "STRING")], num_buckets=1),
+    )
+    t2.append(spark.createDataFrame([("a",)], "s string"))
+    with pytest.raises(ValueError):
+        compact_log(t2, spark, target_commits=1, zorder_columns=["s"])
