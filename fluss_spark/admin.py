@@ -48,6 +48,16 @@ class LakeSnapshot:
 
 
 @dataclass
+class DeltaExport:
+    """Result of Admin.export_delta_log: one appended Delta commit."""
+
+    version: int  # delta log version written
+    log_path: str  # the NNNN.json commit file
+    n_add: int
+    n_remove: int
+
+
+@dataclass
 class KvSnapshotLeaseInfo:
     """Admin.createKvSnapshotLease (Admin.java:460): a pinned snapshot."""
 
@@ -788,6 +798,139 @@ class Admin:
                     if fn.endswith(".parquet"):
                         files.append(os.path.join(dirpath, fn))
         return LakeSnapshot(state.version, offsets, files)
+
+    # -- lake-format interop: Delta Lake transaction-log export -----------
+    def export_delta_log(self, db: str, name: str, target_dir: str) -> DeltaExport:
+        """Mirror the current lake snapshot into a Delta Lake
+        transaction log an EXTERNAL Delta reader can open — the
+        fluss-lake tiering parity surface (`Admin.getLatestLakeSnapshot`,
+        Admin.java:485-529, feeds paimon/iceberg/hudi catalogs in the
+        reference). Delta is the one open table format whose log is
+        pure JSON, so the export needs no format library: each call
+        appends ONE Delta commit containing `add` actions for files new
+        since the last export and `remove` actions for files that left
+        the snapshot (compaction/TTL/rebucket), i.e. incremental
+        mirroring, not a full rewrite. Data files are referenced in
+        place by absolute file: URI (the spec's escape hatch for
+        shallow/external tables) — nothing is copied, so re-export
+        after a 100-TB compaction writes kilobytes of JSON.
+
+        The exported snapshot is commit-pinned and crash-consistent:
+        the file set comes from get_latest_lake_snapshot, which applies
+        the engine's fencing invariant."""
+        import json
+        import os
+        import time
+        import urllib.parse
+        import uuid
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        snap = self.get_latest_lake_snapshot(db, name)
+        log_dir = os.path.join(target_dir, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+
+        def _uri(p: str) -> str:
+            return "file://" + urllib.parse.quote(os.path.abspath(p))
+
+        # replay prior exports to diff against the live file set
+        prior = sorted(
+            e.name for e in os.scandir(log_dir)
+            if e.name.endswith(".json") and e.name[:-5].isdigit()
+        )
+        live_before: set[str] = set()
+        for fn in prior:
+            with open(os.path.join(log_dir, fn)) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "add" in act:
+                        live_before.add(act["add"]["path"])
+                    elif "remove" in act:
+                        live_before.discard(act["remove"]["path"])
+        version = int(prior[-1][:-5]) + 1 if prior else 0
+
+        now_ms = int(time.time() * 1000)
+        current = {_uri(p): p for p in snap.files}
+        adds = sorted(set(current) - live_before)
+        removes = sorted(live_before - set(current))
+
+        # partition columns and values parsed from the hive-style path
+        # segments the engine writes (__commit=N/<parts>/__bucket=M)
+        def _pvals(path: str) -> dict[str, str]:
+            return dict(
+                seg.split("=", 1)
+                for seg in path.split(os.sep)
+                if "=" in seg and not seg.endswith(".parquet")
+            )
+
+        part_cols: list[str] = []
+        for p in snap.files:
+            for k in _pvals(p):
+                if k not in part_cols:
+                    part_cols.append(k)
+
+        actions: list[dict] = []
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if version == 0 and snap.files:
+            import pyarrow.parquet as pq
+
+            struct = from_arrow_schema(pq.read_schema(snap.files[0]))
+            schema = json.loads(struct.json())
+            t = FlussTable(self.catalog, db, name)
+            _SPARK_T = {"INT": "integer", "BIGINT": "long", "STRING": "string",
+                        "DATE": "date", "TIMESTAMP": "timestamp",
+                        "DOUBLE": "double", "FLOAT": "float"}
+            declared = {f.name: f.type.upper() for f in t.schema.fields}
+            for c in part_cols:
+                schema["fields"].append({
+                    "name": c, "nullable": True, "metadata": {},
+                    "type": "long" if c.startswith("__")
+                    else _SPARK_T.get(declared.get(c, "STRING"), "string"),
+                })
+            actions.append({
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, f"fluss://{db}/{name}")),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            })
+        for uri in removes:
+            actions.append({
+                "remove": {"path": uri, "deletionTimestamp": now_ms,
+                           "dataChange": True}
+            })
+        for uri in adds:
+            p = current[uri]
+            actions.append({
+                "add": {
+                    "path": uri,
+                    "partitionValues": _pvals(p),
+                    "size": os.path.getsize(p),
+                    "modificationTime": int(os.path.getmtime(p) * 1000),
+                    "dataChange": True,
+                }
+            })
+        actions.append({
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "FLUSS EXPORT",
+                "operationParameters": {"commitVersion": str(snap.snapshot_id)},
+            }
+        })
+
+        path = os.path.join(log_dir, f"{version:020d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        os.rename(tmp, path)
+        return DeltaExport(version, path, len(adds), len(removes))
 
     # -- remote log manifests (Admin.listRemoteLogManifests) --------------
     def list_remote_log_manifests(self, db: str, name: str) -> dict[int, list[str]]:

@@ -371,3 +371,78 @@ def test_lake_snapshot_and_stats_dedupe_tier_overlap(spark, admin):
     snap = admin.get_latest_lake_snapshot("db", "ovl")
     assert spark.read.parquet(*snap.files).count() == 6  # no double count
     assert admin.get_table_stats("db", "ovl").num_rows == 6
+
+
+def test_delta_log_export_incremental(spark, admin, tmp_path):
+    """export_delta_log must mirror the lake snapshot as a valid Delta
+    transaction log: version 0 carries protocol + metaData + adds;
+    re-export after an append adds only the new files; re-export after
+    compaction removes every superseded file and adds the compacted
+    ones. Replaying add/remove across all commits must land an external
+    reader on exactly the live file set."""
+    import json
+    import os
+    import urllib.parse
+
+    import duckdb
+
+    t = admin.create_table(
+        "db", "dl",
+        TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2),
+    )
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}"), (i + 10, f"w{i}")], "a int, b string"),
+            ordering=["a"],
+        )
+    target = str(tmp_path / "delta")
+
+    e0 = admin.export_delta_log("db", "dl", target)
+    assert (e0.version, e0.n_remove) == (0, 0) and e0.n_add > 0
+    acts = [json.loads(l) for l in open(e0.log_path)]
+    kinds = [next(iter(a)) for a in acts]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    meta = acts[1]["metaData"]
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    assert {"a", "b"} <= set(names) and set(meta["partitionColumns"]) <= set(names)
+    snap = admin.get_latest_lake_snapshot("db", "dl")
+    adds = {a["add"]["path"] for a in acts if "add" in a}
+    assert len(adds) == len(snap.files)
+    for a in acts:
+        if "add" in a:
+            p = urllib.parse.unquote(a["add"]["path"][len("file://"):])
+            assert os.path.getsize(p) == a["add"]["size"]
+            for k, v in a["add"]["partitionValues"].items():
+                assert f"{k}={v}" in p
+
+    # no-change export: a commit with zero adds/removes
+    e1 = admin.export_delta_log("db", "dl", target)
+    assert (e1.version, e1.n_add, e1.n_remove) == (1, 0, 0)
+
+    # append -> incremental adds only
+    t.append(spark.createDataFrame([(99, "x")], "a int, b string"))
+    e2 = admin.export_delta_log("db", "dl", target)
+    assert e2.version == 2 and e2.n_add > 0 and e2.n_remove == 0
+
+    # compaction swaps the whole file set
+    from fluss_spark.maintenance import compact_log
+
+    assert compact_log(t, spark, target_commits=2) == 4
+    e3 = admin.export_delta_log("db", "dl", target)
+    assert e3.n_remove == e0.n_add + e2.n_add and e3.n_add > 0
+
+    # replay the full log; the live set must read back as the table
+    live: set[str] = set()
+    for v in range(4):
+        for line in open(os.path.join(target, "_delta_log", f"{v:020d}.json")):
+            a = json.loads(line)
+            if "add" in a:
+                live.add(a["add"]["path"])
+            elif "remove" in a:
+                live.discard(a["remove"]["path"])
+    paths = [urllib.parse.unquote(u[len("file://"):]) for u in sorted(live)]
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet({paths!r})"
+    ).fetchone()[0]
+    assert n == t.scan(spark).count() == 7
