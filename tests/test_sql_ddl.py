@@ -666,3 +666,113 @@ def test_call_index_procedures(spark, fsql):
         "SELECT k FROM fluss_idx_base__idx__tag__snapshot WHERE tag = 'x' ORDER BY k"
     ).collect()
     assert [r["k"] for r in got] == [1, 2, 3]
+
+
+def test_incremental_materialized_table_log_source(spark, fsql):
+    """Incremental MT over a LOG source: each refresh folds only the
+    slice committed since the last one, yet the contents always equal a
+    full recompute of the generated definition query."""
+    from fluss_spark.materialized import (
+        INC_OFFSETS_PROP,
+        INC_PENDING_PROP,
+        Q_PROP,
+        create_incremental_materialized_table,
+        refresh_materialized_table,
+    )
+
+    fsql.sql("CREATE TABLE sales (shop BIGINT, amount BIGINT, region STRING) WITH ('bucket.num' = '2')")
+    fsql.sql("INSERT INTO sales VALUES (1, 10, 'eu'), (1, 5, 'eu'), (2, 7, 'us'), (2, 100, 'xx')")
+    create_incremental_materialized_table(
+        fsql, "fluss", "sales_sum",
+        source="fluss.sales",
+        group_by=["shop"],
+        aggs={"cnt": ("count", "*"), "total": ("sum", "amount"),
+              "lo": ("min", "amount"), "hi": ("max", "amount")},
+        where="region <> 'xx'",
+    )
+
+    def full_recompute():
+        t = fsql.admin.get_table_info("fluss", "sales_sum")
+        fsql._register_referenced_views(t.properties[Q_PROP])
+        return {r["shop"]: (r["cnt"], r["total"], r["lo"], r["hi"])
+                for r in fsql.spark.sql(t.properties[Q_PROP]).collect()}
+
+    def mt_contents():
+        return {r["shop"]: (r["cnt"], r["total"], r["lo"], r["hi"])
+                for r in fsql.sql("SELECT * FROM fluss_sales_sum").collect()}
+
+    assert mt_contents() == full_recompute() == {1: (2, 15, 5, 10), 2: (1, 7, 7, 7)}
+
+    # delta fold: new rows (incl. a new group and a new minimum)
+    fsql.sql("INSERT INTO sales VALUES (1, 2, 'eu'), (3, 9, 'ap'), (2, 50, 'xx')")
+    refresh_materialized_table(fsql, "fluss", "sales_sum")
+    assert mt_contents() == full_recompute() == {
+        1: (3, 17, 2, 10), 2: (1, 7, 7, 7), 3: (1, 9, 9, 9)
+    }
+    # offsets advanced and no pending marker is left behind
+    props = fsql.admin.get_table_info("fluss", "sales_sum").properties
+    assert props[INC_OFFSETS_PROP] != "{}" and not props.get(INC_PENDING_PROP)
+
+    # a refresh with an EMPTY slice is a no-op on contents
+    refresh_materialized_table(fsql, "fluss", "sales_sum")
+    assert mt_contents() == full_recompute()
+
+
+def test_incremental_materialized_table_pk_source(spark, fsql):
+    """Incremental MT over a PK source: updates retract the old image,
+    deletes drive a group's count to zero and remove it; min/max and
+    count-less declarations are rejected up front."""
+    import pytest as _pytest
+
+    from fluss_spark.materialized import (
+        create_incremental_materialized_table,
+        refresh_materialized_table,
+    )
+
+    fsql.sql("""CREATE TABLE accounts (id BIGINT, shop BIGINT, balance BIGINT,
+                PRIMARY KEY (id)) WITH ('bucket.num' = '2')""")
+    fsql.sql("INSERT INTO accounts VALUES (1, 10, 100), (2, 10, 50), (3, 20, 7)")
+    with _pytest.raises(ValueError, match="not incrementally maintainable"):
+        create_incremental_materialized_table(
+            fsql, "fluss", "bad_mt", source="fluss.accounts",
+            group_by=["shop"], aggs={"c": ("count", "*"), "m": ("min", "balance")},
+        )
+    with _pytest.raises(ValueError, match="require a count"):
+        create_incremental_materialized_table(
+            fsql, "fluss", "bad_mt2", source="fluss.accounts",
+            group_by=["shop"], aggs={"s": ("sum", "balance")},
+        )
+    create_incremental_materialized_table(
+        fsql, "fluss", "shop_bal", source="fluss.accounts",
+        group_by=["shop"], aggs={"n": ("count", "*"), "bal": ("sum", "balance")},
+    )
+
+    def mt_contents():
+        return {r["shop"]: (r["n"], r["bal"])
+                for r in fsql.sql("SELECT * FROM fluss_shop_bal").collect()}
+
+    assert mt_contents() == {10: (2, 150), 20: (1, 7)}
+
+    # update retracts the old image; delete kills group 20 entirely
+    fsql.sql("INSERT INTO accounts VALUES (2, 10, 80)")
+    from fluss_spark.table import FlussTable
+
+    acc = FlussTable(fsql.catalog, "fluss", "accounts")
+    acc.delete(spark.createDataFrame([(3, 20, 7)], "id bigint, shop bigint, balance bigint"))
+    refresh_materialized_table(fsql, "fluss", "shop_bal")
+    assert mt_contents() == {10: (2, 180)}
+
+    # crash recovery: a pending marker whose append never landed is
+    # discarded — the slice is NOT skipped
+    from fluss_spark.materialized import INC_PENDING_PROP, _set_props
+    import json
+
+    cur = fsql.catalog.current_commit("fluss", "shop_bal").version
+    _set_props(fsql.catalog, "fluss", "shop_bal", {
+        INC_PENDING_PROP: json.dumps(
+            {"offsets": {"0": 999, "1": 999}, "expect_version": cur + 1}
+        ),
+    })
+    fsql.sql("INSERT INTO accounts VALUES (4, 30, 1)")
+    refresh_materialized_table(fsql, "fluss", "shop_bal")
+    assert mt_contents() == {10: (2, 180), 30: (1, 1)}
