@@ -52,6 +52,8 @@ _PRIORITY = [
     "a2_minmax_metadata",
     "l6_index_lookup",
     "tx_bpe_encode",
+    "tx_boilerplate_removal",
+    "t12_incremental_mt",
     # --- r4 error row, output fixed this round ---
     "mm_feature_extract",
     # --- single round of driver history (green only in r4) ---
@@ -70,9 +72,7 @@ _PRIORITY = [
     "subquery_tpch_q2",
     "subquery_tpch_q20",
     "dd_exact_engine",
-    "tx_hash_sample",
     "tx_repetition_score",
-    "tx_length_histogram",
     "tx_bpe_token_count",
     "tx_blocklist_redact",
     "tx_domain_mix",
@@ -88,10 +88,10 @@ _PRIORITY = [
     "op_transition_matrix",
     "op_user_paths",
     "op_anomaly_zscore",
-    # (window is exactly 50: 10 sentinels + 6 new + 1 fixed + 33
-    # single-history; tx_top_terms/tx_word_entropy/emb_label_stats/
-    # m2/l4/t4 and the rest keep their r4-green rows under the local
-    # parity suite)
+    # (window is exactly 50: 10 sentinels + 8 new-this-round + 1 fixed
+    # + 31 single-history; tx_hash_sample/tx_length_histogram rotated
+    # out — they keep their r4-green rows under the local parity suite,
+    # as do tx_top_terms/tx_word_entropy/emb_label_stats/m2/l4/t4)
 ]
 
 

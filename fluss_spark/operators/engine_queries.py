@@ -907,3 +907,79 @@ def l5_delta_join(spark: SparkSession, sf: str) -> DataFrame:
             F.max("r_event").alias("max_right"),
         )
     )
+
+
+@register(
+    "t12_incremental_mt",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def t12_incremental_mt(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained materialized table: built over HALF the
+    events, then the source advances and one CONTINUOUS tick refreshes —
+    but unlike t11 the refresh folds ONLY the new slice into the current
+    result (per-bucket offset HWMs, the secondary-index consumption
+    contract), never re-reading the first half. Cost per refresh is
+    |delta| + |MT| instead of |source| — the shape that makes a
+    freshness tick affordable over a 100-TB source. Contents must equal
+    the full aggregate over ALL events, proving old+delta fold
+    exactness for count/sum/min/max."""
+    key = ("inc_mt", sf)
+    if key not in _CACHE:
+        from fluss_spark.materialized import (
+            continuous_refresh,
+            create_incremental_materialized_table,
+        )
+        from fluss_spark.sql_ddl import FlussSqlSession
+
+        wh = tempfile.mkdtemp(prefix="fluss_eq_incmt_")
+        _TMPDIRS.append(wh)
+        cat = Catalog(wh)
+        fsql = FlussSqlSession(cat, spark, default_db="db")
+        ev = _events_batch(spark, sf)
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT"),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            num_buckets=4,
+        )
+        t = create_table(cat, "db", "incmt_src", schema)
+        half = _max_event_id(sf) // 2
+        t.append(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        create_incremental_materialized_table(
+            fsql, "db", "incmt_view",
+            source="db.incmt_src",
+            group_by=["event_type"],
+            aggs={
+                "n_events": ("count", "*"),
+                "sum_value": ("sum", "value"),
+                "min_value": ("min", "value"),
+                "max_value": ("max", "value"),
+            },
+            freshness=1, freshness_unit="SECOND",
+        )
+        t.append(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        n = continuous_refresh(fsql, "db", "incmt_view", rounds=1)
+        assert n == 1, "source advanced -> the continuous tick must refresh"
+        _CACHE[key] = (cat, "incmt_view")
+    cat, name = _CACHE[key]
+    return (
+        FlussTable(cat, "db", name)
+        .snapshot(spark)
+        .select(
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+    )

@@ -335,7 +335,12 @@ class FlussSqlSession:
             else:
                 target = args.get("table") or (args.get("_pos") or [None])[0]
                 if target:
-                    chk("ALTER", sec.Resource.table(*self._qualify(str(target))))
+                    res = sec.Resource.table(*self._qualify(str(target)))
+                    chk("ALTER", res)
+                    if proc == "export_delta_log":
+                        # the export hands the table's data files to an
+                        # external reader — ALTER alone must not leak READ
+                        chk("READ", res)
             return
 
     def _register_referenced_views(self, stmt: str) -> None:
@@ -594,7 +599,7 @@ class FlussSqlSession:
         if proc not in (
             "compact_log", "compact_snapshot", "expire_snapshots",
             "expire_log_ttl", "tier_log", "rebucket",
-            "create_index", "sync_index",
+            "create_index", "sync_index", "export_delta_log",
         ):
             raise SqlParseError(f"unknown procedure: sys.{proc}")
         target = args.get("table") or (pos + [None])[0]
@@ -612,10 +617,30 @@ class FlussSqlSession:
                 return _rows([f"index={ix.index_table_name(name, str(column))}"])
             n = ix.sync_index(self.catalog, db, name, str(column), self.spark)
             return _rows([f"consumed_changelog_rows={n}"])
+        if proc == "export_delta_log":
+            target_dir = args.get("target_dir") or (pos + [None, None])[1]
+            if target_dir is None:
+                raise SqlParseError("CALL sys.export_delta_log: missing target_dir")
+            e = self.admin.export_delta_log(db, name, str(target_dir))
+            return _rows(
+                [f"delta_version={e.version} added={e.n_add} removed={e.n_remove}"]
+            )
         t = FlussTable(self.catalog, db, name)
         if proc == "compact_log":
+            sort_cols = args.get("sort_columns")
+            zorder_cols = args.get("zorder_columns")
             n = mnt.compact_log(
-                t, self.spark, target_commits=int(args.get("target_commits", 2))
+                t,
+                self.spark,
+                target_commits=int(args.get("target_commits", 2)),
+                sort_columns=(
+                    [c.strip() for c in str(sort_cols).split(",")] if sort_cols else None
+                ),
+                zorder_columns=(
+                    [c.strip() for c in str(zorder_cols).split(",")]
+                    if zorder_cols
+                    else None
+                ),
             )
             return _rows([f"compacted_commits={n}"])
         if proc == "compact_snapshot":

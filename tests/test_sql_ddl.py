@@ -776,3 +776,36 @@ def test_incremental_materialized_table_pk_source(spark, fsql):
     fsql.sql("INSERT INTO accounts VALUES (4, 30, 1)")
     refresh_materialized_table(fsql, "fluss", "shop_bal")
     assert mt_contents() == {10: (2, 180), 30: (1, 1)}
+
+
+def test_call_export_delta_and_zorder_compaction(spark, fsql, tmp_path):
+    """CALL sys.export_delta_log writes a Delta commit; CALL
+    sys.compact_log accepts sort_columns / zorder_columns."""
+    import json
+    import os
+
+    fsql.sql("CREATE TABLE dl_t (x INT, y INT) WITH ('bucket.num' = '1')")
+    fsql.sql("INSERT INTO dl_t VALUES (1, 2), (3, 4)")
+    fsql.sql("INSERT INTO dl_t VALUES (5, 6)")
+    target = str(tmp_path / "dexp")
+    row = fsql.sql(
+        f"CALL sys.export_delta_log(table => 'dl_t', target_dir => '{target}')"
+    ).collect()[0]["result"]
+    assert row.startswith("delta_version=0 added=")
+    log0 = os.path.join(target, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(l) for l in open(log0)]
+    assert any("protocol" in a for a in acts) and any("add" in a for a in acts)
+
+    row = fsql.sql(
+        "CALL sys.compact_log(table => 'dl_t', target_commits => 2,"
+        " zorder_columns => 'x,y')"
+    ).collect()[0]["result"]
+    assert row == "compacted_commits=2"
+    assert {tuple(r) for r in fsql.sql("SELECT x, y FROM fluss_dl_t").collect()} == {
+        (1, 2), (3, 4), (5, 6)
+    }
+    # re-export reflects the compaction as remove+add
+    row = fsql.sql(
+        f"CALL sys.export_delta_log(table => 'dl_t', target_dir => '{target}')"
+    ).collect()[0]["result"]
+    assert "delta_version=1" in row and "removed=0" not in row
