@@ -87,9 +87,7 @@ def _grad_sql(p_expr: str) -> str:
     return f"SELECT count(*) AS n, {cols} FROM feats"
 
 
-@register(
-    "tx_quality_classifier",
-    oracle=f"""
+_CLS_ORACLE = f"""
     WITH feats AS ({_SQL_FEATS}),
     s1 AS ({_grad_sql('0.5')}),
     b1 AS (
@@ -118,7 +116,12 @@ def _grad_sql(p_expr: str) -> str:
            round(1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2 + b3*x3))), 4) AS prob,
            (round(1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2 + b3*x3))), 4) >= 0.5)::INT AS pred
     FROM feats, b2
-    """,
+    """
+
+
+@register(
+    "tx_quality_classifier",
+    oracle=_CLS_ORACLE,
 )
 def tx_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Learned quality classifier, trained distributed: logistic
@@ -339,4 +342,54 @@ def tx_chunk_sliding(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
         F.size(chunk).alias("n_chunk_tok"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+@register(
+    "tx_classifier_audit",
+    oracle=f"""
+    WITH scored AS ({_CLS_ORACLE}),
+    cm AS (
+      SELECT
+        sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+        sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+        sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+        sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
+      FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp)::DOUBLE END, 4) AS precision,
+           round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn)::DOUBLE END, 4) AS recall,
+           round((tp + tn) / (tp + fp + fn + tn)::DOUBLE, 4) AS accuracy
+    FROM cm
+    """,
+)
+def tx_classifier_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-rollout audit of the LEARNED quality classifier against its
+    labels (the text-side analogue of ann_recall_audit): confusion
+    matrix + precision/recall/accuracy of tx_quality_classifier's
+    predictions. A production pipeline runs exactly this gate before
+    swapping a trained filter into the 100-TB curation funnel — a
+    filter that recalls 40% of 'quality' docs silently halves the
+    corpus. Map-side conditionals over the scored output, one 1-row
+    aggregate; metrics are exact integer ratios, so the audit is
+    bit-deterministic."""
+    scored = tx_quality_classifier(spark, sf)
+    cm = scored.agg(
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("bigint")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("bigint")).alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("bigint")).alias("fn"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("bigint")).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.round(
+            F.when(tp + fp == 0, F.lit(0.0)).otherwise(tp / (tp + fp)), 4
+        ).alias("precision"),
+        F.round(
+            F.when(tp + fn == 0, F.lit(0.0)).otherwise(tp / (tp + fn)), 4
+        ).alias("recall"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 4).alias("accuracy"),
     )

@@ -1388,3 +1388,121 @@ def tx_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+@register(
+    "tx_bigram_logloss",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    vocab AS (
+      SELECT count(DISTINCT term)::DOUBLE AS v
+      FROM (SELECT unnest(toks) AS term FROM t)
+    ),
+    bg AS (
+      SELECT doc_id, toks[i+1] AS w1,
+             toks[i+1] || ' ' || toks[i+2] AS b
+      FROM t, unnest(range(0, len(toks) - 1)) AS g(i)
+    ),
+    cb AS (SELECT b, count(*)::DOUBLE AS nb FROM bg GROUP BY b),
+    cu AS (SELECT w1, count(*)::DOUBLE AS n1 FROM bg GROUP BY w1)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(-avg(ln((cb.nb + 0.5) / (cu.n1 + 0.5 * vocab.v))), 4)
+             AS avg_logloss
+    FROM bg JOIN cb USING (b) JOIN cu USING (w1), vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def tx_bigram_logloss(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM perplexity proxy with add-k smoothing (k=0.5): the
+    CCNet-style quality signal one order up from tx_unigram_logloss —
+    templated text scores low (its bigrams repeat corpus-wide), unusual
+    word SEQUENCES score high even when each word is common.
+
+    Scale shape: bigram counts are ONE shuffle on the bigram key
+    (map-side combine); the conditional denominator C(w1) aggregates
+    the SAME bigram rows by their first token (vocabulary-sized). The
+    scoring join is a plain equi-join on the bigram — unlike the
+    unigram LM the bigram table is vocab²-bounded, too big to assume
+    broadcastable at 100 TB, so the plan keeps it shuffle-joined; the
+    smoothing constant V (distinct unigrams) is a broadcast 1-row
+    stat."""
+    d = load_spread(spark, sf, "documents").filter(F.trim("text") != "")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # stage the bigram structs before the generator (NOTES: an explode
+    # over an inlined HOF chain re-evaluates it per output row)
+    staged = toks.select(
+        "doc_id",
+        F.when(F.size("toks") < 2, F.array().cast("array<struct<w1:string,b:string>>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.col("toks")[i].alias("w1"),
+                    F.concat(F.col("toks")[i], F.lit(" "), F.col("toks")[i + 1]).alias("b"),
+                ),
+            )
+        )
+        .alias("bgs"),
+    )
+    bg = staged.select("doc_id", F.explode("bgs").alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.b").alias("b")
+    ).persist()
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .agg(F.countDistinct("term").cast("double").alias("v"))
+    )
+    cb = bg.groupBy("b").agg(F.count("*").cast("double").alias("nb"))
+    cu = bg.groupBy("w1").agg(F.count("*").cast("double").alias("n1"))
+    return (
+        bg.join(cb, on="b")
+        .join(F.broadcast(cu), on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log((F.col("nb") + 0.5) / (F.col("n1") + 0.5 * F.col("v")))), 4
+            ).alias("avg_logloss"),
+        )
+    )
+
+
+@register(
+    "tx_dataset_card",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           round(avg((lang = 'en')::INT), 4) AS pct_en,
+           round(1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 4) AS dup_rate,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def tx_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset card: the per-source summary a corpus release ships with
+    — document/token counts, language mix, exact-duplicate rate, size
+    profile. ONE shuffle on source (the two DISTINCT aggregates share
+    it via Spark's expand-based multi-distinct planning); every metric
+    is a map-side-combinable aggregate, so the query scales as a single
+    pass over the corpus regardless of source cardinality."""
+    d = load_spread(spark, sf, "documents")
+    n_tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(tokens(F.col("text")))
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg((F.col("lang") == "en").cast("int")), 4).alias("pct_en"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count("*"), 4
+        ).alias("dup_rate"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
