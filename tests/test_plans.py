@@ -480,3 +480,32 @@ def test_quality_classifier_training_is_partial_aggregation(spark, sf_dir):
     )
     plan = plans.physical_plan(agg)
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_boilerplate_removal_broadcast_anti_join(spark, sf_dir):
+    """tx_boilerplate_removal: the boilerplate set broadcasts into the
+    anti-join (never a shuffled join of the exploded corpus against
+    itself), no cartesian anywhere."""
+    df = QUERIES["tx_boilerplate_removal"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_bigram_logloss_shuffle_join_no_cartesian(spark, sf_dir):
+    """tx_bigram_logloss: the bigram-count join stays an equi-join (the
+    bigram table is vocab²-bounded, NOT assumed broadcastable — the
+    100-TB stance), the smoothing stat broadcasts, no cartesian."""
+    df = QUERIES["tx_bigram_logloss"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(b" in plan, plan  # the bigram-key exchange
+
+
+def test_dataset_card_partial_aggregation(spark, sf_dir):
+    """tx_dataset_card reduces map-side: one pass over the corpus with
+    partial aggregation before the source-keyed exchange."""
+    df = QUERIES["tx_dataset_card"](spark, sf_dir)
+    assert plans.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plans.physical_plan(df)
