@@ -1506,3 +1506,83 @@ def tx_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("dup_rate"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+_SEQ_LEN = 256  # tokens per packed training sequence
+
+
+@register(
+    "tx_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+             len({_SQL_TOKENS}) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ), r AS (
+      SELECT doc_id, shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM t
+    )
+    SELECT shard, CAST(s AS BIGINT) AS seq_no, doc_id,
+           CAST(greatest(start, s * {_SEQ_LEN}) - s * {_SEQ_LEN} AS BIGINT)
+             AS seg_start,
+           CAST(least(start + n_tok, (s + 1) * {_SEQ_LEN})
+                - greatest(start, s * {_SEQ_LEN}) AS BIGINT) AS seg_len
+    FROM r, unnest(range(CAST(start // {_SEQ_LEN} AS BIGINT),
+                         CAST((start + n_tok - 1) // {_SEQ_LEN} + 1 AS BIGINT)))
+                AS g(s)
+    """,
+)
+def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-length training-sequence packing — the final layout stage
+    of a pretraining pipeline: per shard (md5 PRF of doc_id, the shared
+    oracle convention), documents are concatenated in doc_id order and
+    cut into {256}-token sequences; the output maps every document to
+    the sequence(s) it lands in with its token span inside each
+    (the attention-boundary / span metadata a loader needs when a doc
+    straddles a cut).
+
+    ONE exchange (the per-shard running-sum window; at 100 TB the shard
+    count rises so no partition holds a whole shard's doc list), then a
+    map-side interval explode — a doc spanning k sequences emits k
+    rows. Integer arithmetic end to end, so the layout is reproducible
+    across engines and re-partitions."""
+    from pyspark.sql.window import Window
+
+    d = load_spread(spark, sf, "documents").filter(F.trim("text") != "")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10,
+        ).cast("long") % 8
+    )
+    base = d.select(
+        "doc_id", shard.alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = base.select(
+        "doc_id", "shard", "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+    )
+    # stage the sequence bounds as real columns before the generator
+    r = r.withColumn("first_s", F.floor(F.col("start") / _SEQ_LEN)).withColumn(
+        "last_s", F.floor((F.col("start") + F.col("n_tok") - 1) / _SEQ_LEN)
+    )
+    ex = r.select(
+        "shard", "doc_id", "start", "n_tok",
+        F.explode(F.sequence("first_s", "last_s")).alias("s"),
+    )
+    lo = F.greatest(F.col("start"), F.col("s") * _SEQ_LEN)
+    hi = F.least(F.col("start") + F.col("n_tok"), (F.col("s") + 1) * _SEQ_LEN)
+    return ex.select(
+        "shard",
+        F.col("s").cast("bigint").alias("seq_no"),
+        "doc_id",
+        (lo - F.col("s") * _SEQ_LEN).cast("bigint").alias("seg_start"),
+        (hi - lo).cast("bigint").alias("seg_len"),
+    )
