@@ -911,32 +911,104 @@ class FlussSqlSession:
     # FlinkConnectorOptions.java:241-294)
     # ------------------------------------------------------------------ #
     def _create_materialized(self, s: str) -> None:
-        from fluss_spark.materialized import create_materialized_table
+        from fluss_spark.materialized import (
+            create_incremental_materialized_table,
+            create_materialized_table,
+        )
 
         m = re.match(
             r"create\s+materialized\s+table\s+(if\s+not\s+exists\s+)?([\w.`]+)\s+"
             r"freshness\s*=\s*interval\s+'(\d+)'\s+(second|minute|hour|day)s?\s+"
-            r"(?:with\s*\((.*?)\)\s+)?as\s+(.*)$",
+            r"(?:with\s*\((.*?)\)\s+)?(incremental\s+)?as\s+(.*)$",
             s,
             re.I | re.S,
         )
         if not m:
             raise SqlParseError(
                 "CREATE MATERIALIZED TABLE <name> FRESHNESS = INTERVAL '<n>' "
-                "<SECOND|MINUTE|HOUR|DAY> [WITH (...)] AS <query>"
+                "<SECOND|MINUTE|HOUR|DAY> [WITH (...)] [INCREMENTAL] AS <query>"
             )
         db, name = self._qualify(m.group(2))
         options = self._parse_options(m.group(5)) if m.group(5) else {}
+        if m.group(6):
+            if m.group(1) and self.admin.table_exists(db, name):
+                return
+            source, group_by, aggs, where = self._parse_incremental_query(
+                m.group(7).strip()
+            )
+            create_incremental_materialized_table(
+                self, db, name, source=source, group_by=group_by, aggs=aggs,
+                where=where, freshness=int(m.group(3)),
+                freshness_unit=m.group(4).upper(), options=options,
+            )
+            return
         create_materialized_table(
             self,
             db,
             name,
-            m.group(6).strip(),
+            m.group(7).strip(),
             freshness=int(m.group(3)),
             freshness_unit=m.group(4).upper(),
             options=options,
             if_not_exists=bool(m.group(1)),
         )
+
+    def _parse_incremental_query(self, q: str):
+        """INCREMENTAL definitions are restricted to the maintainable
+        shape: SELECT <group cols + fn(col) AS alias> FROM <one engine
+        table> [WHERE <row predicate>] GROUP BY <group cols>, with fn in
+        count/sum/min/max — exactly what the delta fold can keep exact.
+        Anything else must drop the INCREMENTAL keyword (full-recompute
+        refresh has no shape restriction)."""
+        m = re.match(
+            r"select\s+(.*?)\s+from\s+([\w.`]+)"
+            r"(?:\s+where\s+(.*?))?\s+group\s+by\s+([\w\s,`]+)$",
+            q,
+            re.I | re.S,
+        )
+        if not m:
+            raise SqlParseError(
+                "INCREMENTAL AS expects: SELECT ... FROM <table> [WHERE ...] "
+                "GROUP BY <cols>"
+            )
+        group_by = [c.strip(" `") for c in m.group(4).split(",")]
+        aggs: dict[str, tuple[str, str]] = {}
+        for item in self._split_top_level(m.group(1)):
+            item = item.strip()
+            if item.strip("`") in group_by:
+                continue
+            am = re.match(
+                r"(count|sum|min|max)\s*\(\s*(\*|[\w`]+)\s*\)\s+as\s+([\w`]+)$",
+                item,
+                re.I,
+            )
+            if not am:
+                raise SqlParseError(
+                    f"INCREMENTAL AS: '{item}' is not a group column or "
+                    "count/sum/min/max(col) AS alias"
+                )
+            aggs[am.group(3).strip("`")] = (
+                am.group(1).lower(),
+                am.group(2).strip("`"),
+            )
+        tbl = m.group(2).strip("`")
+        if "." in tbl:
+            source = tbl
+        else:
+            # the flat db_tbl view-name form the definition queries use
+            matches = [
+                f"{d}.{t}"
+                for d in self.admin.list_databases()
+                for t in self.catalog.list_tables(d)
+                if f"{d}_{t}".lower() == tbl.lower()
+            ]
+            if len(matches) != 1:
+                raise SqlParseError(
+                    f"INCREMENTAL AS: cannot resolve source table '{tbl}'"
+                    + (f" (ambiguous: {matches})" if matches else "")
+                )
+            source = matches[0]
+        return source, group_by, aggs, (m.group(3).strip() if m.group(3) else None)
 
     def _alter_materialized(self, s: str) -> None:
         from fluss_spark.materialized import (

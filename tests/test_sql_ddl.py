@@ -809,3 +809,46 @@ def test_call_export_delta_and_zorder_compaction(spark, fsql, tmp_path):
         f"CALL sys.export_delta_log(table => 'dl_t', target_dir => '{target}')"
     ).collect()[0]["result"]
     assert "delta_version=1" in row and "removed=0" not in row
+
+
+def test_incremental_mt_sql_statement(spark, fsql):
+    """CREATE MATERIALIZED TABLE ... INCREMENTAL AS <restricted GROUP BY
+    query>: parses into the incremental-maintenance path; refresh via
+    ALTER ... REFRESH folds only the new slice; unmaintainable shapes
+    are rejected with the restriction spelled out."""
+    import pytest as _pytest
+
+    from fluss_spark.materialized import INC_SOURCE_PROP
+
+    fsql.sql("CREATE TABLE clicks (u BIGINT, amount BIGINT, region STRING) WITH ('bucket.num' = '2')")
+    fsql.sql("INSERT INTO clicks VALUES (1, 5, 'eu'), (2, 7, 'us'), (1, 1, 'xx')")
+    fsql.sql("""
+        CREATE MATERIALIZED TABLE click_sum
+        FRESHNESS = INTERVAL '5' SECOND
+        INCREMENTAL AS SELECT u, count(*) AS n, sum(amount) AS total
+                       FROM fluss_clicks WHERE region <> 'xx' GROUP BY u
+    """)
+    props = fsql.admin.get_table_info("fluss", "click_sum").properties
+    assert props[INC_SOURCE_PROP] == "fluss.clicks"
+
+    def contents():
+        return {r["u"]: (r["n"], r["total"])
+                for r in fsql.sql("SELECT * FROM fluss_click_sum").collect()}
+
+    assert contents() == {1: (1, 5), 2: (1, 7)}
+    fsql.sql("INSERT INTO clicks VALUES (2, 3, 'us'), (3, 9, 'ap')")
+    fsql.sql("ALTER MATERIALIZED TABLE click_sum REFRESH")
+    assert contents() == {1: (1, 5), 2: (2, 10), 3: (1, 9)}
+
+    with _pytest.raises(SqlParseError, match="not a group column or"):
+        fsql.sql("""
+            CREATE MATERIALIZED TABLE bad_inc
+            FRESHNESS = INTERVAL '5' SECOND
+            INCREMENTAL AS SELECT u, avg(amount) AS a FROM fluss_clicks GROUP BY u
+        """)
+    with _pytest.raises(SqlParseError, match="cannot resolve source"):
+        fsql.sql("""
+            CREATE MATERIALIZED TABLE bad_inc2
+            FRESHNESS = INTERVAL '5' SECOND
+            INCREMENTAL AS SELECT u, count(*) AS n FROM nowhere GROUP BY u
+        """)
