@@ -852,3 +852,58 @@ def test_incremental_mt_sql_statement(spark, fsql):
             FRESHNESS = INTERVAL '5' SECOND
             INCREMENTAL AS SELECT u, count(*) AS n FROM nowhere GROUP BY u
         """)
+
+
+def test_incremental_mt_randomized_equivalence(spark, fsql):
+    """Property check: across a randomized sequence of upserts, value
+    changes, and deletes on a pk source, the incrementally-maintained
+    MT always equals a full GROUP BY recompute over the source
+    snapshot — including groups that die and are later reborn."""
+    import random
+
+    from fluss_spark.materialized import (
+        create_incremental_materialized_table,
+        refresh_materialized_table,
+    )
+    from fluss_spark.table import FlussTable
+
+    fsql.sql("""CREATE TABLE rnd_src (id BIGINT, grp BIGINT, val BIGINT,
+                PRIMARY KEY (id)) WITH ('bucket.num' = '2')""")
+    src = FlussTable(fsql.catalog, "fluss", "rnd_src")
+    rng = random.Random(7)
+    live: dict[int, tuple[int, int]] = {}
+
+    def apply_random_batch():
+        ups = []
+        for _ in range(rng.randint(2, 6)):
+            i = rng.randint(1, 12)
+            row = (i, rng.randint(1, 3), rng.randint(-5, 20))
+            live[i] = row[1:]
+            ups.append(row)
+        src.upsert(
+            spark.createDataFrame(ups, "id bigint, grp bigint, val bigint"),
+            ordering=["id"],
+        )
+        dels = [i for i in list(live) if rng.random() < 0.3]
+        if dels:
+            rows = [(i, *live.pop(i)) for i in dels]
+            src.delete(
+                spark.createDataFrame(rows, "id bigint, grp bigint, val bigint")
+            )
+
+    apply_random_batch()
+    create_incremental_materialized_table(
+        fsql, "fluss", "rnd_mt", source="fluss.rnd_src",
+        group_by=["grp"], aggs={"n": ("count", "*"), "s": ("sum", "val")},
+    )
+    for _ in range(3):
+        apply_random_batch()
+        refresh_materialized_table(fsql, "fluss", "rnd_mt")
+        got = {r["grp"]: (r["n"], r["s"])
+               for r in fsql.sql("SELECT * FROM fluss_rnd_mt").collect()}
+        want: dict[int, list[int]] = {}
+        for g, v in live.values():
+            acc = want.setdefault(g, [0, 0])
+            acc[0] += 1
+            acc[1] += v
+        assert got == {g: tuple(a) for g, a in want.items()}
