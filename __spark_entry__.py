@@ -58,6 +58,7 @@ _PRIORITY = [
     "tx_classifier_audit",
     "tx_dataset_card",
     "tx_pack_sequences",
+    "dd_fuzzy_contamination",
     # --- r4 error row, output fixed this round ---
     "mm_feature_extract",
     # --- single round of driver history (green only in r4) ---
@@ -77,7 +78,6 @@ _PRIORITY = [
     "subquery_tpch_q20",
     "dd_exact_engine",
     "tx_bpe_token_count",
-    "dd_prefix_cluster",
     "dd_url_normalize",
     "ann_kmeans_ivf",
     "ann_range_search",
@@ -88,10 +88,10 @@ _PRIORITY = [
     "op_transition_matrix",
     "op_user_paths",
     "op_anomaly_zscore",
-    # (window is exactly 50: 10 sentinels + 12 new-this-round + 1 fixed
-    # + 27 single-history; tx_hash_sample/tx_length_histogram/
+    # (window is exactly 50: 10 sentinels + 13 new-this-round + 1 fixed
+    # + 26 single-history; tx_hash_sample/tx_length_histogram/
     # tx_repetition_score/tx_blocklist_redact/tx_domain_mix/
-    # tx_unigram_logloss rotated out
+    # tx_unigram_logloss/dd_prefix_cluster rotated out
     # — they keep their r4-green rows under the local parity suite, as
     # do tx_top_terms/tx_word_entropy/emb_label_stats/m2/l4/t4)
 ]

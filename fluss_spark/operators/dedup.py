@@ -1199,3 +1199,108 @@ def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.groupBy("cell").applyInPandas(
         _semdedup_kernel(_SEM_THR), "vec_id long, cell int, kept boolean"
     )
+
+
+@register(
+    "dd_fuzzy_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), s0 AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t WHERE len(toks) >= {_SHINGLE}
+    ), s1 AS (
+      SELECT doc_id, {_SQL_SHINGLE_IDS} AS ids FROM s0 WHERE len(sh) > 0
+    ), sig AS (
+      SELECT doc_id, ids, {_SQL_MINHASH} AS mh FROM s1
+    ), bands AS (
+      SELECT doc_id, ids, b,
+             md5(list_aggregate(mh[b * {_BAND_ROWS} + 1 : (b + 1) * {_BAND_ROWS}],
+                                'string_agg', '|')) AS band_sig
+      FROM sig, range(0, {_K_HASHES // _BAND_ROWS}) r(b)
+    ), bench0 AS (
+      SELECT doc_id + 10000000 AS bench_id,
+             list_filter(ids, u -> u % 5 <> 0) AS ids
+      FROM s1 WHERE doc_id % 50 = 0
+    ), bench_sig AS (
+      SELECT bench_id, ids AS ie, {_SQL_MINHASH} AS mh
+      FROM bench0 WHERE len(ids) > 0
+    ), bench_bands AS (
+      SELECT bench_id, ie, b,
+             md5(list_aggregate(mh[b * {_BAND_ROWS} + 1 : (b + 1) * {_BAND_ROWS}],
+                                'string_agg', '|')) AS band_sig
+      FROM bench_sig, range(0, {_K_HASHES // _BAND_ROWS}) r(b)
+    ), cand AS (
+      SELECT DISTINCT c.doc_id, c.ids AS ic, e.bench_id, e.ie
+      FROM bands c JOIN bench_bands e
+        ON c.b = e.b AND c.band_sig = e.band_sig
+    ), ver AS (
+      SELECT doc_id, bench_id,
+             len(list_intersect(ic, ie))::DOUBLE /
+               (len(ic) + len(ie) - len(list_intersect(ic, ie))) AS jac
+      FROM cand
+    )
+    SELECT doc_id, count(*) AS n_bench_matches,
+           round(max(jac), 4) AS max_jaccard
+    FROM ver WHERE jac >= 0.2
+    GROUP BY doc_id
+    """,
+)
+def dd_fuzzy_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """FUZZY benchmark decontamination: where dd_contamination counts
+    exact shingle hits, this flags training documents NEAR-duplicating
+    an eval document — paraphrased or lightly-edited leakage that exact
+    overlap under-counts. The eval suite is synthesized as a PERTURBED
+    copy of every 50th document (~20% of its shingles dropped by a
+    value rule), so the leak relationship is real and the LSH must
+    recover it through the edit.
+
+    Scale shape: the benchmark side is tiny by construction — its
+    perturbed signatures are (re)computed with the interpreted k-hash
+    HOF (fine at eval-suite size; the CORPUS signatures come from the
+    shared persisted numpy-kernel stage) and its banded form BROADCASTS
+    into an asymmetric LSH band join, so the 100-TB corpus side never
+    shuffles. Exact Jaccard verifies candidates; output is one row per
+    contaminated doc (match count + strongest match), linear in leaks."""
+    r_rows, n_bands = lsh_params(sf)
+    k = r_rows * n_bands
+    staged = sig_stage(spark, sf)
+    bands = banded_signature(F.col("sig"), n_bands, r_rows)
+    corpus = staged.select("doc_id", "ids", F.explode(bands).alias("b")).select(
+        "doc_id", "ids",
+        F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"),
+    )
+    pert = F.filter(F.col("ids"), lambda u: u % 5 != 0)
+    bench0 = (
+        staged.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("bench_id"), pert.alias("ie")
+        )
+        .filter(F.size("ie") > 0)
+    )
+    def _h(a: int, b: int):
+        return lambda u: (F.lit(a) * u + F.lit(b)) % F.lit(_P)
+
+    bench_sig = F.array(
+        *[F.array_min(F.transform(F.col("ie"), _h(a, b))) for a, b in _AB[:k]]
+    )
+    bench = (
+        bench0.withColumn("sig", bench_sig)
+        .select("bench_id", "ie", F.explode(banded_signature(F.col("sig"), n_bands, r_rows)).alias("b"))
+        .select("bench_id", "ie", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+    )
+    cand = (
+        corpus.join(F.broadcast(bench), on=["band", "band_sig"])
+        .select("doc_id", "ids", "bench_id", "ie")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("ids"), F.col("ie")))
+    union = F.size("ids") + F.size("ie") - inter
+    return (
+        cand.withColumn("__jac", inter.cast("double") / union)
+        .filter(F.col("__jac") >= 0.2)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bench_matches"),
+            F.round(F.max("__jac"), 4).alias("max_jaccard"),
+        )
+    )
