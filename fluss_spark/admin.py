@@ -874,16 +874,28 @@ class Admin:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-        if version == 0 and snap.files:
-            import pyarrow.parquet as pq
-
-            struct = from_arrow_schema(pq.read_schema(snap.files[0]))
-            schema = json.loads(struct.json())
+        if version == 0:
             t = FlussTable(self.catalog, db, name)
             _SPARK_T = {"INT": "integer", "BIGINT": "long", "STRING": "string",
                         "DATE": "date", "TIMESTAMP": "timestamp",
                         "DOUBLE": "double", "FLOAT": "float"}
             declared = {f.name: f.type.upper() for f in t.schema.fields}
+            if snap.files:
+                import pyarrow.parquet as pq
+
+                struct = from_arrow_schema(pq.read_schema(snap.files[0]))
+                schema = json.loads(struct.json())
+            else:
+                # empty table: a v0 log without metaData is invalid —
+                # derive the schema from the declared fields
+                schema = {
+                    "type": "struct",
+                    "fields": [
+                        {"name": f.name, "nullable": True, "metadata": {},
+                         "type": _SPARK_T.get(f.type.upper(), "string")}
+                        for f in t.schema.fields
+                    ],
+                }
             for c in part_cols:
                 schema["fields"].append({
                     "name": c, "nullable": True, "metadata": {},
