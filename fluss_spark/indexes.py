@@ -117,6 +117,23 @@ def sync_index(
             "rebucket"
         )
 
+    # retention fence: TTL/truncation may have deleted changelog commits
+    # this index never consumed — folding past the gap would silently
+    # lose their events forever
+    if start:
+        expired = {
+            b: (start.get(b, 0), e)
+            for b, e in base.earliest_offsets().items()
+            if start.get(b, 0) < e
+        }
+        if expired:
+            raise ValueError(
+                f"base table {db}.{table} expired unconsumed changelog "
+                f"(bucket: (synced, earliest) = {expired}); drop and "
+                f"recreate the index ({idx_name}), and set table.log.ttl "
+                "above the sync interval"
+            )
+
     # fix the slice END before reading: a writer committing between the
     # changelog read and the HWM record would otherwise be skipped
     # forever (the HWM would cover rows this sync never processed)

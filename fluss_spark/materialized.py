@@ -461,6 +461,22 @@ def _refresh_incremental(fsql, t: FlussTable) -> int:
         if synced
         else {}
     )
+    # retention fence: TTL/truncation may have deleted source commits
+    # this MT never folded — reading past the gap would silently drop
+    # their contribution from the aggregate forever
+    if start:
+        expired = {
+            b: (start.get(b, 0), e)
+            for b, e in src.earliest_offsets().items()
+            if start.get(b, 0) < e
+        }
+        if expired:
+            raise ValueError(
+                f"source {src_db}.{src_name} expired unfolded data (bucket: "
+                f"(synced, earliest) = {expired}); the incremental state is "
+                f"unrecoverable — drop and recreate {t.db}.{t.name}, and set "
+                "the source's table.log.ttl above the refresh interval"
+            )
     end = src.log.latest_offsets()  # slice end fixed BEFORE the read
     versions_at_start = _source_versions(t.catalog, [f"{src_db}.{src_name}"])
 

@@ -157,3 +157,33 @@ def test_index_sync_fenced_by_rebucket(spark, catalog):
     create_index(catalog, "db", "orders", "customer", spark)
     got = index_lookup(catalog, "db", "orders", "customer", "c1", spark)
     assert 200 in {r["order_id"] for r in got.collect()}
+
+
+def test_sync_refuses_expired_unconsumed_changelog(spark, catalog):
+    """TTL deleting changelog commits the index never consumed must
+    fail the sync loudly — folding past the gap would silently lose
+    those events forever."""
+    import time
+
+    t = create_table(
+        catalog, "db", "ttl_base",
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "BIGINT")],
+            primary_key=["id"],
+            num_buckets=1,
+            properties={"table.log.ttl": "1d"},
+        ),
+    )
+    t.upsert(spark.createDataFrame([(1, 10)], "id bigint, v bigint"), ordering=["id"])
+    create_index(catalog, "db", "ttl_base", "v", spark)
+    # two commits the index has NOT consumed; TTL keeps the newest
+    # segment alive (like the reference), so the OLDER unconsumed one
+    # is what expires
+    t.upsert(spark.createDataFrame([(2, 20)], "id bigint, v bigint"), ordering=["id"])
+    t.upsert(spark.createDataFrame([(3, 30)], "id bigint, v bigint"), ordering=["id"])
+    from fluss_spark.maintenance import expire_log_ttl
+
+    day = 86_400_000
+    assert expire_log_ttl(t, spark, now_ms=int(time.time() * 1000) + 3 * day) > 0
+    with pytest.raises(ValueError, match="expired unconsumed changelog"):
+        sync_index(catalog, "db", "ttl_base", "v", spark)

@@ -907,3 +907,33 @@ def test_incremental_mt_randomized_equivalence(spark, fsql):
             acc[0] += 1
             acc[1] += v
         assert got == {g: tuple(a) for g, a in want.items()}
+
+
+def test_incremental_mt_refuses_expired_source(spark, fsql):
+    """TTL deleting source commits the MT never folded must fail the
+    refresh loudly instead of silently dropping their contribution."""
+    import time
+
+    import pytest as _pytest
+
+    from fluss_spark.materialized import (
+        create_incremental_materialized_table,
+        refresh_materialized_table,
+    )
+    from fluss_spark.maintenance import expire_log_ttl
+    from fluss_spark.table import FlussTable
+
+    fsql.sql("""CREATE TABLE ttl_src (g BIGINT, v BIGINT)
+                WITH ('bucket.num' = '1', 'table.log.ttl' = '1d')""")
+    fsql.sql("INSERT INTO ttl_src VALUES (1, 5)")
+    create_incremental_materialized_table(
+        fsql, "fluss", "ttl_mt", source="fluss.ttl_src",
+        group_by=["g"], aggs={"n": ("count", "*")},
+    )
+    fsql.sql("INSERT INTO ttl_src VALUES (1, 7)")  # never folded
+    fsql.sql("INSERT INTO ttl_src VALUES (1, 9)")  # newest survives TTL
+    day = 86_400_000
+    t = FlussTable(fsql.catalog, "fluss", "ttl_src")
+    assert expire_log_ttl(t, spark, now_ms=int(time.time() * 1000) + 3 * day) > 0
+    with _pytest.raises(ValueError, match="expired unfolded data"):
+        refresh_materialized_table(fsql, "fluss", "ttl_mt")
