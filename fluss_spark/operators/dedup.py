@@ -631,6 +631,81 @@ def dd_lsh_canonical(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "tx_split_leakage_safe",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), s0 AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t WHERE len(toks) >= {_SHINGLE}
+    ), s1 AS (
+      SELECT doc_id, {_SQL_SHINGLE_IDS} AS ids FROM s0 WHERE len(sh) > 0
+    ), sig AS (
+      SELECT doc_id, {_SQL_MINHASH} AS mh FROM s1
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(list_aggregate(mh[b * {_BAND_ROWS} + 1 : (b + 1) * {_BAND_ROWS}],
+                                'string_agg', '|')) AS band_sig
+      FROM sig, range(0, {_K_HASHES // _BAND_ROWS}) r(b)
+    ), mins AS (
+      SELECT b, band_sig, min(doc_id) AS m FROM bands GROUP BY b, band_sig
+    ), canon AS (
+      SELECT bands.doc_id, min(mins.m) AS canonical_id
+      FROM bands JOIN mins ON bands.b = mins.b AND bands.band_sig = mins.band_sig
+      GROUP BY bands.doc_id
+    ), assigned AS (
+      SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS cluster_id,
+             length(d.text) AS n_chars
+      FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+    ), sp AS (
+      SELECT cluster_id, n_chars,
+             ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 10 AS bkt
+      FROM assigned
+    )
+    SELECT CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'valid' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM sp
+    GROUP BY 1
+    """,
+)
+def tx_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split is a PRF of the
+    near-duplicate CLUSTER id (dd_lsh_canonical's assignment), not of
+    the doc id — so a document and its near-copies land in the same
+    split BY CONSTRUCTION, the property that stops eval contamination
+    when a benchmark doc has paraphrased twins in the corpus (a
+    doc-keyed hash split co-locates only exact ids). Docs too short to
+    shingle are their own singleton cluster. Plan: the lsh canonical
+    stages + ONE doc_id equi-join to attach clusters + the final 3-row
+    rollup — no pairwise joins, linear in corpus size. The guard that
+    no LSH-bucket pair straddles splits is structural (split = f(cluster))
+    and asserted in tests over the banded relation itself."""
+    canon = dd_lsh_canonical(spark, sf).select("doc_id", "canonical_id")
+    d = load(spark, sf, "documents").select("doc_id", F.length("text").alias("n_chars"))
+    assigned = d.join(canon, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("canonical_id", "doc_id")
+    )
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    sp = assigned.withColumn(
+        "split",
+        F.when(bkt < 8, F.lit("train")).when(bkt == 8, F.lit("valid")).otherwise(F.lit("test")),
+    )
+    return sp.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 # ---------------------------------------------------------------------- #
 # transitive dedup clusters (connected components)
 # ---------------------------------------------------------------------- #

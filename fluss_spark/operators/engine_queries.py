@@ -273,6 +273,26 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             {"user_id": F.col("user_id") + F.lit(1_000_000)},
         )
         sync_index(cat, "db", variant, "user_id", spark)
+    elif variant == "sqldml":
+        # row-level DELETE/UPDATE through the SQL statement surface
+        # (writes.md:90-115): latest-event state per user, then two
+        # set-oriented statements (the Spark generalization) and two
+        # single-row full-pk statements (the reference's only shape,
+        # which must take the driver-resolved single-bucket plan)
+        from fluss_spark.sql_ddl import FlussSqlSession
+
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        t.upsert(ev, ordering=["event_id"])
+        sess = FlussSqlSession(cat, spark, default_db="db")
+        sess.sql("UPDATE sqldml SET value = round(value * 1.1, 2) WHERE event_type = 'click'")
+        sess.sql("UPDATE sqldml SET event_type = 'audited' WHERE user_id = 7")
+        sess.sql("DELETE FROM sqldml WHERE event_type = 'error'")
+        sess.sql("DELETE FROM sqldml WHERE user_id = 13")
     else:
         raise ValueError(variant)
     _CACHE[key] = (cat, variant)
@@ -982,4 +1002,42 @@ def t12_incremental_mt(spark: SparkSession, sf: str) -> DataFrame:
             "min_value",
             "max_value",
         )
+    )
+
+
+@register(
+    "m12_sql_update_delete",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ),
+    s1 AS (  -- UPDATE ... SET value = round(value*1.1, 2) WHERE event_type = 'click'
+      SELECT user_id, event_type,
+             CASE WHEN event_type = 'click' THEN round(value * 1.1, 2) ELSE value END AS value
+      FROM latest
+    ),
+    s2 AS (  -- UPDATE ... SET event_type = 'audited' WHERE user_id = 7 (full-pk form)
+      SELECT user_id,
+             CASE WHEN user_id = 7 THEN 'audited' ELSE event_type END AS event_type,
+             value
+      FROM s1
+    )
+    -- DELETE WHERE event_type = 'error'; DELETE WHERE user_id = 13 (full-pk form)
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM s2
+    WHERE event_type <> 'error' AND user_id <> 13
+    """,
+)
+def m12_sql_update_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level DELETE FROM / UPDATE as SQL statements (writes.md:90-115,
+    FlinkTableSink SupportsRowLevelDelete/Update): the reference's
+    single-row full-pk shape takes the L1 driver-resolved single-bucket
+    plan (no snapshot scan); set-oriented predicates run as a
+    filtered-snapshot read-modify-write through the merge engine, each
+    statement one commit with CDC-correct changelog."""
+    t = _build(spark, sf, "sqldml")
+    return t.snapshot(spark).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
     )

@@ -59,7 +59,13 @@ def _image_codec():
 
 
 def _video_codec():
-    """Probe for PyAV once per process; None when unavailable."""
+    """Probe for PyAV once per process; when unavailable, fall back to
+    the vendored pure-stdlib YUV4MPEG2 codec (fluss_spark.functions.y4m
+    — same open/decode(video=0)/frame.to_image().tobytes() surface,
+    Y4M-only scope), so decode_mode="real" is executable in every
+    environment for at least one real video format, like the PNG and
+    WAV fallbacks for the image/audio modalities. PyAV, when installed,
+    takes precedence (all containers)."""
     global _PYAV
     if _PYAV is _UNSET:
         try:
@@ -67,7 +73,9 @@ def _video_codec():
 
             _PYAV = importlib.import_module("av")
         except ImportError:
-            _PYAV = None
+            from fluss_spark.functions import y4m as _y4m_fallback
+
+            _PYAV = _y4m_fallback
     return _PYAV
 
 

@@ -1450,22 +1450,34 @@ def tx_bigram_logloss(spark: SparkSession, sf: str) -> DataFrame:
     )
     bg = staged.select("doc_id", F.explode("bgs").alias("g")).select(
         "doc_id", F.col("g.w1").alias("w1"), F.col("g.b").alias("b")
-    ).persist()
+    )
+    # collapse occurrences to per-doc DISTINCT bigrams first: the one
+    # full-corpus exchange carries map-side-combined (doc, bigram, cnt)
+    # rows, and every downstream shuffle (bigram counts, conditional
+    # denominators, the scoring join) moves the deduped relation, not
+    # |tokens| occurrence rows. The per-doc average becomes the
+    # cnt-weighted mean — identical math, smaller shuffles.
+    pre = bg.groupBy("doc_id", "w1", "b").agg(F.count("*").alias("cnt")).persist()
     vocab = (
         d.select(F.explode(tokens(F.col("text"))).alias("term"))
         .agg(F.countDistinct("term").cast("double").alias("v"))
     )
-    cb = bg.groupBy("b").agg(F.count("*").cast("double").alias("nb"))
-    cu = bg.groupBy("w1").agg(F.count("*").cast("double").alias("n1"))
+    cb = pre.groupBy("b").agg(F.sum("cnt").cast("double").alias("nb"))
+    cu = pre.groupBy("w1").agg(F.sum("cnt").cast("double").alias("n1"))
     return (
-        bg.join(cb, on="b")
+        pre.join(cb, on="b")
         .join(F.broadcast(cu), on="w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").alias("n_bigrams"),
             F.round(
-                -F.avg(F.log((F.col("nb") + 0.5) / (F.col("n1") + 0.5 * F.col("v")))), 4
+                -F.sum(
+                    F.col("cnt")
+                    * F.log((F.col("nb") + 0.5) / (F.col("n1") + 0.5 * F.col("v")))
+                )
+                / F.sum("cnt"),
+                4,
             ).alias("avg_logloss"),
         )
     )

@@ -140,6 +140,10 @@ class FlussSqlSession:
             return self._insert(s)
         if low.startswith("truncate table"):
             return self._truncate(s)
+        if low.startswith("delete from"):
+            return self._delete(s)
+        if low.startswith("update "):
+            return self._update(s)
         if low.startswith("call"):
             return self._call(s)
         if low.startswith("use "):
@@ -299,9 +303,14 @@ class FlussSqlSession:
                 db, t = self._qualify(m.group(1))
                 chk("ALTER", sec.Resource.table(db, t))
             return
-        if low.startswith(("insert into", "insert overwrite", "truncate table")):
+        if low.startswith(
+            ("insert into", "insert overwrite", "truncate table", "delete from", "update ")
+        ):
             m = re.match(
-                r"(?:insert\s+(?:into|overwrite)|truncate\s+table)\s+([\w.`]+)", s, re.I
+                r"(?:insert\s+(?:into|overwrite)|truncate\s+table|delete\s+from|update)"
+                r"\s+([\w.`]+)",
+                s,
+                re.I,
             )
             target = self._qualify(m.group(1)) if m else None
             if target:
@@ -1255,6 +1264,209 @@ class FlussSqlSession:
 
         state = self.catalog.current_commit(db, name)
         _truncate_commits_before(t, state.version + 1)
+
+    # -- DELETE FROM / UPDATE (writes.md:90-115) ----------------------- #
+    #
+    # The reference supports row-level DELETE and UPDATE on primary-key
+    # tables in batch mode only, and only when the WHERE clause binds the
+    # FULL primary key with equality (writes.md:92,106 — "only single
+    # data deletions based on the primary key"). This engine keeps that
+    # fast path — the full-pk form resolves the owning bucket
+    # driver-side and reads ONE bucket dir (the L1 lookup plan) — and
+    # additionally accepts arbitrary predicates, executed as a
+    # filtered-snapshot read-modify-write through the merge engine
+    # (SupportsRowLevelUpdate generalized), because a Spark engine has no
+    # reason to refuse the set-oriented form.
+
+    @staticmethod
+    def _split_assignments(body: str) -> list[str]:
+        """Split a SET list on commas outside quotes AND parens (an
+        assignment value may be a function call with commas)."""
+        out, start, depth, in_q, i, n = [], 0, 0, False, 0, len(body)
+        while i < n:
+            c = body[i]
+            if c == "'":
+                if in_q and i + 1 < n and body[i + 1] == "'":
+                    i += 2
+                    continue
+                in_q = not in_q
+            elif not in_q:
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "," and depth == 0:
+                    out.append(body[start:i])
+                    start = i + 1
+            i += 1
+        out.append(body[start:])
+        return out
+
+    @staticmethod
+    def _find_top_level(body: str, word: str) -> int:
+        """Index of the first occurrence of keyword `word` outside
+        single-quoted strings and parens, or -1."""
+        depth, in_q, i, n = 0, False, 0, len(body)
+        wl, low = len(word), body.lower()
+        while i < n:
+            c = body[i]
+            if c == "'":
+                if in_q and i + 1 < n and body[i + 1] == "'":
+                    i += 2
+                    continue
+                in_q = not in_q
+            elif not in_q:
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif depth == 0 and low.startswith(word, i):
+                    before_ok = i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+                    j = i + wl
+                    after_ok = j >= n or not (body[j].isalnum() or body[j] == "_")
+                    if before_ok and after_ok:
+                        return i
+            i += 1
+        return -1
+
+    def _keyed_rows(self, t: FlussTable, cond: str):
+        """Single-bucket fast-path resolution for a DML predicate: a
+        conjunction of equality terms binding exactly the full primary
+        key takes the L1 lookup plan, exactly the bucket key (a pk
+        prefix) takes the L2 prefix-lookup plan — either way ONE bucket
+        dir is read instead of scanning the snapshot. Returns the
+        matching-row DataFrame, or None when the predicate doesn't have
+        a keyed shape."""
+        key = self._eq_conjunction(t, cond)
+        if key is None:
+            return None
+        pk, bk = t.schema.primary_key, t.schema.bucket_keys
+        if sorted(key) == sorted(pk):
+            return t.lookup(self.spark, key)
+        if sorted(key) == sorted(bk) and pk[: len(bk)] == bk and len(bk) < len(pk):
+            return t.prefix_lookup(self.spark, key)
+        return None
+
+    def _eq_conjunction(self, t: FlussTable, cond: str) -> dict | None:
+        """Parse `cond` as a conjunction of `col = literal` terms; return
+        the {col: value} dict, else None."""
+        parts, cur, i, n = [], 0, 0, len(cond)
+        in_q = False
+        low = cond.lower()
+        starts = [0]
+        while i < n:
+            c = cond[i]
+            if c == "'":
+                if in_q and i + 1 < n and cond[i + 1] == "'":
+                    i += 2
+                    continue
+                in_q = not in_q
+            elif not in_q and low.startswith("and", i):
+                b = i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_")
+                a = i + 3 >= n or not (cond[i + 3].isalnum() or cond[i + 3] == "_")
+                if b and a:
+                    parts.append(cond[starts[-1] : i])
+                    starts.append(i + 3)
+                    i += 3
+                    continue
+            i += 1
+        parts.append(cond[starts[-1] :])
+        key: dict[str, object] = {}
+        for term in parts:
+            term = term.strip()
+            if term.startswith("(") and term.endswith(")"):
+                term = term[1:-1].strip()
+            m = re.match(r"`?(\w+)`?\s*=\s*(.+)$", term, re.S)
+            if not m:
+                return None
+            col, tok = m.group(1), m.group(2).strip()
+            if tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
+                val: object = tok[1:-1].replace("''", "'")
+            else:
+                try:
+                    val = int(tok)
+                except ValueError:
+                    try:
+                        val = float(tok)
+                    except ValueError:
+                        return None
+            if col in key or col not in {f.name for f in t.schema.fields}:
+                return None
+            key[col] = val
+        return key
+
+    def _dml_target(self, raw: str) -> FlussTable:
+        db, name = self._qualify(raw)
+        t = FlussTable(self.catalog, db, name)
+        if t.kv is None:
+            raise SqlParseError(
+                f"Table {db}.{name} is a Log Table: row-level DELETE/UPDATE "
+                "requires a primary-key table (writes.md:92-106); use "
+                "TRUNCATE TABLE or retention for log data"
+            )
+        return t
+
+    def _delete(self, s: str) -> None:
+        m = re.match(r"delete\s+from\s+([\w.`]+)\s*(.*)$", s, re.I | re.S)
+        if not m:
+            raise SqlParseError(s)
+        t = self._dml_target(m.group(1))
+        rest = m.group(2).strip()
+        from pyspark.sql import functions as F
+
+        if not rest:
+            t.delete_where(self.spark, F.lit(True))
+            return
+        mw = re.match(r"where\s+(.*)$", rest, re.I | re.S)
+        if not mw:
+            raise SqlParseError(s)
+        cond = mw.group(1).strip()
+        rows = self._keyed_rows(t, cond)
+        if rows is not None:
+            # reference fast path: one bucket dir, no snapshot scan
+            if not rows.isEmpty():
+                t.delete(rows)
+            return
+        t.delete_where(self.spark, F.expr(cond))
+
+    def _update(self, s: str) -> None:
+        m = re.match(r"update\s+([\w.`]+)\s+set\s+(.*)$", s, re.I | re.S)
+        if not m:
+            raise SqlParseError(s)
+        t = self._dml_target(m.group(1))
+        body = m.group(2)
+        wi = self._find_top_level(body, "where")
+        set_part, cond = (body[:wi], body[wi + 5 :].strip()) if wi >= 0 else (body, None)
+        from pyspark.sql import functions as F
+
+        from fluss_spark.types import parse_type
+
+        types = {f.name: f.type for f in t.schema.fields}
+        assigns: dict[str, object] = {}
+        for item in self._split_assignments(set_part):
+            am = re.match(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*$", item, re.S)
+            if not am:
+                raise SqlParseError(f"bad SET clause: {item!r}")
+            col, expr = am.group(1), am.group(2)
+            if col in t.schema.primary_key:
+                # writes.md:117 — "Currently, Fluss does NOT support
+                # updating primary-key columns" (they also route
+                # bucketing/partitioning, so an update would move the row)
+                raise SqlParseError(f"cannot UPDATE primary-key column {col!r}")
+            if col not in types:
+                raise SqlParseError(f"unknown column {col!r} in SET")
+            if col in assigns:
+                raise SqlParseError(f"duplicate SET of column {col!r}")
+            assigns[col] = F.expr(expr).cast(parse_type(types[col]))
+        rows = self._keyed_rows(t, cond) if cond else None
+        if rows is not None:
+            if rows.isEmpty():
+                return
+            for c, e in assigns.items():
+                rows = rows.withColumn(c, e)
+            t.upsert(rows.select(*[f.name for f in t.schema.fields]))
+            return
+        t.update_where(self.spark, F.expr(cond) if cond else F.lit(True), assigns)
 
     def _insert_overwrite(self, t: FlussTable, df: DataFrame) -> None:
         """INSERT OVERWRITE (Flink semantics over the engine's commit

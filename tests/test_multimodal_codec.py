@@ -227,3 +227,82 @@ def test_real_feature_extract_pixel_stats(spark):
     )
     g = extract_features(df, decode_mode="real").collect()[0]["features"]
     assert g[0] == g[1] == g[2] == (10 + 20 + 30 + 40) / 4 / 255.0
+
+
+# ---------------------------------------------------------------- video
+
+
+def test_y4m_roundtrip_and_c420_decode():
+    """Vendored YUV4MPEG2 codec: grey levels survive RGB->YUV->RGB
+    exactly (u=v=128), colour within BT.601 rounding; hand-built C420
+    streams upsample chroma to the luma grid."""
+    import numpy as np
+
+    from fluss_spark.functions import y4m
+
+    g1 = np.full((4, 6, 3), 50, dtype=np.uint8)
+    g2 = np.full((4, 6, 3), 200, dtype=np.uint8)
+    red = np.zeros((4, 6, 3), dtype=np.uint8)
+    red[..., 0] = 250
+    data = y4m.encode_y4m([g1, g2, red], framerate=(25, 1))
+    c = y4m.open(data)
+    assert (c.width, c.height, c.colourspace) == (6, 4, "444")
+    frames = [f.to_ndarray() for f in c.decode(video=0)]
+    assert len(frames) == 3
+    assert np.array_equal(frames[0], g1) and np.array_equal(frames[1], g2)
+    assert np.abs(frames[2].astype(int) - red.astype(int)).max() <= 2
+
+    # mono: bit-exact
+    m = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    mono_frames = list(y4m.open(y4m.encode_y4m([m])).decode(video=0))
+    assert np.array_equal(mono_frames[0].to_ndarray(), m)
+
+    # hand-built C420: 2x2 chroma upsampled to 4x4 luma
+    w = h = 4
+    yp = np.full((4, 4), 128, dtype=np.uint8)
+    up = np.array([[0, 255], [128, 64]], dtype=np.uint8)
+    vp = np.full((2, 2), 128, dtype=np.uint8)
+    raw = (
+        b"YUV4MPEG2 W4 H4 F30:1 C420jpeg\nFRAME\n"
+        + yp.tobytes() + up.tobytes() + vp.tobytes()
+    )
+    f = next(y4m.open(raw).decode(video=0))
+    rgb = f.to_ndarray()
+    # u=0 quadrant (top-left 2x2) pushes blue down hard; u=255 pushes it up
+    assert rgb[0, 0, 2] < 10 and rgb[0, 3, 2] > 245
+
+    with pytest.raises(y4m.Y4mError):
+        y4m.open(b"RIFFnotvideo")
+    with pytest.raises(y4m.Y4mError):
+        list(y4m.open(data[: len(data) - 5]).decode(video=0))  # truncated last frame
+
+
+def test_real_frame_sampling_through_spark(spark):
+    """decode_mode='real' for VIDEO end-to-end via the vendored Y4M
+    fallback: 12-frame clips through the production sample_frames
+    mapInPandas kernel; every 10th frame survives and its bytes decode
+    to the synthesized colours."""
+    import numpy as np
+
+    from fluss_spark.functions import y4m
+    from fluss_spark.operators.multimodal import _resolve_mode, _video_codec, sample_frames
+
+    codec = _video_codec()
+    assert codec is not None  # fallback always present
+    if getattr(codec, "IS_FALLBACK", False):
+        assert _resolve_mode("auto", codec) == "fake"  # Y4M-only: no auto upgrade
+
+    def clip(doc_id: int, n: int) -> bytes:
+        frames = [np.full((4, 6, 3), 10 * doc_id + 7 * i, dtype=np.uint8) for i in range(n)]
+        return y4m.encode_y4m(frames)
+
+    media = spark.createDataFrame(
+        [(1, clip(1, 12), "video/y4m"), (2, clip(2, 5), "video/y4m")],
+        "doc_id long, media binary, mime string",
+    )
+    rows = sample_frames(media, every_n=10, decode_mode="real").collect()
+    got = {(r["doc_id"], r["frame_no"]): bytes(r["frame"]) for r in rows}
+    assert set(got) == {(1, 0), (1, 10), (2, 0)}  # 12 frames -> 0,10; 5 -> 0
+    # grey frames round-trip exactly: frame 10 of doc 1 is value 10+70=80
+    assert got[(1, 10)] == bytes([80]) * (4 * 6 * 3)
+    assert got[(2, 0)] == bytes([20]) * (4 * 6 * 3)

@@ -937,3 +937,154 @@ def test_incremental_mt_refuses_expired_source(spark, fsql):
     assert expire_log_ttl(t, spark, now_ms=int(time.time() * 1000) + 3 * day) > 0
     with _pytest.raises(ValueError, match="expired unfolded data"):
         refresh_materialized_table(fsql, "fluss", "ttl_mt")
+
+
+def test_delete_from_full_pk_fast_path(spark, fsql):
+    """writes.md:90-102 — single-row DELETE by full primary key. The
+    full-pk form must take the L1 lookup plan (one bucket dir), and a
+    delete of an absent key must not create a commit."""
+    fsql.sql("""
+        CREATE TABLE dml_kv (
+            shop_id BIGINT, user_id BIGINT, total DOUBLE,
+            PRIMARY KEY (shop_id, user_id) NOT ENFORCED
+        ) WITH ('bucket.num' = '4')
+    """)
+    fsql.sql("INSERT INTO dml_kv VALUES (1, 10, 5.0), (1, 11, 6.0), (2, 10, 7.0)")
+    fsql.sql("DELETE FROM dml_kv WHERE shop_id = 1 AND user_id = 11")
+    rows = {(r["shop_id"], r["user_id"]) for r in fsql.sql("SELECT * FROM fluss_dml_kv__snapshot").collect()}
+    assert rows == {(1, 10), (2, 10)}
+    # deleted row emits a -D in the changelog (CDC semantics preserved)
+    assert fsql.sql(
+        "SELECT count(*) AS c FROM fluss_dml_kv__changelog WHERE _change_type = '-D'"
+    ).collect()[0]["c"] == 1
+    from fluss_spark.catalog import Catalog
+
+    v_before = fsql.catalog.current_commit("fluss", "dml_kv").version
+    fsql.sql("DELETE FROM dml_kv WHERE shop_id = 9 AND user_id = 9")  # absent key
+    assert fsql.catalog.current_commit("fluss", "dml_kv").version == v_before
+
+
+def test_delete_from_predicate_and_log_table_rejected(spark, fsql):
+    fsql.sql("""
+        CREATE TABLE dml_kv2 (
+            k BIGINT, grp STRING, v DOUBLE,
+            PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('bucket.num' = '2')
+    """)
+    fsql.sql("INSERT INTO dml_kv2 VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)")
+    # generalized predicate path (beyond the reference's full-pk-only shape)
+    fsql.sql("DELETE FROM dml_kv2 WHERE grp = 'a' AND v > 0.5")
+    assert {r["k"] for r in fsql.sql("SELECT * FROM fluss_dml_kv2__snapshot").collect()} == {2}
+    fsql.sql("CREATE TABLE dml_log (a INT) WITH ('bucket.num' = '1')")
+    with pytest.raises(SqlParseError, match="Log Table"):
+        fsql.sql("DELETE FROM dml_log WHERE a = 1")
+    with pytest.raises(SqlParseError, match="Log Table"):
+        fsql.sql("UPDATE dml_log SET a = 2 WHERE a = 1")
+
+
+def test_update_full_pk_and_predicate(spark, fsql):
+    fsql.sql("""
+        CREATE TABLE dml_up (
+            shop_id BIGINT, user_id BIGINT, total DOUBLE, note STRING,
+            PRIMARY KEY (shop_id, user_id) NOT ENFORCED
+        ) WITH ('bucket.num' = '4')
+    """)
+    fsql.sql(
+        "INSERT INTO dml_up VALUES (1, 10, 5.0, 'x'), (1, 11, 6.0, 'y'), (2, 10, 7.0, 'z')"
+    )
+    # reference shape: single row by full pk (writes.md:115)
+    fsql.sql("UPDATE dml_up SET total = 2 WHERE shop_id = 1 AND user_id = 10")
+    got = {
+        (r["shop_id"], r["user_id"]): (r["total"], r["note"])
+        for r in fsql.sql("SELECT * FROM fluss_dml_up__snapshot").collect()
+    }
+    assert got[(1, 10)] == (2.0, "x") and got[(1, 11)] == (6.0, "y")
+    # expressions over existing columns + multi-assignment, set-oriented WHERE
+    fsql.sql("UPDATE dml_up SET total = total + 1, note = 'bulk' WHERE total > 5")
+    got = {
+        (r["shop_id"], r["user_id"]): (r["total"], r["note"])
+        for r in fsql.sql("SELECT * FROM fluss_dml_up__snapshot").collect()
+    }
+    assert got[(1, 11)] == (7.0, "bulk") and got[(2, 10)] == (8.0, "bulk")
+    assert got[(1, 10)] == (2.0, "x")
+    # update of an absent key is a no-op, not an insert
+    v = fsql.catalog.current_commit("fluss", "dml_up").version
+    fsql.sql("UPDATE dml_up SET total = 0 WHERE shop_id = 5 AND user_id = 5")
+    assert fsql.catalog.current_commit("fluss", "dml_up").version == v
+    assert len(got) == 3
+
+
+def test_update_rejects_pk_and_unknown_columns(spark, fsql):
+    fsql.sql("""
+        CREATE TABLE dml_up2 (
+            k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO dml_up2 VALUES (1, 'a')")
+    with pytest.raises(SqlParseError, match="primary-key column"):
+        fsql.sql("UPDATE dml_up2 SET k = 2 WHERE k = 1")
+    with pytest.raises(SqlParseError, match="unknown column"):
+        fsql.sql("UPDATE dml_up2 SET nope = 2 WHERE k = 1")
+    # a string value containing ' where ' must not split the clause
+    fsql.sql("UPDATE dml_up2 SET v = 'a where b' WHERE k = 1")
+    assert fsql.sql("SELECT v FROM fluss_dml_up2__snapshot").collect()[0]["v"] == "a where b"
+
+
+def test_dml_authorization(spark, tmp_path):
+    """DELETE/UPDATE require WRITE on the target table."""
+    from fluss_spark.security import (
+        AccessControlEntry,
+        AclBinding,
+        AuthorizationError,
+        FlussPrincipal,
+        Resource,
+        create_acls,
+    )
+
+    catalog = Catalog(str(tmp_path / "wh_dml"))
+    root = FlussSqlSession(catalog, spark, principal="root", super_users=["User:root"])
+    root.sql(
+        "CREATE TABLE fluss.sec_kv (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)"
+        " WITH ('bucket.num' = '1')"
+    )
+    root.sql("INSERT INTO fluss.sec_kv VALUES (1, 'a')")
+    create_acls(
+        catalog,
+        [AclBinding(
+            Resource.table("fluss", "sec_kv"),
+            AccessControlEntry(FlussPrincipal("bob"), "READ"),
+        )],
+    )
+    bob = FlussSqlSession(catalog, spark, principal="bob")
+    with pytest.raises(AuthorizationError):
+        bob.sql("DELETE FROM sec_kv WHERE k = 1")
+    with pytest.raises(AuthorizationError):
+        bob.sql("UPDATE sec_kv SET v = 'x' WHERE k = 1")
+    create_acls(
+        catalog,
+        [AclBinding(
+            Resource.table("fluss", "sec_kv"),
+            AccessControlEntry(FlussPrincipal("bob"), "WRITE"),
+        )],
+    )
+    bob.sql("UPDATE sec_kv SET v = 'x' WHERE k = 1")
+    assert root.sql("SELECT v FROM fluss_sec_kv__snapshot").collect()[0]["v"] == "x"
+
+
+def test_dml_bucket_key_prefix_fast_path(spark, fsql):
+    """A DML predicate binding exactly the bucket key (pk prefix) takes
+    the L2 single-bucket plan and applies to all rows of that prefix."""
+    fsql.sql("""
+        CREATE TABLE dml_pfx (
+            user_id BIGINT, event_type STRING, v DOUBLE,
+            PRIMARY KEY (user_id, event_type) NOT ENFORCED
+        ) WITH ('bucket.num' = '4', 'bucket.key' = 'user_id')
+    """)
+    fsql.sql(
+        "INSERT INTO dml_pfx VALUES (7, 'click', 1.0), (7, 'view', 2.0), (8, 'click', 3.0)"
+    )
+    fsql.sql("UPDATE dml_pfx SET v = v * 10 WHERE user_id = 8")
+    fsql.sql("DELETE FROM dml_pfx WHERE user_id = 7")
+    got = {(r["user_id"], r["event_type"]): r["v"]
+           for r in fsql.sql("SELECT * FROM fluss_dml_pfx__snapshot").collect()}
+    assert got == {(8, "click"): 30.0}

@@ -51,3 +51,54 @@ def test_sql_round_matches_kernel_on_runs():
     assert top == ("a", "a", 270)
     for wid, freq, syms in vocab:
         assert got[wid] == _kernel_merge(syms, "a", "a"), (wid, got[wid])
+
+
+def test_leakage_safe_split_no_cross_split_bucket_pairs(spark, sf_dir):
+    """The leakage guard itself, checked over the banded LSH relation:
+    any two docs sharing an LSH bucket (band, band_sig) — i.e. every
+    candidate near-dup pair — must land in the SAME split. A doc-keyed
+    hash split violates this; the cluster-keyed split cannot."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fluss_spark.operators.dedup import (
+        banded_signature,
+        dd_lsh_canonical,
+        lsh_params,
+        sig_stage,
+        tx_split_leakage_safe,
+    )
+
+    # rebuild the per-doc split exactly as the query assigns it
+    canon = dd_lsh_canonical(spark, sf_dir).select("doc_id", "canonical_id")
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("canonical_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    split_of = canon.withColumn(
+        "split",
+        F.when(bkt < 8, F.lit("train")).when(bkt == 8, F.lit("valid")).otherwise(F.lit("test")),
+    ).select("doc_id", "split")
+
+    r_rows, n_bands = lsh_params(sf_dir)
+    staged = sig_stage(spark, sf_dir).select("doc_id", "sig")
+    banded = staged.select(
+        "doc_id", F.explode(banded_signature(F.col("sig"), n_bands, r_rows)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+    per_bucket = (
+        banded.join(split_of, "doc_id")
+        .groupBy("band", "band_sig")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_bucket.filter(F.col("n_splits") > 1).count() == 0
+
+    # sanity: the split partitions the whole corpus (every doc assigned once)
+    from fluss_spark.registry import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    agg = tx_split_leakage_safe(spark, sf_dir).agg(F.sum("n_docs")).first()[0]
+    assert agg == n_docs
