@@ -61,6 +61,7 @@ _PRIORITY = [
     "dd_fuzzy_contamination",
     "m12_sql_update_delete",
     "tx_split_leakage_safe",
+    "dd_incremental_lsh",
     # --- r4 error row, output fixed this round ---
     "mm_feature_extract",
     # --- single round of driver history (green only in r4) ---
@@ -87,11 +88,11 @@ _PRIORITY = [
     "ann_recall_audit",
     "fn_rb_binary_roundtrip",
     "mm_resize_pipeline",
-    "op_transition_matrix",
-    # (window is exactly 50: 10 sentinels + 15 new-this-round + 1 fixed
-    # + 24 single-history; op_anomaly_zscore and op_user_paths (both
-    # r4-green) rotated out for m12_sql_update_delete and
-    # tx_split_leakage_safe; tx_hash_sample/tx_length_histogram/
+    # (window is exactly 50: 10 sentinels + 16 new-this-round + 1 fixed
+    # + 23 single-history; op_anomaly_zscore, op_user_paths and
+    # op_transition_matrix (all r4-green) rotated out for
+    # m12_sql_update_delete, tx_split_leakage_safe and
+    # dd_incremental_lsh; tx_hash_sample/tx_length_histogram/
     # tx_repetition_score/tx_blocklist_redact/tx_domain_mix/
     # tx_unigram_logloss/dd_prefix_cluster rotated out
     # — they keep their r4-green rows under the local parity suite, as

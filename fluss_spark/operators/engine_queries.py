@@ -50,6 +50,18 @@ def _max_event_id(sf: str) -> int:
     )
 
 
+def _max_doc_id(sf: str) -> int:
+    """max(doc_id) from the parquet footer statistics (exact — driver
+    metadata read, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(os.path.join(sf, "documents.parquet"))
+    idx = md.schema.names.index("doc_id")
+    return max(
+        int(md.row_group(rg).column(idx).statistics.max) for rg in range(md.num_row_groups)
+    )
+
+
 def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
     key = (variant, sf)
     if key in _CACHE:
@@ -224,6 +236,38 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         half_doc = docs.agg(F.max("doc_id")).first()[0] // 2
         t.upsert(docs.filter(F.col("doc_id") <= half_doc), ordering=["doc_id"])
         t.upsert(docs.filter(F.col("doc_id") > half_doc), ordering=["doc_id"])
+    elif variant == "lsh_state":
+        # NEAR-dup dedup as storage semantics: the LSH band-signature
+        # index is itself an engine pk table — pk=(band, band_sig) with
+        # FIRST_ROW merge keeps the first-arriving (lowest doc_id, via
+        # the fold ordering) document per bucket, fed incrementally
+        # across two commits over the 90%-"already ingested" corpus.
+        # New batches then probe the SNAPSHOT (dd_incremental_lsh) — the
+        # continuous-ingest shape of dd_minhash_lsh, no corpus-wide
+        # re-clustering per batch.
+        from fluss_spark.operators.dedup import banded_signature, lsh_params, sig_stage
+
+        schema = TableSchema(
+            fields=[
+                Field("band", "INT"),
+                Field("band_sig", "STRING"),
+                Field("doc_id", "BIGINT"),
+            ],
+            primary_key=["band", "band_sig"],
+            num_buckets=8,
+            properties={"table.merge-engine": "first_row"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        r_rows, n_bands = lsh_params(sf)
+        cutoff = _max_doc_id(sf) * 9 // 10
+        staged = sig_stage(spark, sf).filter(F.col("doc_id") <= cutoff)
+        banded = staged.select(
+            "doc_id", F.explode(banded_signature(F.col("sig"), n_bands, r_rows)).alias("b")
+        ).select(
+            F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"), "doc_id"
+        )
+        t.upsert(banded.filter(F.col("doc_id") <= cutoff // 2), ordering=["doc_id"])
+        t.upsert(banded.filter(F.col("doc_id") > cutoff // 2), ordering=["doc_id"])
     elif variant == "tiered_log":
         # S9: auto-tiering on the append path — after 4 commits only the
         # newest stays local, 3 sealed commits live in the remote tier
@@ -1040,4 +1084,89 @@ def m12_sql_update_delete(spark: SparkSession, sf: str) -> DataFrame:
     t = _build(spark, sf, "sqldml")
     return t.snapshot(spark).select(
         "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+def _incremental_lsh_oracle() -> str:
+    from fluss_spark.operators.dedup import (
+        _BAND_ROWS,
+        _K_HASHES,
+        _SHINGLE,
+        _SQL_MINHASH,
+        _SQL_SHINGLE_IDS,
+        _SQL_SHINGLES,
+        _SQL_TOKENS,
+    )
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), s0 AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t WHERE len(toks) >= {_SHINGLE}
+    ), s1 AS (
+      SELECT doc_id, {_SQL_SHINGLE_IDS} AS ids FROM s0 WHERE len(sh) > 0
+    ), sig AS (
+      SELECT doc_id, {_SQL_MINHASH} AS mh FROM s1
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(list_aggregate(mh[b * {_BAND_ROWS} + 1 : (b + 1) * {_BAND_ROWS}],
+                                'string_agg', '|')) AS band_sig
+      FROM sig, range(0, {_K_HASHES // _BAND_ROWS}) r(b)
+    ), cut AS (
+      SELECT 9 * max(doc_id) // 10 AS c FROM documents
+    ), old_b AS (
+      SELECT b, band_sig, min(doc_id) AS canonical
+      FROM bands, cut WHERE doc_id <= c
+      GROUP BY b, band_sig
+    ), hits AS (
+      SELECT bands.doc_id, min(old_b.canonical) AS matched_canonical
+      FROM bands
+      JOIN old_b ON bands.b = old_b.b AND bands.band_sig = old_b.band_sig
+      JOIN cut ON TRUE
+      WHERE bands.doc_id > cut.c
+      GROUP BY bands.doc_id
+    )
+    SELECT d.doc_id, h.matched_canonical,
+           h.matched_canonical IS NOT NULL AS is_neardup
+    FROM documents d
+    JOIN cut ON TRUE
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id > cut.c
+    """
+
+
+@register("dd_incremental_lsh", oracle=_incremental_lsh_oracle())
+def dd_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental NEAR-dup detection against stored state: the LSH
+    band-signature index of the already-ingested corpus (first 90% of
+    doc ids) lives in an engine FIRST_ROW pk table on (band, band_sig)
+    — the near-dup analog of dd_exact_engine. A new batch computes its
+    own banded signatures and probes the index SNAPSHOT with one
+    equi-join on the pk, so per-batch cost is O(batch bands) against a
+    bucket-partitioned store (never a corpus-wide re-cluster), and the
+    index itself advances by upserting the batch afterwards. Matches
+    report the stored bucket canonical (min doc_id via the fold
+    ordering); new docs with no collision pass clean."""
+    from fluss_spark.operators.dedup import banded_signature, lsh_params, sig_stage
+
+    t = _build(spark, sf, "lsh_state")
+    r_rows, n_bands = lsh_params(sf)
+    cutoff = _max_doc_id(sf) * 9 // 10
+    staged = sig_stage(spark, sf).filter(F.col("doc_id") > cutoff)
+    banded = staged.select(
+        "doc_id", F.explode(banded_signature(F.col("sig"), n_bands, r_rows)).alias("b")
+    ).select(
+        F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"), "doc_id"
+    )
+    snap = t.snapshot(spark).withColumnRenamed("doc_id", "canonical")
+    hits = (
+        banded.join(snap, on=["band", "band_sig"])
+        .groupBy("doc_id")
+        .agg(F.min("canonical").alias("matched_canonical"))
+    )
+    newdocs = load(spark, sf, "documents").filter(F.col("doc_id") > cutoff).select("doc_id")
+    return newdocs.join(hits, on="doc_id", how="left").select(
+        "doc_id",
+        "matched_canonical",
+        F.col("matched_canonical").isNotNull().alias("is_neardup"),
     )

@@ -433,3 +433,49 @@ def test_select_nprobe_meets_recall_target(spark):
     nprobe, measured = select_nprobe(e, q, target_recall=0.8)
     assert nprobe == 2
     assert measured[1] < 0.8 <= measured[2]
+
+
+def test_incremental_lsh_index_advances(spark, catalog):
+    """dd_incremental_lsh's storage contract: probing the band index is
+    read-only; upserting a new batch's bands ADVANCES the index so a
+    re-arrival of that batch (or a near-copy) now collides — and
+    FIRST_ROW keeps the original canonical, never the re-arrival."""
+    from fluss_spark.table import create_table
+    from fluss_spark.types import Field, TableSchema
+
+    schema = TableSchema(
+        fields=[Field("band", "INT"), Field("band_sig", "STRING"), Field("doc_id", "BIGINT")],
+        primary_key=["band", "band_sig"],
+        num_buckets=4,
+        properties={"table.merge-engine": "first_row"},
+    )
+    t = create_table(catalog, "db", "lsh_idx", schema)
+    old = spark.createDataFrame(
+        [(b, f"sig{b}", 100 + b) for b in range(4)], "band int, band_sig string, doc_id bigint"
+    )
+    t.upsert(old, ordering=["doc_id"])
+
+    new = spark.createDataFrame(
+        [(0, "sig0", 900), (1, "signew", 900), (2, "signew2", 901)],
+        "band int, band_sig string, doc_id bigint",
+    )
+    snap = t.snapshot(spark).withColumnRenamed("doc_id", "canonical")
+    hits = new.join(snap, on=["band", "band_sig"]).select("doc_id", "canonical").collect()
+    assert [(r["doc_id"], r["canonical"]) for r in hits] == [(900, 100)]
+
+    # ingest the batch -> its novel buckets are now state; known buckets keep
+    # their original canonical (FIRST_ROW)
+    t.upsert(new, ordering=["doc_id"])
+    snap2 = {
+        (r["band"], r["band_sig"]): r["doc_id"] for r in t.snapshot(spark).collect()
+    }
+    assert snap2[(0, "sig0")] == 100  # re-arrival did NOT steal the bucket
+    assert snap2[(1, "signew")] == 900 and snap2[(2, "signew2")] == 901
+    # a near-copy of the ingested batch now collides on its buckets
+    again = spark.createDataFrame(
+        [(1, "signew", 950)], "band int, band_sig string, doc_id bigint"
+    )
+    rehit = again.join(
+        t.snapshot(spark).withColumnRenamed("doc_id", "canonical"), on=["band", "band_sig"]
+    ).collect()
+    assert [(r["doc_id"], r["canonical"]) for r in rehit] == [(950, 900)]

@@ -1088,3 +1088,32 @@ def test_dml_bucket_key_prefix_fast_path(spark, fsql):
     got = {(r["user_id"], r["event_type"]): r["v"]
            for r in fsql.sql("SELECT * FROM fluss_dml_pfx__snapshot").collect()}
     assert got == {(8, "click"): 30.0}
+
+
+def test_dml_keyed_predicates_take_lookup_plans(spark, fsql):
+    """The DML fast-path dispatcher: full-pk equality resolves to the L1
+    single-bucket plan, bucket-key equality to the L2 plan (ONE scan, no
+    Union, __bucket partition filter), and non-keyed predicates return
+    None (the filtered-snapshot path)."""
+    from fluss_spark import plans
+
+    fsql.sql("""
+        CREATE TABLE dml_plan (
+            k BIGINT, s BIGINT, v DOUBLE,
+            PRIMARY KEY (k, s) NOT ENFORCED
+        ) WITH ('bucket.num' = '4', 'bucket.key' = 'k')
+    """)
+    fsql.sql("INSERT INTO dml_plan VALUES (1, 1, 0.5), (1, 2, 0.7), (2, 1, 0.9)")
+    from fluss_spark.table import FlussTable
+
+    t = FlussTable(fsql.catalog, "fluss", "dml_plan")
+    for cond in ("k = 1 AND s = 2", "k = 1"):
+        rows = fsql._keyed_rows(t, cond)
+        assert rows is not None, cond
+        plan = plans.physical_plan(rows)
+        assert plan.count("InMemoryFileIndex") == 1 and "Union" not in plan, plan
+        plans.assert_contains(plans.partition_filters(rows), "__bucket")
+    assert fsql._keyed_rows(t, "v = 0.5") is None  # non-key column
+    assert fsql._keyed_rows(t, "s = 2") is None  # pk suffix: not a bucket prefix
+    assert fsql._keyed_rows(t, "k = 1 AND v > 0") is None  # mixed shape
+    assert fsql._keyed_rows(t, "k = 1 OR s = 2") is None  # not a conjunction
