@@ -420,6 +420,106 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def segment_scenes(
+    media_df: DataFrame, threshold: float = 30.0, decode_mode: str = "fake"
+) -> DataFrame:
+    """Scene-cut segmentation for video payloads: split each clip where
+    the mean absolute pixel difference between consecutive frames
+    exceeds `threshold` — the shot-boundary pass a video curation
+    pipeline runs before per-scene sampling/captioning. One row in ->
+    one row per scene out (1:N mapInPandas, Arrow-batched; frames never
+    leave the kernel, only scene spans shuffle). The real path decodes
+    via PyAV or the vendored Y4M codec; the fake path derives frame
+    count and per-boundary diffs from the payload's md5 so SQL oracles
+    can recompute the exact segmentation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        codec = _video_codec()
+        mode = _resolve_mode(decode_mode, codec)
+        for pdf in batches:
+            rows = {"doc_id": [], "scene_no": [], "start_frame": [], "n_frames": []}
+
+            def emit(doc_id, cuts, n):
+                # cuts: sorted frame indexes (>0) that START a new scene
+                bounds = [0, *cuts, n]
+                for s, (a, bnd) in enumerate(zip(bounds, bounds[1:])):
+                    rows["doc_id"].append(doc_id)
+                    rows["scene_no"].append(s)
+                    rows["start_frame"].append(a)
+                    rows["n_frames"].append(bnd - a)
+
+            if mode == "real":
+                import io
+
+                import numpy as np
+
+                for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                    with codec.open(io.BytesIO(bytes(b))) as container:
+                        prev, cuts, n = None, [], 0
+                        for i, frame in enumerate(container.decode(video=0)):
+                            arr = np.frombuffer(
+                                frame.to_image().tobytes(), dtype=np.uint8
+                            ).astype(np.int16)
+                            if prev is not None and len(arr) == len(prev):
+                                if np.abs(arr - prev).mean() > threshold:
+                                    cuts.append(i)
+                            prev, n = arr, i + 1
+                        emit(doc_id, cuts, n)
+            else:
+                for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                    hx = bytes(b).hex()
+                    n = 2 + b[0] % 6
+                    cuts = [
+                        i
+                        for i in range(1, n)
+                        if hashlib.md5(f"{hx}#{i}".encode()).digest()[0] >= 128
+                    ]
+                    emit(doc_id, cuts, n)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        run, schema="doc_id bigint, scene_no int, start_frame int, n_frames int"
+    )
+
+
+@register(
+    "mm_scene_cut",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS media_hex,
+             2 + (('0x' || substr(md5(text), 1, 2))::INTEGER % 6) AS n_frames
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             CASE WHEN i > 0
+                  AND ('0x' || substr(md5(media_hex || '#' || i::VARCHAR), 1, 2))::INTEGER >= 128
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM m JOIN range(0, 8) r(i) ON i < n_frames
+    ), sc AS (
+      SELECT doc_id, i,
+             sum(is_cut) OVER (PARTITION BY doc_id ORDER BY i) AS scene_no
+      FROM fr
+    )
+    SELECT doc_id, CAST(scene_no AS INT) AS scene_no,
+           CAST(min(i) AS INT) AS start_frame,
+           CAST(count(*) AS INT) AS n_frames
+    FROM sc GROUP BY doc_id, scene_no
+    """,
+)
+def mm_scene_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene segmentation end-to-end (fake-codec domain): payload ->
+    per-boundary frame diffs -> island scenes, all inside one exploding
+    kernel. The oracle rebuilds the identical cuts from the md5-hex
+    derivation and re-derives the islands with a running-sum window, so
+    the kernel's boundary logic (first frame never cuts, spans
+    partition the clip exactly) is value-checked per scene."""
+    docs = load_spread(spark, sf, "documents")
+    media = synthesize_media(docs)
+    return segment_scenes(media, decode_mode="fake")
+
+
 # ---------------------------------------------------------------------- #
 # audio
 # ---------------------------------------------------------------------- #

@@ -1431,7 +1431,10 @@ def tx_bigram_logloss(spark: SparkSession, sf: str) -> DataFrame:
     smoothing constant V (distinct unigrams) is a broadcast 1-row
     stat."""
     d = load_spread(spark, sf, "documents").filter(F.trim("text") != "")
-    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # ONE tokenize pass feeds both the bigram staging and the vocab
+    # count (previously the regex tokenizer ran twice over the corpus —
+    # the single most expensive map stage in the query)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
     # stage the bigram structs before the generator (NOTES: an explode
     # over an inlined HOF chain re-evaluates it per output row)
     staged = toks.select(
@@ -1459,7 +1462,7 @@ def tx_bigram_logloss(spark: SparkSession, sf: str) -> DataFrame:
     # cnt-weighted mean — identical math, smaller shuffles.
     pre = bg.groupBy("doc_id", "w1", "b").agg(F.count("*").alias("cnt")).persist()
     vocab = (
-        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        toks.select(F.explode("toks").alias("term"))
         .agg(F.countDistinct("term").cast("double").alias("v"))
     )
     cb = pre.groupBy("b").agg(F.sum("cnt").cast("double").alias("nb"))

@@ -306,3 +306,30 @@ def test_real_frame_sampling_through_spark(spark):
     # grey frames round-trip exactly: frame 10 of doc 1 is value 10+70=80
     assert got[(1, 10)] == bytes([80]) * (4 * 6 * 3)
     assert got[(2, 0)] == bytes([20]) * (4 * 6 * 3)
+
+
+def test_real_scene_cut_through_spark(spark):
+    """Scene-boundary detection on real Y4M payloads: solid-colour
+    blocks produce exact cut points through the production
+    segment_scenes kernel."""
+    import numpy as np
+
+    from fluss_spark.functions import y4m
+    from fluss_spark.operators.multimodal import segment_scenes
+
+    frames = [np.full((4, 6, 3), v, dtype=np.uint8) for v in [10, 10, 10, 200, 200, 90, 90, 90, 90]]
+    media = spark.createDataFrame(
+        [(1, y4m.encode_y4m(frames), "video/y4m")], "doc_id long, media binary, mime string"
+    )
+    rows = sorted(
+        (r["scene_no"], r["start_frame"], r["n_frames"])
+        for r in segment_scenes(media, decode_mode="real").collect()
+    )
+    assert rows == [(0, 0, 3), (1, 3, 2), (2, 5, 4)]
+    # below-threshold flicker does not cut
+    soft = [np.full((4, 6, 3), v, dtype=np.uint8) for v in [100, 110, 100, 110]]
+    media2 = spark.createDataFrame(
+        [(2, y4m.encode_y4m(soft), "video/y4m")], "doc_id long, media binary, mime string"
+    )
+    rows2 = segment_scenes(media2, decode_mode="real").collect()
+    assert len(rows2) == 1 and rows2[0]["n_frames"] == 4
