@@ -1170,3 +1170,36 @@ def dd_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "matched_canonical",
         F.col("matched_canonical").isNotNull().alias("is_neardup"),
     )
+
+
+@register(
+    "a2_minmax_snapshot",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    )
+    SELECT min(user_id) AS min_user, max(user_id) AS max_user,
+           min(value) AS min_value, max(value) AS max_value
+    FROM latest
+    """,
+)
+def a2_minmax_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 statistics over a PK table's LIVE state: min/max answered from
+    the snapshot manifest's bucket-dir footers, driver-side, zero file
+    reads and zero Spark jobs for the aggregate. The log-tier metadata
+    path refuses pk tables (the WAL retains superseded versions and
+    before-images whose values would poison the stats); the snapshot
+    manifest is the structure that makes the metadata answer exact —
+    merged dirs hold exactly the live rows. The oracle recomputes the
+    same min/max from the replayed latest-event state."""
+    t = _build(spark, sf, "default")
+    assert t.log.minmax_from_metadata("value") is None  # WAL refuses: not live state
+    mm_u = t.minmax_metadata("user_id")
+    mm_v = t.minmax_metadata("value")
+    assert mm_u is not None and mm_v is not None
+    return spark.createDataFrame(
+        [(int(mm_u[0]), int(mm_u[1]), float(mm_v[0]), float(mm_v[1]))],
+        "min_user bigint, max_user bigint, min_value double, max_value double",
+    )

@@ -341,6 +341,42 @@ class KvStore:
         m = self._manifest(version) or {}
         return set(m.values())
 
+    def minmax_from_metadata(self, column: str, version: int | None = None):
+        """A2 statistics for PK tables: (min, max) of a numeric/temporal
+        column over the LIVE snapshot, from Parquet footer stats of the
+        manifest's bucket dirs — driver-side, zero file reads. Exact
+        because snapshot dirs hold exactly the live merged rows (the
+        WAL's superseded versions and before-images never appear here —
+        the reason LogStore.minmax_from_metadata refuses pk tables).
+        Returns None (caller falls back to a snapshot scan) for string
+        columns (truncatable stats), schema-evolution eras (physical
+        names differ per dir), partition keys, stat-less row groups, or
+        when no snapshot manifest exists yet."""
+        from fluss_spark.sources.log import footer_minmax
+        from fluss_spark.types import evolution_eras
+
+        if evolution_eras(self.schema):
+            return None
+        if column in self.schema.partition_keys:
+            return None
+        field = next((f for f in self.schema.fields if f.name == column), None)
+        if field is None or field.type.upper() in ("STRING", "VARCHAR", "BYTES", "BINARY"):
+            return None
+        if version is None:
+            version = self.catalog.current_commit(self.db, self.table).snapshot_version
+        manifest = self._manifest(version)
+        if not manifest:
+            return None
+        # a data dir can physically hold buckets the CURRENT manifest
+        # assigns to a newer dir — walk exactly the (dir, bucket) pairs
+        # the manifest references, mirroring scan()'s per-bucket filter
+        paths = [
+            p
+            for b, d in sorted(manifest.items())
+            if os.path.isdir(p := os.path.join(self.snapshot_dir, d, f"{BUCKET_COL}={b}"))
+        ]
+        return footer_minmax(paths, column)
+
     def _snapshot_schema(self, era=None):
         from pyspark.sql import types as T
 

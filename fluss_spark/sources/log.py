@@ -371,25 +371,7 @@ class LogStore:
         if field is None or field.type.upper() in ("STRING", "VARCHAR", "BYTES", "BINARY"):
             return None
         local, remote = self.committed_dirs()
-        paths = list(local.values()) + list(remote.values())
-        lo = hi = None
-        for d in paths:
-            for root, _dirs_, files in os.walk(d):
-                for fn in files:
-                    if not fn.endswith(".parquet"):
-                        continue
-                    md = pq.read_metadata(os.path.join(root, fn))
-                    try:
-                        idx = md.schema.names.index(column)
-                    except ValueError:
-                        return None
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            return None  # e.g. an all-null row group
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-        return None if lo is None else (lo, hi)
+        return footer_minmax(list(local.values()) + list(remote.values()), column)
 
     # ------------------------------------------------------------------ #
     # scan (S2/S3/S8)
@@ -568,3 +550,30 @@ class LogStore:
         bucket, exact even after TTL trims the log head."""
         earliest = self.earliest_offsets()
         return sum(off - earliest.get(b, 0) for b, off in self.latest_offsets().items())
+
+
+def footer_minmax(paths: list[str], column: str):
+    """(min, max) of `column` over every Parquet row group under
+    `paths` from footer statistics only — shared by the log-tier A2
+    walk and the pk-snapshot walk. Returns None (caller falls back to a
+    scan) when any row group lacks exact stats for the column."""
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for d in paths:
+        for root, _dirs_, files in os.walk(d):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(root, fn))
+                try:
+                    idx = md.schema.names.index(column)
+                except ValueError:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None  # e.g. an all-null row group
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)

@@ -183,6 +183,15 @@ class FlussTable:
             raise ValueError("$binlog requires a Primary Key Table")
         return self.kv.binlog(spark)
 
+    def minmax_metadata(self, column: str):
+        """A2 min/max from Parquet footer statistics, driver-side (None
+        means footer stats cannot answer exactly — fall back to a scan):
+        pk tables answer over the live snapshot manifest dirs, log
+        tables over both log tiers."""
+        if self.kv is not None:
+            return self.kv.minmax_from_metadata(column)
+        return self.log.minmax_from_metadata(column)
+
     def lookup(self, spark: SparkSession, key: dict[str, object]) -> DataFrame:
         """Primary-key point lookup (L1)."""
         if self.kv is None:

@@ -446,3 +446,33 @@ def test_delta_log_export_incremental(spark, admin, tmp_path):
         f"SELECT count(*) FROM read_parquet({paths!r})"
     ).fetchone()[0]
     assert n == t.scan(spark).count() == 7
+
+
+def test_pk_snapshot_minmax_metadata(spark, tmp_path):
+    """kv.minmax_from_metadata answers over LIVE rows only: after an
+    upsert replaces a key's value and a delete removes the extreme key,
+    the metadata min/max tracks the snapshot, not the WAL history."""
+    from fluss_spark.catalog import Catalog
+    from fluss_spark.table import FlussTable, create_table
+    from fluss_spark.types import Field, TableSchema
+
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = TableSchema(
+        fields=[Field("k", "BIGINT"), Field("v", "BIGINT"), Field("s", "STRING")],
+        primary_key=["k"],
+        num_buckets=4,
+    )
+    t = create_table(cat, "db", "mm", schema)
+    t.upsert(spark.createDataFrame([(i, i * 10, f"x{i}") for i in range(1, 11)], "k long, v long, s string"))
+    assert t.minmax_metadata("v") == (10, 100)
+    # replace the max and delete the min -> metadata follows the live state
+    t.upsert(spark.createDataFrame([(10, 55, "y")], "k long, v long, s string"))
+    t.delete(spark.createDataFrame([(1, 0, "z")], "k long, v long, s string"))
+    assert t.minmax_metadata("v") == (20, 90)
+    assert t.minmax_metadata("s") is None  # strings refuse (truncatable stats)
+    assert t.minmax_metadata("nope") is None
+    # the WAL path must refuse pk tables outright
+    assert t.log.minmax_from_metadata("v") is None
+    # matches a real snapshot aggregate
+    row = t.snapshot(spark).agg({"v": "min"}).first()
+    assert row[0] == 20
