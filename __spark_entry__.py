@@ -64,6 +64,8 @@ _PRIORITY = [
     "dd_incremental_lsh",
     "mm_scene_cut",
     "a2_minmax_snapshot",
+    "tx_gopher_rules",
+    "t13_scd2_history",
     # --- r4 error row, output fixed this round ---
     "mm_feature_extract",
     # --- single round of driver history (green only in r4) ---
@@ -86,14 +88,13 @@ _PRIORITY = [
     "dd_url_normalize",
     "ann_kmeans_ivf",
     "ann_range_search",
-    "ann_pq_adc",
-    "ann_recall_audit",
-    # (window is exactly 50: 10 sentinels + 18 new-this-round + 1 fixed
-    # + 21 single-history; op_anomaly_zscore, op_user_paths,
-    # op_transition_matrix, mm_resize_pipeline and fn_rb_binary_roundtrip
-    # (all r4-green) rotated out for m12_sql_update_delete,
-    # tx_split_leakage_safe, dd_incremental_lsh, mm_scene_cut and
-    # a2_minmax_snapshot; tx_hash_sample/tx_length_histogram/
+    # (window is exactly 50: 10 sentinels + 20 new-this-round + 1 fixed
+    # + 19 single-history; op_anomaly_zscore, op_user_paths,
+    # op_transition_matrix, mm_resize_pipeline, fn_rb_binary_roundtrip,
+    # ann_pq_adc and ann_recall_audit (all r4-green) rotated out for
+    # m12_sql_update_delete, tx_split_leakage_safe, dd_incremental_lsh,
+    # mm_scene_cut, a2_minmax_snapshot, tx_gopher_rules and
+    # t13_scd2_history; tx_hash_sample/tx_length_histogram/
     # tx_repetition_score/tx_blocklist_redact/tx_domain_mix/
     # tx_unigram_logloss/dd_prefix_cluster rotated out
     # — they keep their r4-green rows under the local parity suite, as

@@ -1203,3 +1203,49 @@ def a2_minmax_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         [(int(mm_u[0]), int(mm_u[1]), float(mm_v[0]), float(mm_v[1]))],
         "min_user bigint, max_user bigint, min_value double, max_value double",
     )
+
+
+@register(
+    "t13_scd2_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, round(value, 2) AS value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS ver_seq
+      FROM events
+    )
+    SELECT user_id, event_type, value, CAST(ver_seq AS BIGINT) AS ver_seq,
+           CAST(lead(ver_seq) OVER (PARTITION BY user_id ORDER BY ver_seq) AS BIGINT) AS next_seq,
+           lead(ver_seq) OVER (PARTITION BY user_id ORDER BY ver_seq) IS NULL AS is_current
+    FROM ev
+    """,
+)
+def t13_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 dimension derived from the engine CHANGELOG (the
+    warehouse artifact T4/T9 consumption exists to feed): every
+    after-image (+I/+U) in the pk table's WAL opens a key version,
+    closed by the key's next after-image — one lead() window per key,
+    no self-joins. The WAL's per-bucket offset order IS the version
+    order (the fold assigned it from the upsert ordering), so the
+    history is reconstructed purely from stored changelog columns; the
+    oracle rebuilds the same intervals from the raw events. At scale
+    this is ONE exchange on the key — the changelog arrives
+    bucket-partitioned by pk hash."""
+    from fluss_spark.types import CHANGE_TYPE_COL, INSERT, UPDATE_AFTER
+
+    from pyspark.sql import Window
+
+    t = _build(spark, sf, "default")
+    wal = t.scan(spark).filter(F.col(CHANGE_TYPE_COL).isin(INSERT, UPDATE_AFTER))
+    w = Window.partitionBy("user_id").orderBy("__offset")
+    return (
+        wal.withColumn("ver_seq", F.row_number().over(w).cast("bigint"))
+        .withColumn("next_seq", F.lead("ver_seq").over(w))
+        .select(
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            "ver_seq",
+            "next_seq",
+            F.col("next_seq").isNull().alias("is_current"),
+        )
+    )

@@ -1601,3 +1601,134 @@ def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         (lo - F.col("s") * _SEQ_LEN).cast("bigint").alias("seg_start"),
         (hi - lo).cast("bigint").alias("seg_len"),
     )
+
+
+@register(
+    "tx_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN [] ELSE {_SQL_TOKENS} END AS toks,
+             list_filter(list_transform(regexp_split_to_array(text, '\n'), l -> trim(l)),
+                         l -> l <> '') AS lines
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+             len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_filter(['the','a','and','of','to','in','is','that'],
+                             w -> list_contains(toks, w))) AS stop_hits,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+             len(list_filter(lines, l -> right(l, 3) = '...')) AS n_ellip
+      FROM t
+    ), r AS (
+      SELECT doc_id,
+             n_tok BETWEEN 20 AND 100000 AS r_word_count,
+             n_tok > 0 AND (sum_len::DOUBLE / n_tok) BETWEEN 3 AND 10 AS r_mean_word_len,
+             n_tok > 0 AND n_sym::DOUBLE / n_tok <= 0.1 AS r_symbol_ratio,
+             n_lines = 0 OR n_bullet::DOUBLE / n_lines <= 0.9 AS r_bullet_ratio,
+             n_lines = 0 OR n_ellip::DOUBLE / n_lines <= 0.3 AS r_ellipsis_ratio,
+             n_tok > 0 AND n_alpha::DOUBLE / n_tok >= 0.8 AS r_alpha_ratio,
+             stop_hits >= 2 AS r_stopwords
+      FROM s
+    )
+    SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_ratio,
+           r_ellipsis_ratio, r_alpha_ratio, r_stopwords,
+           CAST(NOT r_word_count AS INT) + CAST(NOT r_mean_word_len AS INT)
+           + CAST(NOT r_symbol_ratio AS INT) + CAST(NOT r_bullet_ratio AS INT)
+           + CAST(NOT r_ellipsis_ratio AS INT) + CAST(NOT r_alpha_ratio AS INT)
+           + CAST(NOT r_stopwords AS INT) AS n_failed,
+           r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_ratio
+           AND r_ellipsis_ratio AND r_alpha_ratio AND r_stopwords AS keep
+    FROM r
+    """,
+)
+def tx_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, appendix A1.1 —
+    the published heuristic set MassiveText was filtered with): word
+    count bounds, mean word length 3-10, symbol-to-word ratio, bullet /
+    ellipsis line ratios, alphabetic-token ratio, minimum stop-word
+    hits. The thresholds and stop set are corpus/language parameters in
+    practice; here the word-count floor is 20 (the synthetic docs run
+    10-100 tokens) and the stop set is the corpus's function words — the
+    rule STRUCTURE is Gopher's. One map-side pass of JVM array HOFs —
+    zero exchanges, zero
+    Python — emitting per-rule booleans plus the composed keep decision,
+    so a pipeline can audit WHICH rule kills a document (the per-rule
+    breakdown is what turns a filter into a tunable curation report).
+    Ratio comparisons are single IEEE divisions of exact integers —
+    deterministic on both engines, and the output is all booleans/ints
+    (no float hashing surface)."""
+    d = load(spark, sf, "documents")
+    tok = F.when(F.trim("text") == "", F.array().cast("array<string>")).otherwise(
+        tokens(F.col("text"))
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    s = d.select(
+        "doc_id",
+        F.size(tok).alias("n_tok"),
+        F.aggregate(tok, F.lit(0), lambda a, x: a + F.length(x)).alias("sum_len"),
+        F.size(
+            F.filter(tok, lambda x: x.contains("#") | x.contains("..."))
+        ).alias("n_sym"),
+        F.size(F.filter(tok, lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to", "in", "is", "that")]),
+                lambda w: F.array_contains(tok, w),
+            )
+        ).alias("stop_hits"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "*", "•"))
+        ).alias("n_bullet"),
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).alias("n_ellip"),
+    )
+    r = s.select(
+        "doc_id",
+        F.col("n_tok").between(20, 100000).alias("r_word_count"),
+        (
+            (F.col("n_tok") > 0)
+            & (F.col("sum_len").cast("double") / F.col("n_tok")).between(3, 10)
+        ).alias("r_mean_word_len"),
+        (
+            (F.col("n_tok") > 0)
+            & (F.col("n_sym").cast("double") / F.col("n_tok") <= 0.1)
+        ).alias("r_symbol_ratio"),
+        (
+            (F.col("n_lines") == 0)
+            | (F.col("n_bullet").cast("double") / F.col("n_lines") <= 0.9)
+        ).alias("r_bullet_ratio"),
+        (
+            (F.col("n_lines") == 0)
+            | (F.col("n_ellip").cast("double") / F.col("n_lines") <= 0.3)
+        ).alias("r_ellipsis_ratio"),
+        (
+            (F.col("n_tok") > 0)
+            & (F.col("n_alpha").cast("double") / F.col("n_tok") >= 0.8)
+        ).alias("r_alpha_ratio"),
+        (F.col("stop_hits") >= 2).alias("r_stopwords"),
+    )
+    rules = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_ratio",
+        "r_ellipsis_ratio",
+        "r_alpha_ratio",
+        "r_stopwords",
+    ]
+    n_failed = sum((~F.col(c)).cast("int") for c in rules)
+    keep = rules[0]
+    keep_col = F.col(rules[0])
+    for c in rules[1:]:
+        keep_col = keep_col & F.col(c)
+    return r.select(
+        "doc_id", *rules, n_failed.alias("n_failed"), keep_col.alias("keep")
+    )
