@@ -509,3 +509,39 @@ def test_dataset_card_partial_aggregation(spark, sf_dir):
     df = QUERIES["tx_dataset_card"](spark, sf_dir)
     assert plans.has_partial_aggregation(df)
     assert "CartesianProduct" not in plans.physical_plan(df)
+
+
+def test_gopher_rules_zero_exchange(spark, sf_dir):
+    """tx_gopher_rules is a pure map-side pass: every rule evaluates in
+    JVM array HOFs over the scan, no exchange, no Python."""
+    df = QUERIES["tx_gopher_rules"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_split_leakage_safe_linear_plan(spark, sf_dir):
+    """tx_split_leakage_safe: the cluster attach is one doc_id
+    equi-join over the lsh stages — no cartesian, no pairwise joins."""
+    df = QUERIES["tx_split_leakage_safe"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_incremental_lsh_probe_is_equijoin(spark, sf_dir):
+    """dd_incremental_lsh: the batch probes the stored band index with
+    an equi-join on (band, band_sig) — never a cartesian — and the
+    final attach is a doc_id equi-join."""
+    df = QUERIES["dd_incremental_lsh"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd2_single_window_exchange(spark, sf_dir):
+    """t13_scd2_history: both windows (row_number + lead) share ONE
+    user_id exchange over the changelog scan — no self-joins."""
+    df = QUERIES["t13_scd2_history"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
