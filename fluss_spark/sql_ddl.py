@@ -1078,11 +1078,33 @@ class FlussSqlSession:
             if not opts:
                 raise SqlParseError(rest)
             changes = [SetOption(k, v) for k, v in opts.items()]
-        elif low.startswith("reset"):
+        elif low.startswith(("reset", "unset")):
+            # Flink dialect says RESET, the Spark connector dialect says
+            # UNSET (engine-spark/ddl.md:200) — same operation
             keys = re.findall(r"'([^']+)'", rest)
             if not keys:
                 raise SqlParseError(rest)
             changes = [ResetOption(k) for k in keys]
+        elif re.match(r"(add|drop)\s+(if\s+(not\s+)?exists\s+)?partition\b", low):
+            # engine-spark/ddl.md:227-249: ALTER TABLE ... ADD/DROP
+            # [IF [NOT] EXISTS] PARTITION (k = 'v') [, PARTITION (...)]*
+            cm = re.findall(r"partition\s*\(([^)]*)\)", rest, re.I)
+            if not cm:
+                raise SqlParseError(rest)
+            add = low.startswith("add")
+            if_mod = re.search(r"if\s+(not\s+)?exists", low) is not None
+            for body in cm:
+                spec: dict[str, str] = {}
+                for part in self._split_top_level(body):
+                    k, _, v = part.partition("=")
+                    spec[k.strip().strip("`")] = v.strip().strip("'")
+                if add:
+                    self.admin.create_partition(db, name, spec, ignore_if_exists=if_mod)
+                else:
+                    self.admin.drop_partition(
+                        db, name, spec, ignore_if_not_exists=if_mod, spark=self.spark
+                    )
+            return
         else:
             raise SqlParseError(f"unsupported ALTER TABLE action: {rest[:60]}")
         self.admin.alter_table(db, name, changes)

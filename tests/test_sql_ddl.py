@@ -1117,3 +1117,24 @@ def test_dml_keyed_predicates_take_lookup_plans(spark, fsql):
     assert fsql._keyed_rows(t, "s = 2") is None  # pk suffix: not a bucket prefix
     assert fsql._keyed_rows(t, "k = 1 AND v > 0") is None  # mixed shape
     assert fsql._keyed_rows(t, "k = 1 OR s = 2") is None  # not a conjunction
+
+
+def test_alter_table_add_drop_partition_and_unset(spark, fsql):
+    """engine-spark dialect parity (engine-spark/ddl.md:190-249):
+    ALTER TABLE ... ADD/DROP PARTITION and UNSET as a RESET alias."""
+    fsql.sql("""
+        CREATE TABLE ptab (a INT, dt STRING) PARTITIONED BY (dt)
+        WITH ('bucket.num' = '1', 'table.log.ttl' = '9d')
+    """)
+    fsql.sql("ALTER TABLE ptab ADD PARTITION (dt = '2024-01-01')")
+    fsql.sql("ALTER TABLE ptab ADD IF NOT EXISTS PARTITION (dt = '2024-01-01')")
+    with pytest.raises(ValueError, match="exists"):
+        fsql.sql("ALTER TABLE ptab ADD PARTITION (dt = '2024-01-01')")
+    fsql.sql("INSERT INTO ptab VALUES (1, '2024-01-01'), (2, '2024-01-02')")
+    parts = [r["partition"] for r in fsql.sql("SHOW PARTITIONS ptab").collect()]
+    assert parts == ["dt=2024-01-01", "dt=2024-01-02"]
+    fsql.sql("ALTER TABLE ptab DROP PARTITION (dt = '2024-01-01')")
+    assert [r["partition"] for r in fsql.sql("SHOW PARTITIONS ptab").collect()] == ["dt=2024-01-02"]
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_ptab").collect()[0]["c"] == 1
+    fsql.sql("ALTER TABLE ptab UNSET ('table.log.ttl')")
+    assert "table.log.ttl" not in fsql.sql("SHOW CREATE TABLE ptab").collect()[0]["create_statement"]
