@@ -333,3 +333,49 @@ def test_real_scene_cut_through_spark(spark):
     )
     rows2 = segment_scenes(media2, decode_mode="real").collect()
     assert len(rows2) == 1 and rows2[0]["n_frames"] == 4
+
+
+def test_y4m_roundtrip_property():
+    """Property check: any stack of same-shape frames round-trips —
+    mono and grey-RGB bit-exactly, colour within BT.601 rounding."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fluss_spark.functions import y4m
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 17),
+        h=st.integers(1, 13),
+        n=st.integers(1, 5),
+        mono=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, n, mono, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if mono else (h, w, 3)
+        frames = [rng.integers(0, 256, size=shape, dtype=np.uint8) for _ in range(n)]
+        data = y4m.encode_y4m(frames)
+        c = y4m.open(data)
+        out = [f.to_ndarray() for f in c.decode(video=0)]
+        assert len(out) == n and (c.width, c.height) == (w, h)
+        for a, b in zip(frames, out):
+            if mono:
+                assert np.array_equal(a, b)
+            else:
+                assert np.abs(a.astype(int) - b.astype(int)).max() <= 3
+
+    check()
+
+
+def test_y4m_grey_rgb_exact_roundtrip():
+    """r=g=b frames have u=v=128 exactly -> the colour path is
+    bit-exact on greyscale content of any value."""
+    import numpy as np
+
+    from fluss_spark.functions import y4m
+
+    g = np.repeat(np.arange(256, dtype=np.uint8).reshape(16, 16)[..., None], 3, axis=-1)
+    out = next(y4m.open(y4m.encode_y4m([g])).decode(video=0)).to_ndarray()
+    assert np.array_equal(out, g)
