@@ -32,18 +32,59 @@ def _marker_path(table: FlussTable, sink_id: str) -> str:
     )
 
 
-def _last_batch(table: FlussTable, sink_id: str) -> int:
+def _resolve_marker(table: FlussTable, sink_id: str) -> int:
+    """Settle any PENDING epoch and return the last durably-applied
+    batch id.
+
+    Exactly-once needs the marker advance to be atomic with the engine
+    commit, and they are two filesystem writes — so the marker is
+    staged BEFORE the commit as a pending record carrying the commit
+    version the write will create (the incremental-MT offset-handoff
+    protocol). On recovery: if the table reached that version, the
+    data commit landed and the pending epoch finalizes (replay skips
+    it); if it didn't, the epoch never committed and the pending
+    record is discarded (replay re-applies it). The old
+    record-after-commit order had a crash window that DOUBLE-applied
+    the epoch. Assumes the streaming query is the table's only writer
+    while its batch is in flight (the reference's writer-id idempotence
+    makes the same per-writer sequencing assumption,
+    WriterStateManager.java)."""
     p = _marker_path(table, sink_id)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)["batch_id"]
-    return -1
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        m = json.load(f)
+    pending = m.get("pending")
+    if pending is not None:
+        current = table.catalog.current_commit(table.db, table.name).version
+        if current >= pending["expected_version"]:
+            m = {"batch_id": pending["batch_id"], "pending": None}
+        else:
+            m = {"batch_id": m["batch_id"], "pending": None}
+        from fluss_spark.catalog import Catalog
+
+        Catalog._write_atomic(p, json.dumps(m))
+    return m["batch_id"]
 
 
-def _record_batch(table: FlussTable, sink_id: str, batch_id: int) -> None:
+def _stage_pending(table: FlussTable, sink_id: str, last: int, batch_id: int) -> None:
     from fluss_spark.catalog import Catalog
 
-    Catalog._write_atomic(_marker_path(table, sink_id), json.dumps({"batch_id": batch_id}))
+    expected = table.catalog.current_commit(table.db, table.name).version + 1
+    Catalog._write_atomic(
+        _marker_path(table, sink_id),
+        json.dumps(
+            {"batch_id": last, "pending": {"batch_id": batch_id, "expected_version": expected}}
+        ),
+    )
+
+
+def _finalize(table: FlussTable, sink_id: str, batch_id: int) -> None:
+    from fluss_spark.catalog import Catalog
+
+    Catalog._write_atomic(
+        _marker_path(table, sink_id), json.dumps({"batch_id": batch_id, "pending": None})
+    )
 
 
 def append_sink(
@@ -52,10 +93,12 @@ def append_sink(
     """Idempotent append sink for a log table."""
 
     def write(df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_batch(table, sink_id):
+        last = _resolve_marker(table, sink_id)
+        if batch_id <= last:
             return  # replayed epoch: already committed
+        _stage_pending(table, sink_id, last, batch_id)
         table.append(df, ordering=ordering)
-        _record_batch(table, sink_id, batch_id)
+        _finalize(table, sink_id, batch_id)
 
     return write
 
@@ -69,10 +112,12 @@ def upsert_sink(
     """Idempotent upsert sink for a PK table (rows may carry __op)."""
 
     def write(df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_batch(table, sink_id):
+        last = _resolve_marker(table, sink_id)
+        if batch_id <= last:
             return
+        _stage_pending(table, sink_id, last, batch_id)
         table.upsert(df, ordering=ordering, partial_update_cols=partial_update_cols)
-        _record_batch(table, sink_id, batch_id)
+        _finalize(table, sink_id, batch_id)
 
     return write
 

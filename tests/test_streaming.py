@@ -401,3 +401,42 @@ def test_stream_dedup_within_watermark(spark, catalog, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT fp, count(*) AS n FROM dedup_out GROUP BY fp").collect()
     assert {r["fp"]: r["n"] for r in got} == {"aaa": 1, "bbb": 1, "ccc": 1}
+
+
+def test_sink_crash_windows_exactly_once(spark, catalog):
+    """The marker protocol's two crash windows: (a) crash AFTER the
+    engine commit but BEFORE the marker finalize -> the replayed epoch
+    must be recognized as applied (the old record-after-commit order
+    double-applied here); (b) crash after staging the pending marker
+    but BEFORE the commit -> the replayed epoch must re-apply."""
+    import json
+
+    from fluss_spark.streaming.sink import _marker_path, _resolve_marker, _stage_pending
+
+    t = create_table(catalog, "db", "s_crash", _log_schema())
+    sink = append_sink(t, "jobX", ordering=["a"])
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    sink(df, 0)
+    assert t.scan(spark).count() == 2
+
+    # (a) simulate: batch 1 committed, finalize never ran — rebuild the
+    # marker to its mid-protocol state (pending pointing at the commit
+    # the append below creates), run the append, then "crash"
+    last = _resolve_marker(t, "jobX")
+    _stage_pending(t, "jobX", last, 1)
+    t.append(df, ordering=["a"])          # the data commit landed
+    # marker still pending -> replay of batch 1 must NOT re-append
+    sink(df, 1)
+    assert t.scan(spark).count() == 4
+    assert _resolve_marker(t, "jobX") == 1
+
+    # (b) simulate: pending staged for batch 2 but the commit never ran
+    _stage_pending(t, "jobX", 1, 2)
+    sink(df, 2)  # must re-apply (the epoch never committed)
+    assert t.scan(spark).count() == 6
+    m = json.load(open(_marker_path(t, "jobX")))
+    assert m == {"batch_id": 2, "pending": None}
+    # steady state: replays of settled epochs stay no-ops
+    sink(df, 2)
+    sink(df, 1)
+    assert t.scan(spark).count() == 6
