@@ -155,8 +155,8 @@ class Y4mContainer:
             raise Y4mError("Y4M streams carry exactly one video stream")
         pos, idx, data = self._body, 0, self._data
         while pos < len(data):
-            nl = data.index(b"\n", pos)
-            if data[pos : pos + 5] != b"FRAME":
+            nl = data.find(b"\n", pos)
+            if nl < 0 or data[pos : pos + 5] != b"FRAME":
                 raise Y4mError(f"expected FRAME marker at byte {pos}")
             pos = nl + 1
             end = pos + self._frame_bytes

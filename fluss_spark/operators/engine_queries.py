@@ -38,28 +38,27 @@ def _events_batch(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
 
 
-def _max_event_id(sf: str) -> int:
-    """max(event_id) from the parquet footer statistics — driver-side
-    metadata read instead of a Spark aggregation job per build."""
+def _footer_max(sf: str, table: str, column: str) -> int:
+    """max(column) from the parquet footer statistics — driver-side
+    metadata read instead of a Spark aggregation job per build. The
+    driver testdata always carries row-group stats for these id
+    columns; a stat-less row group is a hard error, not a silent skip."""
     import pyarrow.parquet as pq
 
-    md = pq.read_metadata(os.path.join(sf, "events.parquet"))
-    idx = md.schema.names.index("event_id")
-    return max(
-        int(md.row_group(rg).column(idx).statistics.max) for rg in range(md.num_row_groups)
-    )
+    md = pq.read_metadata(os.path.join(sf, f"{table}.parquet"))
+    idx = md.schema.names.index(column)
+    stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+    if any(st is None or not st.has_min_max for st in stats):
+        raise ValueError(f"{table}.{column}: row group without min/max statistics")
+    return max(int(st.max) for st in stats)
+
+
+def _max_event_id(sf: str) -> int:
+    return _footer_max(sf, "events", "event_id")
 
 
 def _max_doc_id(sf: str) -> int:
-    """max(doc_id) from the parquet footer statistics (exact — driver
-    metadata read, no Spark job)."""
-    import pyarrow.parquet as pq
-
-    md = pq.read_metadata(os.path.join(sf, "documents.parquet"))
-    idx = md.schema.names.index("doc_id")
-    return max(
-        int(md.row_group(rg).column(idx).statistics.max) for rg in range(md.num_row_groups)
-    )
+    return _footer_max(sf, "documents", "doc_id")
 
 
 def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:

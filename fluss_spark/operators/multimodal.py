@@ -443,6 +443,8 @@ def segment_scenes(
 
             def emit(doc_id, cuts, n):
                 # cuts: sorted frame indexes (>0) that START a new scene
+                if n == 0:
+                    return  # zero-frame clip: no scenes, not a (0,0) row
                 bounds = [0, *cuts, n]
                 for s, (a, bnd) in enumerate(zip(bounds, bounds[1:])):
                     rows["doc_id"].append(doc_id)

@@ -1088,7 +1088,9 @@ class FlussSqlSession:
         elif re.match(r"(add|drop)\s+(if\s+(not\s+)?exists\s+)?partition\b", low):
             # engine-spark/ddl.md:227-249: ALTER TABLE ... ADD/DROP
             # [IF [NOT] EXISTS] PARTITION (k = 'v') [, PARTITION (...)]*
-            cm = re.findall(r"partition\s*\(([^)]*)\)", rest, re.I)
+            # quote-aware spec body: a ')' inside a quoted partition
+            # value must not close the paren group
+            cm = re.findall(r"partition\s*\(((?:[^)']|'[^']*')*)\)", rest, re.I)
             if not cm:
                 raise SqlParseError(rest)
             add = low.startswith("add")
@@ -1372,7 +1374,7 @@ class FlussSqlSession:
     def _eq_conjunction(self, t: FlussTable, cond: str) -> dict | None:
         """Parse `cond` as a conjunction of `col = literal` terms; return
         the {col: value} dict, else None."""
-        parts, cur, i, n = [], 0, 0, len(cond)
+        parts, i, n = [], 0, len(cond)
         in_q = False
         low = cond.lower()
         starts = [0]
@@ -1425,6 +1427,18 @@ class FlussSqlSession:
                 f"Table {db}.{name} is a Log Table: row-level DELETE/UPDATE "
                 "requires a primary-key table (writes.md:92-106); use "
                 "TRUNCATE TABLE or retention for log data"
+            )
+        engine = t.schema.properties.get("table.merge-engine")
+        if engine:
+            # non-default merge engines fold re-upserted snapshot rows
+            # through their own semantics (first_row keeps the seed so
+            # the UPDATE silently no-ops; aggregation ADDS the re-written
+            # row to the seed, corrupting untouched agg columns) — the
+            # reference likewise rejects row-level DML on them
+            # (first-row.md/aggregation.md "not support UPDATE/DELETE")
+            raise SqlParseError(
+                f"Table {db}.{name} uses merge-engine {engine!r}: row-level "
+                "DELETE/UPDATE is only supported on default-merge tables"
             )
         return t
 
@@ -1484,9 +1498,14 @@ class FlussSqlSession:
         if rows is not None:
             if rows.isEmpty():
                 return
-            for c, e in assigns.items():
-                rows = rows.withColumn(c, e)
-            t.upsert(rows.select(*[f.name for f in t.schema.fields]))
+            # ONE projection: every assignment evaluates against the OLD
+            # row (SQL semantics — SET a = b, b = a swaps; sequential
+            # withColumn would feed the new a into b)
+            t.upsert(
+                rows.select(
+                    *[assigns.get(f.name, F.col(f.name)).alias(f.name) for f in t.schema.fields]
+                )
+            )
             return
         t.update_where(self.spark, F.expr(cond) if cond else F.lit(True), assigns)
 

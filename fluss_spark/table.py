@@ -136,11 +136,20 @@ class FlussTable:
 
     def update_where(self, spark: SparkSession, cond, assignments: dict[str, object], **kw) -> CommitState:
         """Row-level UPDATE (SupportsRowLevelUpdate): read-modify-write
-        as one upsert batch."""
+        as one upsert batch. All assignments evaluate against the OLD
+        row in a single projection (SQL semantics: SET a = b, b = a
+        swaps — sequential withColumn would feed the new a into b)."""
+        exprs = {
+            c: e if hasattr(e, "_jc") or hasattr(e, "_expr") else F.lit(e)
+            for c, e in assignments.items()
+        }
         batch = self.snapshot(spark).filter(cond)
-        for c, expr in assignments.items():
-            batch = batch.withColumn(c, expr if hasattr(expr, "_jc") or hasattr(expr, "_expr") else F.lit(expr))
-        return self.upsert(batch, **kw)
+        unknown = set(exprs) - set(batch.columns)
+        if unknown:
+            raise ValueError(f"unknown column(s) in UPDATE assignments: {sorted(unknown)}")
+        return self.upsert(
+            batch.select(*[exprs.get(c, F.col(c)).alias(c) for c in batch.columns]), **kw
+        )
 
     # -- reads ------------------------------------------------------------
     def scan(

@@ -379,3 +379,15 @@ def test_y4m_grey_rgb_exact_roundtrip():
     g = np.repeat(np.arange(256, dtype=np.uint8).reshape(16, 16)[..., None], 3, axis=-1)
     out = next(y4m.open(y4m.encode_y4m([g])).decode(video=0)).to_ndarray()
     assert np.array_equal(out, g)
+
+
+def test_scene_cut_zero_frame_clip_emits_no_scenes(spark):
+    """A header-only Y4M stream (zero frames) must produce zero scene
+    rows, not a spurious (scene 0, n_frames 0) row."""
+    media = spark.createDataFrame(
+        [(9, b"YUV4MPEG2 W4 H4 F30:1 C444\n", "video/y4m")],
+        "doc_id long, media binary, mime string",
+    )
+    from fluss_spark.operators.multimodal import segment_scenes
+
+    assert segment_scenes(media, decode_mode="real").count() == 0

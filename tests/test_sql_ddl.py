@@ -1138,3 +1138,35 @@ def test_alter_table_add_drop_partition_and_unset(spark, fsql):
     assert fsql.sql("SELECT count(*) AS c FROM fluss_ptab").collect()[0]["c"] == 1
     fsql.sql("ALTER TABLE ptab UNSET ('table.log.ttl')")
     assert "table.log.ttl" not in fsql.sql("SHOW CREATE TABLE ptab").collect()[0]["create_statement"]
+
+
+def test_dml_rejects_non_default_merge_engines(spark, fsql):
+    """first-row.md:19 / versioned.md:18 — UPDATE and DELETE statements
+    are not supported on non-default merge engines (a re-upserted
+    snapshot row would fold through the engine's own semantics:
+    first_row silently keeps the seed, aggregation double-counts)."""
+    fsql.sql("""
+        CREATE TABLE fr_kv (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('bucket.num' = '1', 'table.merge-engine' = 'first_row')
+    """)
+    fsql.sql("INSERT INTO fr_kv VALUES (1, 'a')")
+    with pytest.raises(SqlParseError, match="merge-engine"):
+        fsql.sql("UPDATE fr_kv SET v = 'x' WHERE k = 1")
+    with pytest.raises(SqlParseError, match="merge-engine"):
+        fsql.sql("DELETE FROM fr_kv WHERE k = 1")
+
+
+def test_update_set_evaluates_against_old_row(spark, fsql):
+    """SQL UPDATE semantics: every SET expression sees the OLD row —
+    SET a = b, b = a swaps (sequential withColumn would copy)."""
+    fsql.sql("""
+        CREATE TABLE swap_kv (k BIGINT, a DOUBLE, b DOUBLE, PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('bucket.num' = '2')
+    """)
+    fsql.sql("INSERT INTO swap_kv VALUES (1, 1.0, 2.0), (2, 10.0, 20.0)")
+    # keyed (single-row) path
+    fsql.sql("UPDATE swap_kv SET a = b, b = a WHERE k = 1")
+    # snapshot (set-oriented) path
+    fsql.sql("UPDATE swap_kv SET a = b, b = a WHERE a > 5")
+    got = {r["k"]: (r["a"], r["b"]) for r in fsql.sql("SELECT * FROM fluss_swap_kv__snapshot").collect()}
+    assert got == {1: (2.0, 1.0), 2: (20.0, 10.0)}
