@@ -316,6 +316,44 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             {"user_id": F.col("user_id") + F.lit(1_000_000)},
         )
         sync_index(cat, "db", variant, "user_id", spark)
+    elif variant == "sqlmerge":
+        # MERGE INTO through the SQL statement surface: target seeded
+        # with latest-per-user state from the first half of events, then
+        # ONE MERGE folds the second half's latest-per-user rows in —
+        # matched 'error' rows delete, other matches update (SET sees
+        # both aliases), unmatched non-error rows insert. The whole
+        # statement is one atomic engine commit (mixed __op batch).
+        from pyspark.sql.window import Window
+
+        from fluss_spark.sql_ddl import FlussSqlSession
+
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+        src = (
+            ev.filter(F.col("event_id") > half)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+        view = f"sqlmerge_src_{abs(hash(sf)) % 10**8}"
+        src.createOrReplaceTempView(view)
+        sess = FlussSqlSession(cat, spark, default_db="db")
+        sess.sql(f"""
+            MERGE INTO sqlmerge AS t USING {view} AS s ON t.user_id = s.user_id
+            WHEN MATCHED AND s.event_type = 'error' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value = round(t.value + s.value, 2),
+                                         event_type = s.event_type
+            WHEN NOT MATCHED AND s.event_type <> 'error' THEN
+                INSERT (user_id, event_type, value)
+                VALUES (s.user_id, s.event_type, round(s.value, 2))
+        """)
     elif variant == "sqldml":
         # row-level DELETE/UPDATE through the SQL statement surface
         # (writes.md:90-115): latest-event state per user, then two
@@ -1081,6 +1119,56 @@ def m12_sql_update_delete(spark: SparkSession, sf: str) -> DataFrame:
     filtered-snapshot read-modify-write through the merge engine, each
     statement one commit with CDC-correct changelog."""
     t = _build(spark, sf, "sqldml")
+    return t.snapshot(spark).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "m13_sql_merge_into",
+    oracle="""
+    WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+    old AS (
+      SELECT user_id, event_type, value
+      FROM events, cut WHERE event_id <= c
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ),
+    src AS (
+      SELECT user_id, event_type, value
+      FROM events, cut WHERE event_id > c
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ),
+    merged AS (
+      -- matched 'error' rows delete; other matches update; the rest keep
+      SELECT o.user_id,
+             CASE WHEN s.user_id IS NOT NULL THEN s.event_type
+                  ELSE o.event_type END AS event_type,
+             CASE WHEN s.user_id IS NOT NULL THEN round(o.value + s.value, 2)
+                  ELSE o.value END AS value
+      FROM old o LEFT JOIN src s USING (user_id)
+      WHERE s.user_id IS NULL OR s.event_type <> 'error'
+      UNION ALL
+      -- unmatched non-error source rows insert
+      SELECT s.user_id, s.event_type, round(s.value, 2) AS value
+      FROM src s
+      WHERE s.event_type <> 'error'
+        AND NOT EXISTS (SELECT 1 FROM old o WHERE o.user_id = s.user_id)
+    )
+    SELECT user_id, event_type, round(value, 2) AS value FROM merged
+    """,
+)
+def m13_sql_merge_into(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO as a SQL statement — the set-oriented composition of
+    the DML triad the reference spreads over INSERT INTO upserts
+    (writes.md:40) and single-row UPDATE/DELETE (writes.md:90-115).
+    All three WHEN clauses (matched+cond DELETE, matched UPDATE,
+    not-matched+cond INSERT) compile into ONE mixed upsert/delete batch
+    (__op column) and land as ONE atomic engine commit with CDC-correct
+    changelog. The only corpus-sized work is one key-equality join of
+    the source against the target snapshot; clause evaluation is a
+    map-side CASE chain, and the commit path's own read-old semi-join
+    touches only the batch's buckets."""
+    t = _build(spark, sf, "sqlmerge")
     return t.snapshot(spark).select(
         "user_id", "event_type", F.round("value", 2).alias("value")
     )

@@ -144,6 +144,8 @@ class FlussSqlSession:
             return self._delete(s)
         if low.startswith("update "):
             return self._update(s)
+        if low.startswith("merge into"):
+            return self._merge(s)
         if low.startswith("call"):
             return self._call(s)
         if low.startswith("use "):
@@ -245,7 +247,7 @@ class FlussSqlSession:
         # parsed by this session's own grammar and can legitimately
         # quote identifiers as db.`tbl`.
         reaches_spark_sql = low.startswith(
-            ("select", "with ", "values", "explain", "insert")
+            ("select", "with ", "values", "explain", "insert", "merge into")
         ) or re.search(r"\bas\s+select\b", low)
         if reaches_spark_sql and re.search(r"\.\s*`", low):
             raise sec.AuthorizationError(
@@ -304,11 +306,12 @@ class FlussSqlSession:
                 chk("ALTER", sec.Resource.table(db, t))
             return
         if low.startswith(
-            ("insert into", "insert overwrite", "truncate table", "delete from", "update ")
+            ("insert into", "insert overwrite", "truncate table", "delete from",
+             "update ", "merge into")
         ):
             m = re.match(
-                r"(?:insert\s+(?:into|overwrite)|truncate\s+table|delete\s+from|update)"
-                r"\s+([\w.`]+)",
+                r"(?:insert\s+(?:into|overwrite)|truncate\s+table|delete\s+from|update"
+                r"|merge\s+into)\s+([\w.`]+)",
                 s,
                 re.I,
             )
@@ -1508,6 +1511,238 @@ class FlussSqlSession:
             )
             return
         t.update_where(self.spark, F.expr(cond) if cond else F.lit(True), assigns)
+
+    # -- MERGE INTO ----------------------------------------------------- #
+    #
+    # Completes the row-level DML triad. The reference exposes upsert
+    # semantics through INSERT INTO on primary-key tables (writes.md:40)
+    # and single-row UPDATE/DELETE (writes.md:90-115); MERGE is the
+    # set-oriented composition of all three, and the engine's mixed
+    # upsert/delete batch format (__op column, KvTablet-style fold) lets
+    # the whole statement land as ONE atomic commit with CDC-correct
+    # changelog — matched UPDATEs fold as upserts, matched DELETEs as
+    # deletes, NOT MATCHED INSERTs as new-key upserts, in a single
+    # write-lock acquisition.
+    #
+    # Scale shape: the only corpus-sized work is one key-equality join of
+    # the source against the target snapshot (AQE picks broadcast when
+    # the source is small; both sides hash-partition on the join key
+    # otherwise). Clause evaluation is a map-side CASE chain over the
+    # joined rows; the commit path then applies its own O(batch)
+    # read-old semi-join and touches only the batch's buckets.
+
+    def _split_clauses(self, body: str) -> list[str]:
+        """Split the WHEN-clause tail on top-level `when` keywords."""
+        out = []
+        while True:
+            rest = body[4:]  # past the leading 'when'
+            nxt = self._find_top_level(rest, "when")
+            if nxt < 0:
+                out.append(body.strip())
+                return out
+            out.append(body[: nxt + 4].strip())
+            body = rest[nxt:]
+
+    def _merge(self, s: str) -> None:
+        from pyspark.sql import functions as F
+
+        from fluss_spark.operators.replay import OP_COL
+        from fluss_spark.types import parse_type
+
+        m = re.match(
+            r"merge\s+into\s+([\w.`]+)(?:\s+(?:as\s+)?(?!using\b)`?(\w+)`?)?"
+            r"\s+using\s+(.*)$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise SqlParseError(s)
+        t = self._dml_target(m.group(1))
+        t_alias = m.group(2) or t.name
+        rest = m.group(3).lstrip()
+        # source: parenthesized subquery or a view name (engine tables by
+        # their registered `db_tbl` view name, exactly as in SELECT)
+        self._register_referenced_views(s)
+        if rest.startswith("("):
+            depth, i, in_q = 0, 0, False
+            while i < len(rest):
+                c = rest[i]
+                if c == "'":
+                    in_q = not in_q
+                elif not in_q:
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                i += 1
+            if depth != 0:
+                raise SqlParseError("unbalanced parens in MERGE source")
+            src = self.spark.sql(rest[1:i])
+            rest = rest[i + 1 :].strip()
+            s_alias_m = re.match(r"(?:as\s+)?(?!on\b)`?(\w+)`?\s+(.*)$", rest, re.I | re.S)
+            if not s_alias_m:
+                raise SqlParseError("MERGE subquery source requires an alias")
+            s_alias, rest = s_alias_m.group(1), s_alias_m.group(2)
+        else:
+            nm = re.match(r"([\w.`]+)\s+(.*)$", rest, re.S)
+            if not nm:
+                raise SqlParseError(s)
+            src_name, rest = nm.group(1).strip("`"), nm.group(2)
+            src = self.spark.table(src_name)
+            s_alias = src_name.rsplit(".", 1)[-1]
+            s_alias_m = re.match(r"(?:as\s+)?(?!on\b)`?(\w+)`?\s+(.*)$", rest.strip(), re.I | re.S)
+            if s_alias_m:
+                s_alias, rest = s_alias_m.group(1), s_alias_m.group(2)
+        on_m = re.match(r"\s*on\s+(.*)$", rest, re.I | re.S)
+        if not on_m:
+            raise SqlParseError("MERGE requires an ON condition")
+        body = on_m.group(1)
+        wi = self._find_top_level(body, "when")
+        if wi < 0:
+            raise SqlParseError("MERGE requires at least one WHEN clause")
+        on_cond, clause_text = body[:wi].strip(), body[wi:].strip()
+
+        fields = t.schema.fields
+        types = {f.name: f.type for f in t.schema.fields}
+        pk = t.schema.primary_key
+        matched_col = F.col("__fluss_matched")
+
+        # parse clauses in order; first matching clause wins (ANSI)
+        actions: list[tuple] = []  # (condition Column, kind, payload)
+        for clause in self._split_clauses(clause_text):
+            cm = re.match(r"when\s+(not\s+)?matched\b(.*)$", clause, re.I | re.S)
+            if not cm:
+                raise SqlParseError(f"bad MERGE clause: {clause[:60]!r}")
+            is_matched = cm.group(1) is None
+            tail = cm.group(2)
+            ti = self._find_top_level(tail, "then")
+            if ti < 0:
+                raise SqlParseError(f"MERGE clause missing THEN: {clause[:60]!r}")
+            head, act = tail[:ti].strip(), tail[ti + 4 :].strip()
+            base = matched_col.isNotNull() if is_matched else matched_col.isNull()
+            am = re.match(r"and\s+(.*)$", head, re.I | re.S)
+            if am:
+                base = base & F.expr(am.group(1))
+            elif head:
+                raise SqlParseError(f"bad MERGE clause head: {head!r}")
+            low_act = act.lower()
+            if low_act.startswith("update") and is_matched:
+                um = re.match(r"update\s+set\s+(.*)$", act, re.I | re.S)
+                if not um:
+                    raise SqlParseError(f"bad UPDATE action: {act[:60]!r}")
+                assigns: dict[str, object] = {}
+                for item in self._split_assignments(um.group(1)):
+                    sm = re.match(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*$", item, re.S)
+                    if not sm:
+                        raise SqlParseError(f"bad SET clause: {item!r}")
+                    col, expr = sm.group(1), sm.group(2)
+                    if col in pk:
+                        raise SqlParseError(
+                            f"cannot UPDATE primary-key column {col!r}"
+                        )
+                    if col not in types:
+                        raise SqlParseError(f"unknown column {col!r} in SET")
+                    if col in assigns:
+                        raise SqlParseError(f"duplicate SET of column {col!r}")
+                    assigns[col] = F.expr(expr).cast(parse_type(types[col]))
+                actions.append((base, "update", assigns))
+            elif low_act == "delete" and is_matched:
+                actions.append((base, "delete", None))
+            elif low_act.startswith("insert") and not is_matched:
+                if re.match(r"insert\s*\*\s*$", act, re.I):
+                    missing = [f.name for f in fields if f.name not in src.columns]
+                    if missing:
+                        raise SqlParseError(
+                            f"INSERT * source lacks target column(s) {missing}"
+                        )
+                    ins = {
+                        f.name: F.col(f"{s_alias}.{f.name}").cast(parse_type(f.type))
+                        for f in fields
+                    }
+                else:
+                    im = re.match(
+                        r"insert\s*\(([^)]*)\)\s*values\s*\((.*)\)\s*$", act, re.I | re.S
+                    )
+                    if not im:
+                        raise SqlParseError(f"bad INSERT action: {act[:60]!r}")
+                    cols = [c.strip().strip("`") for c in im.group(1).split(",")]
+                    vals = self._split_assignments(im.group(2))
+                    if len(cols) != len(vals):
+                        raise SqlParseError(
+                            f"INSERT has {len(cols)} columns but {len(vals)} values"
+                        )
+                    unknown = [c for c in cols if c not in types]
+                    if unknown:
+                        raise SqlParseError(f"unknown INSERT column(s) {unknown}")
+                    lacking = [c for c in pk if c not in cols]
+                    if lacking:
+                        raise SqlParseError(
+                            f"INSERT must supply primary-key column(s) {lacking}"
+                        )
+                    ins = {
+                        c: F.expr(v).cast(parse_type(types[c]))
+                        for c, v in zip(cols, vals)
+                    }
+                actions.append((base, "insert", ins))
+            else:
+                kind = "MATCHED" if is_matched else "NOT MATCHED"
+                raise SqlParseError(
+                    f"action {act[:40]!r} is not valid for WHEN {kind}"
+                )
+
+        tgt = (
+            t.snapshot(self.spark)
+            .withColumn("__fluss_matched", F.lit(1))
+            .alias(t_alias)
+        )
+        joined = src.alias(s_alias).join(tgt, F.expr(on_cond), "left")
+
+        # first-match-wins action index
+        action_idx = F.lit(None).cast("int")
+        chain = None
+        for i, (cond, _, _) in enumerate(actions):
+            chain = F.when(cond, F.lit(i)) if chain is None else chain.when(cond, F.lit(i))
+        action_idx = chain
+
+        def field_value(f):
+            old = F.col(f"{t_alias}.{f.name}")
+            out = F.lit(None).cast(parse_type(f.type))
+            for i, (_, kind, payload) in enumerate(actions):
+                if kind == "update":
+                    v = payload.get(f.name, old)
+                elif kind == "delete":
+                    v = old
+                else:  # insert
+                    v = payload.get(f.name, F.lit(None).cast(parse_type(f.type)))
+                out = F.when(action_idx == i, v).otherwise(out)
+            return out.cast(parse_type(f.type)).alias(f.name)
+
+        op = F.lit("U")
+        for i, (_, kind, _) in enumerate(actions):
+            if kind == "delete":
+                op = F.when(action_idx == i, F.lit("D")).otherwise(op)
+        batch = joined.filter(action_idx.isNotNull()).select(
+            *[field_value(f) for f in fields], op.alias(OP_COL)
+        )
+        # ANSI cardinality rule: each target key may be touched at most
+        # once per MERGE — catches both several source rows matching one
+        # target row and duplicate-key inserts. The batch is pinned so
+        # the check and the commit see the same rows (and the commit
+        # does not re-run the join).
+        batch = batch.localCheckpoint(eager=True)
+        dup = batch.groupBy(*pk).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            key = {c: dup[0][c] for c in pk}
+            raise SqlParseError(
+                f"MERGE touches target key {key} more than once "
+                "(multiple source rows match one target row, or duplicate "
+                "INSERT keys)"
+            )
+        if batch.isEmpty():
+            return
+        t.upsert(batch)
 
     def _insert_overwrite(self, t: FlussTable, df: DataFrame) -> None:
         """INSERT OVERWRITE (Flink semantics over the engine's commit

@@ -1170,3 +1170,197 @@ def test_update_set_evaluates_against_old_row(spark, fsql):
     fsql.sql("UPDATE swap_kv SET a = b, b = a WHERE a > 5")
     got = {r["k"]: (r["a"], r["b"]) for r in fsql.sql("SELECT * FROM fluss_swap_kv__snapshot").collect()}
     assert got == {1: (2.0, 1.0), 2: (20.0, 10.0)}
+
+
+def test_merge_into_all_clauses(spark, fsql):
+    """MERGE INTO = the set-oriented composition of the DML triad, ONE
+    atomic commit through the engine's mixed upsert/delete batch:
+    matched+cond DELETE, matched UPDATE (first matching clause wins,
+    SET sees both aliases), not-matched+cond INSERT."""
+    fsql.sql("""
+        CREATE TABLE mrg (id BIGINT, kind STRING, v DOUBLE,
+                          PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '4')
+    """)
+    fsql.sql("INSERT INTO mrg VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'x', 3.0)")
+    fsql.sql("""
+        CREATE TABLE mrg_src (id BIGINT, kind STRING, v DOUBLE,
+                              PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '2')
+    """)
+    fsql.sql(
+        "INSERT INTO mrg_src VALUES (2, 'b2', 20.0), (3, 'drop', 0.0), "
+        "(4, 'c', 4.0), (5, 'drop', 5.0)"
+    )
+    v_before = fsql.catalog.current_commit("fluss", "mrg").version
+    fsql.sql("""
+        MERGE INTO mrg AS t USING fluss_mrg_src__snapshot AS s ON t.id = s.id
+        WHEN MATCHED AND s.kind = 'drop' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v, kind = s.kind
+        WHEN NOT MATCHED AND s.kind <> 'drop' THEN INSERT (id, kind, v)
+            VALUES (s.id, s.kind, s.v)
+    """)
+    got = {
+        r["id"]: (r["kind"], r["v"])
+        for r in fsql.sql("SELECT * FROM fluss_mrg__snapshot").collect()
+    }
+    assert got == {1: ("a", 1.0), 2: ("b2", 22.0), 4: ("c", 4.0)}
+    # the whole statement is ONE commit with CDC-correct changelog rows
+    assert fsql.catalog.current_commit("fluss", "mrg").version == v_before + 1
+    cdc = {
+        r["_change_type"]: r["c"]
+        for r in fsql.sql(
+            "SELECT _change_type, count(*) AS c FROM fluss_mrg__changelog "
+            "GROUP BY _change_type"
+        ).collect()
+    }
+    assert cdc["-D"] == 1  # the matched delete of id=3
+    assert cdc["+U"] >= 1  # the matched update of id=2
+
+
+def test_merge_into_subquery_source_and_insert_star(spark, fsql):
+    fsql.sql("""
+        CREATE TABLE mrg2 (id BIGINT, kind STRING, v DOUBLE,
+                           PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '2')
+    """)
+    fsql.sql("INSERT INTO mrg2 VALUES (1, 'a', 1.0)")
+    fsql.sql("""
+        MERGE INTO mrg2 t
+        USING (SELECT CAST(9 AS BIGINT) AS id, 'z' AS kind,
+                      CAST(9.5 AS DOUBLE) AS v) s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r["id"]: (r["kind"], r["v"])
+           for r in fsql.sql("SELECT * FROM fluss_mrg2__snapshot").collect()}
+    assert got == {1: ("a", 1.0), 9: ("z", 9.5)}
+    # an all-unmatched-no-clause merge is a no-op, not an empty commit
+    v = fsql.catalog.current_commit("fluss", "mrg2").version
+    fsql.sql("""
+        MERGE INTO mrg2 t
+        USING (SELECT CAST(1 AS BIGINT) AS id, 'q' AS kind,
+                      CAST(0.0 AS DOUBLE) AS v) s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert fsql.catalog.current_commit("fluss", "mrg2").version == v
+
+
+def test_merge_into_cardinality_and_rejections(spark, fsql):
+    fsql.sql("""
+        CREATE TABLE mrg3 (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '2')
+    """)
+    fsql.sql("INSERT INTO mrg3 VALUES (1, 1.0)")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0)], "id long, v double"
+    ).createOrReplaceTempView("mrg3_dup")
+    # ANSI cardinality rule: two source rows touching one target key
+    with pytest.raises(SqlParseError, match="more than once"):
+        fsql.sql(
+            "MERGE INTO mrg3 t USING mrg3_dup s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    # duplicate INSERT keys are the same violation
+    spark.createDataFrame(
+        [(7, 1.0), (7, 2.0)], "id long, v double"
+    ).createOrReplaceTempView("mrg3_dup2")
+    with pytest.raises(SqlParseError, match="more than once"):
+        fsql.sql(
+            "MERGE INTO mrg3 t USING mrg3_dup2 s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+        )
+    spark.createDataFrame([(1, 10.0)], "id long, v double").createOrReplaceTempView(
+        "mrg3_src"
+    )
+    with pytest.raises(SqlParseError, match="primary-key column"):
+        fsql.sql(
+            "MERGE INTO mrg3 t USING mrg3_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET id = s.id + 1"
+        )
+    # INSERT must bind the full pk
+    with pytest.raises(SqlParseError, match="primary-key column"):
+        fsql.sql(
+            "MERGE INTO mrg3 t USING mrg3_src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)"
+        )
+    # clause/action kind mismatches
+    with pytest.raises(SqlParseError, match="not valid"):
+        fsql.sql(
+            "MERGE INTO mrg3 t USING mrg3_src s ON t.id = s.id "
+            "WHEN MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+        )
+    with pytest.raises(SqlParseError, match="not valid"):
+        fsql.sql(
+            "MERGE INTO mrg3 t USING mrg3_src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN DELETE"
+        )
+    # log tables and non-default merge engines reject MERGE like UPDATE
+    fsql.sql("CREATE TABLE mrg_log (a INT) WITH ('bucket.num' = '1')")
+    with pytest.raises(SqlParseError, match="Log Table"):
+        fsql.sql(
+            "MERGE INTO mrg_log t USING mrg3_src s ON t.a = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+    fsql.sql("""
+        CREATE TABLE mrg_fr (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('bucket.num' = '1', 'table.merge-engine' = 'first_row')
+    """)
+    with pytest.raises(SqlParseError, match="merge-engine"):
+        fsql.sql(
+            "MERGE INTO mrg_fr t USING mrg3_src s ON t.k = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_into_authorization(spark, tmp_path):
+    """MERGE requires WRITE on the target and READ on referenced
+    source tables."""
+    from fluss_spark.security import (
+        AccessControlEntry,
+        AclBinding,
+        AuthorizationError,
+        FlussPrincipal,
+        Resource,
+        create_acls,
+    )
+
+    catalog = Catalog(str(tmp_path / "wh_mrg_auth"))
+    root = FlussSqlSession(catalog, spark, principal="root", super_users=["User:root"])
+    root.sql(
+        "CREATE TABLE fluss.sec_t (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT ENFORCED)"
+        " WITH ('bucket.num' = '1')"
+    )
+    root.sql(
+        "CREATE TABLE fluss.sec_s (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT ENFORCED)"
+        " WITH ('bucket.num' = '1')"
+    )
+    root.sql("INSERT INTO fluss.sec_t VALUES (1, 1.0)")
+    root.sql("INSERT INTO fluss.sec_s VALUES (1, 2.0)")
+    stmt = (
+        "MERGE INTO sec_t t USING fluss_sec_s__snapshot s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    bob = FlussSqlSession(catalog, spark, principal="bob")
+    with pytest.raises(AuthorizationError):
+        bob.sql(stmt)  # neither grant
+    create_acls(
+        catalog,
+        [AclBinding(
+            Resource.table("fluss", "sec_t"),
+            AccessControlEntry(FlussPrincipal("bob"), "WRITE"),
+        )],
+    )
+    with pytest.raises(AuthorizationError):
+        bob.sql(stmt)  # WRITE on target but no READ on source
+    create_acls(
+        catalog,
+        [AclBinding(
+            Resource.table("fluss", "sec_s"),
+            AccessControlEntry(FlussPrincipal("bob"), "READ"),
+        )],
+    )
+    bob.sql(stmt)
+    got = root.sql("SELECT v FROM fluss_sec_t__snapshot").collect()
+    assert got[0]["v"] == 2.0
