@@ -393,3 +393,192 @@ def tx_classifier_audit(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("recall"),
         F.round((tp + tn) / (tp + fp + fn + tn), 4).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------- #
+# tx_dsir_resample: importance resampling for domain-targeted selection
+# ---------------------------------------------------------------------- #
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling", arXiv:2302.03169): fit bag-of-hashed-ngram
+# unigram models over a TARGET domain and the RAW corpus, weight every
+# raw document by its log likelihood ratio, then Gumbel-top-k resample.
+# Target here = the 'en' slice of `documents` (the paper's
+# formal-text-vs-web split, reduced to the corpus's own labels).
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_K = 100  # documents to resample
+_DSIR_U = 4_294_967_298.0  # 2^32 + 2: md5-u32 + 1 over this is in (0,1)
+
+_SQL_DSIR_FEATS = f"""
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 4))::BIGINT % {_DSIR_B} AS b
+  FROM (
+    SELECT doc_id, lang, {_SQL_TOKENS} AS toks
+    FROM documents WHERE trim(text) <> ''
+  ),
+  unnest(list_concat(
+    toks,
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+  )) AS u(f)
+"""
+
+
+@register(
+    "tx_dsir_resample",
+    oracle=f"""
+    WITH feats AS ({_SQL_DSIR_FEATS}),
+    docb AS (
+      SELECT doc_id, lang, b, count(*) AS c FROM feats GROUP BY doc_id, lang, b
+    ),
+    counts AS (
+      SELECT b, sum(c) AS raw_n,
+             sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tgt_n
+      FROM docb GROUP BY b
+    ),
+    tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM counts),
+    lm AS (
+      SELECT b,
+             CAST(floor((ln((tgt_n + 1.0) / (tgt_tot + {_DSIR_B}.0))
+                       - ln((raw_n + 1.0) / (raw_tot + {_DSIR_B}.0)))
+                        * 1000000 + 0.5) AS BIGINT) AS llr_q
+      FROM counts, tot
+    ),
+    scored AS (
+      SELECT doc_id, lang, sum(c * llr_q) AS logw_q
+      FROM docb JOIN lm USING (b)
+      GROUP BY doc_id, lang
+    ),
+    keyed AS (
+      SELECT doc_id, lang,
+             round(logw_q / 1000000.0, 4) AS logw,
+             round(logw_q / 1000000.0
+                   - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                            / {_DSIR_U!r})), 4) AS gkey
+      FROM scored
+    )
+    SELECT doc_id, lang, logw, gkey,
+           row_number() OVER (ORDER BY gkey DESC, doc_id) AS rank
+    FROM keyed
+    QUALIFY rank <= {_DSIR_K}
+    """,
+)
+def tx_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): hashed unigram+bigram
+    features in {_DSIR_B} buckets, add-1-smoothed target ('en') and raw
+    feature LMs, per-doc importance weight = sum of per-feature log
+    likelihood ratios, Gumbel-top-k resample (noise from the shared md5
+    PRF, so the draw is deterministic).
+
+    Scale shape: ONE corpus pass stages the per-(doc, bucket) count
+    sufficient statistic (persisted; <= {_DSIR_B} rows/doc); both LMs
+    fold from it as a {_DSIR_B}-row aggregate broadcast back, scoring
+    is a broadcast join + one doc-keyed sum (per-feature contributions
+    quantized to int64 — the repo's exact-sum determinism rule), and
+    the top-k is a rank-pushdown window. Nothing corpus-sized ever
+    lands on the driver; the feature space is fixed-width by
+    construction, which is what makes the method 100-TB-viable."""
+    from pyspark.sql.window import Window
+
+    from fluss_spark.registry import load_spread
+
+    d = load_spread(spark, sf, "documents")
+    # Arrow kernel, not the HOF chain: tokenize + bigram + per-feature
+    # md5 through interpreted lambdas costs ~3x the whole query (the
+    # shingle_base lesson); the kernel emits the per-(doc, bucket)
+    # count sufficient statistic directly and reproduces the oracle's
+    # semantics BIT-EXACTLY — trim = ASCII spaces, split on ASCII \s+,
+    # bucket = int(md5(utf8)[:4hex]) % B, counts over unigrams+bigrams.
+    n_b = _DSIR_B
+
+    def kern(it):
+        import hashlib
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        # feature -> bucket memo: the hash of a feature string is pure,
+        # so each distinct n-gram pays md5 once per task (vocabulary is
+        # sublinear in corpus size; without this the kernel is md5-bound
+        # at tokens x2 calls per partition)
+        memo: dict = {}
+
+        def bucket(f: str) -> int:
+            v = memo.get(f)
+            if v is None:
+                v = int(hashlib.md5(f.encode("utf-8")).hexdigest()[:4], 16) % n_b
+                memo[f] = v
+            return v
+
+        for pdf in it:
+            out_doc, out_lang, out_b, out_c = [], [], [], []
+            for did, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                if text is None:
+                    continue
+                t = text.strip(" ").lower()
+                if not t:
+                    continue
+                tok = ws.split(t)
+                feats: Counter = Counter(tok)
+                feats.update(a + " " + b2 for a, b2 in zip(tok, tok[1:]))
+                cnt: Counter = Counter()
+                for f, c in feats.items():
+                    cnt[bucket(f)] += c
+                for bk, c in cnt.items():
+                    out_doc.append(did)
+                    out_lang.append(lang)
+                    out_b.append(bk)
+                    out_c.append(c)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "lang": out_lang, "b": out_b, "c": out_c}
+            )
+
+    docb = (
+        d.select("doc_id", "lang", "text")
+        .mapInPandas(kern, "doc_id long, lang string, b long, c long")
+        .persist()
+    )
+    # eager materialization: the LM-broadcast subtree and the scoring
+    # scan consume docb in ONE job — tasks racing a cold cache would
+    # each re-run the kernel (the shingle_base lesson)
+    docb.count()
+    counts = docb.groupBy("b").agg(
+        F.sum("c").alias("raw_n"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))).alias(
+            "tgt_n"
+        ),
+    )
+    tot = counts.agg(
+        F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    llr = F.log((F.col("tgt_n") + 1.0) / (F.col("tgt_tot") + float(_DSIR_B))) - F.log(
+        (F.col("raw_n") + 1.0) / (F.col("raw_tot") + float(_DSIR_B))
+    )
+    lm = counts.crossJoin(F.broadcast(tot)).select(
+        "b", F.floor(llr * F.lit(1_000_000) + F.lit(0.5)).cast("bigint").alias("llr_q")
+    )
+    scored = (
+        docb.join(F.broadcast(lm), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("llr_q")).alias("logw_q"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(_DSIR_U)
+    keyed = scored.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("logw_q") / 1_000_000.0, 4).alias("logw"),
+        F.round(F.col("logw_q") / 1_000_000.0 - F.log(-F.log(u)), 4).alias("gkey"),
+    )
+    w = Window.orderBy(F.desc("gkey"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DSIR_K)
+        .select("doc_id", "lang", "logw", "gkey", "rank")
+    )
