@@ -1607,28 +1607,56 @@ class FlussSqlSession:
         fields = t.schema.fields
         types = {f.name: f.type for f in t.schema.fields}
         pk = t.schema.primary_key
-        matched_col = F.col("__fluss_matched")
+        t_marker, s_marker = F.col("__fluss_tgt"), F.col("__fluss_src")
+        scope_cond = {
+            "matched": t_marker.isNotNull() & s_marker.isNotNull(),
+            "by_target": s_marker.isNotNull() & t_marker.isNull(),
+            "by_source": t_marker.isNotNull() & s_marker.isNull(),
+        }
 
         # parse clauses in order; first matching clause wins (ANSI)
         actions: list[tuple] = []  # (condition Column, kind, payload)
+        seen_scopes: set[str] = set()
         for clause in self._split_clauses(clause_text):
-            cm = re.match(r"when\s+(not\s+)?matched\b(.*)$", clause, re.I | re.S)
+            cm = re.match(
+                r"when\s+(not\s+)?matched(?:\s+by\s+(source|target))?\b(.*)$",
+                clause,
+                re.I | re.S,
+            )
             if not cm:
                 raise SqlParseError(f"bad MERGE clause: {clause[:60]!r}")
             is_matched = cm.group(1) is None
-            tail = cm.group(2)
+            by = (cm.group(2) or "").lower()
+            if is_matched and by:
+                raise SqlParseError(
+                    f"BY {by.upper()} is only valid after NOT MATCHED"
+                )
+            # WHEN NOT MATCHED [BY TARGET] = source rows with no target
+            # match; WHEN NOT MATCHED BY SOURCE = target rows with no
+            # source match (the Spark/Delta extension)
+            scope = "matched" if is_matched else ("by_source" if by == "source" else "by_target")
+            seen_scopes.add(scope)
+            tail = cm.group(3)
             ti = self._find_top_level(tail, "then")
             if ti < 0:
                 raise SqlParseError(f"MERGE clause missing THEN: {clause[:60]!r}")
             head, act = tail[:ti].strip(), tail[ti + 4 :].strip()
-            base = matched_col.isNotNull() if is_matched else matched_col.isNull()
+            base = scope_cond[scope]
             am = re.match(r"and\s+(.*)$", head, re.I | re.S)
             if am:
+                if scope == "by_source" and re.search(
+                    rf"\b{re.escape(s_alias)}\s*\.", am.group(1)
+                ):
+                    raise SqlParseError(
+                        "a NOT MATCHED BY SOURCE condition cannot reference "
+                        f"the source alias {s_alias!r} (no source row exists)"
+                    )
                 base = base & F.expr(am.group(1))
             elif head:
                 raise SqlParseError(f"bad MERGE clause head: {head!r}")
             low_act = act.lower()
-            if low_act.startswith("update") and is_matched:
+            is_target_scoped = scope in ("matched", "by_source")
+            if low_act.startswith("update") and is_target_scoped:
                 um = re.match(r"update\s+set\s+(.*)$", act, re.I | re.S)
                 if not um:
                     raise SqlParseError(f"bad UPDATE action: {act[:60]!r}")
@@ -1646,11 +1674,18 @@ class FlussSqlSession:
                         raise SqlParseError(f"unknown column {col!r} in SET")
                     if col in assigns:
                         raise SqlParseError(f"duplicate SET of column {col!r}")
+                    if scope == "by_source" and re.search(
+                        rf"\b{re.escape(s_alias)}\s*\.", expr
+                    ):
+                        raise SqlParseError(
+                            "a NOT MATCHED BY SOURCE assignment cannot "
+                            f"reference the source alias {s_alias!r}"
+                        )
                     assigns[col] = F.expr(expr).cast(parse_type(types[col]))
                 actions.append((base, "update", assigns))
-            elif low_act == "delete" and is_matched:
+            elif low_act == "delete" and is_target_scoped:
                 actions.append((base, "delete", None))
-            elif low_act.startswith("insert") and not is_matched:
+            elif low_act.startswith("insert") and scope == "by_target":
                 if re.match(r"insert\s*\*\s*$", act, re.I):
                     missing = [f.name for f in fields if f.name not in src.columns]
                     if missing:
@@ -1687,17 +1722,27 @@ class FlussSqlSession:
                     }
                 actions.append((base, "insert", ins))
             else:
-                kind = "MATCHED" if is_matched else "NOT MATCHED"
+                kind = {
+                    "matched": "MATCHED",
+                    "by_target": "NOT MATCHED",
+                    "by_source": "NOT MATCHED BY SOURCE",
+                }[scope]
                 raise SqlParseError(
                     f"action {act[:40]!r} is not valid for WHEN {kind}"
                 )
 
         tgt = (
             t.snapshot(self.spark)
-            .withColumn("__fluss_matched", F.lit(1))
+            .withColumn("__fluss_tgt", F.lit(1))
             .alias(t_alias)
         )
-        joined = src.alias(s_alias).join(tgt, F.expr(on_cond), "left")
+        # BY SOURCE clauses evaluate per TARGET row, so unmatched target
+        # rows must survive the join (full outer); without one, the left
+        # join never materializes them — no wasted |target| pass-through
+        join_type = "full" if "by_source" in seen_scopes else "left"
+        joined = src.withColumn("__fluss_src", F.lit(1)).alias(s_alias).join(
+            tgt, F.expr(on_cond), join_type
+        )
 
         # first-match-wins action index
         action_idx = F.lit(None).cast("int")

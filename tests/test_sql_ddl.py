@@ -1364,3 +1364,62 @@ def test_merge_into_authorization(spark, tmp_path):
     bob.sql(stmt)
     got = root.sql("SELECT v FROM fluss_sec_t__snapshot").collect()
     assert got[0]["v"] == 2.0
+
+
+def test_merge_into_not_matched_by_source(spark, fsql):
+    """WHEN NOT MATCHED BY SOURCE (the Spark/Delta extension) evaluates
+    per TARGET row with no source match — the full CDC-style sync shape
+    (update matched, insert new, retire gone-from-source) in one atomic
+    commit. Source-alias references in BY SOURCE clauses are rejected
+    (no source row exists for those rows)."""
+    fsql.sql("""
+        CREATE TABLE mrg_bs (id BIGINT, kind STRING, v DOUBLE,
+                             PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '4')
+    """)
+    fsql.sql(
+        "INSERT INTO mrg_bs VALUES (1, 'a', 1.0), (2, 'b', 2.0), "
+        "(3, 'c', 3.0), (4, 'd', 4.0)"
+    )
+    spark.createDataFrame(
+        [(2, "b2", 20.0), (5, "e", 5.0)], "id long, kind string, v double"
+    ).createOrReplaceTempView("mrg_bs_src")
+    v_before = fsql.catalog.current_commit("fluss", "mrg_bs").version
+    fsql.sql("""
+        MERGE INTO mrg_bs AS t USING mrg_bs_src AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v, kind = s.kind
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.id > 3 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET kind = 'stale'
+    """)
+    got = {
+        r["id"]: (r["kind"], r["v"])
+        for r in fsql.sql("SELECT * FROM fluss_mrg_bs__snapshot").collect()
+    }
+    assert got == {
+        1: ("stale", 1.0),
+        2: ("b2", 20.0),
+        3: ("stale", 3.0),
+        5: ("e", 5.0),
+    }
+    assert fsql.catalog.current_commit("fluss", "mrg_bs").version == v_before + 1
+    with pytest.raises(SqlParseError, match="cannot reference the source"):
+        fsql.sql(
+            "MERGE INTO mrg_bs t USING mrg_bs_src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(SqlParseError, match="only valid after NOT MATCHED"):
+        fsql.sql(
+            "MERGE INTO mrg_bs t USING mrg_bs_src s ON t.id = s.id "
+            "WHEN MATCHED BY SOURCE THEN DELETE"
+        )
+    # BY TARGET is the explicit synonym of the plain NOT MATCHED scope
+    fsql.sql("""
+        MERGE INTO mrg_bs t
+        USING (SELECT CAST(9 AS BIGINT) AS id, 'z' AS kind,
+                      CAST(9.0 AS DOUBLE) AS v) s
+        ON t.id = s.id
+        WHEN NOT MATCHED BY TARGET THEN INSERT *
+    """)
+    ids = {r["id"] for r in fsql.sql("SELECT * FROM fluss_mrg_bs__snapshot").collect()}
+    assert 9 in ids
