@@ -61,6 +61,10 @@ def _max_doc_id(sf: str) -> int:
     return _footer_max(sf, "documents", "doc_id")
 
 
+def _max_vec_id(sf: str) -> int:
+    return _footer_max(sf, "embeddings", "vec_id")
+
+
 def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
     key = (variant, sf)
     if key in _CACHE:
@@ -267,6 +271,39 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t.upsert(banded.filter(F.col("doc_id") <= cutoff // 2), ordering=["doc_id"])
         t.upsert(banded.filter(F.col("doc_id") > cutoff // 2), ordering=["doc_id"])
+    elif variant == "ivf_state":
+        # vector-index-as-storage: the IVF coarse-quantizer assignment of
+        # the "already ingested" corpus (first 90% of vec_ids) lives in
+        # an engine pk table — pk=(cell, vec_id), bucket_key=[cell] (the
+        # L2 contract), so probing a cell is a single-bucket read. The
+        # trained centroids are INDEX METADATA, persisted as a table
+        # property, which is what lets later batches assign against the
+        # same quantizer without retraining. Fed incrementally across
+        # two commits (the continuous-ingest shape of ann_ivf_topk).
+        import json as _json
+
+        from fluss_spark.operators.similarity import (
+            _KM_ITERS,
+            _KM_K,
+            _embeddings,
+            assign_cells,
+            kmeans_centroids,
+        )
+
+        cut = _max_vec_id(sf) * 9 // 10
+        e_old = _embeddings(spark, sf).filter(F.col("vec_id") <= cut)
+        cents = kmeans_centroids(e_old, k=_KM_K, iters=_KM_ITERS)
+        schema = TableSchema(
+            fields=[Field("cell", "INT"), Field("vec_id", "BIGINT")],
+            primary_key=["cell", "vec_id"],
+            bucket_keys=["cell"],
+            num_buckets=8,
+            properties={"index.ivf.centroids": _json.dumps(cents)},
+        )
+        t = create_table(cat, "db", variant, schema)
+        assigned = assign_cells(e_old, cents).select("cell", "vec_id")
+        t.upsert(assigned.filter(F.col("vec_id") <= cut // 2), ordering=["vec_id"])
+        t.upsert(assigned.filter(F.col("vec_id") > cut // 2), ordering=["vec_id"])
     elif variant == "tiered_log":
         # S9: auto-tiering on the append path — after 4 commits only the
         # newest stays local, 3 sealed commits live in the remote tier
@@ -1257,6 +1294,83 @@ def dd_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "matched_canonical",
         F.col("matched_canonical").isNotNull().alias("is_neardup"),
     )
+
+
+def _incremental_ivf_oracle() -> str:
+    from fluss_spark.operators.similarity import (
+        _KM_K,
+        _TOP_K,
+        _sql_km_assign,
+        _sql_km_update,
+    )
+
+    return f"""
+    WITH ea AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cut AS (SELECT 9 * max(vec_id) // 10 AS c FROM ea),
+    e AS (SELECT ea.vec_id, ea.v FROM ea, cut WHERE vec_id <= c),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    a1 AS ({_sql_km_assign("c0")}),
+    c1 AS ({_sql_km_update("a1")}),
+    a2 AS ({_sql_km_assign("c1")}),
+    c2 AS ({_sql_km_update("a2")}),
+    a3 AS ({_sql_km_assign("c2")}),
+    newe AS (SELECT ea.vec_id, ea.v FROM ea, cut WHERE vec_id > c),
+    q AS ({_sql_km_assign("c2", src="newe")}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q JOIN a3 c ON q.cid = c.cid
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOP_K}
+    """
+
+
+@register("ann_incremental_ivf", oracle=_incremental_ivf_oracle())
+def ann_incremental_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ANN search against STORED index state — the vector
+    analog of dd_incremental_lsh: the IVF cell assignment of the
+    already-ingested corpus (first 90% of vec_ids) lives in an engine pk
+    table bucketed by cell, with the trained centroids persisted as
+    index metadata in the table properties. A new batch assigns itself
+    to the trained cells map-side (no retraining), probes the index
+    snapshot with one cell-equality join — a bucket-pruned read, never a
+    corpus re-scan — and resolves candidate vectors through the L4
+    lookup-join shape before the exact per-query cosine top-k. Per-batch
+    cost is O(batch x cell density); the index advances by upserting the
+    batch's own assignments afterwards."""
+    import json
+
+    from fluss_spark.operators.similarity import (
+        _TOP_K,
+        _embeddings,
+        assign_cells,
+        cosine_topk,
+    )
+
+    t = _build(spark, sf, "ivf_state")
+    cents = [
+        (int(c), [float(x) for x in v])
+        for c, v in json.loads(t.schema.properties["index.ivf.centroids"])
+    ]
+    cut = _max_vec_id(sf) * 9 // 10
+    e = _embeddings(spark, sf)
+    newq = assign_cells(e.filter(F.col("vec_id") > cut), cents, keep_vec=True)
+    qdf = newq.select("vec_id", F.col("cell").alias("label"), "v")
+    idx = t.snapshot(spark)
+    cdf = idx.join(e.select("vec_id", "v"), "vec_id").select(
+        "vec_id", F.col("cell").alias("label"), "v"
+    )
+    return cosine_topk(qdf, cdf, _TOP_K, same_label_only=True)
 
 
 @register(

@@ -157,16 +157,27 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(q, e, _TOP_K, same_label_only=True)
 
 
-def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
-    """Deterministic Lloyd's k-means over the embedding column, built
-    from groupBy/joins only (no MLlib dependency): centroids start at
-    the k lowest vec_ids, each iteration is one broadcast-join assign +
-    one groupBy-mean update. Iterative-algorithm shape: the per-round
-    result is collected (k × dim doubles — metadata-sized) and re-broadcast.
+def _assign_np(V, cents):
+    """Squared-euclid argmin of each row of V against the centroid list;
+    argmin takes the FIRST minimum, and cents are sorted by cid, so ties
+    go to the lowest centroid id."""
+    import numpy as np
 
-    Returns (vec_id, cell) — the coarse quantizer assignment a real IVF
-    index maintains (the stored `label` column stands in for this in the
-    oracle-checked queries; this computes it from scratch)."""
+    C = np.asarray([cv for _, cv in cents], dtype=np.float64)  # k x d
+    d2 = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+    cids = np.asarray([cid for cid, _ in cents])
+    return cids[np.argmin(d2, axis=1)]
+
+
+def kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 5) -> list:
+    """Deterministic Lloyd's k-means trainer over the embedding column
+    (no MLlib dependency): centroids start at the k lowest vec_ids; each
+    round is one Arrow pass that assigns cells AND emits per-partition
+    partial (cell, count, vector-sum) rows — k x n_partitions rows of
+    k x dim doubles total, metadata-sized at any corpus size. The driver
+    combines partials into means and re-broadcasts — the canonical
+    distributed-kmeans dataflow (map-side combine, BLAS for the distance
+    matrix, O(k*d) driver state). Returns [(cid, centroid list)]."""
     import numpy as np
     import pandas as pd
 
@@ -175,23 +186,8 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
         for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
     ]
     if not centroids:
-        return e.select("vec_id", F.lit(0).alias("cell"))
+        return []
 
-    def _assign(V: np.ndarray, cents) -> np.ndarray:
-        # squared euclid to every centroid via one matmul; argmin takes
-        # the FIRST minimum, and cents are sorted by cid, so ties go to
-        # the lowest centroid id
-        C = np.asarray([cv for _, cv in cents], dtype=np.float64)  # k x d
-        d2 = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
-        cids = np.asarray([cid for cid, _ in cents])
-        return cids[np.argmin(d2, axis=1)]
-
-    # each round: one Arrow pass assigns cells AND emits per-partition
-    # partial (cell, count, vector-sum) rows — k x n_partitions rows of
-    # k x dim doubles total, metadata-sized at any corpus size. The
-    # driver combines partials into means and re-broadcasts. This is the
-    # canonical distributed-kmeans dataflow (map-side combine, BLAS for
-    # the distance matrix, O(k*d) driver state).
     for _ in range(iters):
         cents = centroids
 
@@ -200,52 +196,73 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
                 if not len(pdf):
                     continue
                 V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-                cell = _assign(V, cents)
+                cell = _assign_np(V, cents)
                 rows = []
                 for c in np.unique(cell):
                     m = cell == c
                     rows.append((int(c), int(m.sum()), V[m].sum(axis=0).tolist()))
                 yield pd.DataFrame(rows, columns=["cell", "cnt", "vsum"])
 
-        acc: dict[int, tuple[int, np.ndarray]] = {}
+        acc: dict[int, tuple[int, object]] = {}
         for r in e.mapInPandas(partials, "cell int, cnt long, vsum array<double>").collect():
             n0, s0 = acc.get(r["cell"], (0, 0.0))
             acc[r["cell"]] = (n0 + r["cnt"], s0 + np.asarray(r["vsum"]))
         # empty cells drop out (ids can be sparse once a cell empties)
         centroids = [(c, (s / n).tolist()) for c, (n, s) in sorted(acc.items())]
+    return centroids
 
-    cents = centroids
+
+def assign_cells(e: DataFrame, cents: list, keep_vec: bool = False) -> DataFrame:
+    """Assign every (vec_id, v) row to its nearest trained centroid —
+    map-side only (centroids ride into the kernel as broadcast task
+    state). Returns (vec_id, cell) [+ v when keep_vec]."""
+    import numpy as np
+    import pandas as pd
 
     def assign_rows(batches, cents=cents):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cell": _assign(V, cents)}
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "cell": _assign_np(V, cents)}
+            if keep_vec:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
 
-    return e.select("vec_id", "v").mapInPandas(assign_rows, "vec_id long, cell int")
+    schema = "vec_id long, cell int" + (", v array<double>" if keep_vec else "")
+    return e.select("vec_id", "v").mapInPandas(assign_rows, schema)
+
+
+def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
+    """Train + assign in one call: (vec_id, cell) — the coarse quantizer
+    assignment a real IVF index maintains (the stored `label` column
+    stands in for this in the oracle-checked queries; this computes it
+    from scratch)."""
+    centroids = kmeans_centroids(e, k=k, iters=iters)
+    if not centroids:
+        return e.select("vec_id", F.lit(0).alias("cell"))
+    return assign_cells(e, centroids)
 
 
 _KM_K = 8
 _KM_ITERS = 2
 
 
-def _sql_km_assign(cents: str) -> str:
-    """Lloyd assignment step vs centroid CTE `cents`: argmin squared
-    euclid, ties to the lowest cell id (matches np.argmin first-min)."""
+def _sql_km_assign(cents: str, src: str = "e") -> str:
+    """Lloyd assignment step of CTE `src` vs centroid CTE `cents`:
+    argmin squared euclid, ties to the lowest cell id (matches
+    np.argmin first-min)."""
     d2 = (
-        "list_dot_product(e.v, e.v)"
-        f" - 2 * list_dot_product(e.v, {cents}.c)"
+        f"list_dot_product({src}.v, {src}.v)"
+        f" - 2 * list_dot_product({src}.v, {cents}.c)"
         f" + list_dot_product({cents}.c, {cents}.c)"
     )
     return f"""
       SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, {cents}.cid,
-               row_number() OVER (PARTITION BY e.vec_id
+        SELECT {src}.vec_id, {src}.v, {cents}.cid,
+               row_number() OVER (PARTITION BY {src}.vec_id
                                   ORDER BY {d2}, {cents}.cid) AS rn
-        FROM e, {cents}
+        FROM {src}, {cents}
       ) WHERE rn = 1
     """
 

@@ -479,3 +479,65 @@ def test_incremental_lsh_index_advances(spark, catalog):
         t.snapshot(spark).withColumnRenamed("doc_id", "canonical"), on=["band", "band_sig"]
     ).collect()
     assert [(r["doc_id"], r["canonical"]) for r in rehit] == [(950, 900)]
+
+
+def test_incremental_ivf_index_advances(spark, catalog):
+    """ann_incremental_ivf's storage contract: the trained coarse
+    quantizer is table-property metadata (reloadable, so later batches
+    never retrain), probing the cell index is read-only, and upserting
+    a new batch's assignments ADVANCES the index so later probes find
+    that batch among the candidates."""
+    import json
+
+    from fluss_spark.operators.similarity import assign_cells, kmeans_centroids
+    from fluss_spark.table import create_table
+    from fluss_spark.types import Field, TableSchema
+
+    dim = 4
+    e = spark.createDataFrame(
+        [(i, [float(i % 2)] * dim) for i in range(8)], "vec_id long, v array<double>"
+    )
+    cents = kmeans_centroids(e, k=2, iters=2)
+    schema = TableSchema(
+        fields=[Field("cell", "INT"), Field("vec_id", "BIGINT")],
+        primary_key=["cell", "vec_id"],
+        bucket_keys=["cell"],
+        num_buckets=4,
+        properties={"index.ivf.centroids": json.dumps(cents)},
+    )
+    t = create_table(catalog, "db", "ivf_idx", schema)
+    t.upsert(assign_cells(e, cents).select("cell", "vec_id"), ordering=["vec_id"])
+
+    # the quantizer reloads from the stored property bit-identically
+    reloaded = [
+        (int(c), [float(x) for x in v])
+        for c, v in json.loads(t.schema.properties["index.ivf.centroids"])
+    ]
+    assert reloaded == [(int(c), [float(x) for x in v]) for c, v in cents]
+
+    # a new batch assigns against the STORED quantizer and probes the
+    # snapshot: near-1 vectors must land in the odd-id cell, near-0 in
+    # the even-id cell
+    newe = spark.createDataFrame(
+        [(100, [0.9] * dim), (101, [0.1] * dim)], "vec_id long, v array<double>"
+    )
+    newa = assign_cells(newe, reloaded)
+    snap = t.snapshot(spark).withColumnRenamed("vec_id", "neighbor_id")
+    by_q: dict = {}
+    for r in newa.join(snap, "cell").collect():
+        by_q.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    assert by_q[100] == {1, 3, 5, 7} and by_q[101] == {0, 2, 4, 6}
+
+    # ingest the batch -> its assignments are now index state
+    t.upsert(newa.select("cell", "vec_id"), ordering=["vec_id"])
+    again = assign_cells(
+        spark.createDataFrame([(200, [0.95] * dim)], "vec_id long, v array<double>"),
+        reloaded,
+    )
+    hits = {
+        r["neighbor_id"]
+        for r in again.join(
+            t.snapshot(spark).withColumnRenamed("vec_id", "neighbor_id"), "cell"
+        ).collect()
+    }
+    assert 100 in hits and hits >= {1, 3, 5, 7}

@@ -545,3 +545,24 @@ def test_scd2_single_window_exchange(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "Join" not in plan, plan
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_incremental_ivf_probe_is_cell_equijoin(spark, sf_dir):
+    """ann_incremental_ivf: the new batch probes the stored cell index
+    with equi-joins (cell, then vec_id lookup-join) — never a cartesian
+    or nested-loop pass over the corpus."""
+    df = QUERIES["ann_incremental_ivf"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_lm_broadcast_no_cartesian(spark, sf_dir):
+    """tx_dsir_resample: the feature LMs are metadata-sized broadcasts
+    (256-row LM hash-join + 1-row totals), the corpus never cross-joins
+    itself, and the doc-keyed score sum combines map-side."""
+    df = QUERIES["tx_dsir_resample"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plans.has_partial_aggregation(df)
