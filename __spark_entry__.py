@@ -66,6 +66,9 @@ _PRIORITY = [
     "a2_minmax_snapshot",
     "tx_gopher_rules",
     "t13_scd2_history",
+    "m13_sql_merge_into",
+    "tx_dsir_resample",
+    "ann_incremental_ivf",
     # --- r4 error row, output fixed this round ---
     "mm_feature_extract",
     # --- single round of driver history (green only in r4) ---
@@ -84,17 +87,15 @@ _PRIORITY = [
     "subquery_tpch_q2",
     "subquery_tpch_q20",
     "dd_exact_engine",
-    "tx_bpe_token_count",
-    "dd_url_normalize",
-    "ann_kmeans_ivf",
-    "ann_range_search",
-    # (window is exactly 50: 10 sentinels + 20 new-this-round + 1 fixed
-    # + 19 single-history; op_anomaly_zscore, op_user_paths,
-    # op_transition_matrix, mm_resize_pipeline, fn_rb_binary_roundtrip,
-    # ann_pq_adc and ann_recall_audit (all r4-green) rotated out for
-    # m12_sql_update_delete, tx_split_leakage_safe, dd_incremental_lsh,
-    # mm_scene_cut, a2_minmax_snapshot, tx_gopher_rules and
-    # t13_scd2_history; tx_hash_sample/tx_length_histogram/
+    "mm_phash_dedup",
+    # (window is exactly 50: 10 sentinels + 24 new-this-round (20 from
+    # s1-s3 + m13_sql_merge_into/tx_dsir_resample/ann_incremental_ivf/
+    # mm_phash_dedup from s4) + 1 fixed + 15 single-history;
+    # tx_bpe_token_count (r4-green) also rotated out; op_anomaly_zscore,
+    # op_user_paths, op_transition_matrix, mm_resize_pipeline,
+    # fn_rb_binary_roundtrip, ann_pq_adc, ann_recall_audit,
+    # dd_url_normalize, ann_kmeans_ivf and ann_range_search (all
+    # r4-green) rotated out; tx_hash_sample/tx_length_histogram/
     # tx_repetition_score/tx_blocklist_redact/tx_domain_mix/
     # tx_unigram_logloss/dd_prefix_cluster rotated out
     # — they keep their r4-green rows under the local parity suite, as

@@ -73,7 +73,10 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
     wh = tempfile.mkdtemp(prefix=f"fluss_eq_{variant}_")
     _TMPDIRS.append(wh)
     cat = Catalog(wh)
-    ev = _events_batch(spark, sf)
+    # ivf_state builds from embeddings only — binding events here would
+    # fail on an embeddings-only corpus dir (spark.read resolves the
+    # path eagerly at plan time)
+    ev = None if variant == "ivf_state" else _events_batch(spark, sf)
 
     if variant == "default":
         schema = TableSchema(
@@ -1354,7 +1357,7 @@ def ann_incremental_ivf(spark: SparkSession, sf: str) -> DataFrame:
         _TOP_K,
         _embeddings,
         assign_cells,
-        cosine_topk,
+        cell_cosine_topk,
     )
 
     t = _build(spark, sf, "ivf_state")
@@ -1365,12 +1368,9 @@ def ann_incremental_ivf(spark: SparkSession, sf: str) -> DataFrame:
     cut = _max_vec_id(sf) * 9 // 10
     e = _embeddings(spark, sf)
     newq = assign_cells(e.filter(F.col("vec_id") > cut), cents, keep_vec=True)
-    qdf = newq.select("vec_id", F.col("cell").alias("label"), "v")
     idx = t.snapshot(spark)
-    cdf = idx.join(e.select("vec_id", "v"), "vec_id").select(
-        "vec_id", F.col("cell").alias("label"), "v"
-    )
-    return cosine_topk(qdf, cdf, _TOP_K, same_label_only=True)
+    cdf = idx.join(e.select("vec_id", "v"), "vec_id").select("vec_id", "cell", "v")
+    return cell_cosine_topk(newq.select("vec_id", "cell", "v"), cdf, _TOP_K)
 
 
 @register(

@@ -658,3 +658,196 @@ def mm_audio_segment(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_spread(spark, sf, "documents")
     audio = synthesize_audio(docs)
     return segment_audio(audio, seg_ms=500, decode_mode="fake")
+
+
+# ---------------------------------------------------------------------- #
+# perceptual-hash near-duplicate detection (image dedup)
+# ---------------------------------------------------------------------- #
+_PH_BANDS = 4
+_PH_BITS = 16  # bits per band -> 64-bit hash
+_PH_HAMMING = 8  # near-dup threshold
+
+
+def perceptual_hash(media_df: DataFrame, decode_mode: str = "fake") -> DataFrame:
+    """64-bit perceptual hash per image, emitted as 4 x 16-bit band ints
+    (the band split IS the LSH key for the dedup join — identical to
+    pHash-dedup pipelines in production image curation). Real path:
+    aHash — decode through the probed codec, resize to 8x8, collapse
+    channels, threshold each pixel by the image mean, bits row-major.
+    Fake path: bands from the payload's leading bytes XOR a <=2-bit
+    per-doc perturbation derived from md5(doc_id) — exact payload
+    duplicates become NEAR-duplicates (hamming <= 4), so the banded
+    join + hamming verify is exercised with genuinely near (not only
+    identical) hashes, and SQL recomputes every bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+
+        import numpy as np
+
+        codec = _image_codec()
+        mode = _resolve_mode(decode_mode, codec)
+        for pdf in batches:
+            if mode == "real":
+                if codec is None:
+                    raise NotImplementedError(
+                        "image codec not available; install Pillow — aHash "
+                        "plugs in via PIL open/resize + numpy threshold"
+                    )
+
+                def _bands(doc_id, b):
+                    img = codec.open(io.BytesIO(bytes(b))).resize((8, 8))
+                    px = np.frombuffer(img.tobytes(), dtype=np.uint8)
+                    px = px.astype(np.float64).reshape(64, -1).mean(axis=1)
+                    bits = (px >= px.mean()).astype(np.uint8)
+                    out = []
+                    for bd in range(_PH_BANDS):
+                        v = 0
+                        for bit in bits[_PH_BITS * bd : _PH_BITS * (bd + 1)]:
+                            v = (v << 1) | int(bit)
+                        out.append(v)
+                    return out
+
+            else:
+
+                def _bands(doc_id, b):
+                    m = bytes(b)
+                    nh = hashlib.md5(str(doc_id).encode()).hexdigest()
+                    f1b, p1 = int(nh[0:2], 16) % _PH_BANDS, int(nh[2:4], 16) % _PH_BITS
+                    f2b, p2 = int(nh[4:6], 16) % _PH_BANDS, int(nh[6:8], 16) % _PH_BITS
+                    out = []
+                    for bd in range(_PH_BANDS):
+                        v = (m[2 * bd] << 8) | m[2 * bd + 1]
+                        if f1b == bd:
+                            v ^= 1 << p1
+                        if f2b == bd:
+                            v ^= 1 << p2
+                        out.append(v)
+                    return out
+
+            rows = [
+                _bands(did, b) for did, b in zip(pdf["doc_id"], pdf["media"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        f"b{i}": pd.Series(
+                            [r[i] for r in rows], dtype="int32"
+                        )
+                        for i in range(_PH_BANDS)
+                    },
+                }
+            )
+
+    schema = "doc_id bigint, " + ", ".join(f"b{i} int" for i in range(_PH_BANDS))
+    return media_df.mapInPandas(run, schema=schema)
+
+
+def _ph_noise_sql(b: str) -> str:
+    """SQL for the fake path's per-doc <=2-bit perturbation of band `b`
+    (nh = md5(doc_id) hex CTE column)."""
+    return (
+        f"xor(CASE WHEN ('0x'||substr(nh,1,2))::INT % {_PH_BANDS} = {b} "
+        f"THEN (1 << (('0x'||substr(nh,3,2))::INT % {_PH_BITS})) ELSE 0 END, "
+        f"CASE WHEN ('0x'||substr(nh,5,2))::INT % {_PH_BANDS} = {b} "
+        f"THEN (1 << (('0x'||substr(nh,7,2))::INT % {_PH_BITS})) ELSE 0 END)"
+    )
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[1:8], ' ')) AS hx,
+             md5(doc_id::VARCHAR) AS nh
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ph AS (
+      SELECT doc_id,
+             {', '.join(
+                 f"xor(('0x' || substr(hx, {1 + 4 * b}, 4))::INT, {_ph_noise_sql(str(b))}) AS b{b}"
+                 for b in range(_PH_BANDS)
+             )}
+      FROM m
+    ),
+    bands AS (
+      SELECT doc_id, b0, b1, b2, b3, b,
+             CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS sig
+      FROM ph, range(0, {_PH_BANDS}) r(b)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             min(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+               + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3))) AS hamming
+      FROM bands a JOIN bands c ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM cand WHERE hamming <= {_PH_HAMMING}
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate detection by banded perceptual hash — the
+    standard pHash-dedup pipeline of multimodal curation: hash each
+    image (Arrow kernel), split the 64 bits into {_PH_BANDS} bands,
+    candidate pairs = band equi-join (never a pairwise scan), verify
+    with the exact hamming distance over all bands (bit_count(xor) —
+    JVM built-ins) and keep pairs within {_PH_HAMMING} bits. Bands ride
+    along the exploded rows, so the verify needs NO second join back to
+    the hash table. At 100-TB scale the band width must grow with the
+    corpus (the derived-LSH-widths lesson: 16-bit bands give ~n^2/2^18
+    random candidate pairs — raise bands' bit width past ~10M images).
+    Runs the fake hash path (thumbnail-payload bytes + per-doc bit
+    noise, fully SQL-recomputable): the synthesized payload here is a
+    THUMBNAIL — md5 of the first-8-token template — because aHash is
+    exactly a hash of a low-resolution thumbnail, and the corpus's
+    template structure gives those thumbnails real collisions; per-doc
+    noise then makes colliding docs NEAR (hamming <= 4), not identical.
+    The REAL aHash path (resize + mean threshold) runs on actual PNGs
+    in test_multimodal_codec.py."""
+    docs = load_spread(spark, sf, "documents").filter(F.trim("text") != "")
+    thumb = F.concat_ws(
+        " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 8)
+    )
+    media = docs.select(
+        "doc_id",
+        F.unhex(F.md5(thumb.cast("binary"))).alias("media"),
+        F.lit("image/fake").alias("mime"),
+    )
+    ph = perceptual_hash(media, decode_mode="fake")
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig"))
+            for b in range(_PH_BANDS)
+        ]
+    )
+    bands = ph.select(
+        "doc_id", "b0", "b1", "b2", "b3", F.explode(band_arr).alias("e")
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("e.band").alias("band"), F.col("e.sig").alias("sig"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_PH_BANDS)],
+        "band", "sig",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_PH_BANDS)],
+        "band", "sig",
+    )
+    hamming = None
+    for i in range(_PH_BANDS):
+        term = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        left.join(right, on=["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min(hamming).cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= _PH_HAMMING)
+    )

@@ -391,3 +391,35 @@ def test_scene_cut_zero_frame_clip_emits_no_scenes(spark):
     from fluss_spark.operators.multimodal import segment_scenes
 
     assert segment_scenes(media, decode_mode="real").count() == 0
+
+
+def test_real_perceptual_hash_ahash(spark):
+    """decode_mode='real' aHash through the production kernel on actual
+    PNGs: two nearly identical images (one pixel nudged) must land
+    within a few hamming bits, while an inverted image is far — the
+    property the banded dedup join relies on."""
+    from fluss_spark.operators.multimodal import perceptual_hash
+
+    w = h = 8
+    # a gradient image, a near-copy with one pixel nudged, and an inverse
+    base = [((x * 30 + y * 4) % 256) for y in range(h) for x in range(w) for _ in range(3)]
+    near = list(base)
+    near[0] = (near[0] + 12) % 256  # nudge one channel of one pixel
+    inv = [255 - v for v in base]
+    payloads = []
+    for i, px in enumerate([base, near, inv]):
+        buf = io.BytesIO()
+        png.PngImage(w, h, 3, bytes(px)).save(buf)
+        payloads.append((i, buf.getvalue(), "image/png"))
+    media = spark.createDataFrame(payloads, "doc_id long, media binary, mime string")
+
+    rows = {r["doc_id"]: [r[f"b{i}"] for i in range(4)] for r in
+            perceptual_hash(media, decode_mode="real").collect()}
+
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert hamming(rows[0], rows[1]) <= 4      # near-copy stays near
+    assert hamming(rows[0], rows[2]) >= 32     # inverse flips ~every bit
+    # all bands are 16-bit values
+    assert all(0 <= v < (1 << 16) for bands in rows.values() for v in bands)
