@@ -85,13 +85,14 @@ _PRIORITY = [
     "t5_sliding_window",
     "t5_session_window",
     "subquery_tpch_q2",
-    "subquery_tpch_q20",
     "dd_exact_engine",
     "mm_phash_dedup",
-    # (window is exactly 50: 10 sentinels + 24 new-this-round (20 from
+    "tx_tokenizer_fertility",
+    # (window is exactly 50: 10 sentinels + 25 new-this-round (20 from
     # s1-s3 + m13_sql_merge_into/tx_dsir_resample/ann_incremental_ivf/
-    # mm_phash_dedup from s4) + 1 fixed + 15 single-history;
-    # tx_bpe_token_count (r4-green) also rotated out; op_anomaly_zscore,
+    # mm_phash_dedup/tx_tokenizer_fertility from s4) + 1 fixed + 14
+    # single-history; tx_bpe_token_count and subquery_tpch_q20 (both
+    # r4-green) also rotated out; op_anomaly_zscore,
     # op_user_paths, op_transition_matrix, mm_resize_pipeline,
     # fn_rb_binary_roundtrip, ann_pq_adc, ann_recall_audit,
     # dd_url_normalize, ann_kmeans_ivf and ann_range_search (all

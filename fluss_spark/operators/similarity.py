@@ -33,7 +33,7 @@ def _embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 def cosine_pairs_kernel(thr: float, id_col: str, vec_col: str, normalize: bool = False):
     """applyInPandas kernel: all same-group pairs with cosine >= thr.
-    One BLAS matmul per group, CHUNKED into ~128 MB row blocks so group
+    One BLAS matmul per group, CHUNKED into ~16 MiB row blocks so group
     population never bounds executor memory (a dense n x n similarity
     matrix is 1.2 GB at n=12.5k — the bucket size a 100x corpus produces
     when LSH bit-width isn't raised with it). The threshold filter runs
@@ -240,7 +240,8 @@ def cell_cosine_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataF
     quadratic candidate volumes into minutes (measured 239s at 8k
     queries x 10k-vector cells; this kernel runs the same search in a
     few seconds). Both sides are tagged and cogrouped by cell, each
-    group computes normalized Q @ C^T with Q chunked to ~128 MB blocks,
+    group computes normalized Q @ C^T with Q chunked so each score
+    block stays ~16 MiB ((16 << 20) / 8 doubles),
     and the per-query top-k is a stable argsort over candidates
     pre-sorted by id — EXACTLY the (cos DESC, neighbor_id ASC) tie
     order the SQL oracle ranks by. Inputs: (vec_id, cell, v) on both

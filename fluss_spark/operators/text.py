@@ -1750,3 +1750,80 @@ def tx_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     return r.select(
         "doc_id", *rules, n_failed.alias("n_failed"), keep_col.alias("keep")
     )
+
+
+def _fertility_oracle() -> str:
+    rounds = "".join(
+        "," + _sql_bpe_round(f"v{n - 1}", n) for n in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH w0 AS (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest({_SQL_TOKENS}) AS word
+        FROM documents WHERE trim(text) <> ''
+      ) GROUP BY word
+    ), v0 AS (
+      SELECT row_number() OVER (ORDER BY word) AS wid, freq,
+             [substr(word, CAST(i AS INT), 1) for i in range(1, len(word) + 1)] AS syms
+      FROM w0
+    ), v0w AS (
+      SELECT row_number() OVER (ORDER BY word) AS wid, word FROM w0
+    ){rounds}, vmap AS (
+      SELECT v0w.word, len(v{_BPE_ROUNDS}.syms) AS n_syms
+      FROM v{_BPE_ROUNDS} JOIN v0w USING (wid)
+    ), dt AS (
+      SELECT lang, unnest({_SQL_TOKENS}) AS word
+      FROM documents WHERE trim(text) <> ''
+    ), enc AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_syms) AS BIGINT) AS n_bpe
+      FROM dt JOIN vmap USING (word) GROUP BY lang
+    ), byt AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE trim(text) <> '' GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_bpe,
+           round(n_bpe / n_words::DOUBLE, 4) AS fertility,
+           round(n_bytes / n_bpe::DOUBLE, 4) AS bytes_per_token
+    FROM enc JOIN byt USING (lang)
+    """
+
+
+@register("tx_tokenizer_fertility", oracle=_fertility_oracle())
+def tx_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-equity audit: per-language fertility (BPE tokens per
+    word) and compression (bytes per BPE token) of the TRAINED
+    tokenizer — the standard multilingual-tokenizer metric: a BPE vocab
+    trained on an en-dominant corpus fragments other languages into
+    more symbols per word, which inflates their effective sequence
+    lengths and training cost. Shares the one trained state with
+    tx_bpe_train/tx_bpe_encode (session cache); the audit itself is a
+    corpus word explode + broadcast vocab join + two per-lang integer
+    aggregations (exact sums; ratios rounded at the end), so it costs
+    one shuffle keyed by a handful of languages."""
+    _rows, vocab = _bpe_train(spark, sf)
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    words = d.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+    enc = (
+        words.join(
+            F.broadcast(vocab.select("word", F.size("syms").alias("n_syms"))), "word"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe"),
+        )
+    )
+    byt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes"),
+    )
+    return enc.join(byt, "lang").select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe",
+        F.round(F.col("n_bpe") / F.col("n_words"), 4).alias("fertility"),
+        F.round(F.col("n_bytes") / F.col("n_bpe"), 4).alias("bytes_per_token"),
+    )

@@ -1330,11 +1330,22 @@ class FlussSqlSession:
         return out
 
     @staticmethod
-    def _find_top_level(body: str, word: str) -> int:
+    def _find_top_level(body: str, word: str, skip_case: bool = False) -> int:
         """Index of the first occurrence of keyword `word` outside
-        single-quoted strings and parens, or -1."""
-        depth, in_q, i, n = 0, False, 0, len(body)
+        single-quoted strings and parens, or -1. With skip_case, also
+        outside CASE ... END expressions (their WHEN/THEN keywords
+        would otherwise read as MERGE clause boundaries)."""
+        depth, case_depth, in_q, i, n = 0, 0, False, 0, len(body)
         wl, low = len(word), body.lower()
+
+        def _kw(at: int, kw: str) -> bool:
+            if not low.startswith(kw, at):
+                return False
+            b = at == 0 or not (body[at - 1].isalnum() or body[at - 1] == "_")
+            j = at + len(kw)
+            a = j >= n or not (body[j].isalnum() or body[j] == "_")
+            return b and a
+
         while i < n:
             c = body[i]
             if c == "'":
@@ -1347,12 +1358,16 @@ class FlussSqlSession:
                     depth += 1
                 elif c == ")":
                     depth -= 1
-                elif depth == 0 and low.startswith(word, i):
-                    before_ok = i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
-                    j = i + wl
-                    after_ok = j >= n or not (body[j].isalnum() or body[j] == "_")
-                    if before_ok and after_ok:
-                        return i
+                elif skip_case and _kw(i, "case"):
+                    case_depth += 1
+                    i += 4
+                    continue
+                elif skip_case and case_depth > 0 and _kw(i, "end"):
+                    case_depth -= 1
+                    i += 3
+                    continue
+                elif depth == 0 and case_depth == 0 and _kw(i, word):
+                    return i
             i += 1
         return -1
 
@@ -1532,11 +1547,12 @@ class FlussSqlSession:
     # read-old semi-join and touches only the batch's buckets.
 
     def _split_clauses(self, body: str) -> list[str]:
-        """Split the WHEN-clause tail on top-level `when` keywords."""
+        """Split the WHEN-clause tail on top-level `when` keywords
+        (CASE-aware: WHEN/THEN inside CASE expressions don't split)."""
         out = []
         while True:
             rest = body[4:]  # past the leading 'when'
-            nxt = self._find_top_level(rest, "when")
+            nxt = self._find_top_level(rest, "when", skip_case=True)
             if nxt < 0:
                 out.append(body.strip())
                 return out
@@ -1599,7 +1615,7 @@ class FlussSqlSession:
         if not on_m:
             raise SqlParseError("MERGE requires an ON condition")
         body = on_m.group(1)
-        wi = self._find_top_level(body, "when")
+        wi = self._find_top_level(body, "when", skip_case=True)
         if wi < 0:
             raise SqlParseError("MERGE requires at least one WHEN clause")
         on_cond, clause_text = body[:wi].strip(), body[wi:].strip()
@@ -1637,7 +1653,7 @@ class FlussSqlSession:
             scope = "matched" if is_matched else ("by_source" if by == "source" else "by_target")
             seen_scopes.add(scope)
             tail = cm.group(3)
-            ti = self._find_top_level(tail, "then")
+            ti = self._find_top_level(tail, "then", skip_case=True)
             if ti < 0:
                 raise SqlParseError(f"MERGE clause missing THEN: {clause[:60]!r}")
             head, act = tail[:ti].strip(), tail[ti + 4 :].strip()
@@ -1660,12 +1676,54 @@ class FlussSqlSession:
                 um = re.match(r"update\s+set\s+(.*)$", act, re.I | re.S)
                 if not um:
                     raise SqlParseError(f"bad UPDATE action: {act[:60]!r}")
+                set_body = um.group(1).strip()
+                if set_body == "*":
+                    # UPDATE SET * (the Spark/Delta shorthand): every
+                    # non-pk target column takes the source column of
+                    # the same name
+                    if scope == "by_source":
+                        raise SqlParseError(
+                            "UPDATE SET * is not valid for NOT MATCHED BY "
+                            "SOURCE (no source row exists)"
+                        )
+                    missing = [
+                        f.name
+                        for f in fields
+                        if f.name not in pk and f.name not in src.columns
+                    ]
+                    if missing:
+                        raise SqlParseError(
+                            f"UPDATE SET * source lacks target column(s) {missing}"
+                        )
+                    actions.append(
+                        (
+                            base,
+                            "update",
+                            {
+                                f.name: F.col(f"{s_alias}.{f.name}").cast(
+                                    parse_type(f.type)
+                                )
+                                for f in fields
+                                if f.name not in pk
+                            },
+                        )
+                    )
+                    continue
                 assigns: dict[str, object] = {}
-                for item in self._split_assignments(um.group(1)):
-                    sm = re.match(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*$", item, re.S)
+                for item in self._split_assignments(set_body):
+                    sm = re.match(
+                        r"\s*(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s*=\s*(.+?)\s*$",
+                        item,
+                        re.S,
+                    )
                     if not sm:
                         raise SqlParseError(f"bad SET clause: {item!r}")
-                    col, expr = sm.group(1), sm.group(2)
+                    qual, col, expr = sm.group(1), sm.group(2), sm.group(3)
+                    if qual is not None and qual != t_alias:
+                        raise SqlParseError(
+                            f"SET target {qual}.{col} does not reference the "
+                            f"MERGE target alias {t_alias!r}"
+                        )
                     if col in pk:
                         raise SqlParseError(
                             f"cannot UPDATE primary-key column {col!r}"
@@ -1744,8 +1802,8 @@ class FlussSqlSession:
             tgt, F.expr(on_cond), join_type
         )
 
-        # first-match-wins action index
-        action_idx = F.lit(None).cast("int")
+        # first-match-wins action index (actions is non-empty: the
+        # parser rejects a MERGE without WHEN clauses)
         chain = None
         for i, (cond, _, _) in enumerate(actions):
             chain = F.when(cond, F.lit(i)) if chain is None else chain.when(cond, F.lit(i))

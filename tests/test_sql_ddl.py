@@ -1423,3 +1423,57 @@ def test_merge_into_not_matched_by_source(spark, fsql):
     """)
     ids = {r["id"] for r in fsql.sql("SELECT * FROM fluss_mrg_bs__snapshot").collect()}
     assert 9 in ids
+
+
+def test_merge_into_case_expressions_and_set_forms(spark, fsql):
+    """ANSI MERGE statements commonly carry CASE expressions (whose
+    WHEN/THEN keywords must not read as clause boundaries), qualified
+    SET targets (SET t.v = ...), and the UPDATE SET * shorthand."""
+    fsql.sql("""
+        CREATE TABLE mrg_case (id BIGINT, kind STRING, v DOUBLE,
+                               PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '2')
+    """)
+    fsql.sql("INSERT INTO mrg_case VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", -5.0), (3, "z", 3.0)],
+        "id long, kind string, v double",
+    ).createOrReplaceTempView("mrg_case_src")
+    # CASE in the clause condition AND in a SET expression, qualified
+    # SET target, all in one statement
+    fsql.sql("""
+        MERGE INTO mrg_case AS t USING mrg_case_src AS s ON t.id = s.id
+        WHEN MATCHED AND CASE WHEN s.v > 0 THEN true ELSE false END
+            THEN UPDATE SET t.v = CASE WHEN s.v > 5 THEN s.v ELSE t.v + s.v END,
+                            kind = s.kind
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r["id"]: (r["kind"], r["v"])
+           for r in fsql.sql("SELECT * FROM fluss_mrg_case__snapshot").collect()}
+    # id=1: matched, s.v=10 > 0 -> update, s.v > 5 -> v = 10; id=2:
+    # s.v=-5 -> first clause false -> DELETE; id=3: inserted via *
+    assert got == {1: ("x", 10.0), 3: ("z", 3.0)}
+    # UPDATE SET * updates every non-pk column by name from the source
+    spark.createDataFrame(
+        [(1, "star", 99.0)], "id long, kind string, v double"
+    ).createOrReplaceTempView("mrg_case_src2")
+    fsql.sql("""
+        MERGE INTO mrg_case t USING mrg_case_src2 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+    """)
+    got = {r["id"]: (r["kind"], r["v"])
+           for r in fsql.sql("SELECT * FROM fluss_mrg_case__snapshot").collect()}
+    assert got[1] == ("star", 99.0)
+    # a SET qualifier that is not the target alias is rejected
+    with pytest.raises(SqlParseError, match="does not reference the MERGE target"):
+        fsql.sql(
+            "MERGE INTO mrg_case t USING mrg_case_src2 s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET s.v = 1.0"
+        )
+    # SET * is meaningless without a source row
+    with pytest.raises(SqlParseError, match="not valid for NOT MATCHED BY"):
+        fsql.sql(
+            "MERGE INTO mrg_case t USING mrg_case_src2 s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
