@@ -307,6 +307,39 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         assigned = assign_cells(e_old, cents).select("cell", "vec_id")
         t.upsert(assigned.filter(F.col("vec_id") <= cut // 2), ordering=["vec_id"])
         t.upsert(assigned.filter(F.col("vec_id") > cut // 2), ordering=["vec_id"])
+    elif variant == "vindexed":
+        # first-class vector-index lifecycle: base pk table holding the
+        # embeddings, IVF index created (trains + freezes the quantizer
+        # into index properties), then a slice of vectors is NEGATED —
+        # guaranteed cross-cell moves — and one incremental sync folds
+        # the changelog (before-image deletes at the old cell,
+        # after-image inserts at the new cell)
+        from fluss_spark.operators.similarity import _KM_ITERS, _KM_K, _embeddings
+        from fluss_spark.vector_index import create_vector_index, sync_vector_index
+
+        schema = TableSchema(
+            fields=[
+                Field("vec_id", "BIGINT", nullable=False),
+                Field("emb", "ARRAY<DOUBLE>"),
+                Field("label", "INT"),
+            ],
+            primary_key=["vec_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        e = _embeddings(spark, sf)
+        t.upsert(
+            e.select("vec_id", F.col("v").alias("emb"), "label"),
+            ordering=["vec_id"],
+        )
+        create_vector_index(cat, "db", variant, "emb", spark, k=_KM_K, iters=_KM_ITERS)
+        upd = e.filter(F.col("vec_id") % 13 == 0).select(
+            "vec_id",
+            F.transform("v", lambda x: -x).alias("emb"),
+            "label",
+        )
+        t.upsert(upd, ordering=["vec_id"])
+        sync_vector_index(cat, "db", variant, "emb", spark)
     elif variant == "tiered_log":
         # S9: auto-tiering on the append path — after 4 commits only the
         # newest stays local, 3 sealed commits live in the remote tier
@@ -1371,6 +1404,80 @@ def ann_incremental_ivf(spark: SparkSession, sf: str) -> DataFrame:
     idx = t.snapshot(spark)
     cdf = idx.join(e.select("vec_id", "v"), "vec_id").select("vec_id", "cell", "v")
     return cell_cosine_topk(newq.select("vec_id", "cell", "v"), cdf, _TOP_K)
+
+
+def _vector_index_oracle() -> str:
+    from fluss_spark.operators.similarity import (
+        _KM_K,
+        _TOP_K,
+        _sql_km_assign,
+        _sql_km_update,
+    )
+
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    e AS (SELECT vec_id, v FROM e0),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    a1 AS ({_sql_km_assign("c0")}),
+    c1 AS ({_sql_km_update("a1")}),
+    a2 AS ({_sql_km_assign("c1")}),
+    c2 AS ({_sql_km_update("a2")}),
+    fin AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 13 = 0 THEN list_transform(v, x -> -x)
+                  ELSE v END AS v
+      FROM e0
+    ),
+    idx AS ({_sql_km_assign("c2", src="fin")}),
+    q AS (SELECT * FROM idx WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q JOIN idx c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOP_K}
+    """
+
+
+@register("l7_vector_index", oracle=_vector_index_oracle())
+def l7_vector_index(spark: SparkSession, sf: str) -> DataFrame:
+    """First-class vector index over an ENGINE table (vector_index.py)
+    — beyond the reference's lookup surface like L6: the index is
+    itself a pk table (pk=(cell, vec_id), bucket_key=[cell] — the L2
+    contract), the trained coarse quantizer is persisted as index-table
+    PROPERTIES, and maintenance is an incremental changelog consumer
+    whose per-event cell assignment folds cross-cell moves as a delete
+    at the before-image's cell plus an insert at the after-image's.
+    The build negates every 13th vector AFTER index creation and syncs
+    ONE changelog slice; this query then searches the synced index for
+    the 5 lowest vec_ids through the cell-grouped BLAS kernel. The
+    oracle recomputes the trained centroids (unrolled Lloyd), assigns
+    the FINAL vector state under them — exactly what create+sync must
+    converge to — and ranks the same cell-restricted cosine top-k."""
+    from fluss_spark.vector_index import vector_search
+
+    t = _build(spark, sf, "vindexed")
+    q = (
+        t.snapshot(spark)
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("emb", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    cat = t.catalog
+    return vector_search(cat, "db", "vindexed", "emb", q, spark, k=10, nprobe=1)
 
 
 @register(

@@ -612,6 +612,7 @@ class FlussSqlSession:
             "compact_log", "compact_snapshot", "expire_snapshots",
             "expire_log_ttl", "tier_log", "rebucket",
             "create_index", "sync_index", "export_delta_log",
+            "create_vector_index", "sync_vector_index",
         ):
             raise SqlParseError(f"unknown procedure: sys.{proc}")
         target = args.get("table") or (pos + [None])[0]
@@ -628,6 +629,22 @@ class FlussSqlSession:
                 ix.create_index(self.catalog, db, name, str(column), self.spark)
                 return _rows([f"index={ix.index_table_name(name, str(column))}"])
             n = ix.sync_index(self.catalog, db, name, str(column), self.spark)
+            return _rows([f"consumed_changelog_rows={n}"])
+        if proc in ("create_vector_index", "sync_vector_index"):
+            from fluss_spark import vector_index as vx
+
+            column = args.get("column") or (pos + [None, None])[1]
+            if column is None:
+                raise SqlParseError(f"CALL sys.{proc}: missing column argument")
+            if proc == "create_vector_index":
+                vx.create_vector_index(
+                    self.catalog, db, name, str(column), self.spark,
+                    k=int(args.get("k", 8)), iters=int(args.get("iters", 2)),
+                )
+                return _rows(
+                    [f"index={vx.vindex_table_name(name, str(column))}"]
+                )
+            n = vx.sync_vector_index(self.catalog, db, name, str(column), self.spark)
             return _rows([f"consumed_changelog_rows={n}"])
         if proc == "export_delta_log":
             target_dir = args.get("target_dir") or (pos + [None, None])[1]
