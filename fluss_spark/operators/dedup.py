@@ -1379,3 +1379,55 @@ def dd_fuzzy_contamination(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("__jac"), 4).alias("max_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------- #
+# tx_ngram_novelty: per-doc data-freshness score
+# ---------------------------------------------------------------------- #
+@register(
+    "tx_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), s0 AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t WHERE len(toks) >= {_SHINGLE}
+    ), s1 AS (
+      SELECT doc_id, {_SQL_SHINGLE_IDS} AS ids FROM s0 WHERE len(sh) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(ids) AS id FROM s1
+    ), first AS (
+      SELECT id, min(doc_id) AS first_doc FROM ex GROUP BY id
+    )
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           round(sum(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 4) AS novelty
+    FROM ex JOIN first USING (id)
+    GROUP BY ex.doc_id
+    """,
+)
+def tx_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-freshness scoring for curriculum/selection: a document's
+    novelty = the fraction of its distinct {_SHINGLE}-gram shingles
+    whose FIRST corpus occurrence (lowest doc_id — ingestion order) is
+    this document. High-novelty docs contribute new content; docs whose
+    shingles all appeared earlier are redundant even when no single
+    earlier document matches them (the gap exact/near dedup leaves
+    open). Shares the persisted shingle stage with the whole dd_*
+    family; the score itself is one shuffle on the shingle id
+    (first-occurrence min) plus the id-keyed join back — both
+    map-side-combinable, output linear in documents."""
+    base = shingle_base(spark, sf)
+    ex = base.select("doc_id", F.explode("ids").alias("id"))
+    first = ex.groupBy("id").agg(F.min("doc_id").alias("first_doc"))
+    new = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        ex.join(first, "id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(new).cast("bigint").alias("n_new"),
+            F.round(F.sum(new) / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )

@@ -437,3 +437,84 @@ def op_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         s.filter((n >= _Z_MIN_EVENTS) & (var_num > 0) & (F.abs(z) > _Z_THRESHOLD))
         .select("user_id", "event_id", F.round(z, 4).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------- #
+# op_attribution: last-touch marketing attribution
+# ---------------------------------------------------------------------- #
+_TOUCH_TYPES = ("click", "view")
+
+
+@register(
+    "op_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN {_TOUCH_TYPES!r}
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN {_TOUCH_TYPES!r}
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS touch_event_id,
+             last_value(CASE WHEN event_type IN {_TOUCH_TYPES!r}
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           coalesce(touch_type, 'direct') AS channel,
+           touch_event_id,
+           CASE WHEN touch_ts IS NOT NULL
+                THEN (epoch_us(ts) - epoch_us(touch_ts)) // 1000000 END
+             AS secs_since_touch,
+           round(value, 2) AS value
+    FROM e WHERE event_type = 'purchase'
+    """,
+)
+def op_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING click/view (channel, touch event, seconds
+    since), 'direct' when no touch precedes it — the standard
+    conversion-attribution shape. One user_id window pass (three
+    carry-forward last-values over the same frame share one exchange
+    and one sort); no self-joins, output linear in purchases. The
+    strictly-preceding frame (ROWS ... 1 PRECEDING) keeps a purchase
+    from attributing to a same-timestamp later touch."""
+    e = load(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*_TOUCH_TYPES)
+    touch_type = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    touch_id = F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "value",
+            touch_type.alias("touch_type"),
+            touch_id.alias("touch_event_id"),
+            touch_ts.alias("touch_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("touch_type"), F.lit("direct")).alias("channel"),
+            "touch_event_id",
+            (
+                (F.unix_micros("ts") - F.unix_micros("touch_ts"))
+                / F.lit(1_000_000)
+            ).cast("bigint").alias("secs_since_touch"),
+            F.round("value", 2).alias("value"),
+        )
+    )

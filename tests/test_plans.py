@@ -566,3 +566,21 @@ def test_dsir_lm_broadcast_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plans.has_partial_aggregation(df)
+
+
+def test_attribution_single_window_exchange(spark, sf_dir):
+    """op_attribution: all three carry-forward last-values share ONE
+    user_id exchange and sort — no self-joins."""
+    df = QUERIES["op_attribution"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_ngram_novelty_no_cartesian_partial_agg(spark, sf_dir):
+    """tx_ngram_novelty: first-occurrence is a shingle-id aggregation
+    joined back by id — equi-joins only, map-side partial counts."""
+    df = QUERIES["tx_ngram_novelty"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plans.has_partial_aggregation(df)
