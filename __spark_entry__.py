@@ -81,20 +81,20 @@ _PRIORITY = [
     "tx_temperature_sample",
     "tx_bpe_train",
     "mm_audio_segment",
-    "emb_pca_topcomponent",
+    "fn_hll_cardinality",
     "tx_ngram_novelty",
     "op_attribution",
     "dd_exact_engine",
     "mm_phash_dedup",
     "tx_tokenizer_fertility",
     "l7_vector_index",
-    # (window is exactly 50: 10 sentinels + 28 new-this-round (20 from
+    # (window is exactly 50: 10 sentinels + 29 new-this-round (20 from
     # s1-s3 + m13_sql_merge_into/tx_dsir_resample/ann_incremental_ivf/
     # mm_phash_dedup/tx_tokenizer_fertility/l7_vector_index/
-    # tx_ngram_novelty/op_attribution from s4) +
-    # 1 fixed + 11 single-history; tx_bpe_token_count,
-    # subquery_tpch_q20, subquery_tpch_q2, t5_sliding_window and
-    # t5_session_window (all
+    # tx_ngram_novelty/op_attribution/fn_hll_cardinality from s4) +
+    # 1 fixed + 10 single-history; tx_bpe_token_count,
+    # subquery_tpch_q20, subquery_tpch_q2, t5_sliding_window,
+    # t5_session_window and emb_pca_topcomponent (all
     # r4-green) also rotated out; op_anomaly_zscore,
     # op_user_paths, op_transition_matrix, mm_resize_pipeline,
     # fn_rb_binary_roundtrip, ann_pq_adc, ann_recall_audit,
