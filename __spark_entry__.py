@@ -76,25 +76,27 @@ _PRIORITY = [
     "ann_ivfpq_adc",
     "tx_curation_pipeline",
     "l5_delta_join",
-    "dd_semdedup",
     "tx_perplexity_buckets",
     "tx_temperature_sample",
-    "tx_bpe_train",
     "mm_audio_segment",
     "fn_hll_cardinality",
+    "fn_cms_topk_estimate",
+    "fn_bloom_membership",
     "tx_ngram_novelty",
     "op_attribution",
     "dd_exact_engine",
     "mm_phash_dedup",
     "tx_tokenizer_fertility",
     "l7_vector_index",
-    # (window is exactly 50: 10 sentinels + 29 new-this-round (20 from
+    # (window is exactly 50: 10 sentinels + 31 new-this-round (20 from
     # s1-s3 + m13_sql_merge_into/tx_dsir_resample/ann_incremental_ivf/
     # mm_phash_dedup/tx_tokenizer_fertility/l7_vector_index/
-    # tx_ngram_novelty/op_attribution/fn_hll_cardinality from s4) +
-    # 1 fixed + 10 single-history; tx_bpe_token_count,
+    # tx_ngram_novelty/op_attribution/fn_hll_cardinality/
+    # fn_cms_topk_estimate/fn_bloom_membership from s4) +
+    # 1 fixed + 8 single-history; tx_bpe_token_count,
     # subquery_tpch_q20, subquery_tpch_q2, t5_sliding_window,
-    # t5_session_window and emb_pca_topcomponent (all
+    # t5_session_window, emb_pca_topcomponent, dd_semdedup and
+    # tx_bpe_train (all
     # r4-green) also rotated out; op_anomaly_zscore,
     # op_user_paths, op_transition_matrix, mm_resize_pipeline,
     # fn_rb_binary_roundtrip, ann_pq_adc, ann_recall_audit,

@@ -209,3 +209,220 @@ def fn_hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------- #
+# fn_cms_topk_estimate: Count-Min sketch frequency estimation
+# ---------------------------------------------------------------------- #
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+_CMS_TOPK = 20
+
+
+@register(
+    "fn_cms_topk_estimate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents WHERE trim(text) <> ''
+    ),
+    counters AS (
+      SELECT r, ('0x' || substr(md5(r || ':' || word), 1, 4))::INT % {_CMS_W} AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tok, range(0, {_CMS_D}) rows(r)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_exact
+      FROM tok GROUP BY word
+      ORDER BY n_exact DESC, word LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT word, n_exact, r,
+             ('0x' || substr(md5(r || ':' || word), 1, 4))::INT % {_CMS_W} AS c
+      FROM exact, range(0, {_CMS_D}) rows(r)
+    )
+    SELECT word, n_exact, min(n) AS cms_estimate,
+           CAST(min(n) - n_exact AS BIGINT) AS overcount
+    FROM probes JOIN counters USING (r, c)
+    GROUP BY word, n_exact
+    """,
+)
+def fn_cms_topk_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, value-checked: a
+    {_CMS_D} x {_CMS_W} counter matrix over the corpus vocabulary
+    (hashes on the shared md5 PRF, so the SKETCH CONTENTS reproduce in
+    SQL), probed for the exact top-{_CMS_TOPK} terms — estimate = min
+    over rows, always >= the true count (the audit column shows the
+    overcount each collision costs). The sketch build is one explode +
+    one map-side-combinable count keyed by (row, counter) —
+    {_CMS_D * _CMS_W} cells total at ANY corpus size, the
+    mergeable-summary property that makes CMS the standard distributed
+    frequency sketch."""
+    from fluss_spark.operators.text import tokens
+
+    d = load(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+
+    def cms_col(row_col, word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            row_col.cast("string"), F.lit(":"), word_col
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % _CMS_W
+        )
+
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    counters = (
+        tok.select("word", rows)
+        .select("r", cms_col(F.col("r"), F.col("word")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    wnd = Window.orderBy(F.desc("n_exact"), F.asc("word"))
+    exact = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .withColumn("__rk", F.row_number().over(wnd))
+        .filter(F.col("__rk") <= _CMS_TOPK)
+        .drop("__rk")
+    )
+    probes = exact.select("word", "n_exact", rows).select(
+        "word", "n_exact", "r", cms_col(F.col("r"), F.col("word")).alias("c")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("word", "n_exact")
+        .agg(
+            F.min("n").alias("cms_estimate"),
+            (F.min("n") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------- #
+# fn_bloom_membership: Bloom-filter membership with measured FP rate
+# ---------------------------------------------------------------------- #
+_BLOOM_M = 1024  # bits — sized so the corpus MEASURES real collisions
+_BLOOM_K = 3  # hash functions
+
+
+@register(
+    "fn_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(k || ':' || doc_id), 1, 4))::INT % {_BLOOM_M} AS bit
+      FROM members, range(0, {_BLOOM_K}) ks(k)
+    ),
+    probes AS (
+      SELECT doc_id FROM documents
+    ),
+    probe_bits AS (
+      SELECT doc_id, k,
+             ('0x' || substr(md5(k || ':' || doc_id), 1, 4))::INT % {_BLOOM_M} AS bit
+      FROM probes, range(0, {_BLOOM_K}) ks(k)
+    ),
+    hits AS (
+      SELECT p.doc_id, count(*) AS n_set
+      FROM probe_bits p JOIN bits USING (bit)
+      GROUP BY p.doc_id
+    ),
+    judged AS (
+      SELECT pr.doc_id,
+             coalesce(h.n_set, 0) = {_BLOOM_K} AS bloom_pos,
+             pr.doc_id IN (SELECT doc_id FROM members) AS actual
+      FROM probes pr LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(actual::INT) AS BIGINT) AS n_members,
+           CAST(sum(bloom_pos::INT) AS BIGINT) AS n_positives,
+           CAST(sum((bloom_pos AND NOT actual)::INT) AS BIGINT) AS n_false_pos,
+           round(sum((bloom_pos AND NOT actual)::INT)
+                 / greatest(count(*) - sum(actual::INT), 1)::DOUBLE, 4) AS fp_rate
+    FROM judged
+    """,
+)
+def fn_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership, value-checked end to end: the curated
+    subset ('en' documents) hashes into a {_BLOOM_M}-bit filter via
+    {_BLOOM_K} md5-PRF functions; every document probes it, and a
+    probe is positive iff ALL its bits are set — reported alongside
+    ground truth as a MEASURED false-positive rate (the filter is
+    sized so the corpus actually exhibits collisions, ~10% at sf0.01 —
+    an audit, not a tautology). No filter bit is approximated away by
+    engine-private hashing (contrast a real engine's opaque bloom
+    pushdown), so the oracle reproduces every positive. The bit set is
+    <= {_BLOOM_M} rows at any corpus size — the broadcastable-summary
+    property that makes Bloom filters the standard semi-join
+    pre-filter."""
+    d = load(spark, sf, "documents")
+    members = d.filter(F.col("lang") == "en").select("doc_id")
+    ks = F.explode(F.array(*[F.lit(k) for k in range(_BLOOM_K)])).alias("k")
+
+    def bloom_bit(k_col, id_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            k_col.cast("string"), F.lit(":"), id_col.cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % _BLOOM_M
+        )
+
+    bits = (
+        members.select("doc_id", ks)
+        .select(bloom_bit(F.col("k"), F.col("doc_id")).alias("bit"))
+        .distinct()
+    )
+    probes = d.select("doc_id")
+    probe_bits = probes.select("doc_id", ks).select(
+        "doc_id", bloom_bit(F.col("k"), F.col("doc_id")).alias("bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    judged = (
+        probes.join(hits, "doc_id", "left")
+        .join(
+            members.withColumn("__m", F.lit(1)), "doc_id", "left"
+        )
+        .select(
+            (F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_K).alias("bloom_pos"),
+            F.col("__m").isNotNull().alias("actual"),
+        )
+    )
+    fp = F.sum((F.col("bloom_pos") & ~F.col("actual")).cast("int"))
+    non_members = F.count(F.lit(1)) - F.sum(F.col("actual").cast("int"))
+    return judged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.col("actual").cast("int")).cast("bigint").alias("n_members"),
+        F.sum(F.col("bloom_pos").cast("int")).cast("bigint").alias("n_positives"),
+        fp.cast("bigint").alias("n_false_pos"),
+        F.round(fp / F.greatest(non_members, F.lit(1)), 4).alias("fp_rate"),
+    )
