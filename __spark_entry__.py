@@ -78,7 +78,7 @@ _PRIORITY = [
     "l5_delta_join",
     "tx_perplexity_buckets",
     "tx_temperature_sample",
-    "mm_audio_segment",
+    "op_rfm",
     "fn_hll_cardinality",
     "fn_cms_topk_estimate",
     "fn_bloom_membership",
@@ -88,15 +88,15 @@ _PRIORITY = [
     "mm_phash_dedup",
     "tx_tokenizer_fertility",
     "l7_vector_index",
-    # (window is exactly 50: 10 sentinels + 31 new-this-round (20 from
+    # (window is exactly 50: 10 sentinels + 32 new-this-round (20 from
     # s1-s3 + m13_sql_merge_into/tx_dsir_resample/ann_incremental_ivf/
     # mm_phash_dedup/tx_tokenizer_fertility/l7_vector_index/
     # tx_ngram_novelty/op_attribution/fn_hll_cardinality/
-    # fn_cms_topk_estimate/fn_bloom_membership from s4) +
-    # 1 fixed + 8 single-history; tx_bpe_token_count,
+    # fn_cms_topk_estimate/fn_bloom_membership/op_rfm from s4) +
+    # 1 fixed + 7 single-history; tx_bpe_token_count,
     # subquery_tpch_q20, subquery_tpch_q2, t5_sliding_window,
-    # t5_session_window, emb_pca_topcomponent, dd_semdedup and
-    # tx_bpe_train (all
+    # t5_session_window, emb_pca_topcomponent, dd_semdedup,
+    # tx_bpe_train and mm_audio_segment (all
     # r4-green) also rotated out; op_anomaly_zscore,
     # op_user_paths, op_transition_matrix, mm_resize_pipeline,
     # fn_rb_binary_roundtrip, ann_pq_adc, ann_recall_audit,

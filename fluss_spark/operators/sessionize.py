@@ -518,3 +518,70 @@ def op_attribution(spark: SparkSession, sf: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+# ---------------------------------------------------------------------- #
+# op_rfm: recency / frequency / monetary customer segmentation
+# ---------------------------------------------------------------------- #
+@register(
+    "op_rfm",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    anchor AS (SELECT max(last_ts) AS t0 FROM p),
+    base AS (
+      SELECT user_id,
+             (epoch_us(t0) - epoch_us(last_ts)) // 86400000000 AS recency_days,
+             frequency, monetary
+      FROM p, anchor
+    )
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_score
+    FROM base
+    """,
+)
+def op_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value model: per user,
+    days since last purchase (recency, anchored at the corpus's newest
+    purchase so the result is reproducible), purchase count and spend,
+    each scored into quintiles (1 = best; ties broken by user_id so the
+    bucketing is deterministic cross-engine). One purchase-filtered
+    aggregation keyed by user, then three ntile windows over the
+    user-level frame — the windows run over |users| rows, not events,
+    so the global sorts are summary-sized at any corpus."""
+    e = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    p = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    anchor = p.agg(F.max("last_ts").alias("t0"))
+    base = p.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (
+            (F.unix_micros("t0") - F.unix_micros("last_ts")) / F.lit(86_400_000_000)
+        ).cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
