@@ -289,15 +289,15 @@ def fn_cms_topk_estimate(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    from pyspark.sql.window import Window
-
-    wnd = Window.orderBy(F.desc("n_exact"), F.asc("word"))
+    # Top-k vocabulary selection via TakeOrderedAndProject
+    # (orderBy().limit), not a global row_number window over the full
+    # vocabulary — each partition keeps its local top-K, so no
+    # single-partition sort regardless of vocabulary size.
     exact = (
         tok.groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-        .withColumn("__rk", F.row_number().over(wnd))
-        .filter(F.col("__rk") <= _CMS_TOPK)
-        .drop("__rk")
+        .orderBy(F.desc("n_exact"), F.asc("word"))
+        .limit(_CMS_TOPK)
     )
     probes = exact.select("word", "n_exact", rows).select(
         "word", "n_exact", "r", cms_col(F.col("r"), F.col("word")).alias("c")

@@ -282,11 +282,15 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # Distributed partial top-k: orderBy().limit(K) plans
+    # TakeOrderedAndProject (each partition keeps its local top-K, the
+    # driver merges K*P rows) — no single-partition sort of the scored
+    # corpus. The rank window then runs over the BOUNDED K-row result
+    # (same ordering key, so ranks are identical to the global window).
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_K)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_K)
-        .select("doc_id", "score", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
     )
 
 
@@ -576,9 +580,13 @@ def tx_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("logw_q") / 1_000_000.0, 4).alias("logw"),
         F.round(F.col("logw_q") / 1_000_000.0 - F.log(-F.log(u)), 4).alias("gkey"),
     )
+    # Gumbel-top-k via TakeOrderedAndProject (orderBy().limit), not a
+    # global window over the whole corpus: each partition keeps its
+    # local top-K and only K*P rows reach the merge. Ranks are then
+    # stamped over the BOUNDED K-row result with the same ordering key,
+    # so the output is bit-identical to the old global-window plan.
+    topk = keyed.orderBy(F.desc("gkey"), F.asc("doc_id")).limit(_DSIR_K)
     w = Window.orderBy(F.desc("gkey"), F.asc("doc_id"))
-    return (
-        keyed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _DSIR_K)
-        .select("doc_id", "lang", "logw", "gkey", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "lang", "logw", "gkey", "rank"
     )

@@ -523,46 +523,72 @@ def op_attribution(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------- #
 # op_rfm: recency / frequency / monetary customer segmentation
 # ---------------------------------------------------------------------- #
+def _q5_sql(key: str, cuts: str) -> str:
+    """Value-based quintile score in DuckDB SQL: 1 + number of exact
+    percentile cut points the key exceeds. Cut positions are p*(n-1)
+    with p = i/5, so every true cut is a rational with denominator 5 —
+    comparing 5*key against round(5*cut) is exact integer math, immune
+    to cross-engine last-ulp drift in the interpolated double."""
+    terms = " + ".join(
+        f"(({key}) * 5 > CAST(round(({cuts})[{i}] * 5) AS BIGINT))::INT"
+        for i in range(1, 5)
+    )
+    return f"CAST(1 + {terms} AS INT)"
+
+
 @register(
     "op_rfm",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT user_id,
              max(ts) AS last_ts,
              CAST(count(*) AS BIGINT) AS frequency,
-             round(sum(value), 2) AS monetary
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id
     ),
     anchor AS (SELECT max(last_ts) AS t0 FROM p),
     base AS (
       SELECT user_id,
-             (epoch_us(t0) - epoch_us(last_ts)) // 86400000000 AS recency_days,
-             frequency, monetary
+             CAST((epoch_us(t0) - epoch_us(last_ts)) // 86400000000 AS BIGINT)
+               AS recency_days,
+             frequency, cents
       FROM p, anchor
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+             quantile_cont(-frequency,   [0.2, 0.4, 0.6, 0.8]) AS fc,
+             quantile_cont(-cents,       [0.2, 0.4, 0.6, 0.8]) AS mc
+      FROM base
     )
-    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
-           frequency, monetary,
-           CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r_score,
-           CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
-           CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_score
-    FROM base
+    SELECT user_id, recency_days, frequency,
+           cents / 100.0 AS monetary,
+           {_q5_sql('recency_days', 'rc')} AS r_score,
+           {_q5_sql('-frequency', 'fc')} AS f_score,
+           {_q5_sql('-cents', 'mc')} AS m_score
+    FROM base, cuts
     """,
 )
 def op_rfm(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation — the classic customer-value model: per user,
     days since last purchase (recency, anchored at the corpus's newest
     purchase so the result is reproducible), purchase count and spend,
-    each scored into quintiles (1 = best; ties broken by user_id so the
-    bucketing is deterministic cross-engine). One purchase-filtered
-    aggregation keyed by user, then three ntile windows over the
-    user-level frame — the windows run over |users| rows, not events,
-    so the global sorts are summary-sized at any corpus."""
+    each scored into VALUE-BASED quintiles (1 = best; equal values
+    always share a score). Monetary sums integer cents so the
+    aggregate is partition-order independent (the repo's quantize-
+    to-int64 exact-sum rule). Scale shape: one purchase-filtered
+    aggregation keyed by user, then ONE exact-percentile aggregate
+    produces the 12 cut points (4 per dimension), broadcast back and
+    stamped map-side — no global window / single-partition sort at any
+    corpus size, unlike the rank-positional ntile formulation. Cut
+    positions are p*(n-1), p = i/5, so true cuts are rationals with
+    denominator 5: comparing 5*key > round(5*cut) makes the stamping
+    exact integer math on both engines."""
     e = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
     p = e.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.round(F.sum("value"), 2).alias("monetary"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
     )
     anchor = p.agg(F.max("last_ts").alias("t0"))
     base = p.crossJoin(F.broadcast(anchor)).select(
@@ -571,17 +597,28 @@ def op_rfm(spark: SparkSession, sf: str) -> DataFrame:
             (F.unix_micros("t0") - F.unix_micros("last_ts")) / F.lit(86_400_000_000)
         ).cast("bigint").alias("recency_days"),
         "frequency",
-        "monetary",
+        "cents",
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
-    return base.select(
+    pcts = [F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)]
+    cuts = base.agg(
+        F.percentile(F.col("recency_days"), F.array(*pcts)).alias("rc"),
+        F.percentile(-F.col("frequency"), F.array(*pcts)).alias("fc"),
+        F.percentile(-F.col("cents"), F.array(*pcts)).alias("mc"),
+    )
+
+    def q5(key, cuts_col):
+        s = F.lit(1)
+        for i in range(1, 5):
+            c5 = F.round(F.element_at(F.col(cuts_col), i) * 5).cast("bigint")
+            s = s + (key * 5 > c5).cast("int")
+        return s.cast("int")
+
+    return base.crossJoin(F.broadcast(cuts)).select(
         "user_id",
         "recency_days",
         "frequency",
-        "monetary",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        (F.col("cents") / 100.0).alias("monetary"),
+        q5(F.col("recency_days"), "rc").alias("r_score"),
+        q5(-F.col("frequency"), "fc").alias("f_score"),
+        q5(-F.col("cents"), "mc").alias("m_score"),
     )

@@ -1510,7 +1510,7 @@ def _bigram_stage(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END) AS n_tokens,
+           CAST(sum(CASE WHEN trim(text)='' THEN 0 ELSE len({_SQL_TOKENS}) END) AS BIGINT) AS n_tokens,
            count(DISTINCT lang) AS n_langs,
            round(avg((lang = 'en')::INT), 4) AS pct_en,
            round(1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 4) AS dup_rate,

@@ -57,3 +57,50 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 def assert_contains(text: str, *needles: str) -> None:
     for n in needles:
         assert n in text, f"expected {n!r} in:\n{text}"
+
+
+def unbounded_global_windows(df: DataFrame) -> list:
+    """Window physical nodes with an EMPTY partition spec whose input is
+    not bounded by a limit — Spark executes these as a single-partition
+    sort of the whole input (`WindowExec: No Partition Defined`), a
+    one-executor bottleneck at scale. A partition-less window is only
+    acceptable over a bounded subtree (below a GlobalLimit /
+    TakeOrderedAndProject, where at most K rows reach it)."""
+    out = []
+
+    def _children(node):
+        kids = []
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            kids.append(node.initialPlan())
+        elif name == "InMemoryTableScan":
+            try:
+                kids.append(node.relation().cachedPlan())
+            except Exception:
+                pass
+        it = node.children().iterator()
+        while it.hasNext():
+            kids.append(it.next())
+        return kids
+
+    def _bounded(node):
+        name = node.nodeName()
+        if "Limit" in name or name == "TakeOrderedAndProject":
+            return True
+        kids = _children(node)
+        return bool(kids) and all(_bounded(k) for k in kids)
+
+    def _walk(node):
+        name = node.nodeName()
+        if name in ("Window", "WindowGroupLimit"):
+            try:
+                no_part = node.partitionSpec().isEmpty()
+            except Exception:
+                no_part = False
+            if no_part and not _bounded(node):
+                out.append(node.simpleString(120))
+        for k in _children(node):
+            _walk(k)
+
+    _walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -139,6 +139,42 @@ def test_limit_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plans.physical_plan(df)  # no full sort
 
 
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """Repo-wide scale fence: no registered query may plan a Window
+    with an empty partition spec over unbounded input — that executes
+    as a single-partition sort of its whole input (the `WindowExec: No
+    Partition Defined` warning), a one-executor bottleneck at 100 TB.
+    Bounded inputs (below a GlobalLimit / TakeOrderedAndProject) are
+    allowed: at most K rows reach the window. Reference analog: the
+    whole point of FileLogProjection/stats pushdown is never shipping
+    the corpus to one node."""
+    load_all_queries()
+    from fluss_spark.registry import QUERIES as _Q
+
+    bad = {}
+    for name in sorted(_Q):
+        df = _Q[name](spark, sf_dir)
+        offenders = plans.unbounded_global_windows(df)
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"partition-less Window over unbounded input:\n{bad}"
+
+
+def test_unbounded_global_window_detector_fires(spark, sf_dir):
+    """The fence's detector actually detects: a deliberate global
+    row_number over an unbounded scan must be flagged, and the
+    bounded (post-limit) variant must not."""
+    from pyspark.sql.window import Window as W
+
+    base = load(spark, sf_dir, "events")
+    bad = base.withColumn("rn", F.row_number().over(W.orderBy("ts")))
+    assert plans.unbounded_global_windows(bad)
+    ok = base.orderBy("ts").limit(10).withColumn(
+        "rn", F.row_number().over(W.orderBy("ts"))
+    )
+    assert not plans.unbounded_global_windows(ok)
+
+
 def test_predicate_builder_maps_to_pushdown(spark, sf_dir):
     from fluss_spark import predicates as P
 
