@@ -44,6 +44,13 @@ INDEX_COL_PROP = "index.column"
 INDEX_SYNC_PROP = "index.synced-offsets"
 INDEX_EPOCH_PROP = "index.synced-bucket-epoch"
 
+# index_lookup regime thresholds (hit-pk count): up to the first an
+# IN-filter is pushed to the scan, up to the second the hit set is
+# broadcast, beyond that a shuffle semi-join (never broadcast an
+# unbounded hot-value pk set)
+_IN_FILTER_MAX_PKS = 10_000
+_BROADCAST_MAX_PKS = 1_000_000
+
 
 def index_table_name(table: str, column: str) -> str:
     return f"{table}__idx__{column}"
@@ -62,6 +69,15 @@ def create_index(
     fields = {f.name: f for f in base.schema.fields}
     if column not in fields:
         raise ValueError(f"no such column: {column}")
+    if base.schema.changelog_image == "wal":
+        # index sync removes stale mappings via -U before-images; a
+        # wal-image changelog drops UPDATE_BEFORE rows, so a value
+        # change would leave a permanent stale entry at the old value
+        raise ValueError(
+            "secondary indexes require table.changelog.image='full' "
+            "(wal-image changelogs drop the UPDATE_BEFORE rows the "
+            "index sync uses to retract old-value mappings)"
+        )
     schema = TableSchema(
         fields=[Field(column, fields[column].type, nullable=False)]
         + [Field(c, fields[c].type, nullable=False) for c in pk],
@@ -184,18 +200,29 @@ def index_lookup(
 ) -> DataFrame:
     """Point access by a non-key column: L2 prefix lookup on the index
     (one bucket dir) -> pk set -> pruned base read. Selective values
-    are the contract (like any secondary index); the pk set is
-    collected driver-side when small enough to become an IN-filter,
-    else it stays distributed as a broadcast semi-join."""
+    are the contract (like any secondary index); three regimes by hit
+    count: <=10k pks collect into an IN-filter (pushes to the scan,
+    row-group stats prune), <=1M broadcast semi-join (hits stay
+    distributed), beyond that a SHUFFLE semi-join — a hot index value
+    with 100M base pks must never be broadcast (driver OOM /
+    maxResultSize at scale)."""
     base = FlussTable(catalog, db, table)
     idx = FlussTable(catalog, db, index_table_name(table, column))
     pk = base.schema.primary_key
     hits = idx.prefix_lookup(spark, {column: value}).select(*pk)
     if len(pk) == 1:
-        keys = [r[pk[0]] for r in hits.limit(10_001).collect()]
-        if len(keys) <= 10_000:
+        keys = [r[pk[0]] for r in hits.limit(_IN_FILTER_MAX_PKS + 1).collect()]
+        if len(keys) <= _IN_FILTER_MAX_PKS:
             if not keys:
                 return base.snapshot(spark).limit(0)
             # IN-filter pushes to the scan; row-group stats prune
             return base.snapshot(spark).filter(F.col(pk[0]).isin(keys))
-    return base.snapshot(spark).join(F.broadcast(hits), on=list(pk), how="left_semi")
+    if hits.limit(_BROADCAST_MAX_PKS + 1).count() <= _BROADCAST_MAX_PKS:
+        return base.snapshot(spark).join(
+            F.broadcast(hits), on=list(pk), how="left_semi"
+        )
+    # non-selective value: shuffle semi-join; hint both ways so AQE
+    # doesn't re-plan the big hit set back into a broadcast
+    return base.snapshot(spark).join(
+        hits.hint("shuffle_hash"), on=list(pk), how="left_semi"
+    )

@@ -1403,7 +1403,10 @@ def ann_incremental_ivf(spark: SparkSession, sf: str) -> DataFrame:
     newq = assign_cells(e.filter(F.col("vec_id") > cut), cents, keep_vec=True)
     idx = t.snapshot(spark)
     cdf = idx.join(e.select("vec_id", "v"), "vec_id").select("vec_id", "cell", "v")
-    return cell_cosine_topk(newq.select("vec_id", "cell", "v"), cdf, _TOP_K)
+    # queries and the index share the base table's vec_id namespace
+    return cell_cosine_topk(
+        newq.select("vec_id", "cell", "v"), cdf, _TOP_K, exclude_self=True
+    )
 
 
 def _vector_index_oracle() -> str:
@@ -1477,7 +1480,10 @@ def l7_vector_index(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     cat = t.catalog
-    return vector_search(cat, "db", "vindexed", "emb", q, spark, k=10, nprobe=1)
+    # query ids ARE base pks here, so a row must not retrieve itself
+    return vector_search(
+        cat, "db", "vindexed", "emb", q, spark, k=10, nprobe=1, exclude_self=True
+    )
 
 
 @register(

@@ -233,7 +233,9 @@ def assign_cells(e: DataFrame, cents: list, keep_vec: bool = False) -> DataFrame
     return e.select("vec_id", "v").mapInPandas(assign_rows, schema)
 
 
-def cell_cosine_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+def cell_cosine_topk(
+    queries: DataFrame, candidates: DataFrame, k: int, exclude_self: bool = False
+) -> DataFrame:
     """Cell-restricted cosine top-k as ONE BLAS kernel per cell group —
     the scale path for batch ANN serving: a JVM zip_with dot per
     (query, candidate) pair is interpreted per element and turns
@@ -245,7 +247,14 @@ def cell_cosine_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataF
     and the per-query top-k is a stable argsort over candidates
     pre-sorted by id — EXACTLY the (cos DESC, neighbor_id ASC) tie
     order the SQL oracle ranks by. Inputs: (vec_id, cell, v) on both
-    sides. Output: (query_id, neighbor_id, cosine, rank)."""
+    sides. Output: (query_id, neighbor_id, cosine, rank).
+
+    `exclude_self` drops a candidate whose vec_id equals the query's —
+    set it ONLY when queries and candidates share an id namespace
+    (self-join ANN over one table, e.g. ann_incremental_ivf / l7).
+    When query ids come from an independent namespace (user-supplied
+    query_id), leave it off: a coincidental collision with an
+    unrelated base pk must not lose that neighbor."""
     import numpy as np
     import pandas as pd
 
@@ -279,7 +288,9 @@ def cell_cosine_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataF
             order = np.argsort(-S, axis=1, kind="stable")[:, : k + 1]
             for row, qid in enumerate(qids[s:e_]):
                 sel = order[row]
-                sel = sel[cids[sel] != qid][:k]
+                if exclude_self:
+                    sel = sel[cids[sel] != qid]
+                sel = sel[:k]
                 outs.append(
                     pd.DataFrame(
                         {

@@ -109,7 +109,14 @@ class FlussSqlSession:
     # ------------------------------------------------------------------ #
     def sql(self, statement: str) -> DataFrame | None:
         s = statement.strip().rstrip(";").strip()
-        low = s.lower()
+        # dispatch on whitespace-NORMALIZED text: the handlers' own
+        # parsers accept \s+ between keywords (e.g. _merge's regex), so
+        # the dispatcher must too — otherwise "MERGE  INTO" or a
+        # newline between keywords would skip the handler (and its
+        # write-auth/identifier guards) and fall through to the raw
+        # spark.sql path. `low` is only ever prefix/pattern-matched;
+        # handlers re-parse `s` itself.
+        low = re.sub(r"\s+", " ", s.lower())
         if self.principal is not None:
             self._authorize_statement(s, low)
         if low.startswith("create database"):

@@ -94,17 +94,30 @@ def create_vector_index(
         raise ValueError(f"no such column: {column}")
     if column in pk:
         raise ValueError(f"{column} is the primary key, not a vector column")
+    if base.schema.changelog_image == "wal":
+        # sync_vector_index folds cross-cell moves via -U before-images;
+        # a wal-image changelog drops UPDATE_BEFORE rows, so a vector
+        # that moves cells would leave a stale entry at its old cell
+        raise ValueError(
+            "vector indexes require table.changelog.image='full' "
+            "(wal-image changelogs drop the UPDATE_BEFORE rows the "
+            "sync uses to retract old-cell assignments)"
+        )
     pk0 = pk[0]
 
+    # fix the sync HWM BEFORE pinning the snapshot: a commit landing
+    # between the two is then present in the snapshot AND re-consumed
+    # by the idempotent first sync (harmless), whereas the reverse
+    # order permanently drops any commit that lands between the
+    # snapshot pin and the HWM capture — covered by the recorded
+    # offsets yet absent from the pinned snapshot, so no sync ever
+    # sees it
+    end = base.log.latest_offsets()
     snap = base.snapshot(spark)
     vecs = _vectors(snap, pk0, column)
     cents = kmeans_centroids(vecs, k=k, iters=iters)
     if not cents:
         raise ValueError(f"{db}.{table} has no rows to train the quantizer on")
-    # fix the sync HWM BEFORE reading the snapshot's vectors a second
-    # time: a writer committing between the initial populate and the
-    # HWM record must be re-consumed by the first sync, not skipped
-    end = base.log.latest_offsets()
 
     schema = TableSchema(
         fields=[Field("cell", "INT", nullable=False),
@@ -253,6 +266,7 @@ def vector_search(
     spark: SparkSession,
     k: int = 10,
     nprobe: int = 1,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """ANN search through the index: assign each query to its nprobe
     nearest cells (map-side), restrict candidates to those cells via
@@ -262,8 +276,11 @@ def vector_search(
     nprobe > 1 a final per-query window re-reduces the per-cell top-k
     (nprobe * k rows per query — metadata-sized).
 
-    `queries` must carry (query_id, v). Returns
-    (query_id, neighbor_id, cosine, rank)."""
+    `queries` must carry (query_id, v) — query_id is an INDEPENDENT
+    namespace from the base table's primary keys by default; set
+    `exclude_self=True` only when query ids ARE base pks (self-join
+    ANN over the indexed table), so a row doesn't retrieve itself.
+    Returns (query_id, neighbor_id, cosine, rank)."""
     from pyspark.sql.window import Window
 
     from fluss_spark.operators.similarity import cell_cosine_topk
@@ -308,7 +325,10 @@ def vector_search(
         .select(F.col(pk0).alias("vec_id"), "cell", "v")
     )
     per_cell = cell_cosine_topk(
-        probed.select(F.col("query_id").alias("vec_id"), "cell", "v"), cand, k
+        probed.select(F.col("query_id").alias("vec_id"), "cell", "v"),
+        cand,
+        k,
+        exclude_self=exclude_self,
     )
     if nprobe <= 1:
         return per_cell

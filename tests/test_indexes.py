@@ -187,3 +187,40 @@ def test_sync_refuses_expired_unconsumed_changelog(spark, catalog):
     assert expire_log_ttl(t, spark, now_ms=int(time.time() * 1000) + 3 * day) > 0
     with pytest.raises(ValueError, match="expired unconsumed changelog"):
         sync_index(catalog, "db", "ttl_base", "v", spark)
+
+
+def test_hot_value_lookup_shuffles_instead_of_broadcasting(
+    spark, catalog, monkeypatch
+):
+    """A non-selective index value must never broadcast its pk set:
+    past the broadcast threshold the lookup plans a shuffle semi-join
+    (no BroadcastExchange), and the result is still correct."""
+    import fluss_spark.indexes as ix
+    from fluss_spark import plans
+
+    t = _base(catalog, spark)
+    create_index(catalog, "db", "orders", "customer", spark)
+    # force both small-regimes off: every hit count exceeds the caps
+    monkeypatch.setattr(ix, "_IN_FILTER_MAX_PKS", 0)
+    monkeypatch.setattr(ix, "_BROADCAST_MAX_PKS", 0)
+    df = index_lookup(catalog, "db", "orders", "customer", "c3", spark)
+    got = sorted(r["order_id"] for r in df.collect())
+    assert got == [3, 8, 13, 18, 23, 28, 33, 38]
+    assert "BroadcastExchange" not in plans.physical_plan(df)
+
+
+def test_create_index_rejects_wal_image_base(spark, catalog):
+    """wal-image changelogs drop UPDATE_BEFORE rows, so the sync could
+    never retract old-value mappings — creation must fail loudly."""
+    t = create_table(
+        catalog, "db", "walbase",
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "BIGINT")],
+            primary_key=["id"],
+            num_buckets=1,
+            properties={"table.changelog.image": "wal"},
+        ),
+    )
+    t.upsert(spark.createDataFrame([(1, 10)], "id bigint, v bigint"), ordering=["id"])
+    with pytest.raises(ValueError, match="changelog.image"):
+        create_index(catalog, "db", "walbase", "v", spark)

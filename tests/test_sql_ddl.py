@@ -1477,3 +1477,30 @@ def test_merge_into_case_expressions_and_set_forms(spark, fsql):
             "MERGE INTO mrg_case t USING mrg_case_src2 s ON t.id = s.id "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
         )
+
+
+def test_dispatch_normalizes_keyword_whitespace(spark, fsql):
+    """Multiple spaces / newlines between statement keywords must still
+    route to the session's own handlers (and their guards), not fall
+    through to raw spark.sql — 'MERGE  INTO' once bypassed the MERGE
+    handler entirely because dispatch matched a single space only."""
+    fsql.sql("""
+        CREATE TABLE wsm (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO wsm VALUES (1, 1.0), (2, 2.0)")
+    fsql.sql("""
+        CREATE TABLE wsm_src (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO wsm_src VALUES (2, 20.0), (3, 3.0)")
+    fsql.sql(
+        "MERGE  INTO wsm AS t USING fluss_wsm_src__snapshot AS s ON t.id = s.id\n"
+        "WHEN MATCHED THEN UPDATE SET v = s.v\n"
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+    )
+    got = {r["id"]: r["v"] for r in fsql.sql("SELECT * FROM fluss_wsm__snapshot").collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+    # newline between DELETE FROM keywords routes to the delete handler
+    fsql.sql("DELETE\nFROM wsm WHERE id = 1")
+    assert fsql.sql("SELECT count(*) AS c FROM fluss_wsm__snapshot").collect()[0]["c"] == 2

@@ -152,3 +152,32 @@ def test_call_vector_index_procedures(spark, catalog):
         f"SELECT count(*) AS c FROM db_{vindex_table_name('vecs', 'emb')}__snapshot"
     ).collect()[0]["c"]
     assert n == 9
+
+
+def test_create_vector_index_rejects_wal_image_base(spark, catalog):
+    """Cross-cell moves fold via -U before-images; a wal-image
+    changelog drops those, so creation must fail loudly."""
+    import pytest as _pt
+
+    from fluss_spark.table import create_table
+    from fluss_spark.types import Field, TableSchema
+
+    t = create_table(
+        catalog, "db", "vwal",
+        TableSchema(
+            fields=[
+                Field("vid", "BIGINT", nullable=False),
+                Field("emb", "ARRAY<DOUBLE>"),
+            ],
+            primary_key=["vid"],
+            num_buckets=1,
+            properties={"table.changelog.image": "wal"},
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame([(0, [0.0] * DIM), (1, [1.0] * DIM)],
+                              "vid long, emb array<double>"),
+        ordering=["vid"],
+    )
+    with _pt.raises(ValueError, match="changelog.image"):
+        create_vector_index(catalog, "db", "vwal", "emb", spark, k=2)
