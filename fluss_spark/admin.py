@@ -38,13 +38,17 @@ class LakeSnapshot:
     """Admin.getLatestLakeSnapshot (Admin.java:485-529): a commit-pinned
     file set any external Parquet reader can scan for a consistent view
     of the table — the log IS the lake here, so no tiering copy exists
-    and the "lake snapshot" is simply the committed file listing. What
-    this cannot do (documented divergence, README): write Iceberg/
-    Paimon catalog metadata for these files."""
+    and the "lake snapshot" is simply the committed file listing.
+    Catalog metadata over the listing: Delta (export_delta_log) and
+    Iceberg (export_iceberg_metadata); Paimon/Hudi remain documented
+    divergences (README)."""
 
     snapshot_id: int  # the commit version the listing is pinned to
     table_bucket_offsets: dict[int, int]  # bucket -> next offset to resume
     files: list[str]  # absolute parquet paths (log tiers, or pk snapshot)
+    # lake-catalog interop over this listing: export_delta_log (Delta
+    # transaction log) and export_iceberg_metadata (Iceberg v2
+    # metadata + Avro manifests) both reference these files in place
 
 
 @dataclass
@@ -943,6 +947,21 @@ class Admin:
                 f.write(json.dumps(a) + "\n")
         os.rename(tmp, path)
         return DeltaExport(version, path, len(adds), len(removes))
+
+    # -- lake-format interop: Iceberg v2 metadata export -------------------
+    def export_iceberg_metadata(self, db: str, name: str, target_dir: str):
+        """Mirror the current lake snapshot as Iceberg v2 table metadata
+        (HadoopTableOperations layout: vN.metadata.json +
+        version-hint.text + Avro manifest list/manifests) an external
+        Iceberg reader can open — the fluss-lake-iceberg tiering parity
+        surface (IcebergLakeTieringFactory.java:39). Incremental like
+        the Delta path: each call appends ONE snapshot with
+        ADDED/EXISTING/DELETED manifest entries; data files are
+        referenced in place, nothing is copied. See
+        fluss_spark/iceberg.py for the format details."""
+        from fluss_spark.iceberg import export_iceberg_metadata
+
+        return export_iceberg_metadata(self, db, name, target_dir)
 
     # -- remote log manifests (Admin.listRemoteLogManifests) --------------
     def list_remote_log_manifests(self, db: str, name: str) -> dict[int, list[str]]:

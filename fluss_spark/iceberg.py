@@ -1,0 +1,537 @@
+"""Apache Iceberg (format v2) metadata export over engine snapshots.
+
+The reference tiers table data into lake formats so external engines
+can union-read it natively — Iceberg among them
+(fluss-lake/fluss-lake-iceberg/.../tiering/IcebergLakeTieringFactory.java:39,
+LakeSource.java:43-77 withProject/withFilters/withLimit; website
+docs/streaming-lakehouse/integrate-data-lakes/iceberg.md). Here the
+log/snapshot files already ARE Parquet, so "tiering into Iceberg"
+means writing Iceberg TABLE METADATA that references the engine's
+committed files in place: a `metadata/vN.metadata.json` (+
+`version-hint.text`, the HadoopTableOperations layout), a manifest
+list and manifests (Avro, via the vendored codec in
+functions/avro.py). Each export appends ONE Iceberg snapshot:
+files new since the last export enter the manifest as ADDED, files
+still live as EXISTING (keeping their original snapshot/sequence
+numbers), files that left the snapshot (compaction / TTL / rebucket)
+as DELETED — incremental mirroring, so a re-export after a 100-TB
+compaction writes kilobytes of metadata, never data.
+
+Partitioning: the engine's hive-style path segments
+(`__commit=N/<user parts>/__bucket=M`) become an identity partition
+spec. The partition columns are declared in the Iceberg schema but
+omitted from the data files — the spec's migrated-table rule
+("identity partition columns may be omitted from data files"); readers
+project them from each manifest entry's partition struct.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from fluss_spark.functions.avro import read_container, write_container
+
+_FORMAT_VERSION = 2
+_ADDED, _EXISTING, _DELETED = 1, 0, 2
+
+
+@dataclass
+class IcebergExport:
+    """Result of Admin.export_iceberg_metadata: one appended snapshot."""
+
+    version: int  # metadata version written (vN.metadata.json)
+    metadata_path: str
+    snapshot_id: int
+    n_add: int
+    n_remove: int
+
+
+# --------------------------------------------------------------------- #
+# schema conversion (parquet footer -> iceberg schema JSON)
+# --------------------------------------------------------------------- #
+def _iceberg_type(arrow_type, alloc):
+    import pyarrow as pa
+
+    t = arrow_type
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_int8(t) or pa.types.is_int16(t) or pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamptz" if t.tz else "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision}, {t.scale})"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(t.value_type, alloc),
+            "element-required": False,
+        }
+    if pa.types.is_struct(t):
+        fields = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            fid = alloc()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type(f.type, alloc),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    return "string"  # conservative fallback: path/opaque values
+
+
+_SPARK_READ_T = {  # iceberg primitive -> spark cast type for projections
+    "int": "int",
+    "long": "bigint",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+}
+
+_AVRO_PART_T = {  # iceberg primitive -> avro type for partition structs
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+}
+
+
+# --------------------------------------------------------------------- #
+# avro schemas for manifests (field-ids per the public Iceberg spec)
+# --------------------------------------------------------------------- #
+def _partition_avro(part_fields):
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", _AVRO_PART_T.get(pf["_type"], "string")],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in part_fields
+        ],
+    }
+
+
+def _manifest_entry_schema(part_fields):
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": _partition_avro(part_fields), "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+# --------------------------------------------------------------------- #
+# export
+# --------------------------------------------------------------------- #
+def _path_partition_values(path: str) -> dict[str, str]:
+    """Hive-style `k=v` path segments the engine writes."""
+    return dict(
+        seg.split("=", 1)
+        for seg in path.split(os.sep)
+        if "=" in seg and not seg.endswith(".parquet")
+    )
+
+
+def _read_version_hint(meta_dir: str) -> int:
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if not os.path.isfile(hint):
+        return 0
+    with open(hint) as f:
+        return int(f.read().strip())
+
+
+def _load_metadata(meta_dir: str, version: int) -> dict:
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _live_entries(meta: dict, meta_dir: str) -> dict[str, dict]:
+    """file_path -> manifest entry for every live file of the current
+    snapshot (DELETED entries drop out)."""
+    snap_id = meta.get("current-snapshot-id", -1)
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == snap_id), None
+    )
+    if snap is None:
+        return {}
+    _, manifests, _ = read_container(snap["manifest-list"])
+    out: dict[str, dict] = {}
+    for mf in manifests:
+        _, entries, _ = read_container(mf["manifest_path"])
+        for e in entries:
+            if e["status"] != _DELETED:
+                out[e["data_file"]["file_path"]] = e
+    return out
+
+
+def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> IcebergExport:
+    """Append one Iceberg v2 snapshot mirroring the table's current
+    lake snapshot (see module docstring). Data files are referenced in
+    place by absolute path — nothing is copied."""
+    import pyarrow.parquet as pq
+
+    from fluss_spark.table import FlussTable
+
+    snap = admin.get_latest_lake_snapshot(db, name)
+    meta_dir = os.path.join(target_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    prior_version = _read_version_hint(meta_dir)
+    prior = _load_metadata(meta_dir, prior_version) if prior_version else None
+    live_before = _live_entries(prior, meta_dir) if prior else {}
+
+    now_ms = int(time.time() * 1000)
+    seq = (prior.get("last-sequence-number", 0) if prior else 0) + 1
+    snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
+    current = {os.path.abspath(p): p for p in snap.files}
+    adds = sorted(set(current) - set(live_before))
+    removes = sorted(set(live_before) - set(current))
+    carried = sorted(set(live_before) & set(current))
+
+    # ---- schema: parquet footer columns + path partition columns ----
+    t = FlussTable(admin.catalog, db, name)
+    declared = {f.name: f.type.upper() for f in t.schema.fields}
+    _DECL_ICE = {"INT": "int", "BIGINT": "long", "STRING": "string",
+                 "DOUBLE": "double", "FLOAT": "float", "DATE": "date",
+                 "TIMESTAMP": "timestamptz", "BOOLEAN": "boolean"}
+    next_id = [0]
+
+    def alloc() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
+    fields = []
+    if snap.files:
+        arrow = pq.read_schema(snap.files[0])
+        named = [(arrow.field(i).name, arrow.field(i).type) for i in range(len(arrow))]
+        # two passes so nested element/key ids sit AFTER all column ids
+        # (the Iceberg fresh-schema id assignment rule)
+        col_ids = {n: alloc() for n, _ in named}
+        for n, at in named:
+            fields.append(
+                {"id": col_ids[n], "name": n, "required": False,
+                 "type": _iceberg_type(at, alloc)}
+            )
+    else:
+        for fname, ftype in declared.items():
+            fields.append(
+                {"id": alloc(), "name": fname, "required": False,
+                 "type": _DECL_ICE.get(ftype, "string")}
+            )
+    data_cols = {f["name"] for f in fields}
+    part_cols: list[str] = []
+    for p in snap.files:
+        for k in _path_partition_values(p):
+            if k not in part_cols:
+                part_cols.append(k)
+    part_fields = []
+    for i, c in enumerate(part_cols):
+        ice_t = "long" if c.startswith("__") else _DECL_ICE.get(
+            declared.get(c, "STRING"), "string"
+        )
+        if c not in data_cols:
+            fields.append(
+                {"id": alloc(), "name": c, "required": False, "type": ice_t}
+            )
+        src = next(f["id"] for f in fields if f["name"] == c)
+        part_fields.append(
+            {"name": c, "transform": "identity", "source-id": src,
+             "field-id": 1000 + i, "_type": ice_t}
+        )
+
+    # ---- manifest (full live set + this export's deletes) ----
+    def _typed_pvals(path: str) -> dict:
+        vals = _path_partition_values(path)
+        out = {}
+        for pf in part_fields:
+            v = vals.get(pf["name"])
+            if v is not None and pf["_type"] in ("int", "long"):
+                v = int(v)
+            elif v is not None and pf["_type"] in ("double", "float"):
+                v = float(v)
+            out[pf["name"]] = v
+        return out
+
+    def _entry(status: int, path: str, snap_id: int, seq_no: int) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snap_id,
+            "sequence_number": seq_no,
+            "file_sequence_number": seq_no,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": _typed_pvals(path),
+                "record_count": pq.ParquetFile(path).metadata.num_rows
+                if os.path.isfile(path)
+                else 0,
+                "file_size_in_bytes": os.path.getsize(path)
+                if os.path.isfile(path)
+                else 0,
+            },
+        }
+
+    entries = [_entry(_ADDED, p, snapshot_id, seq) for p in adds]
+    for p in carried:
+        old = live_before[p]
+        e = _entry(_EXISTING, p, old["snapshot_id"], old["sequence_number"])
+        e["data_file"] = old["data_file"]  # keep original stats
+        entries.append(e)
+    for p in removes:
+        old = live_before[p]
+        e = dict(old)
+        e["status"] = _DELETED
+        e["snapshot_id"] = snapshot_id
+        entries.append(e)
+
+    entry_schema = _manifest_entry_schema(part_fields)
+    spec_fields_json = [
+        {k: v for k, v in pf.items() if not k.startswith("_")} for pf in part_fields
+    ]
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    manifest_len = write_container(
+        manifest_path,
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "partition-spec": json.dumps(spec_fields_json),
+            "partition-spec-id": "0",
+            "format-version": str(_FORMAT_VERSION),
+            "content": "data",
+        },
+    )
+
+    def _rows(paths):
+        return sum(
+            e["data_file"]["record_count"]
+            for e in entries
+            if e["data_file"]["file_path"] in paths
+        )
+
+    min_seq = min(
+        [e["sequence_number"] for e in entries if e["status"] != _DELETED] + [seq]
+    )
+    manifest_list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    )
+    write_container(
+        manifest_list_path,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(adds),
+                "existing_files_count": len(carried),
+                "deleted_files_count": len(removes),
+                "added_rows_count": _rows(set(adds)),
+                "existing_rows_count": _rows(set(carried)),
+                "deleted_rows_count": _rows(set(removes)),
+            }
+        ],
+        metadata={
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(seq),
+            "format-version": str(_FORMAT_VERSION),
+        },
+    )
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": manifest_list_path,
+        "summary": {
+            "operation": "overwrite" if removes else "append",
+            "engine-commit": str(snap.snapshot_id),
+        },
+        "schema-id": 0,
+    }
+    if prior and prior.get("current-snapshot-id", -1) != -1:
+        snapshot["parent-snapshot-id"] = prior["current-snapshot-id"]
+
+    version = prior_version + 1
+    meta = {
+        "format-version": _FORMAT_VERSION,
+        "table-uuid": prior["table-uuid"]
+        if prior
+        else str(uuid.uuid5(uuid.NAMESPACE_URL, f"fluss://{db}/{name}")),
+        "location": os.path.abspath(target_dir),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": next_id[0],
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields_json}],
+        "last-partition-id": 1000 + len(part_fields) - 1 if part_fields else 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (prior.get("snapshots", []) if prior else []) + [snapshot],
+        "snapshot-log": (prior.get("snapshot-log", []) if prior else [])
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+        "metadata-log": (prior.get("metadata-log", []) if prior else [])
+        + (
+            [
+                {
+                    "timestamp-ms": prior["last-updated-ms"],
+                    "metadata-file": os.path.join(
+                        meta_dir, f"v{prior_version}.metadata.json"
+                    ),
+                }
+            ]
+            if prior
+            else []
+        ),
+    }
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(meta_dir, "version-hint.text.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return IcebergExport(version, meta_path, snapshot_id, len(adds), len(removes))
+
+
+# --------------------------------------------------------------------- #
+# read-back (the union-read side; also what the replay tests drive)
+# --------------------------------------------------------------------- #
+@dataclass
+class IcebergSnapshot:
+    version: int
+    snapshot_id: int
+    schema: dict
+    partition_fields: list[dict]
+    entries: list[dict]  # live manifest entries
+
+
+def read_iceberg_snapshot(target_dir: str) -> IcebergSnapshot:
+    """Resolve the current snapshot through the HadoopTableOperations
+    layout: version-hint.text -> vN.metadata.json -> manifest list ->
+    manifests -> live data-file entries."""
+    meta_dir = os.path.join(target_dir, "metadata")
+    version = _read_version_hint(meta_dir)
+    if version == 0:
+        raise FileNotFoundError(f"no iceberg metadata under {meta_dir}")
+    meta = _load_metadata(meta_dir, version)
+    live = _live_entries(meta, meta_dir)
+    return IcebergSnapshot(
+        version=version,
+        snapshot_id=meta["current-snapshot-id"],
+        schema=meta["schemas"][meta["current-schema-id"]],
+        partition_fields=meta["partition-specs"][meta["default-spec-id"]]["fields"],
+        entries=list(live.values()),
+    )
+
+
+def read_iceberg_table(spark, target_dir: str):
+    """Union-read the exported snapshot back as a DataFrame, projecting
+    the identity partition columns from manifest metadata (they are
+    omitted from the data files). Files are grouped by partition tuple
+    and unioned — the group count is the table's partition count
+    (metadata-scale), and each group is ONE distributed parquet scan."""
+    from pyspark.sql import functions as F
+
+    ice = read_iceberg_snapshot(target_dir)
+    by_type = {f["id"]: f["type"] for f in ice.schema["fields"]}
+    part_names = [pf["name"] for pf in ice.partition_fields]
+    part_types = {
+        pf["name"]: _SPARK_READ_T.get(by_type.get(pf["source-id"], "string"), "string")
+        for pf in ice.partition_fields
+    }
+    groups: dict[tuple, list[str]] = {}
+    for e in ice.entries:
+        key = tuple(e["data_file"]["partition"].get(c) for c in part_names)
+        groups.setdefault(key, []).append(e["data_file"]["file_path"])
+    out = None
+    for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        df = spark.read.parquet(*paths)
+        for c, v in zip(part_names, key):
+            df = df.withColumn(c, F.lit(v).cast(part_types[c]))
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError(f"{target_dir}: snapshot has no live files")
+    return out

@@ -749,6 +749,55 @@ def s9_tiered_log_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ICEBERG_EXPORTS: dict[str, str] = {}  # sf -> export dir (reused per process)
+
+
+@register(
+    "s10_iceberg_union_read",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def s10_iceberg_union_read(spark: SparkSession, sf: str) -> DataFrame:
+    """S10 lake union read through EXPORTED ICEBERG METADATA
+    (fluss-lake/fluss-lake-iceberg/.../tiering/IcebergLakeTieringFactory.java:39,
+    LakeSource.java:43-77; website iceberg.md): the partitioned log
+    table's committed files are mirrored as an Iceberg v2 table
+    (vN.metadata.json + Avro manifest list/manifests via the vendored
+    codec), then read BACK through the Iceberg metadata path — file
+    set resolved from the manifests, `event_type` projected from each
+    entry's identity-partition struct (it is a path segment, absent
+    from the data files). Re-running appends a no-change snapshot,
+    exercising the incremental export. The aggregate must cover every
+    event exactly once — double-listed or dropped files would shift
+    the counts."""
+    import tempfile
+
+    from fluss_spark.admin import Admin
+    from fluss_spark.iceberg import read_iceberg_table
+
+    t = _build(spark, sf, "part_log")
+    target = _ICEBERG_EXPORTS.get(sf)
+    if target is None:
+        target = tempfile.mkdtemp(prefix="fluss_iceberg_export_")
+        _TMPDIRS.append(target)
+        _ICEBERG_EXPORTS[sf] = target
+    Admin(t.catalog).export_iceberg_metadata("db", "part_log", target)
+    return (
+        read_iceberg_table(spark, target)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
 @register(
     "dd_exact_engine",
     oracle="""

@@ -356,7 +356,7 @@ class FlussSqlSession:
                 if target:
                     res = sec.Resource.table(*self._qualify(str(target)))
                     chk("ALTER", res)
-                    if proc == "export_delta_log":
+                    if proc in ("export_delta_log", "export_iceberg_metadata"):
                         # the export hands the table's data files to an
                         # external reader — ALTER alone must not leak READ
                         chk("READ", res)
@@ -619,6 +619,7 @@ class FlussSqlSession:
             "compact_log", "compact_snapshot", "expire_snapshots",
             "expire_log_ttl", "tier_log", "rebucket",
             "create_index", "sync_index", "export_delta_log",
+            "export_iceberg_metadata",
             "create_vector_index", "sync_vector_index",
         ):
             raise SqlParseError(f"unknown procedure: sys.{proc}")
@@ -660,6 +661,19 @@ class FlussSqlSession:
             e = self.admin.export_delta_log(db, name, str(target_dir))
             return _rows(
                 [f"delta_version={e.version} added={e.n_add} removed={e.n_remove}"]
+            )
+        if proc == "export_iceberg_metadata":
+            target_dir = args.get("target_dir") or (pos + [None, None])[1]
+            if target_dir is None:
+                raise SqlParseError(
+                    "CALL sys.export_iceberg_metadata: missing target_dir"
+                )
+            e = self.admin.export_iceberg_metadata(db, name, str(target_dir))
+            return _rows(
+                [
+                    f"iceberg_version={e.version} snapshot_id={e.snapshot_id} "
+                    f"added={e.n_add} removed={e.n_remove}"
+                ]
             )
         t = FlussTable(self.catalog, db, name)
         if proc == "compact_log":

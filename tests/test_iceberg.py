@@ -1,0 +1,314 @@
+"""Iceberg v2 metadata export: Avro codec round-trips, snapshot
+export/read-back row identity, incremental re-export across appends
+and compaction, pk-table snapshots, and the CALL surface.
+
+Reference surface: fluss-lake/fluss-lake-iceberg tiering
+(IcebergLakeTieringFactory.java:39) — the engine's committed files
+become an Iceberg table an external reader resolves through the
+HadoopTableOperations layout."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+
+from fluss_spark.admin import Admin
+from fluss_spark.catalog import Catalog
+from fluss_spark.functions.avro import (
+    decode,
+    encode,
+    read_container,
+    write_container,
+)
+from fluss_spark.iceberg import read_iceberg_snapshot, read_iceberg_table
+from fluss_spark.types import Field, TableSchema
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def admin(catalog):
+    return Admin(catalog)
+
+
+# --------------------------------------------------------------------- #
+# avro codec
+# --------------------------------------------------------------------- #
+def test_avro_binary_roundtrip_all_types():
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "i", "type": "int"},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "b", "type": "boolean"},
+            {"name": "by", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+            {"name": "arr", "type": {"type": "array", "items": ["null", "string"]}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "nest",
+                "type": {
+                    "type": "record",
+                    "name": "n",
+                    "fields": [{"name": "x", "type": ["null", "int"]}],
+                },
+            },
+        ],
+    }
+    rec = {
+        "s": "héllo ☃",
+        "opt": None,
+        "i": -(2**31),
+        "d": -2.5,
+        "f": 1.5,
+        "b": True,
+        "by": b"\x00\xff\x7f",
+        "fx": b"abcd",
+        "arr": ["a", None, ""],
+        "m": {"k1": 2**62, "k2": -1},
+        "nest": {"x": None},
+    }
+    buf = io.BytesIO()
+    encode(schema, rec, buf)
+    buf.seek(0)
+    assert decode(schema, buf) == rec
+
+
+@pytest.mark.parametrize("n", [0, 1, 999, 1000, 1001, 2500])
+def test_avro_container_block_boundaries(tmp_path, n):
+    """Multi-block container files (1000 records/block) round-trip at
+    every boundary shape, metadata included."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    recs = [{"v": i * 7 - 3} for i in range(n)]
+    p = str(tmp_path / "t.avro")
+    size = write_container(p, schema, recs, {"meta-k": "meta-v"})
+    assert size == os.path.getsize(p)
+    s2, r2, m2 = read_container(p)
+    assert s2 == schema and r2 == recs and m2["meta-k"] == b"meta-v"
+
+
+def test_avro_zigzag_extremes(tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [{"name": "v", "type": "long"}]}
+    vals = [0, -1, 1, 2**63 - 1, -(2**63), 12345678901234]
+    p = str(tmp_path / "z.avro")
+    write_container(p, schema, [{"v": v} for v in vals])
+    _, recs, _ = read_container(p)
+    assert [r["v"] for r in recs] == vals
+
+
+# --------------------------------------------------------------------- #
+# export + read-back
+# --------------------------------------------------------------------- #
+def _mk_log_table(admin, spark, name="ice", commits=3):
+    t = admin.create_table(
+        "db", name,
+        TableSchema(fields=[Field("a", "INT"), Field("b", "STRING")], num_buckets=2),
+    )
+    for i in range(commits):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"v{i}"), (i + 10, f"w{i}")], "a int, b string"
+            ),
+            ordering=["a"],
+        )
+    return t
+
+
+def test_iceberg_export_metadata_shape(spark, admin, tmp_path):
+    _mk_log_table(admin, spark)
+    target = str(tmp_path / "ice")
+    e = admin.export_iceberg_metadata("db", "ice", target)
+    assert (e.version, e.n_remove) == (1, 0) and e.n_add > 0
+
+    meta = json.load(open(e.metadata_path))
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == e.snapshot_id
+    schema = meta["schemas"][meta["current-schema-id"]]
+    names = [f["name"] for f in schema["fields"]]
+    ids = [f["id"] for f in schema["fields"]]
+    assert {"a", "b"} <= set(names) and len(ids) == len(set(ids))
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    for pf in spec:
+        assert pf["transform"] == "identity"
+        assert by_id[pf["source-id"]] == pf["name"]  # source resolves
+    # version-hint resolution lands on this metadata file
+    hint = open(os.path.join(target, "metadata", "version-hint.text")).read()
+    assert int(hint) == 1
+
+    # manifest entries carry real per-file stats and typed partitions
+    ice = read_iceberg_snapshot(target)
+    snap = admin.get_latest_lake_snapshot("db", "ice")
+    assert {e_["data_file"]["file_path"] for e_ in ice.entries} == {
+        os.path.abspath(p) for p in snap.files
+    }
+    for e_ in ice.entries:
+        df_ = e_["data_file"]
+        assert df_["file_size_in_bytes"] == os.path.getsize(df_["file_path"])
+        assert df_["record_count"] > 0
+        for k, v in df_["partition"].items():
+            assert f"{k}={v}" in df_["file_path"]
+
+
+def test_iceberg_read_back_row_identical(spark, admin, tmp_path):
+    _mk_log_table(admin, spark)
+    target = str(tmp_path / "ice")
+    admin.export_iceberg_metadata("db", "ice", target)
+    got = read_iceberg_table(spark, target)
+    rows = {(r["a"], r["b"]) for r in got.select("a", "b").collect()}
+    want = {(i, f"v{i}") for i in range(3)} | {(i + 10, f"w{i}") for i in range(3)}
+    assert rows == want
+    # identity partition columns are projected from manifest metadata
+    assert {"__commit", "__bucket"} <= set(got.columns)
+    assert got.filter("__commit IS NULL OR __bucket IS NULL").count() == 0
+    assert got.select("__commit").distinct().count() == 3
+
+
+def test_iceberg_incremental_export_and_compaction(spark, admin, tmp_path):
+    t = _mk_log_table(admin, spark)
+    target = str(tmp_path / "ice")
+    e1 = admin.export_iceberg_metadata("db", "ice", target)
+
+    # no-change export: a snapshot with zero adds/removes
+    e2 = admin.export_iceberg_metadata("db", "ice", target)
+    assert (e2.version, e2.n_add, e2.n_remove) == (2, 0, 0)
+    assert e2.snapshot_id != e1.snapshot_id
+
+    # append -> only the new files enter as ADDED
+    t.append(spark.createDataFrame([(99, "z")], "a int, b string"), ordering=["a"])
+    e3 = admin.export_iceberg_metadata("db", "ice", target)
+    assert e3.version == 3 and e3.n_add >= 1 and e3.n_remove == 0
+
+    # compaction rewrites the file set: removes supersede, adds replace
+    from fluss_spark.maintenance import compact_log
+
+    assert compact_log(t, spark, target_commits=2) > 0
+    e4 = admin.export_iceberg_metadata("db", "ice", target)
+    assert e4.version == 4 and e4.n_add > 0 and e4.n_remove > 0
+
+    # replaying the CURRENT metadata lands exactly on the live file set
+    ice = read_iceberg_snapshot(target)
+    snap = admin.get_latest_lake_snapshot("db", "ice")
+    assert {x["data_file"]["file_path"] for x in ice.entries} == {
+        os.path.abspath(p) for p in snap.files
+    }
+    rows = {
+        (r["a"], r["b"])
+        for r in read_iceberg_table(spark, target).select("a", "b").collect()
+    }
+    want = (
+        {(i, f"v{i}") for i in range(3)}
+        | {(i + 10, f"w{i}") for i in range(3)}
+        | {(99, "z")}
+    )
+    assert rows == want
+    # snapshot lineage is recorded across all four exports
+    meta = json.load(open(os.path.join(target, "metadata", "v4.metadata.json")))
+    assert len(meta["snapshots"]) == 4
+    assert meta["snapshots"][-1]["parent-snapshot-id"] == e3.snapshot_id
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+
+def test_iceberg_export_pk_table_snapshot(spark, admin, tmp_path):
+    t = admin.create_table(
+        "db", "icepk",
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "STRING")],
+            primary_key=["id"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"x{i}") for i in range(20)], "id bigint, v string"
+        ),
+        ordering=["id"],
+    )
+    t.upsert(
+        spark.createDataFrame([(3, "updated")], "id bigint, v string"),
+        ordering=["id"],
+    )
+    target = str(tmp_path / "icepk")
+    admin.export_iceberg_metadata("db", "icepk", target)
+    got = {
+        (r["id"], r["v"])
+        for r in read_iceberg_table(spark, target).select("id", "v").collect()
+    }
+    want = {(i, f"x{i}") for i in range(20) if i != 3} | {(3, "updated")}
+    assert got == want
+
+
+def test_iceberg_call_procedure(spark, tmp_path):
+    from fluss_spark.sql_ddl import FlussSqlSession
+
+    fsql = FlussSqlSession(Catalog(str(tmp_path / "wh")), spark, default_db="fluss")
+    fsql.sql("""
+        CREATE TABLE icet (a INT, b STRING) WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO icet VALUES (1, 'x'), (2, 'y')")
+    target = str(tmp_path / "icet")
+    out = fsql.sql(
+        f"CALL sys.export_iceberg_metadata(table => 'icet', "
+        f"target_dir => '{target}')"
+    ).collect()
+    assert "iceberg_version=1" in out[0][0]
+    got = {
+        (r["a"], r["b"])
+        for r in read_iceberg_table(spark, target).select("a", "b").collect()
+    }
+    assert got == {(1, "x"), (2, "y")}
+
+
+def test_iceberg_export_requires_alter_and_read(spark, tmp_path):
+    """CALL sys.export_iceberg_metadata hands data files to an external
+    reader — ALTER alone must not authorize it (same rule as the Delta
+    export): the caller needs ALTER + READ on the table."""
+    from fluss_spark import security as sec
+    from fluss_spark.security import (
+        AccessControlEntry,
+        AclBinding,
+        FlussPrincipal,
+        Resource,
+    )
+    from fluss_spark.sql_ddl import FlussSqlSession
+
+    cat = Catalog(str(tmp_path / "wh"))
+    root = FlussSqlSession(cat, spark, principal="root", super_users=["User:root"])
+    root.sql("CREATE TABLE fluss.ice_auth (a INT) WITH ('bucket.num' = '1')")
+    root.sql("INSERT INTO fluss.ice_auth VALUES (1)")
+
+    res = Resource.table("fluss", "ice_auth")
+    sec.create_acls(
+        cat,
+        [AclBinding(res, AccessControlEntry(FlussPrincipal.parse("ops"), "ALTER", "*"))],
+    )
+    ops = FlussSqlSession(cat, spark, principal="ops")
+    target = str(tmp_path / "exp")
+    with pytest.raises(sec.AuthorizationError, match="READ"):
+        ops.sql(
+            f"CALL sys.export_iceberg_metadata(table => 'ice_auth', "
+            f"target_dir => '{target}')"
+        )
+    sec.create_acls(
+        cat,
+        [AclBinding(res, AccessControlEntry(FlussPrincipal.parse("ops"), "READ", "*"))],
+    )
+    out = ops.sql(
+        f"CALL sys.export_iceberg_metadata(table => 'ice_auth', "
+        f"target_dir => '{target}')"
+    ).collect()
+    assert "iceberg_version=1" in out[0][0]
