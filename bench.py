@@ -116,6 +116,27 @@ def main() -> None:
     ]
     headline = {k: timings[k] for k in headline_keys if k in timings}
     failed = sorted(n for n, t in timings.items() if t < 0)
+    # round-over-round comparability inside the compact line: sum this
+    # run and the committed previous-round reference (bench_prev.json)
+    # over their COMMON queries at the same sf — the official
+    # regression signal no longer depends on diffing two rounds'
+    # truncated tails. Refresh bench_prev.json at each round boundary.
+    common = None
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_prev.json")
+    if os.path.isfile(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf:
+            shared = [
+                n for n, t in prev["queries"].items()
+                if t >= 0 and timings.get(n, -1) >= 0
+            ]
+            common = {
+                "vs": prev.get("round", "prev"),
+                "n": len(shared),
+                "prev_sum": round(sum(prev["queries"][n] for n in shared), 2),
+                "cur_sum": round(sum(timings[n] for n in shared), 2),
+            }
     full = {
         "metric": "total_query_sec",
         "value": total,
@@ -125,6 +146,7 @@ def main() -> None:
         "headline": headline,
         "failed": failed,
         "n_queries": len(timings),
+        "common": common,
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
@@ -137,6 +159,7 @@ def main() -> None:
         "families": families,
         "failed": failed,
         "n_queries": len(timings),
+        "common": common,
         "sf": sf,
     }
     line = json.dumps(compact)
