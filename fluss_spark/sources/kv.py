@@ -139,20 +139,29 @@ class KvStore:
         # union, inside the fold's single pk exchange.
         b = df
         may_have_deletes = OP_COL in b.columns  # no __op => all upserts
-        if OP_COL not in b.columns:
-            b = b.withColumn(OP_COL, F.lit("U"))
-        for f in schema.fields:
-            if f.name not in b.columns:
-                b = b.withColumn(f.name, F.lit(None).cast(parse_type(f.type)))
-            else:
-                b = b.withColumn(f.name, F.col(f.name).cast(parse_type(f.type)))
         if ordering:
             ord_names = [c for c in ordering]
         else:
             b = b.withColumn("__arrival", F.monotonically_increasing_id())
             ord_names = ["__arrival"]
         ord_extra = [c for c in ord_names if c not in cols]
-        b = b.withColumn(SEED_COL, F.lit(0)).select(*cols, OP_COL, SEED_COL, *ord_extra)
+        # ONE projection (a per-field withColumn loop costs a full plan
+        # copy + re-analysis per column — pure driver latency per commit)
+        have = set(b.columns)
+        proj = [
+            (
+                F.col(f.name).cast(parse_type(f.type))
+                if f.name in have
+                else F.lit(None).cast(parse_type(f.type))
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+        proj.append(
+            (F.col(OP_COL) if may_have_deletes else F.lit("U")).alias(OP_COL)
+        )
+        proj.append(F.lit(0).alias(SEED_COL))
+        proj += [F.col(c) for c in ord_extra]
+        b = b.select(*proj).select(*cols, OP_COL, SEED_COL, *ord_extra)
 
         # read-old restricted to the batch's buckets and keys; on a table
         # with no snapshot yet (first commit) there is nothing to read, so

@@ -312,3 +312,50 @@ def test_iceberg_export_requires_alter_and_read(spark, tmp_path):
         f"target_dir => '{target}')"
     ).collect()
     assert "iceberg_version=1" in out[0][0]
+
+
+def test_avro_property_roundtrip():
+    """Property test: random records under a fixed nested schema
+    round-trip bit-exact through the container format."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "p",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "by", "type": "bytes"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": ["null", "string"]}},
+        ],
+    }
+    rec_st = st.fixed_dictionaries(
+        {
+            "s": st.text(max_size=40),
+            "opt": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            "d": st.floats(allow_nan=False, allow_infinity=False),
+            "b": st.booleans(),
+            "by": st.binary(max_size=24),
+            "arr": st.lists(st.integers(-(2**63), 2**63 - 1), max_size=8),
+            "m": st.dictionaries(
+                st.text(max_size=8), st.one_of(st.none(), st.text(max_size=8)),
+                max_size=5,
+            ),
+        }
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec_st, max_size=12))
+    def check(recs):
+        buf = io.BytesIO()
+        for r in recs:
+            encode(schema, r, buf)
+        buf.seek(0)
+        got = [decode(schema, buf) for _ in recs]
+        assert got == recs
+
+    check()
