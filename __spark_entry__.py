@@ -88,6 +88,7 @@ _PRIORITY = [
     "mm_feature_extract",
     # --- round-6 additions ---
     "s10_iceberg_union_read",
+    "dd_cdc_spans",
     # (r4+r5 double-green members rotated out: t11_materialized_table,
     # ann_ivfpq_adc, tx_curation_pipeline, l5_delta_join,
     # tx_perplexity_buckets, tx_temperature_sample — they keep their

@@ -1431,3 +1431,119 @@ def tx_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum(new) / F.count(F.lit(1)), 4).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------- #
+# dd_cdc_spans: offset-invariant duplicated spans (content-defined
+# chunking) — the exact-substring dedup of Lee et al. 2022
+# (arXiv:2107.06499) re-expressed for a shuffle engine: a suffix array
+# is replaced by CDC boundaries, which depend only on local content, so
+# the SAME span in two documents chunks identically REGARDLESS of its
+# offset (fixed-aligned passage dedup — dd_passage_dedup — only catches
+# stride-aligned copies).
+# ---------------------------------------------------------------------- #
+_CDC_K = 3  # boundary decided by the trigram ending at each position
+_CDC_D = 8  # boundary probability 1/D -> mean chunk ~8 tokens
+_CDC_MIN = 5  # spans shorter than this are too weak as dup evidence
+
+
+@register(
+    "dd_cdc_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    nn AS (SELECT doc_id, tok, len(tok) AS n FROM t),
+    bs AS (
+      SELECT doc_id, tok,
+             list_sort(list_distinct(
+               [0]
+               || [i for i in range({_CDC_K}, n + 1)
+                   if ('0x' || substr(md5(array_to_string(
+                        tok[(i - {_CDC_K} + 1):i], ' ')), 1, 4))::INTEGER
+                      % {_CDC_D} = 0]
+               || [n]
+             )) AS b
+      FROM nn
+    ),
+    spans AS (
+      SELECT doc_id, b[j] AS lo, b[j + 1] AS hi, tok
+      FROM bs, unnest(range(1, len(b))) AS u(j)
+    ),
+    fps AS (
+      SELECT doc_id, CAST(lo + 1 AS INT) AS span_start,
+             CAST(hi - lo AS INT) AS span_len,
+             md5(array_to_string(tok[(lo + 1):hi], ' ')) AS span_fp
+      FROM spans WHERE hi - lo >= {_CDC_MIN}
+    ),
+    dup AS (
+      SELECT span_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM fps GROUP BY span_fp
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT f.doc_id, f.span_start, f.span_len, f.span_fp, dup.n_docs
+    FROM fps f JOIN dup USING (span_fp)
+    """,
+)
+def dd_cdc_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span detection with content-defined chunk boundaries:
+    a position ends a chunk when the md5 of its trailing trigram hashes
+    to 0 mod D, so boundaries — and therefore span fingerprints — are a
+    pure function of local content and a copied passage produces the
+    same chunks at ANY offset in any document. Reports every span (>=
+    {_CDC_MIN} tokens) whose fingerprint appears in 2+ distinct
+    documents, with the sharing count. Scale shape: chunking is one
+    map-side pass of JVM array expressions (zero exchanges), then ONE
+    fingerprint-keyed shuffle for the distinct-doc count and the
+    id-keyed join back; output is linear in duplicated spans. This is
+    the continuous-corpus exact-substring dedup that LSH (whole-doc
+    similarity) and aligned passages (stride-locked) both miss."""
+    d = load_spread(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = tokens(F.col("text"))
+    base = d.select("doc_id", tok.alias("tok"), F.size(tok).alias("n"))
+
+    def is_boundary(i):
+        gram = F.concat_ws(" ", F.slice("tok", i - _CDC_K + 1, _CDC_K))
+        h = F.conv(F.substring(F.md5(gram.cast("binary")), 1, 4), 16, 10).cast("int")
+        return h % _CDC_D == 0
+
+    cand = F.when(
+        F.col("n") >= _CDC_K,
+        F.filter(F.sequence(F.lit(_CDC_K), F.col("n")), is_boundary),
+    ).otherwise(F.array().cast("array<int>"))
+    bs = F.array_distinct(
+        F.concat(F.array(F.lit(0)), cand.cast("array<int>"), F.array(F.col("n")))
+    )
+    pairs = F.arrays_zip(
+        F.slice(bs, 1, F.size(bs) - 1).alias("lo"),
+        F.slice(bs, 2, F.size(bs) - 1).alias("hi"),
+    )
+    spans = (
+        base.select("doc_id", "tok", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.lo").alias("lo"),
+            F.col("p.hi").alias("hi"),
+            "tok",
+        )
+        .filter(F.col("hi") - F.col("lo") >= _CDC_MIN)
+        .select(
+            "doc_id",
+            (F.col("lo") + 1).cast("int").alias("span_start"),
+            (F.col("hi") - F.col("lo")).cast("int").alias("span_len"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("tok", F.col("lo") + 1, F.col("hi") - F.col("lo"))
+                ).cast("binary")
+            ).alias("span_fp"),
+        )
+    )
+    dup = (
+        spans.groupBy("span_fp")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return spans.join(dup, "span_fp").select(
+        "doc_id", "span_start", "span_len", "span_fp", "n_docs"
+    )
