@@ -347,7 +347,8 @@ class FlussSqlSession:
             # their target table
             proc, args = self._parse_call(s)
             if proc in ("add_acl", "drop_acl", "set_cluster_configs",
-                        "reset_cluster_configs"):
+                        "reset_cluster_configs", "append_cluster_configs",
+                        "subtract_cluster_configs", "drop_kv_snapshot_lease"):
                 chk("ALTER", sec.Resource.cluster())
             elif proc in ("list_acl", "get_cluster_configs"):
                 chk("DESCRIBE", sec.Resource.cluster())
@@ -581,6 +582,64 @@ class FlussSqlSession:
         if proc == "list_acl":
             flt = _acl_filter(args, res_of)
             return _rows([_acl_str(b) for b in sec.list_acls(self.catalog, flt)])
+
+        if proc == "drop_kv_snapshot_lease":
+            # reference DropKvSnapshotLeaseProcedure (procedures.md
+            # "kv snapshot lease"): release the lease id EVERYWHERE —
+            # the cleanup path for lease remnants after an abnormal
+            # job termination; cluster-scoped, idempotent
+            lease_id = args.get("leaseid") or args.get("lease_id") or (pos + [None])[0]
+            if lease_id is None:
+                raise SqlParseError(
+                    "CALL sys.drop_kv_snapshot_lease: missing leaseId"
+                )
+            dropped = []
+            for dbn in self.admin.list_databases():
+                for tn in self.admin.list_tables(dbn):
+                    from fluss_spark import maintenance as _mnt
+
+                    t = FlussTable(self.catalog, dbn, tn)
+                    if t.kv is None:
+                        continue
+                    if str(lease_id) in _mnt.active_snapshot_leases(t):
+                        self.admin.release_kv_snapshot_lease(dbn, tn, str(lease_id))
+                        dropped.append(f"{dbn}.{tn}")
+            return _rows([f"dropped_lease={lease_id} tables={len(dropped)}"])
+
+        if proc in ("append_cluster_configs", "subtract_cluster_configs"):
+            # reference Append/SubtractClusterConfigsProcedure
+            # (procedures.md:249-316): add/remove values of
+            # COLLECTION-type configs, passed as (key, value) pairs;
+            # values live comma-joined in the persisted config map
+            import json as _json
+
+            path = os.path.join(self.catalog.warehouse, "_cluster", "configs.json")
+            try:
+                with open(path) as f:
+                    cfg = _json.load(f)
+            except FileNotFoundError:
+                cfg = {}
+            pairs = pos if pos else [x for kv in args.items() for x in kv]
+            if len(pairs) % 2:
+                raise SqlParseError(f"CALL sys.{proc}: expects (key, value) pairs")
+            for k, v in zip(pairs[::2], pairs[1::2]):
+                vals = [x for x in str(cfg.get(str(k), "")).split(",") if x]
+                if proc == "append_cluster_configs":
+                    if str(v) not in vals:
+                        vals.append(str(v))
+                else:
+                    vals = [x for x in vals if x != str(v)]
+                if vals:
+                    cfg[str(k)] = ",".join(vals)
+                else:
+                    cfg.pop(str(k), None)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(cfg, f, indent=1, sort_keys=True)
+            os.replace(tmp, path)
+            touched = sorted({str(k) for k in pairs[::2]})
+            return _rows([f'{k}="{cfg.get(k, "")}"' for k in touched])
 
         if proc in ("get_cluster_configs", "set_cluster_configs", "reset_cluster_configs"):
             import json as _json

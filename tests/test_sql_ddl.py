@@ -1504,3 +1504,37 @@ def test_dispatch_normalizes_keyword_whitespace(spark, fsql):
     # newline between DELETE FROM keywords routes to the delete handler
     fsql.sql("DELETE\nFROM wsm WHERE id = 1")
     assert fsql.sql("SELECT count(*) AS c FROM fluss_wsm__snapshot").collect()[0]["c"] == 2
+
+
+def test_collection_cluster_configs_and_lease_procedures(spark, fsql):
+    """append/subtract_cluster_configs manage COLLECTION-type config
+    values as (key, value) pairs (reference procedures.md:249-316);
+    drop_kv_snapshot_lease releases a lease id across every pk table
+    (the lease-remnant cleanup path, procedures.md 'kv snapshot
+    lease')."""
+    out = fsql.sql(
+        "CALL sys.append_cluster_configs("
+        "'security.sasl.plain.credentials', 'bob:bob-secret',"
+        "'security.sasl.plain.credentials', 'alice:alice-secret')"
+    ).collect()
+    assert out[0][0] == 'security.sasl.plain.credentials="bob:bob-secret,alice:alice-secret"'
+    # append is idempotent per value
+    fsql.sql("CALL sys.append_cluster_configs('security.sasl.plain.credentials', 'bob:bob-secret')")
+    out = fsql.sql(
+        "CALL sys.subtract_cluster_configs('security.sasl.plain.credentials', 'bob:bob-secret')"
+    ).collect()
+    assert out[0][0] == 'security.sasl.plain.credentials="alice:alice-secret"'
+
+    fsql.sql("""
+        CREATE TABLE lsd (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('bucket.num' = '1')
+    """)
+    fsql.sql("INSERT INTO lsd VALUES (1, 1.0)")
+    fsql.admin.create_kv_snapshot_lease("fluss", "lsd", "job-42", 3_600_000)
+    assert [l.lease_id for l in fsql.admin.list_kv_snapshot_leases("fluss", "lsd")] == ["job-42"]
+    out = fsql.sql("CALL sys.drop_kv_snapshot_lease(leaseId => 'job-42')").collect()
+    assert out[0][0] == "dropped_lease=job-42 tables=1"
+    assert fsql.admin.list_kv_snapshot_leases("fluss", "lsd") == []
+    # idempotent on an unknown lease
+    out = fsql.sql("CALL sys.drop_kv_snapshot_lease('nope')").collect()
+    assert out[0][0] == "dropped_lease=nope tables=0"
