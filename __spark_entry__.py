@@ -89,6 +89,7 @@ _PRIORITY = [
     # --- round-6 additions ---
     "s10_iceberg_union_read",
     "dd_cdc_spans",
+    "emb_outliers",
     # (r4+r5 double-green members rotated out: t11_materialized_table,
     # ann_ivfpq_adc, tx_curation_pipeline, l5_delta_join,
     # tx_perplexity_buckets, tx_temperature_sample — they keep their

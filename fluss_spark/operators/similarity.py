@@ -545,6 +545,110 @@ def ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EMB_Z = 2.0
+_EMB_Q = 10_000  # distance quantization: round(dist * 1e4) as int64
+
+
+@register(
+    "emb_outliers",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT {_KM_K}
+    ), a1 AS ({_sql_km_assign("c0")}
+    ), c1 AS ({_sql_km_update("a1")}
+    ), a2 AS ({_sql_km_assign("c1")}
+    ), c2 AS ({_sql_km_update("a2")}
+    ), a3 AS ({_sql_km_assign("c2")}
+    ), d AS (
+      SELECT a3.vec_id, a3.cid,
+             CAST(round(sqrt(greatest(
+               list_dot_product(a3.v, a3.v)
+               - 2 * list_dot_product(a3.v, c2.c)
+               + list_dot_product(c2.c, c2.c), 0)) * {_EMB_Q}) AS BIGINT) AS dq
+      FROM a3 JOIN c2 USING (cid)
+    ), s AS (
+      SELECT vec_id, cid, dq,
+             count(*) OVER w AS n,
+             sum(dq) OVER w AS sx,
+             sum(dq * dq) OVER w AS sxx
+      FROM d WINDOW w AS (PARTITION BY cid)
+    )
+    SELECT s.vec_id, emb.label, CAST(s.cid AS INT) AS cell,
+           round(CAST(dq AS DOUBLE) / {_EMB_Q}, 4) AS dist,
+           round((dq - CAST(sx AS DOUBLE) / n)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        / (CAST(n AS DOUBLE) * (n - 1))), 4) AS z
+    FROM s JOIN embeddings emb USING (vec_id)
+    WHERE n >= 5
+      AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) > 0
+      AND abs((dq - CAST(sx AS DOUBLE) / n)
+              / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     / (CAST(n AS DOUBLE) * (n - 1)))) > {_EMB_Z}
+    """,
+)
+def emb_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-corpus quality audit: vectors abnormally FAR from
+    their own k-means cell centroid — mislabeled points, encoder
+    failures, corrupt rows. Trains the deterministic quantizer
+    ({_KM_ITERS} Lloyd rounds, lowest-vec_id init — identical to the
+    IVF family), measures each vector's distance to its assigned
+    centroid, quantizes it to int64 (order-independent exact sums, the
+    repo rule), and flags |z| > {_EMB_Z} within the cell — far = noise/
+    mislabels, abnormally NEAR = collapsed or duplicated encodings. Scale shape:
+    assignment is map-side (broadcast centroids), the distance is a
+    JVM zip_with fold, per-cell moments are ONE cell-partitioned
+    window (bounded by cell population, never a global sort), output
+    is linear in outliers. The oracle unrolls the same Lloyd rounds as
+    CTEs — full hash-match parity, not a rows-only check."""
+    e = _embeddings(spark, sf)
+    cents = kmeans_centroids(e, k=_KM_K, iters=_KM_ITERS)
+    spark_cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents], "cell int, c array<double>"
+    )
+    a = assign_cells(e, cents, keep_vec=True)
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a_, b_: (a_ - b_) * (a_ - b_)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = a.join(F.broadcast(spark_cents), "cell").select(
+        "vec_id",
+        "cell",
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))) * _EMB_Q)
+        .cast("bigint")
+        .alias("dq"),
+    )
+    w = Window.partitionBy("cell")
+    s = d.select(
+        "vec_id",
+        "cell",
+        "dq",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("dq").over(w).alias("sx"),
+        F.sum(F.col("dq") * F.col("dq")).over(w).alias("sxx"),
+    )
+    var_num = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    z = (F.col("dq") - F.col("sx").cast("double") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return (
+        s.filter((F.col("n") >= 5) & (var_num > 0) & (F.abs(z) > _EMB_Z))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(F.col("dq").cast("double") / _EMB_Q, 4).alias("dist"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
 @register(
     "emb_label_stats",
     oracle="""
