@@ -488,15 +488,27 @@ class IcebergSnapshot:
     entries: list[dict]  # live manifest entries
 
 
-def read_iceberg_snapshot(target_dir: str) -> IcebergSnapshot:
-    """Resolve the current snapshot through the HadoopTableOperations
-    layout: version-hint.text -> vN.metadata.json -> manifest list ->
-    manifests -> live data-file entries."""
+def read_iceberg_snapshot(
+    target_dir: str, snapshot_id: int | None = None
+) -> IcebergSnapshot:
+    """Resolve a snapshot through the HadoopTableOperations layout:
+    version-hint.text -> vN.metadata.json -> manifest list -> manifests
+    -> live data-file entries. `snapshot_id` time-travels to any
+    retained snapshot (Iceberg VERSION AS OF semantics) — each export's
+    manifest list is self-contained, so an older snapshot replays
+    exactly its own file set even after later compactions."""
     meta_dir = os.path.join(target_dir, "metadata")
     version = _read_version_hint(meta_dir)
     if version == 0:
         raise FileNotFoundError(f"no iceberg metadata under {meta_dir}")
     meta = _load_metadata(meta_dir, version)
+    if snapshot_id is not None:
+        if not any(
+            s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+        ):
+            raise ValueError(f"no such snapshot-id: {snapshot_id}")
+        meta = dict(meta)
+        meta["current-snapshot-id"] = snapshot_id
     live = _live_entries(meta, meta_dir)
     return IcebergSnapshot(
         version=version,
@@ -507,15 +519,16 @@ def read_iceberg_snapshot(target_dir: str) -> IcebergSnapshot:
     )
 
 
-def read_iceberg_table(spark, target_dir: str):
-    """Union-read the exported snapshot back as a DataFrame, projecting
+def read_iceberg_table(spark, target_dir: str, snapshot_id: int | None = None):
+    """Union-read an exported snapshot back as a DataFrame, projecting
     the identity partition columns from manifest metadata (they are
-    omitted from the data files). Files are grouped by partition tuple
-    and unioned — the group count is the table's partition count
-    (metadata-scale), and each group is ONE distributed parquet scan."""
+    omitted from the data files). `snapshot_id` time-travels. Files are
+    grouped by partition tuple and unioned — the group count is the
+    table's partition count (metadata-scale), and each group is ONE
+    distributed parquet scan."""
     from pyspark.sql import functions as F
 
-    ice = read_iceberg_snapshot(target_dir)
+    ice = read_iceberg_snapshot(target_dir, snapshot_id=snapshot_id)
     by_type = {f["id"]: f["type"] for f in ice.schema["fields"]}
     part_names = [pf["name"] for pf in ice.partition_fields]
     part_types = {

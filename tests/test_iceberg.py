@@ -359,3 +359,26 @@ def test_avro_property_roundtrip():
         assert got == recs
 
     check()
+
+
+def test_iceberg_snapshot_time_travel(spark, admin, tmp_path):
+    """VERSION AS OF: each export's manifest list is self-contained, so
+    an older snapshot-id replays exactly its own file set after later
+    appends (the data files still exist; expiring them is the caller's
+    retention policy, as in Iceberg proper)."""
+    t = _mk_log_table(admin, spark, name="icett")
+    target = str(tmp_path / "icett")
+    e1 = admin.export_iceberg_metadata("db", "icett", target)
+    t.append(spark.createDataFrame([(99, "z")], "a int, b string"), ordering=["a"])
+    e2 = admin.export_iceberg_metadata("db", "icett", target)
+
+    cur = {(r["a"], r["b"]) for r in read_iceberg_table(spark, target).select("a", "b").collect()}
+    assert (99, "z") in cur
+    old = {
+        (r["a"], r["b"])
+        for r in read_iceberg_table(spark, target, snapshot_id=e1.snapshot_id)
+        .select("a", "b").collect()
+    }
+    assert old == cur - {(99, "z")}
+    with pytest.raises(ValueError, match="no such snapshot-id"):
+        read_iceberg_snapshot(target, snapshot_id=12345)
