@@ -522,29 +522,52 @@ def read_iceberg_snapshot(
 def read_iceberg_table(spark, target_dir: str, snapshot_id: int | None = None):
     """Union-read an exported snapshot back as a DataFrame, projecting
     the identity partition columns from manifest metadata (they are
-    omitted from the data files). `snapshot_id` time-travels. Files are
-    grouped by partition tuple and unioned — the group count is the
-    table's partition count (metadata-scale), and each group is ONE
-    distributed parquet scan."""
+    omitted from the data files). `snapshot_id` time-travels.
+
+    Scale shape: ONE distributed parquet scan over all live files plus
+    a broadcast join of the manifest's (file -> partition values)
+    mapping on input_file_name() — plan size and scan count stay O(1)
+    in the table's partition count (a per-partition union would build a
+    P-way plan and P scans)."""
+    import urllib.parse
+
     from pyspark.sql import functions as F
 
     ice = read_iceberg_snapshot(target_dir, snapshot_id=snapshot_id)
+    if not ice.entries:
+        raise ValueError(f"{target_dir}: snapshot has no live files")
     by_type = {f["id"]: f["type"] for f in ice.schema["fields"]}
     part_names = [pf["name"] for pf in ice.partition_fields]
     part_types = {
         pf["name"]: _SPARK_READ_T.get(by_type.get(pf["source-id"], "string"), "string")
         for pf in ice.partition_fields
     }
-    groups: dict[tuple, list[str]] = {}
-    for e in ice.entries:
-        key = tuple(e["data_file"]["partition"].get(c) for c in part_names)
-        groups.setdefault(key, []).append(e["data_file"]["file_path"])
-    out = None
-    for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-        df = spark.read.parquet(*paths)
-        for c, v in zip(part_names, key):
-            df = df.withColumn(c, F.lit(v).cast(part_types[c]))
-        out = df if out is None else out.unionByName(df)
-    if out is None:
-        raise ValueError(f"{target_dir}: snapshot has no live files")
-    return out
+    paths = [e["data_file"]["file_path"] for e in ice.entries]
+    df = spark.read.parquet(*paths)
+    if not part_names:
+        return df
+    # input_file_name() yields the Hadoop-Path URI form: file://<path>
+    # with spaces %-encoded but '=' (hive partition segments) kept raw
+    rows = [
+        tuple(
+            ["file://" + urllib.parse.quote(os.path.abspath(p), safe="/=")]
+            + [
+                None if v is None else str(v)
+                for v in (
+                    e["data_file"]["partition"].get(c) for c in part_names
+                )
+            ]
+        )
+        for p, e in ((e["data_file"]["file_path"], e) for e in ice.entries)
+    ]
+    mapping = spark.createDataFrame(
+        rows, ["__file"] + [f"__p_{c}" for c in part_names]
+    )
+    out = df.withColumn("__file", F.input_file_name()).join(
+        F.broadcast(mapping), "__file"
+    )
+    for c in part_names:
+        out = out.withColumn(c, F.col(f"__p_{c}").cast(part_types[c])).drop(
+            f"__p_{c}"
+        )
+    return out.drop("__file")
