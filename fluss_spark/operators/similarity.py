@@ -139,7 +139,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-k: broadcast queries × full corpus scan, per-query
     ranked reduction (TakeOrdered per group)."""
     e = _embeddings(spark, sf)
-    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).limit(_N_QUERIES)
     return cosine_topk(q, e, _TOP_K)
 
 
@@ -153,7 +153,7 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     storage this is partition pruning, turning an O(corpus) scan into
     O(corpus / n_cells)."""
     e = _embeddings(spark, sf)
-    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).limit(_N_QUERIES)
     return cosine_topk(q, e, _TOP_K, same_label_only=True)
 
 
@@ -401,7 +401,7 @@ def ann_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     e = _embeddings(spark, sf)
     cells = kmeans_assign(e, k=_KM_K, iters=_KM_ITERS)
     indexed = e.join(cells, "vec_id").withColumn("label", F.col("cell")).drop("cell")
-    q = indexed.filter(F.col("vec_id") < _N_QUERIES)
+    q = indexed.filter(F.col("vec_id") < _N_QUERIES).limit(_N_QUERIES)
     return cosine_topk(q, indexed, _TOP_K, same_label_only=True)
 
 
@@ -736,7 +736,7 @@ def ann_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
     nprobe/n_cells of the corpus. Everything after probe selection is the
     same broadcast-query + per-query top-k reduction as nprobe=1."""
     e = _embeddings(spark, sf)
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = e.filter(F.col("vec_id") < _N_QUERIES).limit(_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return ivf_multiprobe_topk(e, q, _TOP_K, _N_PROBE)
@@ -881,7 +881,7 @@ def ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
     this is the cheapest exact formulation; the LSH/IVF variants above
     trade exactness for a pruned candidate scan."""
     e = _embeddings(spark, sf)
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = e.filter(F.col("vec_id") < _N_QUERIES).limit(_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("q_norm"),
@@ -1005,10 +1005,14 @@ def _sq8_search(spark: SparkSession, sf: str, n_queries: int, force_kernel: bool
             lambda x: F.round((x - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 255.0)),
         ).alias("code"),
     )
-    q = coded.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("code").alias("qcode"),
+    q = (
+        coded.filter(F.col("vec_id") < n_queries)
+        .limit(n_queries)  # plan-bounded broadcast side (ids unique)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("code").alias("qcode"),
+        )
     )
     cand = _sq8_candidates(coded, q, n_queries, force_kernel)
     return _exact_rerank(cand, F.col("approx").cast("bigint"))
@@ -1385,7 +1389,7 @@ def _pq_adc_search(
     scored = packed.mapInPandas(
         adc_score, "query_id long, neighbor_id long, approx double"
     )
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = e.filter(F.col("vec_id") < _N_QUERIES).limit(_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     c_exact = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
@@ -1471,7 +1475,7 @@ def ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     the audit itself joins two k-row-per-query sets — output is
     O(queries), the expensive scans are the ones already being run."""
     e = _embeddings(spark, sf)
-    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).limit(_N_QUERIES)
     exact = cosine_topk(q, e, _TOP_K).select("query_id", "neighbor_id")
     approx = cosine_topk(q, e, _TOP_K, same_label_only=True).select(
         "query_id", F.col("neighbor_id").alias("a_neighbor")

@@ -59,6 +59,36 @@ def assert_contains(text: str, *needles: str) -> None:
         assert n in text, f"expected {n!r} in:\n{text}"
 
 
+def _plan_children(node):
+    kids = []
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        kids.append(node.initialPlan())
+    elif name == "InMemoryTableScan":
+        try:
+            kids.append(node.relation().cachedPlan())
+        except Exception:
+            pass
+    it = node.children().iterator()
+    while it.hasNext():
+        kids.append(it.next())
+    return kids
+
+
+def _bounded_rows(node):
+    """True when the subtree provably emits a BOUNDED number of rows at
+    any input scale: below a limit / TakeOrderedAndProject, a grand
+    aggregate (no grouping keys -> one row), or composed of only
+    bounded inputs."""
+    name = node.nodeName()
+    if "Limit" in name or name == "TakeOrderedAndProject":
+        return True
+    if "Aggregate" in name and "keys=[]" in node.simpleString(2000):
+        return True
+    kids = _plan_children(node)
+    return bool(kids) and all(_bounded_rows(k) for k in kids)
+
+
 def unbounded_global_windows(df: DataFrame) -> list:
     """Window physical nodes with an EMPTY partition spec whose input is
     not bounded by a limit — Spark executes these as a single-partition
@@ -68,28 +98,6 @@ def unbounded_global_windows(df: DataFrame) -> list:
     TakeOrderedAndProject, where at most K rows reach it)."""
     out = []
 
-    def _children(node):
-        kids = []
-        name = node.nodeName()
-        if name == "AdaptiveSparkPlan":
-            kids.append(node.initialPlan())
-        elif name == "InMemoryTableScan":
-            try:
-                kids.append(node.relation().cachedPlan())
-            except Exception:
-                pass
-        it = node.children().iterator()
-        while it.hasNext():
-            kids.append(it.next())
-        return kids
-
-    def _bounded(node):
-        name = node.nodeName()
-        if "Limit" in name or name == "TakeOrderedAndProject":
-            return True
-        kids = _children(node)
-        return bool(kids) and all(_bounded(k) for k in kids)
-
     def _walk(node):
         name = node.nodeName()
         if name in ("Window", "WindowGroupLimit"):
@@ -97,9 +105,29 @@ def unbounded_global_windows(df: DataFrame) -> list:
                 no_part = node.partitionSpec().isEmpty()
             except Exception:
                 no_part = False
-            if no_part and not _bounded(node):
+            if no_part and not _bounded_rows(node):
                 out.append(node.simpleString(120))
-        for k in _children(node):
+        for k in _plan_children(node):
+            _walk(k)
+
+    _walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def unbounded_cartesians(df: DataFrame) -> list:
+    """Cartesian / nested-loop join nodes where NEITHER side is a
+    provably bounded-row subtree. A 1-row stat frame crossJoined onto a
+    corpus is fine (its side is a grand aggregate or a limit); corpus ×
+    corpus without an equi-key is the plan that never finishes at
+    100 TB."""
+    out = []
+
+    def _walk(node):
+        if node.nodeName() in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            kids = _plan_children(node)
+            if len(kids) >= 2 and not any(_bounded_rows(k) for k in kids[:2]):
+                out.append(node.simpleString(160))
+        for k in _plan_children(node):
             _walk(k)
 
     _walk(df._jdf.queryExecution().executedPlan())

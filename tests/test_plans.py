@@ -155,9 +155,13 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     for name in sorted(_Q):
         df = _Q[name](spark, sf_dir)
         offenders = plans.unbounded_global_windows(df)
+        # same pass also fences unbounded cartesians: corpus x corpus
+        # with no equi-key never finishes at 100 TB (1-row stat frames
+        # crossJoined onto a scan are bounded and pass)
+        offenders += plans.unbounded_cartesians(df)
         if offenders:
             bad[name] = offenders
-    assert not bad, f"partition-less Window over unbounded input:\n{bad}"
+    assert not bad, f"unbounded Window/cartesian in plan:\n{bad}"
 
 
 def test_unbounded_global_window_detector_fires(spark, sf_dir):
