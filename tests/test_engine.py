@@ -362,3 +362,66 @@ def test_row_level_update_delete(spark, catalog):
     assert len(snap) == 8
     assert all(b == "small" for a, b in snap if a < 3)
     assert all(a < 8 for a, b in snap)
+
+
+# ---------------------------------------------------------------------- #
+# WAL-first commit crash consistency: the staged WAL files are the
+# lineage cut; a crash at ANY point before the catalog CURRENT advance
+# must leave the table exactly at its previous commit, and a retry must
+# land the batch exactly once.
+# ---------------------------------------------------------------------- #
+def _crash_table(catalog, spark, name):
+    t = create_table(
+        catalog, "db", name,
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "DOUBLE")],
+            primary_key=["id"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double"),
+        ordering=["id"],
+    )
+    return t
+
+
+@pytest.mark.parametrize("crash_point", ["publish", "catalog_commit"])
+def test_upsert_crash_before_current_advance_is_invisible(
+    spark, catalog, monkeypatch, crash_point
+):
+    t = _crash_table(catalog, spark, f"cr_{crash_point}")
+    batch = spark.createDataFrame([(2, 20.0), (3, 3.0)], "id bigint, v double")
+
+    if crash_point == "publish":
+        orig = type(t.log).publish
+
+        def boom(self, version):
+            raise RuntimeError("simulated crash before publish")
+
+        monkeypatch.setattr(type(t.log), "publish", boom)
+    else:
+        orig = type(catalog).commit
+
+        def boom(self, db, table, state):
+            raise RuntimeError("simulated crash before CURRENT advance")
+
+        monkeypatch.setattr(type(catalog), "commit", boom)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.upsert(batch, ordering=["id"])
+    monkeypatch.undo()
+
+    # the failed commit is invisible: snapshot, scan and changelog all
+    # reflect the previous commit only
+    assert {tuple(r) for r in t.snapshot(spark).collect()} == {(1, 1.0), (2, 2.0)}
+    assert t.changelog(spark).count() == 2  # the two seed +I events
+
+    # retry lands the batch exactly once (no double rows, no lost rows)
+    t.upsert(batch, ordering=["id"])
+    assert {tuple(r) for r in t.snapshot(spark).collect()} == {
+        (1, 1.0), (2, 20.0), (3, 3.0),
+    }
+    cl = t.changelog(spark)
+    assert cl.filter("id = 3 AND _change_type = '+I'").count() == 1
+    assert cl.filter("id = 2 AND _change_type = '+U'").count() == 1
