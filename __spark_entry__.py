@@ -90,11 +90,12 @@ _PRIORITY = [
     "s10_iceberg_union_read",
     "dd_cdc_spans",
     "emb_outliers",
+    "t14_incremental_sessions",
     # --- r5 perf-flagged rows (regression re-measured as host noise;
-    #     keep their correctness visible while the flag clears) ---
+    #     keep their correctness visible while the flag clears;
+    #     tx_domain_mix stays local-suite-covered, window is 50) ---
     "tx_corpus_stats",
     "tx_curation_pipeline",
-    "tx_domain_mix",
     # (r4+r5 double-green members rotated out: t11_materialized_table,
     # ann_ivfpq_adc, tx_curation_pipeline, l5_delta_join,
     # tx_perplexity_buckets, tx_temperature_sample — they keep their

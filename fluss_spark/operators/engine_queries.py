@@ -389,6 +389,36 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             {"user_id": F.col("user_id") + F.lit(1_000_000)},
         )
         sync_index(cat, "db", variant, "user_id", spark)
+    elif variant == "session_state":
+        # sessionization as engine state (t14): sessions pk table fed by
+        # three TIME-ORDERED event batches (ts tertiles — the realistic
+        # continuous-ingest arrival order); each batch is one upsert
+        # commit folded by _fold_session_batch
+        schema = TableSchema(
+            fields=[
+                Field("user_id", "BIGINT", nullable=False),
+                Field("session_start", "TIMESTAMP_LTZ", nullable=False),
+                Field("last_ts", "TIMESTAMP_LTZ"),
+                Field("n_events", "BIGINT"),
+                Field("cents", "BIGINT"),
+            ],
+            primary_key=["user_id", "session_start"],
+            bucket_keys=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        evt = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+        cuts = evt.agg(
+            F.expr("percentile(cast(ts as long), array(0.33, 0.66))")
+        ).collect()[0][0]
+        t1, t2 = int(cuts[0]), int(cuts[1])
+        for lo, hi in ((None, t1), (t1, t2), (t2, None)):
+            b = evt
+            if lo is not None:
+                b = b.filter(F.col("ts").cast("long") > lo)
+            if hi is not None:
+                b = b.filter(F.col("ts").cast("long") <= hi)
+            _fold_session_batch(t, spark, b)
     elif variant == "sqlmerge":
         # MERGE INTO through the SQL statement surface: target seeded
         # with latest-per-user state from the first half of events, then
@@ -1611,4 +1641,137 @@ def t13_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
             "next_seq",
             F.col("next_seq").isNull().alias("is_current"),
         )
+    )
+
+
+# ---------------------------------------------------------------------- #
+# t14: sessionization as ENGINE STATE — session windows maintained in a
+# pk table across commits (the continuous-ingest form of op_sessionize,
+# same shape as dd_incremental_lsh / ann_incremental_ivf: state lives in
+# storage, each batch pays O(batch) merge cost)
+# ---------------------------------------------------------------------- #
+_SESS_GAP_S = 30 * 60  # must match sessionize._GAP_MIN
+
+
+def _batch_sessions(b: DataFrame) -> DataFrame:
+    """Fold ONE event batch into per-user sessions: (user_id, sid,
+    b_start, b_last, b_n, b_cents) with sid numbering a user's sessions
+    1.. within the batch (sid=1 = the only session that can merge with
+    stored state under time-ordered arrival). Cents are int64 so the
+    cross-commit accumulation stays exact and order-independent."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > _SESS_GAP_S), F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        b.withColumn("__new", new_s)
+        .withColumn("sid", F.sum("__new").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("b_start"),
+            F.max("ts").alias("b_last"),
+            F.count(F.lit(1)).cast("bigint").alias("b_n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("b_cents"),
+        )
+    )
+
+
+def _fold_session_batch(t: FlussTable, spark: SparkSession, batch: DataFrame) -> None:
+    """Merge one time-ordered event batch into the sessions store as ONE
+    upsert commit. Per user only the LATEST stored session can extend
+    (sessions are gap-separated, so it holds the max last_ts); a batch's
+    first session merges into it when the gap closes, every other batch
+    session inserts under its own (user_id, session_start) pk. Scale
+    shape: the batch fold is one user_id exchange; the store probe is a
+    user_id equi-join against the snapshot (bucketed by user_id)."""
+    from pyspark.sql.window import Window
+
+    s = _batch_sessions(batch)
+    snap = t.snapshot(spark)
+    wl = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    latest = (
+        snap.withColumn("__rn", F.row_number().over(wl))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("session_start").alias("st_start"),
+            F.col("last_ts").alias("st_last"),
+            F.col("n_events").alias("st_n"),
+            F.col("cents").alias("st_cents"),
+        )
+    )
+    first = s.filter(F.col("sid") == 1).join(latest, "user_id", "left")
+    mergeable = F.col("st_start").isNotNull() & (
+        F.col("b_start").cast("long") - F.col("st_last").cast("long") <= _SESS_GAP_S
+    )
+    merged = first.filter(mergeable).select(
+        "user_id",
+        F.col("st_start").alias("session_start"),
+        F.col("b_last").alias("last_ts"),
+        (F.col("st_n") + F.col("b_n")).alias("n_events"),
+        (F.col("st_cents") + F.col("b_cents")).alias("cents"),
+    )
+    fresh = (
+        first.filter(~mergeable)
+        .select("user_id", "b_start", "b_last", "b_n", "b_cents")
+        .unionByName(
+            s.filter(F.col("sid") > 1).select(
+                "user_id", "b_start", "b_last", "b_n", "b_cents"
+            )
+        )
+        .select(
+            "user_id",
+            F.col("b_start").alias("session_start"),
+            F.col("b_last").alias("last_ts"),
+            F.col("b_n").alias("n_events"),
+            F.col("b_cents").alias("cents"),
+        )
+    )
+    t.upsert(merged.unionByName(fresh), ordering=["session_start"])
+
+
+@register(
+    "t14_incremental_sessions",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def t14_incremental_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization as ENGINE STATE: gap-bounded session windows live
+    in a pk table (pk=(user_id, session_start), bucketed by user_id)
+    and ADVANCE as event batches commit — three time-ordered batches
+    here, each one upsert that extends still-open sessions (a batch's
+    first per-user session merges when the gap to the stored last_ts
+    closes) and inserts the rest. This is the continuous-ingest form of
+    op_sessionize: per-batch cost is O(batch) against the bucketed
+    store, no corpus-wide re-sessionization, and the store IS the
+    queryable result at every commit (T4-consumption shape; reference
+    delegates windowing to its host engine, SURVEY §2.5/T5). The oracle
+    recomputes all sessions from the full event table in SQL — the
+    incremental store must equal the from-scratch answer exactly
+    (int64 cent sums make the accumulation order-independent)."""
+    t = _build(spark, sf, "session_state")
+    return t.snapshot(spark).select(
+        "user_id",
+        "session_start",
+        "last_ts",
+        "n_events",
+        (F.col("cents") / 100.0).alias("sum_value"),
     )
