@@ -572,3 +572,73 @@ def test_stream_batch_incremental_ivf_index_equality(spark, catalog):
     assert len(a) == e_old.count()  # every old vector assigned exactly once
     assert a == b
     assigned.unpersist()
+
+
+def test_stream_batch_incremental_sessions_equality(spark, catalog):
+    """t14 certification (T4-consumption shape): the session store fed
+    by a LOG STREAM micro-batch by micro-batch must equal the
+    from-scratch batch sessionization at sf0.01."""
+    from fluss_spark.operators.engine_queries import _fold_session_batch
+    from fluss_spark.operators.sessionize import op_sessionize
+    from fluss_spark.registry import load
+
+    sf = "/root/testdata/sf0.01"
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    src = create_table(
+        catalog, "db", "sess_src",
+        TableSchema(
+            fields=[
+                Field("user_id", "BIGINT"),
+                Field("event_id", "BIGINT"),
+                Field("ts", "TIMESTAMP_LTZ"),
+                Field("value", "DOUBLE"),
+            ],
+            num_buckets=4,
+        ),
+    )
+    store = create_table(
+        catalog, "db", "sess_store",
+        TableSchema(
+            fields=[
+                Field("user_id", "BIGINT", nullable=False),
+                Field("session_start", "TIMESTAMP_LTZ", nullable=False),
+                Field("last_ts", "TIMESTAMP_LTZ"),
+                Field("n_events", "BIGINT"),
+                Field("cents", "BIGINT"),
+            ],
+            primary_key=["user_id", "session_start"],
+            bucket_keys=["user_id"],
+            num_buckets=4,
+        ),
+    )
+    cuts = ev.agg(
+        F.expr("percentile(cast(ts as long), array(0.33, 0.66))")
+    ).collect()[0][0]
+    t1, t2 = int(cuts[0]), int(cuts[1])
+    reader = LogStreamReader(src, spark, startup_mode="earliest")
+
+    def sink(df, batch_id):
+        _fold_session_batch(store, spark, df.select("user_id", "event_id", "ts", "value"))
+
+    for lo, hi in ((None, t1), (t1, t2), (t2, None)):
+        b = ev
+        if lo is not None:
+            b = b.filter(F.col("ts").cast("long") > lo)
+        if hi is not None:
+            b = b.filter(F.col("ts").cast("long") <= hi)
+        src.append(b, ordering=["ts", "event_id"])
+        reader.process_available(sink)
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["cents"])
+        for r in store.snapshot(spark).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"],
+            int(round(float(r["sum_value"]) * 100)),
+        )
+        for r in op_sessionize(spark, sf).collect()
+    }
+    assert len(got) == len(batch) > 1_000
+    assert got == batch
