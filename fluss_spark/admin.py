@@ -830,7 +830,15 @@ class Admin:
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        from fluss_spark.iceberg import _check_no_era_files
+
         snap = self.get_latest_lake_snapshot(db, name)
+        # Delta readers resolve columns by name — refuse while any live
+        # file still carries pre-rename physical names (same guard as
+        # the Iceberg export; compaction clears it)
+        _check_no_era_files(
+            FlussTable(self.catalog, db, name).schema, snap.files, f"{db}.{name}"
+        )
         log_dir = os.path.join(target_dir, "_delta_log")
         os.makedirs(log_dir, exist_ok=True)
 

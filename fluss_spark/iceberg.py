@@ -234,6 +234,42 @@ def _live_entries(meta: dict, meta_dir: str) -> dict[str, dict]:
     return out
 
 
+def file_commit_version(path: str) -> int | None:
+    """The commit version a data file was written under, from its path:
+    log files live in __commit=N dirs, pk-snapshot files in data-vN
+    dirs."""
+    for seg in path.split(os.sep):
+        if seg.startswith("__commit="):
+            return int(seg.split("=", 1)[1])
+        if seg.startswith("data-v"):
+            return int(seg[len("data-v"):])
+    return None
+
+
+def _check_no_era_files(schema, files, label: str) -> None:
+    """Refuse lake export while any LIVE file predates a rename/retype:
+    such files carry OLD physical column names, and external readers
+    resolve by name, so the mixed file set would mislabel columns.
+    Compaction rewrites every file under the current schema, after
+    which the (still-present) era records no longer cover any live
+    file and export proceeds."""
+    from fluss_spark.types import era_fields_for_commit, evolution_eras
+
+    eras = evolution_eras(schema)
+    if not eras:
+        return
+    for p in files:
+        v = file_commit_version(p)
+        if v is not None and era_fields_for_commit(eras, v) is not None:
+            raise ValueError(
+                f"{label} has live files written before a column "
+                "rename/retype (schema-evolution era): lake export "
+                "would mislabel their physical columns. Run CALL "
+                "sys.compact_log / compact_snapshot to rewrite them "
+                "under the current schema first."
+            )
+
+
 def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> IcebergExport:
     """Append one Iceberg v2 snapshot mirroring the table's current
     lake snapshot (see module docstring). Data files are referenced in
@@ -243,6 +279,8 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
     from fluss_spark.table import FlussTable
 
     snap = admin.get_latest_lake_snapshot(db, name)
+    t0 = FlussTable(admin.catalog, db, name)
+    _check_no_era_files(t0.schema, snap.files, f"{db}.{name}")
     meta_dir = os.path.join(target_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 

@@ -382,3 +382,31 @@ def test_iceberg_snapshot_time_travel(spark, admin, tmp_path):
     assert old == cur - {(99, "z")}
     with pytest.raises(ValueError, match="no such snapshot-id"):
         read_iceberg_snapshot(target, snapshot_id=12345)
+
+
+def test_exports_refuse_schema_evolution_eras(spark, admin, tmp_path):
+    """Files written before a rename carry old physical column names;
+    name-resolving external readers would mislabel them — both lake
+    exports must refuse with the compact-first remedy."""
+    from fluss_spark.sql_ddl import FlussSqlSession
+
+    fsql = FlussSqlSession(admin.catalog, spark, default_db="db")
+    t = _mk_log_table(admin, spark, name="icev", commits=1)
+    fsql.sql("ALTER TABLE db.icev RENAME COLUMN b TO label")
+    with pytest.raises(ValueError, match="compact"):
+        admin.export_iceberg_metadata("db", "icev", str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="compact"):
+        admin.export_delta_log("db", "icev", str(tmp_path / "y"))
+    # compaction rewrites every file under the current schema -> export OK
+    from fluss_spark.maintenance import compact_log
+    from fluss_spark.table import FlussTable
+
+    t = FlussTable(admin.catalog, "db", "icev")  # fresh handle post-ALTER
+    assert compact_log(t, spark, target_commits=1) > 0
+    e = admin.export_iceberg_metadata("db", "icev", str(tmp_path / "x"))
+    got = {
+        (r["a"], r["label"])
+        for r in read_iceberg_table(spark, str(tmp_path / "x"))
+        .select("a", "label").collect()
+    }
+    assert got == {(0, "v0"), (10, "w0")}
