@@ -159,9 +159,14 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         # with no equi-key never finishes at 100 TB (1-row stat frames
         # crossJoined onto a scan are bounded and pass)
         offenders += plans.unbounded_cartesians(df)
+        # and row-at-a-time Python UDFs: Python in the hot path must be
+        # Arrow-batched (MapInPandas/FlatMapGroupsInPandas/ArrowEval),
+        # never per-row pickling
+        if "BatchEvalPython" in plans.physical_plan(df):
+            offenders.append("BatchEvalPython (row-at-a-time Python UDF)")
         if offenders:
             bad[name] = offenders
-    assert not bad, f"unbounded Window/cartesian in plan:\n{bad}"
+    assert not bad, f"unbounded Window/cartesian/row-UDF in plan:\n{bad}"
 
 
 def test_unbounded_global_window_detector_fires(spark, sf_dir):
