@@ -384,13 +384,24 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
     for p in carried:
         old = live_before[p]
         e = _entry(_EXISTING, p, old["snapshot_id"], old["sequence_number"])
-        e["data_file"] = old["data_file"]  # keep original stats
+        e["data_file"] = dict(old["data_file"])  # keep original stats
+        # re-key the partition struct to THIS export's field set: the
+        # avro record encoder requires every declared field present
+        old_part = old["data_file"].get("partition", {})
+        e["data_file"]["partition"] = {
+            pf["name"]: old_part.get(pf["name"]) for pf in part_fields
+        }
         entries.append(e)
     for p in removes:
         old = live_before[p]
         e = dict(old)
         e["status"] = _DELETED
         e["snapshot_id"] = snapshot_id
+        e["data_file"] = dict(old["data_file"])
+        old_part = old["data_file"].get("partition", {})
+        e["data_file"]["partition"] = {
+            pf["name"]: old_part.get(pf["name"]) for pf in part_fields
+        }
         entries.append(e)
 
     entry_schema = _manifest_entry_schema(part_fields)

@@ -181,3 +181,43 @@ def test_create_vector_index_rejects_wal_image_base(spark, catalog):
     )
     with _pt.raises(ValueError, match="changelog.image"):
         create_vector_index(catalog, "db", "vwal", "emb", spark, k=2)
+
+
+def test_create_index_hwm_race_commit_never_lost(spark, catalog, monkeypatch):
+    """ADVICE r5: a write committing between create_vector_index's HWM
+    capture and its snapshot pin must not vanish from the index. The
+    HWM is now captured BEFORE the snapshot pin, so such a commit is
+    covered by the snapshot AND re-consumed by the idempotent first
+    sync — present exactly once either way."""
+    import fluss_spark.vector_index as vx
+
+    rows = [(i, [float(i % 2)] * DIM, "x") for i in range(6)]
+    t = _mk_base(spark, catalog, "vrace", rows)
+
+    orig_snapshot = type(t.kv).snapshot
+    fired = {"done": False}
+
+    def racing_snapshot(self, spark_, *a, **k):
+        # inject a commit at the worst moment: after latest_offsets()
+        # was recorded, before the training snapshot is read
+        if not fired["done"]:
+            fired["done"] = True
+            FlussTable(catalog, "db", "vrace").upsert(
+                spark_.createDataFrame(
+                    [(99, [1.0] * DIM, "racer")],
+                    "vid long, emb array<double>, tag string",
+                ),
+                ordering=["vid"],
+            )
+        return orig_snapshot(self, spark_, *a, **k)
+
+    monkeypatch.setattr(type(t.kv), "snapshot", racing_snapshot)
+    idx = create_vector_index(catalog, "db", "vrace", "emb", spark, k=2, iters=1)
+    monkeypatch.undo()
+
+    # the raced row is indexed exactly once, via populate or first sync
+    sync_vector_index(catalog, "db", "vrace", "emb", spark)
+    got = [r for r in idx.snapshot(spark).collect() if r["vid"] == 99]
+    assert len(got) == 1
+    # and syncs are idempotent afterwards
+    assert sync_vector_index(catalog, "db", "vrace", "emb", spark) == 0
