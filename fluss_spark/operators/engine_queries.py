@@ -1689,7 +1689,16 @@ def _fold_session_batch(t: FlussTable, spark: SparkSession, batch: DataFrame) ->
     from pyspark.sql.window import Window
 
     s = _batch_sessions(batch)
+    # prune the store probe to sessions that could still merge: only a
+    # session whose last_ts is within the gap of the batch's OLDEST
+    # event can extend (time-ordered arrival). The literal bound pushes
+    # to the snapshot scan, so row-group stats prune the cold majority
+    # of the store — the per-fold read stays O(recently-active users),
+    # not O(all sessions ever)
+    lo = batch.agg(F.min(F.col("ts").cast("long"))).collect()[0][0]
     snap = t.snapshot(spark)
+    if lo is not None:
+        snap = snap.filter(F.col("last_ts").cast("long") >= lo - _SESS_GAP_S)
     wl = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
     latest = (
         snap.withColumn("__rn", F.row_number().over(wl))
