@@ -91,10 +91,10 @@ _PRIORITY = [
     "dd_cdc_spans",
     "emb_outliers",
     "t14_incremental_sessions",
-    # --- r5 perf-flagged rows (regression re-measured as host noise;
-    #     keep their correctness visible while the flag clears;
-    #     tx_domain_mix stays local-suite-covered, window is 50) ---
-    "tx_corpus_stats",
+    "t15_snapshot_diff",
+    # --- r5 perf-flagged row (regression re-measured as host noise;
+    #     tx_corpus_stats/tx_domain_mix stay local-suite-covered,
+    #     window is exactly 50) ---
     "tx_curation_pipeline",
     # (r4+r5 double-green members rotated out: t11_materialized_table,
     # ann_ivfpq_adc, tx_curation_pipeline, l5_delta_join,

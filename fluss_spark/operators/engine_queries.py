@@ -389,6 +389,25 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             {"user_id": F.col("user_id") + F.lit(1_000_000)},
         )
         sync_index(cat, "db", variant, "user_id", spark)
+    elif variant == "diff_state":
+        # snapshot-diff lifecycle (t15): commit 1 = first-half latest
+        # rows; commit 2 = second half where 'error' events are DELETE
+        # ops — so the v1->v2 diff contains inserts, updates AND deletes
+        from fluss_spark.operators.replay import OP_COL
+
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        b2 = ev.filter(F.col("event_id") > half).withColumn(
+            OP_COL,
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        t.upsert(b2, ordering=["event_id"])
     elif variant == "session_state":
         # sessionization as engine state (t14): sessions pk table fed by
         # three TIME-ORDERED event batches (ts tertiles — the realistic
@@ -1784,3 +1803,57 @@ def t14_incremental_sessions(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         (F.col("cents") / 100.0).alias("sum_value"),
     )
+
+
+@register(
+    "t15_snapshot_diff",
+    oracle="""
+    WITH h AS (SELECT max(event_id) // 2 AS half FROM events),
+    v1 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT e.user_id, e.event_type, e.value,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.event_id DESC) AS rn
+        FROM events e, h WHERE e.event_id <= h.half
+      ) WHERE rn = 1
+    ),
+    fin AS (
+      SELECT user_id, event_type, value,
+             (event_id > half AND event_type = 'error') AS deleted
+      FROM (
+        SELECT e.*, h.half,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.event_id DESC) AS rn
+        FROM events e, h
+      ) WHERE rn = 1
+    ),
+    v2 AS (SELECT user_id, event_type, value FROM fin WHERE NOT deleted)
+    SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'I'
+                WHEN v2.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS change,
+           v1.event_type AS old_event_type, v1.value AS old_value,
+           v2.event_type AS new_event_type, v2.value AS new_value
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+       OR v1.event_type IS DISTINCT FROM v2.event_type
+       OR v1.value IS DISTINCT FROM v2.value
+    """,
+)
+def t15_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Net row-level diff between two snapshot versions from the
+    CHANGELOG SLICE between their high-water marks (the incremental
+    read the reference's per-snapshot log offsets exist for —
+    Admin.getKvSnapshotMetadata, Admin.java:450): the slice's last
+    event per key gives the v2 side, a KEY-PRUNED probe of the v1
+    snapshot gives the old side, so cost is O(delta) at any table size
+    — never two full snapshot scans. The build's second commit mixes
+    upserts with DELETE ops, so the diff exercises I, U and D rows;
+    identical-state keys (delete + same-value re-insert inside the
+    slice) are excluded. The oracle recomputes both versions from the
+    raw events and full-outer-compares them."""
+    t = _build(spark, sf, "diff_state")
+    hist = sorted(
+        s.version for s in t.catalog.commit_history("db", "diff_state")
+    )
+    return t.snapshot_diff(spark, v1=hist[-2], v2=hist[-1])

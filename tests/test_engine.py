@@ -425,3 +425,38 @@ def test_upsert_crash_before_current_advance_is_invisible(
     cl = t.changelog(spark)
     assert cl.filter("id = 3 AND _change_type = '+I'").count() == 1
     assert cl.filter("id = 2 AND _change_type = '+U'").count() == 1
+
+
+def test_snapshot_diff_bounded_versions(spark, catalog):
+    """snapshot_diff between two EXPLICIT versions reads only that
+    changelog slice: changes from commits after v2 must not appear,
+    identical-state keys are excluded, and unknown versions fail."""
+    t = create_table(
+        catalog, "db", "sdiff",
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "DOUBLE")],
+            primary_key=["id"],
+            num_buckets=2,
+        ),
+    )
+    up = lambda rows: t.upsert(
+        spark.createDataFrame(rows, "id bigint, v double"), ordering=["id"]
+    )
+    s1 = up([(1, 1.0), (2, 2.0)])
+    # slice v1->v2: update 2, insert 3, delete+reinsert 1 with SAME value
+    t.delete(spark.createDataFrame([(1, 1.0)], "id bigint, v double"))
+    s2 = up([(1, 1.0), (2, 20.0), (3, 3.0)])
+    up([(4, 4.0)])  # after v2 — must not appear
+
+    got = {
+        tuple(r)
+        for r in t.snapshot_diff(spark, v1=s1.version, v2=s2.version).collect()
+    }
+    assert got == {(2, "U", 2.0, 20.0), (3, "I", None, 3.0)}
+    # v2 defaults to current
+    cur = {tuple(r) for r in t.snapshot_diff(spark, v1=s2.version).collect()}
+    assert cur == {(4, "I", None, 4.0)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no such commit"):
+        t.snapshot_diff(spark, v1=999)
