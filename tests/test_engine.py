@@ -460,3 +460,72 @@ def test_snapshot_diff_bounded_versions(spark, catalog):
 
     with _pt.raises(ValueError, match="no such commit"):
         t.snapshot_diff(spark, v1=999)
+
+
+def test_snapshot_diff_matches_bruteforce_property(spark):
+    """Property: for ANY op sequence split into commits and ANY version
+    pair, the changelog-slice diff equals the brute-force full-outer
+    comparison of the two materialized snapshots."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops_st = st.lists(
+        st.tuples(
+            st.integers(0, 4),                  # key
+            st.sampled_from(["U", "D"]),
+            st.integers(0, 3),                  # value
+        ),
+        min_size=2,
+        max_size=16,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(seq=ops_st, n_commits=st.integers(2, 3), data=st.data())
+    def check(seq, n_commits, data):
+        from fluss_spark.operators.replay import OP_COL
+
+        cat = Catalog(tempfile.mkdtemp(prefix="sdiff_prop_"))
+        t = create_table(
+            cat, "db", "p",
+            TableSchema(
+                fields=[Field("id", "BIGINT", nullable=False), Field("v", "BIGINT")],
+                primary_key=["id"],
+                num_buckets=2,
+            ),
+        )
+        per = max(1, len(seq) // n_commits)
+        versions = []
+        for i in range(0, len(seq), per):
+            chunk = seq[i : i + per]
+            df = spark.createDataFrame(
+                [(k, v, op) for k, op, v in chunk],
+                f"id bigint, v bigint, {OP_COL} string",
+            ).withColumn("__ord", F.monotonically_increasing_id())
+            versions.append(t.upsert(df, ordering=["__ord"]).version)
+        i1 = data.draw(st.integers(0, len(versions) - 1), label="v1_idx")
+        i2 = data.draw(st.integers(i1, len(versions) - 1), label="v2_idx")
+        v1, v2 = versions[i1], versions[i2]
+
+        got = {
+            (r["id"], r["change"], r["old_v"], r["new_v"])
+            for r in t.snapshot_diff(spark, v1=v1, v2=v2).collect()
+        }
+        s1 = {r["id"]: r["v"] for r in t.snapshot(spark, version=v1).collect()}
+        s2 = {r["id"]: r["v"] for r in t.snapshot(spark, version=v2).collect()}
+        want = set()
+        for k in set(s1) | set(s2):
+            if k in s1 and k not in s2:
+                want.add((k, "D", s1[k], None))
+            elif k not in s1 and k in s2:
+                want.add((k, "I", None, s2[k]))
+            elif s1[k] != s2[k]:
+                want.add((k, "U", s1[k], s2[k]))
+        assert got == want, (seq, versions, v1, v2)
+
+    check()
