@@ -410,9 +410,11 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         t.upsert(b2, ordering=["event_id"])
     elif variant == "session_state":
         # sessionization as engine state (t14): sessions pk table fed by
-        # three TIME-ORDERED event batches (ts tertiles — the realistic
-        # continuous-ingest arrival order); each batch is one upsert
-        # commit folded by _fold_session_batch
+        # three event batches in OUT-OF-ORDER arrival (ts tertiles
+        # delivered late-middle-last: oldest, newest, THEN the middle) —
+        # the middle batch must bridge and MERGE sessions already stored
+        # from both ends; each batch is one mixed upsert/delete commit
+        # folded by _fold_session_batch's gaps-and-islands pass
         schema = TableSchema(
             fields=[
                 Field("user_id", "BIGINT", nullable=False),
@@ -431,7 +433,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             F.expr("percentile(cast(ts as long), array(0.33, 0.66))")
         ).collect()[0][0]
         t1, t2 = int(cuts[0]), int(cuts[1])
-        for lo, hi in ((None, t1), (t1, t2), (t2, None)):
+        for lo, hi in ((None, t1), (t2, None), (t1, t2)):
             b = evt
             if lo is not None:
                 b = b.filter(F.col("ts").cast("long") > lo)
@@ -1698,66 +1700,111 @@ def _batch_sessions(b: DataFrame) -> DataFrame:
 
 
 def _fold_session_batch(t: FlussTable, spark: SparkSession, batch: DataFrame) -> None:
-    """Merge one time-ordered event batch into the sessions store as ONE
-    upsert commit. Per user only the LATEST stored session can extend
-    (sessions are gap-separated, so it holds the max last_ts); a batch's
-    first session merges into it when the gap closes, every other batch
-    session inserts under its own (user_id, session_start) pk. Scale
-    shape: the batch fold is one user_id exchange; the store probe is a
-    user_id equi-join against the snapshot (bucketed by user_id)."""
+    """Merge one event batch into the sessions store as ONE mixed
+    upsert/delete commit — under ARBITRARY arrival order. Key insight:
+    adding events can only ever MERGE sessions, never split them, so
+    interval aggregates are a sufficient state: fold the batch to
+    per-user session intervals, pull the stored sessions within the
+    batch's time range +/- gap (a literal bound that pushes to the
+    snapshot scan — the probe stays O(affected sessions)), and run a
+    gaps-and-islands pass over the union. Each island upserts under its
+    earliest start; stored sessions absorbed into an island keyed by a
+    different start are DELETED in the same commit. A late batch that
+    bridges two (or a chain of) stored sessions merges them all;
+    untouched single-member islands are filtered out, so the commit
+    touches only affected keys. Scale shape: one user_id exchange for
+    the batch fold, one for the islands window — both bounded per user,
+    never global."""
     from pyspark.sql.window import Window
 
+    from fluss_spark.operators.replay import OP_COL
+
     s = _batch_sessions(batch)
-    # prune the store probe to sessions that could still merge: only a
-    # session whose last_ts is within the gap of the batch's OLDEST
-    # event can extend (time-ordered arrival). The literal bound pushes
-    # to the snapshot scan, so row-group stats prune the cold majority
-    # of the store — the per-fold read stays O(recently-active users),
-    # not O(all sessions ever)
-    lo = batch.agg(F.min(F.col("ts").cast("long"))).collect()[0][0]
-    snap = t.snapshot(spark)
-    if lo is not None:
-        snap = snap.filter(F.col("last_ts").cast("long") >= lo - _SESS_GAP_S)
-    wl = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
-    latest = (
-        snap.withColumn("__rn", F.row_number().over(wl))
-        .filter(F.col("__rn") == 1)
+    bounds = batch.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    if lo is None:
+        return
+    stored = (
+        t.snapshot(spark)
+        .filter(
+            (F.col("last_ts").cast("long") >= lo - _SESS_GAP_S)
+            & (F.col("session_start").cast("long") <= hi + _SESS_GAP_S)
+        )
         .select(
             "user_id",
-            F.col("session_start").alias("st_start"),
-            F.col("last_ts").alias("st_last"),
-            F.col("n_events").alias("st_n"),
-            F.col("cents").alias("st_cents"),
+            F.col("session_start").alias("i_start"),
+            F.col("last_ts").alias("i_last"),
+            F.col("n_events").alias("i_n"),
+            F.col("cents").alias("i_cents"),
+            F.col("session_start").alias("orig_start"),
         )
     )
-    first = s.filter(F.col("sid") == 1).join(latest, "user_id", "left")
-    mergeable = F.col("st_start").isNotNull() & (
-        F.col("b_start").cast("long") - F.col("st_last").cast("long") <= _SESS_GAP_S
-    )
-    merged = first.filter(mergeable).select(
+    fresh = s.select(
         "user_id",
-        F.col("st_start").alias("session_start"),
-        F.col("b_last").alias("last_ts"),
-        (F.col("st_n") + F.col("b_n")).alias("n_events"),
-        (F.col("st_cents") + F.col("b_cents")).alias("cents"),
+        F.col("b_start").alias("i_start"),
+        F.col("b_last").alias("i_last"),
+        F.col("b_n").alias("i_n"),
+        F.col("b_cents").alias("i_cents"),
+        F.lit(None).cast("timestamp").alias("orig_start"),
     )
-    fresh = (
-        first.filter(~mergeable)
-        .select("user_id", "b_start", "b_last", "b_n", "b_cents")
-        .unionByName(
-            s.filter(F.col("sid") > 1).select(
-                "user_id", "b_start", "b_last", "b_n", "b_cents"
-            )
+    u = stored.unionByName(fresh)
+    w = Window.partitionBy("user_id").orderBy("i_start", "i_last")
+    prev_max = F.max(F.col("i_last").cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max.isNull()
+        | (F.col("i_start").cast("long") - prev_max > _SESS_GAP_S),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    tagged = u.withColumn(
+        "__isl",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wi = Window.partitionBy("user_id", "__isl")
+    tagged = tagged.select(
+        "*",
+        F.min("i_start").over(wi).alias("__isl_start"),
+        F.count(F.lit(1)).over(wi).alias("__isl_size"),
+        F.sum(F.col("orig_start").isNull().cast("int")).over(wi).alias("__isl_fresh"),
+    )
+    # islands with batch contribution (or >1 member) change state; an
+    # untouched stored session pulled by the window alone is a no-op
+    active = (F.col("__isl_fresh") > 0) | (F.col("__isl_size") > 1)
+    upserts = (
+        tagged.filter(active)
+        .groupBy("user_id", "__isl")
+        .agg(
+            F.min("i_start").alias("session_start"),
+            F.max("i_last").alias("last_ts"),
+            F.sum("i_n").alias("n_events"),
+            F.sum("i_cents").alias("cents"),
+        )
+        .drop("__isl")
+        .withColumn(OP_COL, F.lit("U"))
+        .withColumn("__ord", F.lit(1))
+    )
+    absorbed = (
+        tagged.filter(
+            active
+            & F.col("orig_start").isNotNull()
+            & (F.col("orig_start") != F.col("__isl_start"))
         )
         .select(
             "user_id",
-            F.col("b_start").alias("session_start"),
-            F.col("b_last").alias("last_ts"),
-            F.col("b_n").alias("n_events"),
-            F.col("b_cents").alias("cents"),
+            F.col("orig_start").alias("session_start"),
+            F.lit(None).cast("timestamp").alias("last_ts"),
+            F.lit(None).cast("bigint").alias("n_events"),
+            F.lit(None).cast("bigint").alias("cents"),
         )
+        .withColumn(OP_COL, F.lit("D"))
+        .withColumn("__ord", F.lit(0))
     )
-    t.upsert(merged.unionByName(fresh), ordering=["session_start"])
+    t.upsert(upserts.unionByName(absorbed), ordering=["__ord"])
 
 
 @register(
@@ -1784,14 +1831,17 @@ def _fold_session_batch(t: FlussTable, spark: SparkSession, batch: DataFrame) ->
 def t14_incremental_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization as ENGINE STATE: gap-bounded session windows live
     in a pk table (pk=(user_id, session_start), bucketed by user_id)
-    and ADVANCE as event batches commit — three time-ordered batches
-    here, each one upsert that extends still-open sessions (a batch's
-    first per-user session merges when the gap to the stored last_ts
-    closes) and inserts the rest. This is the continuous-ingest form of
-    op_sessionize: per-batch cost is O(batch) against the bucketed
-    store, no corpus-wide re-sessionization, and the store IS the
-    queryable result at every commit (T4-consumption shape; reference
-    delegates windowing to its host engine, SURVEY §2.5/T5). The oracle
+    and ADVANCE as event batches commit — under ARBITRARY arrival
+    order: the build delivers the MIDDLE time-tertile LAST, so its
+    events must bridge and MERGE sessions already stored from both
+    ends (gaps-and-islands over interval aggregates; adding events can
+    only merge sessions, never split them, so aggregates are a
+    sufficient state — absorbed rows are deleted in the same commit).
+    This is the continuous-ingest form of op_sessionize: per-batch
+    cost is O(batch + affected sessions) against the bucketed store,
+    no corpus-wide re-sessionization, and the store IS the queryable
+    result at every commit (T4-consumption shape; reference delegates
+    windowing to its host engine, SURVEY §2.5/T5). The oracle
     recomputes all sessions from the full event table in SQL — the
     incremental store must equal the from-scratch answer exactly
     (int64 cent sums make the accumulation order-independent)."""

@@ -576,8 +576,10 @@ def test_stream_batch_incremental_ivf_index_equality(spark, catalog):
 
 def test_stream_batch_incremental_sessions_equality(spark, catalog):
     """t14 certification (T4-consumption shape): the session store fed
-    by a LOG STREAM micro-batch by micro-batch must equal the
-    from-scratch batch sessionization at sf0.01."""
+    by a LOG STREAM micro-batch by micro-batch — in OUT-OF-ORDER
+    arrival (middle time-tertile last, so it must bridge and merge
+    already-stored sessions) — must equal the from-scratch batch
+    sessionization at sf0.01."""
     from fluss_spark.operators.engine_queries import _fold_session_batch
     from fluss_spark.operators.sessionize import op_sessionize
     from fluss_spark.registry import load
@@ -620,7 +622,7 @@ def test_stream_batch_incremental_sessions_equality(spark, catalog):
     def sink(df, batch_id):
         _fold_session_batch(store, spark, df.select("user_id", "event_id", "ts", "value"))
 
-    for lo, hi in ((None, t1), (t1, t2), (t2, None)):
+    for lo, hi in ((None, t1), (t2, None), (t1, t2)):
         b = ev
         if lo is not None:
             b = b.filter(F.col("ts").cast("long") > lo)
