@@ -221,7 +221,12 @@ class FlussTable:
             raise ValueError(f"no such commit version: {v2}")
         pk = self.schema.primary_key
         vals = [c for c in self.schema.data_columns() if c not in pk]
-        start = {int(b): o for b, o in hist[v1].log_hwm.items()}
+        # v1's high-water marks only list buckets touched BY v1; the
+        # changelog reader excludes buckets absent from start_offsets,
+        # so a bucket first written after v1 would silently drop out of
+        # the slice — default every bucket to offset 0
+        hwm1 = {int(b): o for b, o in hist[v1].log_hwm.items()}
+        start = {b: hwm1.get(b, 0) for b in range(self.schema.num_buckets)}
         cl = self.kv.changelog(spark, start_offsets=start)
         if v2 != cur:
             end = {int(b): o for b, o in hist[v2].log_hwm.items()}
