@@ -502,7 +502,15 @@ class LogStore:
             # shadowed pre-rebucket dir a crash left behind)
             df = df.filter(F.col(COMMIT_DIR_COL) >= floor)
         if start_offsets:
-            cond = F.lit(False)
+            # RESUME semantics, not bucket restriction: a bucket absent
+            # from the map received its first row after the offsets were
+            # recorded (e.g. a new pk hashing to a fresh bucket between
+            # index syncs) — its entire history is new to the caller, so
+            # it passes through from offset 0. Excluding it silently
+            # LOSES data for every resume-shaped consumer (streaming
+            # reader, index/vector-index sync, incremental MT refresh,
+            # snapshot diff). Bucket-subset reads use snapshot(buckets=).
+            cond = ~F.col(BUCKET_COL).isin(list(start_offsets.keys()))
             for b, off in start_offsets.items():
                 cond = cond | ((F.col(BUCKET_COL) == b) & (F.col(OFFSET_COL) >= off))
             df = df.filter(cond)

@@ -224,3 +224,43 @@ def test_create_index_rejects_wal_image_base(spark, catalog):
     t.upsert(spark.createDataFrame([(1, 10)], "id bigint, v bigint"), ordering=["id"])
     with pytest.raises(ValueError, match="changelog.image"):
         create_index(catalog, "db", "walbase", "v", spark)
+
+
+def test_sync_catches_bucket_born_between_syncs(spark, catalog):
+    """A pk whose hash lands in a bucket UNTOUCHED at the previous sync
+    must still reach the index: recorded offsets only list buckets
+    written by then, and the changelog read treats missing buckets as
+    resume-from-0, not excluded (the silent-data-loss class the
+    snapshot-diff property test exposed)."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 8
+    t = create_table(
+        catalog, "db", "born",
+        TableSchema(
+            fields=[
+                Field("id", "BIGINT", nullable=False),
+                Field("grp", "BIGINT"),
+            ],
+            primary_key=["id"],
+            num_buckets=n_buckets,
+        ),
+    )
+    # find two keys hashing to DIFFERENT buckets
+    probe = spark.createDataFrame([(i,) for i in range(64)], "id bigint").select(
+        "id", F.pmod(F.hash("id"), F.lit(n_buckets)).alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in probe:
+        by_bucket.setdefault(r["b"], r["id"])
+    buckets = sorted(by_bucket)
+    k1, k2 = by_bucket[buckets[0]], by_bucket[buckets[1]]
+
+    t.upsert(spark.createDataFrame([(k1, 7)], "id bigint, grp bigint"), ordering=["id"])
+    create_index(catalog, "db", "born", "grp", spark)  # sync point: only k1's bucket has offsets
+    t.upsert(spark.createDataFrame([(k2, 7)], "id bigint, grp bigint"), ordering=["id"])
+    assert sync_index(catalog, "db", "born", "grp", spark) > 0
+    got = sorted(
+        r["id"] for r in index_lookup(catalog, "db", "born", "grp", 7, spark).collect()
+    )
+    assert got == sorted([k1, k2])

@@ -644,3 +644,38 @@ def test_stream_batch_incremental_sessions_equality(spark, catalog):
     }
     assert len(got) == len(batch) > 1_000
     assert got == batch
+
+
+def test_reader_includes_bucket_born_after_subscribe(spark, catalog):
+    """A bucket that receives its FIRST row after the subscription
+    started must still stream: recorded offsets only list buckets
+    written by then, and the scan treats missing buckets as
+    resume-from-0 — excluding them silently loses their data."""
+    n_buckets = 8
+    t = create_table(
+        catalog, "db", "born_s",
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "BIGINT")],
+            primary_key=["id"],
+            num_buckets=n_buckets,
+        ),
+    )
+    probe = spark.createDataFrame([(i,) for i in range(64)], "id bigint").select(
+        "id", F.pmod(F.hash("id"), F.lit(n_buckets)).alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in probe:
+        by_bucket.setdefault(r["b"], r["id"])
+    bks = sorted(by_bucket)
+    k1, k2 = by_bucket[bks[0]], by_bucket[bks[1]]
+
+    t.upsert(spark.createDataFrame([(k1, 1)], "id bigint, v bigint"), ordering=["id"])
+    reader = LogStreamReader(t, spark, startup_mode="earliest")
+    got = []
+    reader.process_available(lambda df, bid: got.extend(r["id"] for r in df.collect()))
+    assert got == [k1]
+    # k2's bucket is BORN now — after the subscription's offsets map
+    t.upsert(spark.createDataFrame([(k2, 2)], "id bigint, v bigint"), ordering=["id"])
+    got2 = []
+    reader.process_available(lambda df, bid: got2.extend(r["id"] for r in df.collect()))
+    assert got2 == [k2]
