@@ -502,17 +502,22 @@ class LogStore:
             # shadowed pre-rebucket dir a crash left behind)
             df = df.filter(F.col(COMMIT_DIR_COL) >= floor)
         if start_offsets:
+            cond = F.lit(False)
+            for b, off in start_offsets.items():
+                cond = cond | ((F.col(BUCKET_COL) == b) & (F.col(OFFSET_COL) >= off))
             # RESUME semantics, not bucket restriction: a bucket absent
             # from the map received its first row after the offsets were
             # recorded (e.g. a new pk hashing to a fresh bucket between
-            # index syncs) — its entire history is new to the caller, so
-            # it passes through from offset 0. Excluding it silently
-            # LOSES data for every resume-shaped consumer (streaming
-            # reader, index/vector-index sync, incremental MT refresh,
-            # snapshot diff). Bucket-subset reads use snapshot(buckets=).
-            cond = ~F.col(BUCKET_COL).isin(list(start_offsets.keys()))
-            for b, off in start_offsets.items():
-                cond = cond | ((F.col(BUCKET_COL) == b) & (F.col(OFFSET_COL) >= off))
+            # commits) — its entire history is new to the caller, so it
+            # passes through from offset 0. Excluding it silently LOSES
+            # data for every resume-shaped consumer (streaming reader,
+            # index/vector-index sync, incremental MT refresh, snapshot
+            # diff). Bucket-subset reads use snapshot(buckets=). The
+            # escape disjunct is added ONLY when buckets are actually
+            # missing: it carries no offset term, so it would otherwise
+            # cost the pure OR-of-ANDs its __offset parquet pushdown.
+            if len(start_offsets) < self.schema.num_buckets:
+                cond = cond | ~F.col(BUCKET_COL).isin(list(start_offsets.keys()))
             df = df.filter(cond)
         if end_offsets:
             cond = F.lit(True)
