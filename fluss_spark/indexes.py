@@ -108,11 +108,12 @@ def sync_index(
     idx = FlussTable(catalog, db, idx_name)
     pk = base.schema.primary_key
     synced = json.loads(idx.schema.properties.get(INDEX_SYNC_PROP, "{}"))
-    # scan's start_offsets filter EXCLUDES buckets absent from the
-    # dict, so a bucket that was empty at the previous sync (no HWM
-    # entry) must default to offset 0 — otherwise its first rows would
-    # be dropped from this slice yet covered by the recorded HWM,
-    # silently lost forever
+    # scan treats buckets absent from start_offsets as resume-from-
+    # zero (sources/log.py), so zero-filling here is not needed for
+    # correctness — the explicit full-bucket map is kept because a
+    # FULL-coverage map lets the scan push the __offset predicate to
+    # parquet instead of adding a covers-missing-buckets escape
+    # disjunct
     start = (
         {b: int(synced.get(str(b), 0)) for b in range(base.schema.num_buckets)}
         if synced

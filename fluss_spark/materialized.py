@@ -454,8 +454,10 @@ def _refresh_incremental(fsql, t: FlussTable) -> int:
             f"refresh; drop and recreate the materialized table "
             f"({t.db}.{t.name}) — offsets are not comparable across a rebucket"
         )
-    # absent buckets default to offset 0: scan's start_offsets filter
-    # EXCLUDES buckets missing from the dict
+    # scan treats buckets absent from start_offsets as resume-from-
+    # zero (sources/log.py); the explicit full-bucket map is kept so
+    # the __offset predicate stays fully pushed to parquet (a map with
+    # gaps forces the scan to add an escape disjunct)
     start = (
         {b: int(synced.get(str(b), 0)) for b in range(src.schema.num_buckets)}
         if synced
