@@ -27,7 +27,7 @@ server/kv/partialupdate/PartialUpdater.java:104-138).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -48,61 +48,72 @@ SUB_COL = "__sub"
 _LONG_MIN = -(2**63)
 
 
-def _w_run(pk: list[str]) -> Window:
+# NOTE: the fold plans below are built from WHOLE-SELECT SQL strings
+# (selectExpr), not per-column Column objects. Each Column call is a
+# py4j round trip (~0.7ms of pure driver latency); at a few hundred
+# calls per commit that was ~30% of the steady-state commit constant.
+# One selectExpr = one round trip and one JVM-side parse, producing the
+# identical resolved plan.
+
+
+def _run_over(pk: list[str]) -> str:
+    """Running-state window frame: everything up to this fold step."""
+    pks = ", ".join(f"`{c}`" for c in pk)
     return (
-        Window.partitionBy(*pk)
-        .orderBy(SEQ_COL)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f"PARTITION BY {pks} ORDER BY `{SEQ_COL}` "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
 
 
-def _w_lag(pk: list[str]) -> Window:
-    return Window.partitionBy(*pk).orderBy(SEQ_COL)
+def _lag_over(pk: list[str]) -> str:
+    pks = ", ".join(f"`{c}`" for c in pk)
+    return f"PARTITION BY {pks} ORDER BY `{SEQ_COL}`"
 
 
-def _struct(cols: list[str]) -> Column:
-    return F.struct(*[F.col(c).alias(c) for c in cols])
+def _struct_sql(cols: list[str]) -> str:
+    return "struct(" + ", ".join(f"`{c}`" for c in cols) + ")"
 
 
 def _emit(
     df: DataFrame,
     cols: list[str],
-    cur_state: Column,
-    prev_state: Column,
-    prev_present: Column,
-    cur_present: Column,
-    emit_cond: Column,
+    cur_state: str,
+    prev_state: str,
+    prev_present: str,
+    emit_cond: str,
 ) -> DataFrame:
     """Assemble changelog rows: per input record an array of 0-2 change
-    events, exploded JVM-side.
+    events, exploded JVM-side. All state arguments are SQL expression
+    strings over `df`'s columns.
 
     +I when the key appears, -U/+U pair on update, -D on delete —
     exactly KvTablet.applyInsert/applyUpdate/applyDelete
     (KvTablet.java:755-792)."""
 
-    def mk(ct: str, row: Column, sub: int) -> Column:
-        return F.struct(F.lit(ct).alias("ct"), row.alias("row"), F.lit(sub).alias("sub"))
+    def mk(ct: str, row: str, sub: int) -> str:
+        return f"named_struct('ct', '{ct}', 'row', {row}, 'sub', {sub})"
 
-    is_u = (F.col(OP_COL) == "U") & emit_cond
+    is_u = f"(`{OP_COL}` = 'U' AND ({emit_cond}))"
     slot1 = (
-        F.when(is_u & prev_present, mk(UPDATE_BEFORE, prev_state, 0))
-        .when(is_u & ~prev_present, mk(INSERT, cur_state, 0))
-        .when((F.col(OP_COL) == "D") & prev_present, mk(DELETE, prev_state, 0))
+        f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(UPDATE_BEFORE, prev_state, 0)}"
+        f" WHEN {is_u} AND NOT ({prev_present}) THEN {mk(INSERT, cur_state, 0)}"
+        f" WHEN `{OP_COL}` = 'D' AND ({prev_present}) THEN {mk(DELETE, prev_state, 0)}"
+        " END"
     )
-    slot2 = F.when(is_u & prev_present, mk(UPDATE_AFTER, cur_state, 1))
-    events = F.array_compact(F.array(slot1, slot2))
-    out = (
-        df.filter(F.col(SEED_COL) == 0)
-        .withColumn("__events", events)
-        .select(SEQ_COL, F.explode("__events").alias("__e"))
-        .select(
-            F.col(SEQ_COL),
-            F.col("__e.sub").alias(SUB_COL),
-            F.col("__e.ct").alias(CHANGE_TYPE_COL),
-            *[F.col(f"__e.row.{c}").alias(c) for c in cols],
+    slot2 = f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(UPDATE_AFTER, cur_state, 1)} END"
+    return (
+        df.filter(f"`{SEED_COL}` = 0")
+        .selectExpr(
+            f"`{SEQ_COL}`",
+            f"explode(array_compact(array({slot1}, {slot2}))) AS __e",
+        )
+        .selectExpr(
+            f"`{SEQ_COL}`",
+            f"__e.sub AS `{SUB_COL}`",
+            f"__e.ct AS `{CHANGE_TYPE_COL}`",
+            *[f"__e.row.`{c}` AS `{c}`" for c in cols],
         )
     )
-    return out
 
 
 def replay(
@@ -186,35 +197,38 @@ def _apply_changelog_image(
 
 def _replay_default(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, DataFrame]:
     pk, cols = schema.primary_key, schema.data_columns()
-    w_lag = _w_lag(pk)
+    lag_over = _lag_over(pk)
 
-    present = F.col(OP_COL) == "U"  # state presence after each record
-    state = F.when(present, _struct(cols))
-    d = (
-        df.withColumn("__cur", state)
-        .withColumn("__cur_present", present)
-        .withColumn("__prev", F.lag("__cur").over(w_lag))
-        .withColumn("__prev_present", F.coalesce(F.lag("__cur_present").over(w_lag), F.lit(False)))
+    # state presence after each record
+    state = f"CASE WHEN `{OP_COL}` = 'U' THEN {_struct_sql(cols)} END"
+    d = df.selectExpr(
+        "*",
+        f"{state} AS __cur",
+        f"(`{OP_COL}` = 'U') AS __cur_present",
+        f"lag({state}) OVER ({lag_over}) AS __prev",
+        f"coalesce(lag(`{OP_COL}` = 'U') OVER ({lag_over}), false) AS __prev_present",
     )
     changelog = _emit(
         d,
         cols,
-        cur_state=F.col("__cur"),
-        prev_state=F.col("__prev"),
-        prev_present=F.col("__prev_present"),
-        cur_present=F.col("__cur_present"),
-        emit_cond=F.lit(True),
+        cur_state="__cur",
+        prev_state="__prev",
+        prev_present="__prev_present",
+        emit_cond="true",
     )
     snapshot = _final_state(d, pk, cols)
     return changelog, snapshot
 
 
 def _final_state(d: DataFrame, pk: list[str], cols: list[str]) -> DataFrame:
-    w = Window.partitionBy(*pk).orderBy(F.col(SEQ_COL).desc())
+    pks = ", ".join(f"`{c}`" for c in pk)
     return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & F.col("__cur_present"))
-        .select(*[F.col(f"__cur.{c}").alias(c) for c in cols])
+        d.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {pks} ORDER BY `{SEQ_COL}` DESC) AS __rn",
+        )
+        .filter("__rn = 1 AND __cur_present")
+        .selectExpr(*[f"__cur.`{c}` AS `{c}`" for c in cols])
     )
 
 
@@ -231,34 +245,39 @@ def _replay_partial(
     'set to null' distinguishable from 'not set'); untouched columns keep
     their last state (null before first write)."""
     pk, cols = schema.primary_key, schema.data_columns()
-    non_target = [c for c in cols if c not in target_cols and c not in pk]
-    w_run, w_lag = _w_run(pk), _w_lag(pk)
+    run_over, lag_over = _run_over(pk), _lag_over(pk)
 
     running = []
     for c in cols:
         if c in pk:
-            running.append(F.col(c).alias(c))
+            running.append(f"`{c}`")
         elif c in target_cols:
             # seed rows set every column; batch rows set target columns
-            wrapped = F.struct(F.col(c).alias("v"))
-            running.append(F.last(wrapped, ignorenulls=True).over(w_run)["v"].alias(c))
+            running.append(
+                f"(last(named_struct('v', `{c}`), true) OVER ({run_over})).v AS `{c}`"
+            )
         else:
-            wrapped = F.when(F.col(SEED_COL) == 1, F.struct(F.col(c).alias("v")))
-            running.append(F.last(wrapped, ignorenulls=True).over(w_run)["v"].alias(c))
+            running.append(
+                f"(last(CASE WHEN `{SEED_COL}` = 1 THEN named_struct('v', `{c}`) END,"
+                f" true) OVER ({run_over})).v AS `{c}`"
+            )
 
-    d = df.withColumn("__cur", F.struct(*running)).withColumn("__cur_present", F.lit(True))
-    d = (
-        d.withColumn("__prev", F.lag("__cur").over(w_lag))
-        .withColumn("__prev_present", F.lag("__cur_present").over(w_lag).isNotNull())
+    # two steps: __cur holds running-window state, so lag(__cur) must
+    # sit in its own projection (window functions cannot nest)
+    state = "struct(" + ", ".join(running) + ")"
+    d = df.selectExpr("*", f"{state} AS __cur", "true AS __cur_present")
+    d = d.selectExpr(
+        "*",
+        f"lag(__cur) OVER ({lag_over}) AS __prev",
+        f"(lag(true) OVER ({lag_over})) IS NOT NULL AS __prev_present",
     )
     changelog = _emit(
         d,
         cols,
-        cur_state=F.col("__cur"),
-        prev_state=F.col("__prev"),
-        prev_present=F.col("__prev_present"),
-        cur_present=F.col("__cur_present"),
-        emit_cond=F.lit(True),
+        cur_state="__cur",
+        prev_state="__prev",
+        prev_present="__prev_present",
+        emit_cond="true",
     )
     snapshot = _final_state(d, pk, cols)
     return changelog, snapshot
@@ -271,18 +290,19 @@ def _replay_partial(
 
 def _replay_first_row(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, DataFrame]:
     pk, cols = schema.primary_key, schema.data_columns()
-    d = df.filter(F.col(OP_COL) == "U")
-    w = Window.partitionBy(*pk).orderBy(SEQ_COL)
-    d = d.withColumn("__rn", F.row_number().over(w))
-    winners = d.filter(F.col("__rn") == 1)
-    changelog = (
-        winners.filter(F.col(SEED_COL) == 0)
-        .select(
-            F.col(SEQ_COL),
-            F.lit(0).alias(SUB_COL),
-            F.lit(INSERT).alias(CHANGE_TYPE_COL),
-            *cols,
+    winners = (
+        df.filter(f"`{OP_COL}` = 'U'")
+        .selectExpr(
+            "*",
+            f"row_number() OVER ({_lag_over(pk)}) AS __rn",
         )
+        .filter("__rn = 1")
+    )
+    changelog = winners.filter(f"`{SEED_COL}` = 0").selectExpr(
+        f"`{SEQ_COL}`",
+        f"0 AS `{SUB_COL}`",
+        f"'{INSERT}' AS `{CHANGE_TYPE_COL}`",
+        *[f"`{c}`" for c in cols],
     )
     snapshot = winners.select(*cols)
     return changelog, snapshot
@@ -298,34 +318,34 @@ def _replay_versioned(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, Da
     ver = schema.version_column
     if not ver:
         raise ValueError("versioned merge engine requires table.merge-engine.versioned.ver-column")
-    w_run, w_lag = _w_run(pk), _w_lag(pk)
+    run_over, lag_over = _run_over(pk), _lag_over(pk)
 
     # ranking key: (version with null -> -inf, then arrival order so the
     # newer write wins ties) — exactly createVersionComparator + new-wins
-    ver_num = F.coalesce(F.col(ver).cast("long"), F.lit(_LONG_MIN))
-    rank = F.struct(ver_num.alias("v"), F.col(SEQ_COL).alias("s"))
-    payload = F.struct(rank.alias("k"), _struct(cols).alias("row"))
-    winner = F.max(payload).over(w_run)  # struct compare = lexicographic (v, s)
-
-    d = (
-        df.filter(F.col(OP_COL) == "U")
-        .withColumn("__w", winner)
-        .withColumn("__cur", F.col("__w.row"))
-        .withColumn("__cur_present", F.lit(True))
-        .withColumn("__prev_w", F.lag("__w").over(w_lag))
-        .withColumn("__prev", F.col("__prev_w.row"))
-        .withColumn("__prev_present", F.col("__prev_w").isNotNull())
+    rank = (
+        f"named_struct('v', coalesce(CAST(`{ver}` AS BIGINT), {_LONG_MIN}L),"
+        f" 's', `{SEQ_COL}`)"
     )
-    # emit only when this record became the winner (its seq is the winner seq)
-    changed = F.col("__w.k.s") == F.col(SEQ_COL)
+    payload = f"named_struct('k', {rank}, 'row', {_struct_sql(cols)})"
+    # struct compare = lexicographic (v, s)
+    d = df.filter(f"`{OP_COL}` = 'U'").selectExpr(
+        "*", f"max({payload}) OVER ({run_over}) AS __w"
+    )
+    d = d.selectExpr(
+        "*",
+        "__w.row AS __cur",
+        "true AS __cur_present",
+        f"lag(__w) OVER ({lag_over}) AS __prev_w",
+    ).selectExpr("*", "__prev_w.row AS __prev", "__prev_w IS NOT NULL AS __prev_present")
     changelog = _emit(
         d,
         cols,
-        cur_state=F.col("__cur"),
-        prev_state=F.col("__prev"),
-        prev_present=F.col("__prev_present"),
-        cur_present=F.col("__cur_present"),
-        emit_cond=changed,
+        cur_state="__cur",
+        prev_state="__prev",
+        prev_present="__prev_present",
+        # emit only when this record became the winner (its seq is the
+        # winner seq)
+        emit_cond=f"__w.k.s = `{SEQ_COL}`",
     )
     snapshot = _final_state(d, pk, cols)
     return changelog, snapshot
@@ -337,39 +357,42 @@ def _replay_versioned(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, Da
 # ---------------------------------------------------------------------- #
 
 
-def _agg_running(c: str, agg: str, w_run: Window, delim: str = ",", dtype: str = "double") -> Column:
-    col = F.col(c)
-    n_set = F.count(col).over(w_run)
+def _agg_running(c: str, agg: str, run_over: str, delim: str = ",", dtype: str = "double") -> str:
+    col = f"`{c}`"
+    n_set = f"count({col}) OVER ({run_over})"
     if agg == "sum":
-        return F.when(n_set > 0, F.sum(col).over(w_run)).cast(dtype)
+        return f"CAST(CASE WHEN {n_set} > 0 THEN sum({col}) OVER ({run_over}) END AS {dtype})"
     if agg == "product":
-        lst = F.collect_list(col).over(w_run)
-        prod = F.aggregate(lst, F.lit(1.0).cast("double"), lambda a, x: a * x.cast("double"))
-        return F.when(n_set > 0, prod.cast(dtype))
+        prod = (
+            f"aggregate(collect_list({col}) OVER ({run_over}), CAST(1.0 AS DOUBLE),"
+            " (a, x) -> a * CAST(x AS DOUBLE))"
+        )
+        return f"CASE WHEN {n_set} > 0 THEN CAST({prod} AS {dtype}) END"
     if agg == "max":
-        return F.max(col).over(w_run)
+        return f"max({col}) OVER ({run_over})"
     if agg == "min":
-        return F.min(col).over(w_run)
+        return f"min({col}) OVER ({run_over})"
     if agg == "last_value":
-        return F.last(F.struct(col.alias("v"))).over(w_run)["v"]
+        return f"(last(named_struct('v', {col})) OVER ({run_over})).v"
     if agg == "last_value_ignore_nulls":
-        return F.last(col, ignorenulls=True).over(w_run)
+        return f"last({col}, true) OVER ({run_over})"
     if agg == "first_value":
-        return F.first(F.struct(col.alias("v"))).over(w_run)["v"]
+        return f"(first(named_struct('v', {col})) OVER ({run_over})).v"
     if agg == "first_value_ignore_nulls":
-        return F.first(col, ignorenulls=True).over(w_run)
+        return f"first({col}, true) OVER ({run_over})"
     if agg in ("listagg", "string_agg"):
-        lst = F.collect_list(col).over(w_run)  # skips nulls, offset order
-        return F.when(F.size(lst) > 0, F.array_join(lst, delim))
+        lst = f"collect_list({col}) OVER ({run_over})"  # skips nulls, offset order
+        dq = delim.replace("\\", "\\\\").replace("'", "\\'")
+        return f"CASE WHEN size({lst}) > 0 THEN array_join({lst}, '{dq}') END"
     if agg == "bool_and":
-        return F.min(col).over(w_run)
+        return f"min({col}) OVER ({run_over})"
     if agg == "bool_or":
-        return F.max(col).over(w_run)
+        return f"max({col}) OVER ({run_over})"
     if agg in ("rbm32", "rbm64"):
         # roaring bitmap union (FieldRoaringBitmap32/64Agg): the column
         # is the bitmap value itself (array<long> here, BYTES blob in the
         # reference); each record contributes a bitmap, fold = union
-        return F.array_sort(F.array_distinct(F.flatten(F.collect_list(col).over(w_run))))
+        return f"array_sort(array_distinct(flatten(collect_list({col}) OVER ({run_over}))))"
     raise ValueError(f"unknown aggregate function: {agg}")
 
 
@@ -385,44 +408,50 @@ def _replay_aggregation(
     pk, cols = schema.primary_key, schema.data_columns()
     agg_spec = schema.agg_spec
     delim = schema.properties.get("table.merge-engine.aggregation.listagg-delimiter", ",")
-    w_run, w_lag = _w_run(pk), _w_lag(pk)
+    run_over, lag_over = _run_over(pk), _lag_over(pk)
     dtypes = dict(df.dtypes)
     target = set(partial_update_cols) if partial_update_cols else None
 
     running = []
     for c in cols:
         if c in pk:
-            running.append(F.col(c).alias(c))
+            running.append(f"`{c}`")
         elif target is not None and c not in target:
             # untouched column: carry the accumulated (seed) value
-            wrapped = F.when(F.col(SEED_COL) == 1, F.struct(F.col(c).alias("v")))
-            running.append(F.last(wrapped, ignorenulls=True).over(w_run)["v"].alias(c))
+            running.append(
+                f"(last(CASE WHEN `{SEED_COL}` = 1 THEN named_struct('v', `{c}`) END,"
+                f" true) OVER ({run_over})).v AS `{c}`"
+            )
         elif c in agg_spec:
             running.append(
-                _agg_running(c, agg_spec[c], w_run, delim, dtypes.get(c, "double")).alias(c)
+                f"{_agg_running(c, agg_spec[c], run_over, delim, dtypes.get(c, 'double'))}"
+                f" AS `{c}`"
             )
         else:
             # non-aggregated column: last value wins (AggregateRowMerger
             # falls back to replace for unconfigured columns)
-            running.append(F.last(F.struct(F.col(c).alias("v"))).over(w_run)["v"].alias(c))
+            running.append(
+                f"(last(named_struct('v', `{c}`)) OVER ({run_over})).v AS `{c}`"
+            )
 
-    d = (
-        df.filter(F.col(OP_COL) == "U")
-        .withColumn("__cur", F.struct(*running))
-        .withColumn("__cur_present", F.lit(True))
+    state = "struct(" + ", ".join(running) + ")"
+    d = df.filter(f"`{OP_COL}` = 'U'").selectExpr(
+        "*",
+        f"{state} AS __cur",
+        "true AS __cur_present",
     )
-    d = (
-        d.withColumn("__prev", F.lag("__cur").over(w_lag))
-        .withColumn("__prev_present", F.lag("__cur_present").over(w_lag).isNotNull())
+    d = d.selectExpr(
+        "*",
+        f"lag(__cur) OVER ({lag_over}) AS __prev",
+        f"(lag(true) OVER ({lag_over})) IS NOT NULL AS __prev_present",
     )
     changelog = _emit(
         d,
         cols,
-        cur_state=F.col("__cur"),
-        prev_state=F.col("__prev"),
-        prev_present=F.col("__prev_present"),
-        cur_present=F.col("__cur_present"),
-        emit_cond=F.lit(True),
+        cur_state="__cur",
+        prev_state="__prev",
+        prev_present="__prev_present",
+        emit_cond="true",
     )
     snapshot = _final_state(d, pk, cols)
     return changelog, snapshot

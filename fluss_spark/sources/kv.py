@@ -11,19 +11,29 @@ transaction does all of it set-at-a-time:
               batch's keys (the distributed read-old; O(batch), not
               O(table))
   2. fold   = operators/replay.py window fold over seed ∪ batch
-  3. WAL    = changelog rows appended to the log store (gets __offset;
-              the changelog IS the log, exactly like the reference)
-  4. state  = ONLY touched buckets are rewritten: new files =
-              (old bucket rows minus touched keys) ∪ final states
-              replayed from the just-written changelog. Untouched
-              buckets stay as prior-version files, referenced through a
-              per-version manifest {bucket -> data dir} — per-commit
-              write cost is O(touched buckets), not O(table)
-  5. one atomic commit advances the table to version V'
+  3. ONE write action produces BOTH commit artifacts as sibling
+     partition dirs (__dest=w -> WAL, __dest=s -> snapshot): a single
+     bucket-window pass assigns per-bucket __offset to the change
+     events AND detects each key's last event; that last event (when
+     not -D) is exploded into a second copy routed to the snapshot
+     side, together with prior-snapshot rows whose key saw no event.
+     ONLY touched buckets are rewritten — untouched buckets stay as
+     prior-version files, referenced through a per-version manifest
+     {bucket -> data dir}, so per-commit write cost is O(touched
+     buckets), not O(table)
+  4. the driver renames __dest=w/__dest=s into the log commit dir and
+     snapshot/data-vN, then one atomic commit advances the table to V'
 
-The snapshot derivation from the written WAL makes "changelog replay
-reproduces the snapshot" (SortMergeReader.java:30-55) an *executed
-invariant* of every commit, not just a test.
+Because the WAL row and the snapshot row of a key's last event are two
+explode copies of the SAME evaluated row, they cannot diverge even
+under non-deterministic input or task retries — the single-action
+successor to the WAL-first barrier (the reference's WAL *is* the
+changelog, KvTablet.java:562-591: one append, not two passes), and
+"changelog replay reproduces the snapshot" (SortMergeReader.java:30-55)
+stays an *executed invariant* of every commit. Partitioned and
+auto-increment pk tables keep the two-pass WAL-first path (their WAL
+dir layout interposes partition dirs that the snapshot layout must not
+inherit).
 """
 
 from __future__ import annotations
@@ -53,6 +63,10 @@ from fluss_spark.types import (
     TIMESTAMP_COL,
     parse_type,
 )
+
+# partition column splitting the single-action commit write into its two
+# sibling artifacts: __dest=w (WAL commit files) / __dest=s (snapshot)
+DEST_COL = "__dest"
 
 
 class KvStore:
@@ -111,7 +125,7 @@ class KvStore:
             if missing_pk:
                 raise ValueError(f"partial update must include the primary key, missing {missing_pk}")
 
-        fold_in, may_have_deletes = self._fold_input(spark, df, ordering)
+        fold_in, may_have_deletes, batch_buckets = self._fold_input(spark, df, ordering)
 
         changelog, _ = replay(
             fold_in,
@@ -120,11 +134,11 @@ class KvStore:
             merge_mode=merge_mode,
             may_have_deletes=may_have_deletes,
         )
-        return self._commit_changelog(spark, changelog, commit_ts_ms)
+        return self._commit_changelog(spark, changelog, commit_ts_ms, batch_buckets)
 
     def _fold_input(
         self, spark: SparkSession, df: DataFrame, ordering: list[str] | None
-    ) -> tuple[DataFrame, bool]:
+    ) -> tuple[DataFrame, bool, list[int] | None]:
         """Build the fold input (seed ∪ batch, with per-key __seq) so the
         whole upsert fold costs ONE pk hash exchange
         (tests/test_plans.py pins this on the full path)."""
@@ -148,20 +162,20 @@ class KvStore:
         # ONE projection (a per-field withColumn loop costs a full plan
         # copy + re-analysis per column — pure driver latency per commit)
         have = set(b.columns)
+        # parse_type().simpleString() = Spark-SQL DDL (the schema's own
+        # type strings are engine DDL — e.g. BYTES — which CAST rejects)
         proj = [
             (
-                F.col(f.name).cast(parse_type(f.type))
+                f"CAST(`{f.name}` AS {parse_type(f.type).simpleString()}) AS `{f.name}`"
                 if f.name in have
-                else F.lit(None).cast(parse_type(f.type))
-            ).alias(f.name)
+                else f"CAST(NULL AS {parse_type(f.type).simpleString()}) AS `{f.name}`"
+            )
             for f in schema.fields
         ]
-        proj.append(
-            (F.col(OP_COL) if may_have_deletes else F.lit("U")).alias(OP_COL)
-        )
-        proj.append(F.lit(0).alias(SEED_COL))
-        proj += [F.col(c) for c in ord_extra]
-        b = b.select(*proj).select(*cols, OP_COL, SEED_COL, *ord_extra)
+        proj.append(f"`{OP_COL}`" if may_have_deletes else f"'U' AS `{OP_COL}`")
+        proj.append(f"0 AS `{SEED_COL}`")
+        proj += [f"`{c}`" for c in ord_extra]
+        b = b.selectExpr(*proj).select(*cols, OP_COL, SEED_COL, *ord_extra)
 
         # read-old restricted to the batch's buckets and keys; on a table
         # with no snapshot yet (first commit) there is nothing to read, so
@@ -182,34 +196,257 @@ class KvStore:
             batch_buckets = None if has_snapshot else []
         # no .distinct() on the probe side: a semi join dedups by
         # definition, and the distinct would cost its own exchange + agg
+        ord_types = dict(b.dtypes)
         seed = (
             self.snapshot(spark, buckets=batch_buckets)
             .join(b.select(*pk), on=pk, how="left_semi")
-            .withColumn(OP_COL, F.lit("U"))
-            .withColumn(SEED_COL, F.lit(1))
+            .selectExpr(
+                "*",
+                f"'U' AS `{OP_COL}`",
+                f"1 AS `{SEED_COL}`",
+                # seed rows sort first by SEED, ord is moot
+                *[f"CAST(NULL AS {ord_types[c]}) AS `{c}`" for c in ord_extra],
+            )
         )
-        ord_types = dict(b.dtypes)
-        for c in ord_extra:  # seed rows sort first by SEED, ord is moot
-            seed = seed.withColumn(c, F.lit(None).cast(ord_types[c]))
         fold_in = seed.select(*b.columns).unionByName(b)
         # __seq inside the fold's own pk exchange: seed first (SEED desc),
         # then batch rows in `ordering` order. Batch rows number 1.. per
         # key whether or not a seed row exists (sum(SEED) over the key =
         # presence); seed rows pin __seq=0 — identical semantics to the
         # old pre-union row_number window, minus one full-batch exchange.
-        w_fold = Window.partitionBy(*pk).orderBy(
-            F.col(SEED_COL).desc(), *[F.col(c).asc_nulls_first() for c in ord_names]
+        pk_sql = ", ".join(f"`{c}`" for c in pk)
+        ord_sql = ", ".join(
+            [f"`{SEED_COL}` DESC"] + [f"`{c}` ASC NULLS FIRST" for c in ord_names]
         )
-        has_seed = F.sum(SEED_COL).over(Window.partitionBy(*pk))
-        fold_in = fold_in.withColumn(
-            SEQ_COL,
-            F.when(F.col(SEED_COL) == 1, F.lit(0))
-            .otherwise(F.row_number().over(w_fold) - has_seed)
-            .cast("long"),
+        fold_in = fold_in.selectExpr(
+            "*",
+            f"CAST(CASE WHEN `{SEED_COL}` = 1 THEN 0 ELSE "
+            f"row_number() OVER (PARTITION BY {pk_sql} ORDER BY {ord_sql}) "
+            f"- sum(`{SEED_COL}`) OVER (PARTITION BY {pk_sql}) END AS BIGINT) "
+            f"AS `{SEQ_COL}`",
         ).select(*cols, OP_COL, SEQ_COL, SEED_COL)
-        return fold_in, may_have_deletes
+        return fold_in, may_have_deletes, batch_buckets
 
     def _commit_changelog(
+        self,
+        spark: SparkSession,
+        changelog: DataFrame,
+        commit_ts_ms: int | None,
+        batch_buckets: list[int] | None = None,
+    ) -> CommitState:
+        """Commit the replayed changelog: WAL append + touched-bucket
+        snapshot rewrite + atomic commit, as ONE Spark action whenever
+        the table layout allows (see _commit_single_action). Partitioned
+        pk tables (the WAL partitions by partition keys, the snapshot
+        must not) and auto-increment pk tables (id segments are assigned
+        by the generic append path) take the two-pass WAL-first route."""
+        schema = self.schema
+        if schema.partition_keys or any(f.auto_increment for f in schema.fields):
+            return self._commit_twopass(spark, changelog, commit_ts_ms)
+        return self._commit_single_action(spark, changelog, commit_ts_ms, batch_buckets)
+
+    def _commit_single_action(
+        self,
+        spark: SparkSession,
+        changelog: DataFrame,
+        commit_ts_ms: int | None,
+        batch_buckets: list[int] | None,
+    ) -> CommitState:
+        """One write action produces the WAL and the snapshot as sibling
+        partition dirs (__dest=w / __dest=s), fused into a single
+        bucket-window pass:
+
+          - events (change rows) union prior-snapshot rows (seq=-1, so
+            they sort before any event of their key) hash into buckets;
+          - one window over (bucket) ordered (pk, seq, sub) assigns
+            per-bucket WAL offsets (running event count + old HWM) and
+            flags each key's LAST row via lead(pk);
+          - routing: event -> WAL; last event that is not -D -> WAL +
+            snapshot (an explode of the same evaluated row — the two
+            copies cannot diverge, which is what the old WAL-first
+            staged-file barrier existed to guarantee); prior row that
+            stayed last (key untouched) -> snapshot, but only in buckets
+            that saw >=1 event (max-over-bucket window) — untouched
+            buckets keep their old manifest entry and cost no I/O.
+
+        The driver then renames __dest=w to the log staging dir and
+        __dest=s to snapshot/data-vN — metadata-only moves. vs the
+        two-pass path this removes one full action (its plan/analyze/AQE
+        round dominated the commit constant: ~1.4s driver gap vs ~1.0s
+        of executor time per steady-state sf0.1 commit) and one pk
+        exchange + staged-file read-back of the batch.
+
+        The reference analog: the WAL *is* the changelog — one append
+        (KvTablet.java:562-591), with the snapshot (RocksDB state) fed
+        from the same merge pass, not re-derived."""
+        import shutil
+        import time
+
+        schema = self.schema
+        pk, cols = schema.primary_key, schema.data_columns()
+        self.log.clean_orphans()
+        state0 = self.catalog.current_commit(self.db, self.table)
+        version = state0.version + 1
+        ts_ms = commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
+        old_manifest = self._manifest(state0.snapshot_version) or {}
+
+        # Everything below builds the plan from WHOLE-SELECT SQL strings
+        # (selectExpr / one JVM parse each) instead of per-column Column
+        # calls: profiling showed ~2.9k py4j round trips (~1s of driver
+        # wall) per commit, dominated by expression construction.
+        qcols = [f"`{c}`" for c in cols]
+        # Spark-SQL DDL type strings (the schema's own are engine DDL)
+        declared = {f.name: parse_type(f.type).simpleString() for f in schema.fields}
+        sys_cast = [
+            f"`{CHANGE_TYPE_COL}`",
+            f"CAST(`{SEQ_COL}` AS BIGINT) AS `{SEQ_COL}`",
+            f"CAST(`{SUB_COL}` AS INT) AS `{SUB_COL}`",
+        ]
+        ev = changelog.selectExpr(
+            *[f"CAST(`{c}` AS {declared[c]}) AS `{c}`" for c in cols], *sys_cast
+        )
+        if old_manifest:
+            # prior rows of the candidate buckets ride the same window;
+            # a prior row that is still the last row of its key (no
+            # events) is the survivor the two-pass path found by
+            # anti-join. batch_buckets (when the >64-bucket discovery
+            # ran) bounds this feed to the batch's buckets. seq=-1 sorts
+            # prior rows before every event of their key.
+            old = self.snapshot(spark, buckets=batch_buckets).selectExpr(
+                *qcols,
+                f"CAST(NULL AS STRING) AS `{CHANGE_TYPE_COL}`",
+                f"CAST(-1 AS BIGINT) AS `{SEQ_COL}`",
+                f"CAST(-1 AS INT) AS `{SUB_COL}`",
+            )
+            ev = ev.unionByName(old)
+
+        bucket_sql = (
+            f"CAST(pmod(hash({', '.join(f'`{c}`' for c in schema.bucket_keys)}), "
+            f"{schema.num_buckets}) AS INT)"
+        )
+        pk_sql = ", ".join(f"`{c}`" for c in pk)
+        over = f"PARTITION BY `{BUCKET_COL}` ORDER BY {pk_sql}, `{SEQ_COL}`, `{SUB_COL}`"
+        is_event = f"(`{CHANGE_TYPE_COL}` IS NOT NULL)"
+        base = {int(b): off for b, off in state0.log_hwm.items()}
+        base_sql = (
+            "CASE "
+            + " ".join(f"WHEN `{BUCKET_COL}` = {b} THEN {off}" for b, off in base.items())
+            + " ELSE 0 END"
+            if base
+            else "0"
+        )
+        nxt = f"lead(struct({pk_sql})) OVER ({over})"
+        ev = ev.selectExpr("*", f"{bucket_sql} AS `{BUCKET_COL}`").selectExpr(
+            *qcols,
+            f"`{CHANGE_TYPE_COL}`",
+            f"`{SEQ_COL}`",
+            f"`{SUB_COL}`",
+            f"CAST(CASE WHEN {is_event} THEN "
+            f"count(CASE WHEN {is_event} THEN 1 END) OVER ({over} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 + ({base_sql}) "
+            f"END AS BIGINT) AS `{OFFSET_COL}`",
+            f"CASE WHEN {is_event} THEN timestamp_millis({ts_ms}) END AS `{TIMESTAMP_COL}`",
+            # window expressions must be plain columns before the
+            # generator below: Spark rejects window functions in explode()
+            f"({nxt} IS NULL OR {nxt} != struct({pk_sql})) AS __is_last",
+            f"(max(CAST({is_event} AS INT)) OVER (PARTITION BY `{BUCKET_COL}`) = 1)"
+            " AS __touched",
+            f"`{BUCKET_COL}`",
+        )
+        dests = (
+            f"CASE WHEN {is_event} AND __is_last AND `{CHANGE_TYPE_COL}` != '{DELETE}'"
+            " THEN array('w', 's')"
+            f" WHEN {is_event} THEN array('w')"
+            " WHEN __is_last AND __touched THEN array('s')"
+            " ELSE array() END"  # explode drops the row
+        )
+        out = ev.selectExpr(
+            *qcols,
+            f"`{CHANGE_TYPE_COL}`",
+            f"`{SEQ_COL}`",
+            f"`{SUB_COL}`",
+            f"`{OFFSET_COL}`",
+            f"`{TIMESTAMP_COL}`",
+            f"explode({dests}) AS `{DEST_COL}`",
+            f"`{BUCKET_COL}`",
+        )
+
+        combined = os.path.join(self.log.tmp_dir, f"commit-v{version}")
+        codec = schema.properties.get("table.log.compression", "snappy")  # W6
+        # rows left the bucket window hash-clustered by BUCKET_COL, so
+        # partitionBy emits one file per (dest, bucket) without another
+        # exchange
+        (
+            out.write.mode("overwrite")
+            .option("compression", codec)
+            .partitionBy(DEST_COL, BUCKET_COL)
+            .parquet(combined)
+        )
+
+        # driver-side publish prep: sibling dirs -> their destinations
+        staged = self.log.staging_path(version)
+        wal_part = os.path.join(combined, f"{DEST_COL}=w")
+        if os.path.isdir(wal_part):
+            if os.path.exists(staged):
+                shutil.rmtree(staged)
+            os.rename(wal_part, staged)
+        else:  # no change events at all (e.g. deletes of absent keys)
+            os.makedirs(staged, exist_ok=True)
+
+        hwm = dict(state0.log_hwm)
+        per_bucket = self._footer_hwm_or_read(spark, staged)
+        for bkt, mx in per_bucket.items():
+            hwm[str(bkt)] = mx + 1
+        touched_buckets = sorted(per_bucket)
+
+        new_manifest = dict(old_manifest)
+        if touched_buckets:
+            data_dir = f"data-v{version}"
+            os.makedirs(self.snapshot_dir, exist_ok=True)
+            dst = os.path.join(self.snapshot_dir, data_dir)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            snap_part = os.path.join(combined, f"{DEST_COL}=s")
+            if os.path.isdir(snap_part):
+                os.rename(snap_part, dst)
+            else:  # every key of the touched buckets was deleted
+                os.makedirs(dst)
+            for bkt in touched_buckets:
+                new_manifest[bkt] = data_dir
+        shutil.rmtree(combined, ignore_errors=True)
+
+        self._write_manifest(version, new_manifest)
+        new_state = CommitState(
+            version=version,
+            log_hwm=hwm,
+            snapshot_version=version,
+            auto_increment=dict(state0.auto_increment),
+            ts_ms=ts_ms,
+            log_start=state0.log_start,
+            log_floor=state0.log_floor,
+        )
+        self.log.publish(version)
+        self.catalog.commit(self.db, self.table, new_state)
+        return new_state
+
+    def _footer_hwm_or_read(self, spark: SparkSession, staged: str) -> dict[int, int]:
+        """Per-bucket max(__offset) of the staged WAL — Parquet footers
+        (driver-side, O(files)) with a Spark fallback for stat-less
+        files."""
+        per_bucket = self.log._footer_hwm(staged)
+        if per_bucket is None:
+            per_bucket = {
+                int(r[BUCKET_COL]): int(r["mx"])
+                for r in spark.read.schema(self.log.file_schema())
+                .option("basePath", staged)
+                .parquet(staged)
+                .groupBy(BUCKET_COL)
+                .agg(F.max(OFFSET_COL).alias("mx"))
+                .collect()
+            }
+        return per_bucket
+
+    def _commit_twopass(
         self, spark: SparkSession, changelog: DataFrame, commit_ts_ms: int | None
     ) -> CommitState:
         """WAL append + touched-bucket snapshot rewrite + atomic commit.
