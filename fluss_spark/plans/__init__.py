@@ -79,8 +79,15 @@ def _bounded_rows(node):
     """True when the subtree provably emits a BOUNDED number of rows at
     any input scale: below a limit / TakeOrderedAndProject, a grand
     aggregate (no grouping keys -> one row), or composed of only
-    bounded inputs."""
+    bounded inputs. WindowGroupLimit is NOT a limit here: it caps rows
+    per GROUP (k per partition-spec group, k per input partition in
+    Partial mode), so its output grows with the input — treating it as
+    bounded would exempt the very single-partition pass the window
+    fence exists to flag."""
     name = node.nodeName()
+    if name == "WindowGroupLimit":
+        kids = _plan_children(node)
+        return bool(kids) and all(_bounded_rows(k) for k in kids)
     if "Limit" in name or name == "TakeOrderedAndProject":
         return True
     if "Aggregate" in name and "keys=[]" in node.simpleString(2000):
@@ -89,13 +96,29 @@ def _bounded_rows(node):
     return bool(kids) and all(_bounded_rows(k) for k in kids)
 
 
+def _has_partial_window_group_limit(node):
+    """True if a WindowGroupLimit(Partial) stage exists in the subtree —
+    each map partition was already cut to the window's k rows before any
+    exchange, so the single-partition merge above receives at most
+    k x num_partitions rows (the TakeOrderedAndProject shape)."""
+    if node.nodeName() == "WindowGroupLimit" and "Partial" in node.simpleString(2000):
+        return True
+    return any(_has_partial_window_group_limit(k) for k in _plan_children(node))
+
+
 def unbounded_global_windows(df: DataFrame) -> list:
     """Window physical nodes with an EMPTY partition spec whose input is
     not bounded by a limit — Spark executes these as a single-partition
     sort of the whole input (`WindowExec: No Partition Defined`), a
     one-executor bottleneck at scale. A partition-less window is only
     acceptable over a bounded subtree (below a GlobalLimit /
-    TakeOrderedAndProject, where at most K rows reach it)."""
+    TakeOrderedAndProject, where at most K rows reach it) or when a
+    WindowGroupLimit(Partial) stage below the exchange already cut each
+    map partition to the window's k rows (rank-filter pushdown — the
+    merge sees at most k rows per input partition, the same shape as
+    TakeOrderedAndProject). A Final-mode WindowGroupLimit with no
+    Partial stage below it is flagged: it would be a single-partition
+    pass over the full input."""
     out = []
 
     def _walk(node):
@@ -105,7 +128,11 @@ def unbounded_global_windows(df: DataFrame) -> list:
                 no_part = node.partitionSpec().isEmpty()
             except Exception:
                 no_part = False
-            if no_part and not _bounded_rows(node):
+            if (
+                no_part
+                and not _bounded_rows(node)
+                and not _has_partial_window_group_limit(node)
+            ):
                 out.append(node.simpleString(120))
         for k in _plan_children(node):
             _walk(k)

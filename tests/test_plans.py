@@ -183,6 +183,41 @@ def test_unbounded_global_window_detector_fires(spark, sf_dir):
     )
     assert not plans.unbounded_global_windows(ok)
 
+    # WindowGroupLimit soundness: a global rank FILTER plans as
+    # WindowGroupLimit Partial (per map partition, parallel) + Final
+    # (post-exchange merge of <=k rows per partition) — allowed, but
+    # only via the explicit Partial-stage check, NOT by treating
+    # "WindowGroupLimit" as a limit (its output grows with the input).
+    # rank() (not row_number, which optimizes to TakeOrderedAndProject)
+    ranked = base.withColumn("rn", F.rank().over(W.orderBy("ts"))).filter("rn <= 5")
+    ranked.collect()  # AQE-final plan carries the WGL stages
+    assert not plans.unbounded_global_windows(ranked)
+    wgl_final = []
+
+    def _find(node):
+        s = node.simpleString(500)
+        if node.nodeName() == "WindowGroupLimit" and "Final" in s:
+            wgl_final.append(node)
+        for k in plans._plan_children(node):
+            _find(k)
+
+    _find(ranked._jdf.queryExecution().executedPlan())
+    assert wgl_final, "expected a WindowGroupLimit(Final) stage in the rank-filter plan"
+    # the old exemption is gone: the Final node is NOT bounded by name —
+    # it was admitted because a Partial stage sits below the exchange
+    assert not plans._bounded_rows(wgl_final[0])
+    assert plans._has_partial_window_group_limit(wgl_final[0])
+
+    # a Final-only shape (no Partial cut before the single partition —
+    # here forced via coalesce(1)) is a full-input single-partition
+    # pass and MUST be flagged
+    final_only = (
+        base.coalesce(1)
+        .withColumn("rn", F.rank().over(W.orderBy("ts")))
+        .filter("rn <= 5")
+    )
+    assert plans.unbounded_global_windows(final_only)
+
 
 def test_predicate_builder_maps_to_pushdown(spark, sf_dir):
     from fluss_spark import predicates as P
