@@ -296,31 +296,62 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
     removes = sorted(set(live_before) - set(current))
     carried = sorted(set(live_before) & set(current))
 
-    # ---- schema: parquet footer columns + path partition columns ----
+    # ---- schema: union of live file footers + path partition columns,
+    # with STABLE field ids: a name present in the prior export's schema
+    # keeps its id (and its nested element/key ids) verbatim — external
+    # Iceberg readers resolve columns BY ID, so reassigning ids per
+    # export would silently remap columns across retained snapshots.
+    # New names allocate monotonically from the prior last-column-id.
+    # The footer union (prior schema covers the carried files; adds are
+    # read here) means ADD COLUMN with pre-add files still live exports
+    # the new column, and older files surface NULLs for it on read-back
+    # (read_iceberg_table reads with the exported schema explicitly).
     t = FlussTable(admin.catalog, db, name)
     declared = {f.name: f.type.upper() for f in t.schema.fields}
     _DECL_ICE = {"INT": "int", "BIGINT": "long", "STRING": "string",
                  "DOUBLE": "double", "FLOAT": "float", "DATE": "date",
                  "TIMESTAMP": "timestamptz", "BOOLEAN": "boolean"}
-    next_id = [0]
+    prior_schema = None
+    if prior:
+        prior_schema = next(
+            (
+                s
+                for s in prior.get("schemas", [])
+                if s.get("schema-id") == prior.get("current-schema-id", 0)
+            ),
+            None,
+        )
+    prior_fields = {f["name"]: f for f in (prior_schema or {}).get("fields", [])}
+    next_id = [prior.get("last-column-id", 0) if prior else 0]
 
     def alloc() -> int:
         next_id[0] += 1
         return next_id[0]
 
-    fields = []
-    if snap.files:
-        arrow = pq.read_schema(snap.files[0])
-        named = [(arrow.field(i).name, arrow.field(i).type) for i in range(len(arrow))]
-        # two passes so nested element/key ids sit AFTER all column ids
-        # (the Iceberg fresh-schema id assignment rule)
+    # ordered union: prior schema's names first (stable order), then new
+    # names from the ADDED files' footers in footer order
+    named: list[tuple[str, object]] = []
+    seen = set(prior_fields)
+    footer_sources = adds if prior_fields else sorted(current)
+    for p in footer_sources:
+        arrow = pq.read_schema(p)
+        for i in range(len(arrow)):
+            fld = arrow.field(i)
+            if fld.name not in seen:
+                seen.add(fld.name)
+                named.append((fld.name, fld.type))
+
+    fields = [dict(f) for f in (prior_schema or {}).get("fields", [])]
+    if named:
+        # two passes so nested element/key ids sit AFTER all new column
+        # ids (the Iceberg fresh-schema id assignment rule)
         col_ids = {n: alloc() for n, _ in named}
         for n, at in named:
             fields.append(
                 {"id": col_ids[n], "name": n, "required": False,
                  "type": _iceberg_type(at, alloc)}
             )
-    else:
+    if not fields:  # no files at all, first export: declared schema
         for fname, ftype in declared.items():
             fields.append(
                 {"id": alloc(), "name": fname, "required": False,
@@ -332,8 +363,25 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
         for k in _path_partition_values(p):
             if k not in part_cols:
                 part_cols.append(k)
+    # partition field-ids are stable the same way: reuse the prior
+    # spec's field-id per name, allocate new ones past the prior max
+    prior_specs = prior.get("partition-specs", []) if prior else []
+    prior_spec = next(
+        (
+            s
+            for s in prior_specs
+            if s.get("spec-id") == (prior.get("default-spec-id", 0) if prior else 0)
+        ),
+        None,
+    )
+    prior_pf = {f["name"]: f for f in (prior_spec or {}).get("fields", [])}
+    next_pid = [
+        max(
+            [f["field-id"] for s in prior_specs for f in s.get("fields", [])] + [999]
+        )
+    ]
     part_fields = []
-    for i, c in enumerate(part_cols):
+    for c in part_cols:
         ice_t = "long" if c.startswith("__") else _DECL_ICE.get(
             declared.get(c, "STRING"), "string"
         )
@@ -341,10 +389,16 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
             fields.append(
                 {"id": alloc(), "name": c, "required": False, "type": ice_t}
             )
+            data_cols.add(c)
         src = next(f["id"] for f in fields if f["name"] == c)
+        if c in prior_pf:
+            pid = prior_pf[c]["field-id"]
+        else:
+            next_pid[0] += 1
+            pid = next_pid[0]
         part_fields.append(
             {"name": c, "transform": "identity", "source-id": src,
-             "field-id": 1000 + i, "_type": ice_t}
+             "field-id": pid, "_type": ice_t}
         )
 
     # ---- manifest (full live set + this export's deletes) ----
@@ -408,7 +462,27 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
     spec_fields_json = [
         {k: v for k, v in pf.items() if not k.startswith("_")} for pf in part_fields
     ]
-    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+    # schema/spec versioning: unchanged -> reuse the prior id; changed ->
+    # APPEND with a new id (never overwrite schema-id 0 — retained
+    # snapshots reference their schema-id, and replacing it would remap
+    # columns under them for by-id readers)
+    prior_schemas = list(prior.get("schemas", [])) if prior else []
+    if prior_schema is not None and prior_schema.get("fields") == fields:
+        schema_id = prior_schema["schema-id"]
+        schemas_json = prior_schemas
+    else:
+        schema_id = max([s["schema-id"] for s in prior_schemas] + [-1]) + 1
+        schema_json_new = {"type": "struct", "schema-id": schema_id, "fields": fields}
+        schemas_json = prior_schemas + [schema_json_new]
+    schema_json = {"type": "struct", "schema-id": schema_id, "fields": fields}
+    if prior_spec is not None and prior_spec.get("fields") == spec_fields_json:
+        spec_id = prior_spec["spec-id"]
+        specs_json = list(prior.get("partition-specs", []))
+    else:
+        spec_id = max([s["spec-id"] for s in prior_specs] + [-1]) + 1
+        specs_json = (list(prior.get("partition-specs", [])) if prior else []) + [
+            {"spec-id": spec_id, "fields": spec_fields_json}
+        ]
     manifest_path = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
     manifest_len = write_container(
         manifest_path,
@@ -417,7 +491,7 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
         metadata={
             "schema": json.dumps(schema_json),
             "partition-spec": json.dumps(spec_fields_json),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": str(_FORMAT_VERSION),
             "content": "data",
         },
@@ -443,7 +517,7 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
             {
                 "manifest_path": manifest_path,
                 "manifest_length": manifest_len,
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 0,
                 "sequence_number": seq,
                 "min_sequence_number": min_seq,
@@ -472,7 +546,7 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
             "operation": "overwrite" if removes else "append",
             "engine-commit": str(snap.snapshot_id),
         },
-        "schema-id": 0,
+        "schema-id": schema_id,
     }
     if prior and prior.get("current-snapshot-id", -1) != -1:
         snapshot["parent-snapshot-id"] = prior["current-snapshot-id"]
@@ -487,11 +561,13 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": next_id[0],
-        "current-schema-id": 0,
-        "schemas": [schema_json],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields_json}],
-        "last-partition-id": 1000 + len(part_fields) - 1 if part_fields else 999,
+        "current-schema-id": schema_id,
+        "schemas": schemas_json,
+        "default-spec-id": spec_id,
+        "partition-specs": specs_json,
+        "last-partition-id": max(
+            [f["field-id"] for s in specs_json for f in s.get("fields", [])] + [999]
+        ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -559,13 +635,75 @@ def read_iceberg_snapshot(
         meta = dict(meta)
         meta["current-snapshot-id"] = snapshot_id
     live = _live_entries(meta, meta_dir)
+    # resolve by ID, not list position: schemas/specs are APPENDED on
+    # change, and a time-travelled snapshot reads under ITS schema-id
+    snap_rec = next(
+        (
+            s
+            for s in meta.get("snapshots", [])
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        ),
+        None,
+    )
+    schema_id = (
+        snap_rec.get("schema-id", meta["current-schema-id"])
+        if snap_rec
+        else meta["current-schema-id"]
+    )
+    schema = next(s for s in meta["schemas"] if s["schema-id"] == schema_id)
+    spec = next(
+        s
+        for s in meta["partition-specs"]
+        if s["spec-id"] == meta["default-spec-id"]
+    )
     return IcebergSnapshot(
         version=version,
         snapshot_id=meta["current-snapshot-id"],
-        schema=meta["schemas"][meta["current-schema-id"]],
-        partition_fields=meta["partition-specs"][meta["default-spec-id"]]["fields"],
+        schema=schema,
+        partition_fields=spec["fields"],
         entries=list(live.values()),
     )
+
+
+def _spark_datatype(ice_type):
+    """Iceberg schema-JSON type -> Spark DataType (for the explicit
+    read schema: files written before an ADD COLUMN surface NULLs, and
+    file column ORDER stops mattering)."""
+    from pyspark.sql import types as T
+
+    if isinstance(ice_type, dict):
+        if ice_type["type"] == "list":
+            return T.ArrayType(_spark_datatype(ice_type["element"]))
+        if ice_type["type"] == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], _spark_datatype(f["type"]), True)
+                    for f in ice_type["fields"]
+                ]
+            )
+        if ice_type["type"] == "map":
+            return T.MapType(
+                _spark_datatype(ice_type["key"]), _spark_datatype(ice_type["value"])
+            )
+        raise ValueError(f"unsupported iceberg type: {ice_type}")
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+    }
+    if ice_type in prim:
+        return prim[ice_type]
+    if ice_type.startswith("decimal"):
+        p, s = ice_type[ice_type.index("(") + 1 : ice_type.index(")")].split(",")
+        return T.DecimalType(int(p), int(s))
+    return T.StringType()
 
 
 def read_iceberg_table(spark, target_dir: str, snapshot_id: int | None = None):
@@ -577,10 +715,13 @@ def read_iceberg_table(spark, target_dir: str, snapshot_id: int | None = None):
     a broadcast join of the manifest's (file -> partition values)
     mapping on input_file_name() — plan size and scan count stay O(1)
     in the table's partition count (a per-partition union would build a
-    P-way plan and P scans)."""
+    P-way plan and P scans). The scan uses the EXPORTED schema
+    explicitly, so files written before an ADD COLUMN surface NULLs for
+    it instead of the first-listed file's footer deciding the columns."""
     import urllib.parse
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     ice = read_iceberg_snapshot(target_dir, snapshot_id=snapshot_id)
     if not ice.entries:
@@ -592,7 +733,14 @@ def read_iceberg_table(spark, target_dir: str, snapshot_id: int | None = None):
         for pf in ice.partition_fields
     }
     paths = [e["data_file"]["file_path"] for e in ice.entries]
-    df = spark.read.parquet(*paths)
+    read_schema = T.StructType(
+        [
+            T.StructField(f["name"], _spark_datatype(f["type"]), True)
+            for f in ice.schema["fields"]
+            if f["name"] not in part_names  # projected from manifests below
+        ]
+    )
+    df = spark.read.schema(read_schema).parquet(*paths)
     if not part_names:
         return df
     # input_file_name() yields the Hadoop-Path URI form: file://<path>
@@ -611,12 +759,26 @@ def read_iceberg_table(spark, target_dir: str, snapshot_id: int | None = None):
     ]
     mapping = spark.createDataFrame(
         rows, ["__file"] + [f"__p_{c}" for c in part_names]
-    )
+    ).withColumn("__m", F.lit(1))
+    # LEFT join + a lazy error woven into the projected partition
+    # values: an URI-form drift between input_file_name() and the
+    # constructed key must surface as an error on read, never as
+    # silently dropped rows (inner join) or silently-null partition
+    # values
     out = df.withColumn("__file", F.input_file_name()).join(
-        F.broadcast(mapping), "__file"
+        F.broadcast(mapping), "__file", "left"
     )
     for c in part_names:
-        out = out.withColumn(c, F.col(f"__p_{c}").cast(part_types[c])).drop(
-            f"__p_{c}"
+        val = F.when(
+            F.col("__m").isNotNull(), F.col(f"__p_{c}")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("iceberg read-back: scanned file missing from the "
+                          "manifest mapping (URI-form drift): "),
+                    F.col("__file"),
+                )
+            )
         )
-    return out.drop("__file")
+        out = out.withColumn(c, val.cast(part_types[c])).drop(f"__p_{c}")
+    return out.drop("__file", "__m")

@@ -410,3 +410,168 @@ def test_exports_refuse_schema_evolution_eras(spark, admin, tmp_path):
         .select("a", "label").collect()
     }
     assert got == {(0, "v0"), (10, "w0")}
+
+
+# --------------------------------------------------------------------- #
+# spec conformance (no repo reader in the loop) + field-id stability
+# --------------------------------------------------------------------- #
+
+# the public Iceberg spec's reserved field-ids (spec "Manifests" and
+# "Manifest Lists" tables) — typed here as literal constants so a writer
+# regression cannot self-validate
+_SPEC_ENTRY_IDS = {
+    "status": 0,
+    "snapshot_id": 1,
+    "data_file": 2,
+    "sequence_number": 3,
+    "file_sequence_number": 4,
+}
+_SPEC_DATA_FILE_IDS = {
+    "content": 134,
+    "file_path": 100,
+    "file_format": 101,
+    "partition": 102,
+    "record_count": 103,
+    "file_size_in_bytes": 104,
+}
+_SPEC_MANIFEST_FILE_IDS = {
+    "manifest_path": 500,
+    "manifest_length": 501,
+    "partition_spec_id": 502,
+    "content": 517,
+    "sequence_number": 515,
+    "min_sequence_number": 516,
+    "added_snapshot_id": 503,
+    "added_files_count": 504,
+    "existing_files_count": 505,
+    "deleted_files_count": 506,
+    "added_rows_count": 512,
+    "existing_rows_count": 513,
+    "deleted_rows_count": 514,
+}
+
+
+def _header_schema_json(path):
+    """Extract the embedded writer schema from a raw Avro container file
+    with ONLY the stdlib: the header metadata stores `avro.schema` as
+    plain JSON bytes, so locate the key and raw_decode the JSON that
+    follows. Deliberately avoids the repo's own Avro reader so a shared
+    writer+reader bug cannot self-validate."""
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"Obj\x01", "not an Avro object container"
+    i = raw.index(b"avro.schema")
+    j = raw.index(b"{", i)
+    obj, _ = json.JSONDecoder().raw_decode(raw[j : j + 1_000_000].decode("utf-8", "replace"))
+    return obj
+
+
+def test_iceberg_manifest_avro_spec_field_ids(spark, admin, tmp_path):
+    """The written manifest and manifest-list Avro schemas must carry the
+    Iceberg spec's reserved field-ids — external readers resolve these
+    structs BY ID, so a wrong id is silent data corruption for them even
+    when the repo's own reader round-trips."""
+    _mk_log_table(admin, spark)
+    target = str(tmp_path / "ice")
+    e = admin.export_iceberg_metadata("db", "ice", target)
+    meta_dir = os.path.join(target, "metadata")
+    manifest = next(
+        os.path.join(meta_dir, f) for f in os.listdir(meta_dir) if f.endswith("-m0.avro")
+    )
+    mlist = next(
+        os.path.join(meta_dir, f)
+        for f in os.listdir(meta_dir)
+        if f.startswith(f"snap-{e.snapshot_id}-")
+    )
+
+    entry = _header_schema_json(manifest)
+    got = {f["name"]: f["field-id"] for f in entry["fields"]}
+    for name, fid in _SPEC_ENTRY_IDS.items():
+        assert got[name] == fid, f"manifest_entry.{name}: {got[name]} != spec {fid}"
+    data_file = next(f for f in entry["fields"] if f["name"] == "data_file")
+    df_type = data_file["type"]
+    df_type = df_type[1] if isinstance(df_type, list) else df_type  # unwrap union
+    got_df = {f["name"]: f["field-id"] for f in df_type["fields"]}
+    for name, fid in _SPEC_DATA_FILE_IDS.items():
+        assert got_df[name] == fid, f"data_file.{name}: {got_df[name]} != spec {fid}"
+
+    mf = _header_schema_json(mlist)
+    got_mf = {f["name"]: f["field-id"] for f in mf["fields"]}
+    for name, fid in _SPEC_MANIFEST_FILE_IDS.items():
+        assert got_mf[name] == fid, f"manifest_file.{name}: {got_mf[name]} != spec {fid}"
+
+    # the manifest header also carries the table schema and the
+    # partition-spec id it was written under (spec: required manifest
+    # key-value metadata)
+    raw = open(manifest, "rb").read()
+    meta = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    current_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert json.dumps(current_schema).encode() in raw
+    assert b"partition-spec-id" in raw
+
+
+def test_iceberg_corrupted_manifest_rejected(spark, admin, tmp_path):
+    """Bit-flips inside a manifest must fail loudly on read (sync-marker
+    / decode error), never yield silently wrong file lists."""
+    _mk_log_table(admin, spark)
+    target = str(tmp_path / "ice")
+    admin.export_iceberg_metadata("db", "ice", target)
+    meta_dir = os.path.join(target, "metadata")
+    manifest = next(
+        os.path.join(meta_dir, f) for f in os.listdir(meta_dir) if f.endswith("-m0.avro")
+    )
+    raw = bytearray(open(manifest, "rb").read())
+    # truncate mid-block: records become undecodable / sync marker lost
+    open(manifest, "wb").write(bytes(raw[: len(raw) // 2]))
+    with pytest.raises((ValueError, EOFError, KeyError, IndexError)):
+        read_iceberg_snapshot(target)
+
+
+def test_iceberg_stable_field_ids_and_add_column(spark, admin, tmp_path):
+    """Field-id stability across exports (Iceberg's by-id resolution
+    contract) and the ADD COLUMN case the round-6 review flagged: with
+    pre-add files still LIVE, the export must carry the new column (ids
+    appended, prior ids untouched, schema APPENDED under a new
+    schema-id) and the union read must surface NULLs for it on old
+    files instead of dropping the column."""
+    from fluss_spark.admin import AddColumn
+
+    t = _mk_log_table(admin, spark, name="iceadd", commits=2)
+    target = str(tmp_path / "ice")
+    e1 = admin.export_iceberg_metadata("db", "iceadd", target)
+    meta1 = json.load(open(e1.metadata_path))
+    s1 = next(s for s in meta1["schemas"] if s["schema-id"] == meta1["current-schema-id"])
+    ids1 = {f["name"]: f["id"] for f in s1["fields"]}
+
+    admin.alter_table("db", "iceadd", [AddColumn("c", "DOUBLE")])
+    from fluss_spark.table import FlussTable
+
+    t = FlussTable(admin.catalog, "db", "iceadd")  # fresh handle post-ALTER
+    t.append(
+        spark.createDataFrame([(50, "new", 1.5)], "a int, b string, c double"),
+        ordering=["a"],
+    )
+    e2 = admin.export_iceberg_metadata("db", "iceadd", target)
+    meta2 = json.load(open(e2.metadata_path))
+    s2 = next(s for s in meta2["schemas"] if s["schema-id"] == meta2["current-schema-id"])
+    ids2 = {f["name"]: f["id"] for f in s2["fields"]}
+
+    # prior ids verbatim; new column appended past last-column-id
+    for name, fid in ids1.items():
+        assert ids2[name] == fid, f"{name}: id drifted {fid} -> {ids2[name]}"
+    assert "c" in ids2 and ids2["c"] > meta1["last-column-id"]
+    # schema history appended, never overwritten
+    assert meta2["current-schema-id"] != meta1["current-schema-id"]
+    assert any(s["schema-id"] == meta1["current-schema-id"] for s in meta2["schemas"])
+    # older snapshots still resolve THEIR schema
+    old = read_iceberg_snapshot(target, snapshot_id=e1.snapshot_id)
+    assert "c" not in {f["name"] for f in old.schema["fields"]}
+
+    # union read: the new column is present; pre-add files surface NULLs
+    got = read_iceberg_table(spark, target)
+    assert "c" in got.columns
+    rows = {(r["a"], r["c"]) for r in got.select("a", "c").collect()}
+    assert (50, 1.5) in rows
+    assert all(c is None for a, c in rows if a != 50)
+    assert len(rows) == 5  # 2 commits x 2 rows + the new one
