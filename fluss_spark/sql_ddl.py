@@ -352,6 +352,12 @@ class FlussSqlSession:
                 chk("ALTER", sec.Resource.cluster())
             elif proc in ("list_acl", "get_cluster_configs"):
                 chk("DESCRIBE", sec.Resource.cluster())
+            elif proc == "snapshot_diff":
+                # a version diff is a READ of the table's data (changelog
+                # slice + v1 probe) — not a maintenance ALTER
+                target = args.get("table") or (args.get("_pos") or [None])[0]
+                if target:
+                    chk("READ", sec.Resource.table(*self._qualify(str(target))))
             else:
                 target = args.get("table") or (args.get("_pos") or [None])[0]
                 if target:
@@ -668,6 +674,27 @@ class FlussSqlSession:
             keys = pos or list(args.values()) if proc == "get_cluster_configs" else sorted(cfg)
             shown = [k for k in (keys or sorted(cfg)) if k in cfg]
             return _rows([f'{k}="{cfg[k]}"' for k in shown])
+
+        if proc == "snapshot_diff":
+            # CALL sys.snapshot_diff(table, v1[, v2]) — net row-level
+            # diff between two snapshot versions (engine-state analog of
+            # the reference's per-snapshot log offsets,
+            # Admin.getKvSnapshotMetadata, Admin.java:450). READ-gated:
+            # it returns table data, unlike the ALTER-gated maintenance
+            # procedures below. The time-travel family's SQL face, with
+            # table.snapshot_diff() as the Python API.
+            target = args.get("table") or (pos + [None])[0]
+            if target is None:
+                raise SqlParseError("CALL sys.snapshot_diff: missing table argument")
+            db, name = self._qualify(str(target))
+            v1 = args.get("v1", (pos + [None, None])[1])
+            v2 = args.get("v2", (pos + [None, None, None])[2])
+            if v1 is None:
+                raise SqlParseError("CALL sys.snapshot_diff: missing v1")
+            t = FlussTable(self.catalog, db, name)
+            return t.snapshot_diff(
+                self.spark, int(v1), None if v2 is None else int(v2)
+            )
 
         # engine maintenance procedures (beyond the reference's surface:
         # its rebalance moves replicas between servers; these operate on

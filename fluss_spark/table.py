@@ -222,9 +222,10 @@ class FlussTable:
         pk = self.schema.primary_key
         vals = [c for c in self.schema.data_columns() if c not in pk]
         # v1's high-water marks only list buckets touched BY v1; the
-        # changelog reader excludes buckets absent from start_offsets,
-        # so a bucket first written after v1 would silently drop out of
-        # the slice — default every bucket to offset 0
+        # changelog reader now treats absent buckets as resume-from-zero
+        # (sources/log.py), so the explicit zero-fill is kept only to
+        # keep the __offset predicate fully pushed to parquet (a map
+        # with gaps forces an escape disjunct into the scan filter)
         hwm1 = {int(b): o for b, o in hist[v1].log_hwm.items()}
         start = {b: hwm1.get(b, 0) for b in range(self.schema.num_buckets)}
         cl = self.kv.changelog(spark, start_offsets=start)

@@ -1538,3 +1538,106 @@ def test_collection_cluster_configs_and_lease_procedures(spark, fsql):
     # idempotent on an unknown lease
     out = fsql.sql("CALL sys.drop_kv_snapshot_lease('nope')").collect()
     assert out[0][0] == "dropped_lease=nope tables=0"
+
+
+def test_call_snapshot_diff(spark, fsql):
+    """CALL sys.snapshot_diff(table, v1[, v2]) — the engine-state diff
+    (t15) through the SQL surface: I/U/D net changes between two
+    commit versions, O(delta) changelog-slice read underneath."""
+    fsql.sql("""
+        CREATE TABLE sd (k BIGINT NOT NULL, v STRING, PRIMARY KEY (k))
+        WITH ('bucket.num' = '2')
+    """)
+    fsql.sql("INSERT INTO sd VALUES (1, 'a'), (2, 'b')")          # commit 1
+    fsql.sql("INSERT INTO sd VALUES (2, 'b2'), (3, 'c')")         # commit 2
+    fsql.sql("DELETE FROM sd WHERE k = 1")                        # commit 3
+
+    got = {
+        (r["k"], r["change"], r["old_v"], r["new_v"])
+        for r in fsql.sql("CALL sys.snapshot_diff(table => 'sd', v1 => 1)").collect()
+    }
+    assert got == {
+        (1, "D", "a", None),
+        (2, "U", "b", "b2"),
+        (3, "I", None, "c"),
+    }
+    # explicit v2 bound: the delete in commit 3 is outside the window
+    got12 = {
+        (r["k"], r["change"])
+        for r in fsql.sql("CALL sys.snapshot_diff('sd', 1, 2)").collect()
+    }
+    assert got12 == {(2, "U"), (3, "I")}
+    with pytest.raises(ValueError, match="no such commit"):
+        fsql.sql("CALL sys.snapshot_diff(table => 'sd', v1 => 99)")
+
+
+def test_call_snapshot_diff_authorization(spark, tmp_path):
+    """snapshot_diff returns table DATA, so it is READ-gated (not the
+    maintenance procedures' ALTER): a principal with no grant is
+    refused; a READ grant suffices."""
+    from fluss_spark.security import (
+        AccessControlEntry,
+        AclBinding,
+        AuthorizationError,
+        FlussPrincipal,
+        Resource,
+        create_acls,
+    )
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    root = FlussSqlSession(catalog, spark, principal="root", super_users=["User:root"])
+    root.sql(
+        "CREATE TABLE fluss.sda (k BIGINT NOT NULL, v STRING, PRIMARY KEY (k)) "
+        "WITH ('bucket.num' = '1')"
+    )
+    root.sql("INSERT INTO fluss.sda VALUES (1, 'a')")
+    root.sql("INSERT INTO fluss.sda VALUES (1, 'a2')")
+
+    nobody = FlussSqlSession(catalog, spark, principal="nobody")
+    with pytest.raises(AuthorizationError):
+        nobody.sql("CALL sys.snapshot_diff(table => 'sda', v1 => 1)")
+
+    create_acls(
+        catalog,
+        [AclBinding(
+            Resource.table("fluss", "sda"),
+            AccessControlEntry(FlussPrincipal("reader"), "READ"),
+        )],
+    )
+    reader = FlussSqlSession(catalog, spark, principal="reader")
+    rows = reader.sql("CALL sys.snapshot_diff(table => 'sda', v1 => 1)").collect()
+    assert {(r["k"], r["change"]) for r in rows} == {(1, "U")}
+
+
+def test_sessions_store_queryable_through_sql(spark, fsql):
+    """The t14 sessions store is an ordinary pk table — the documented
+    pattern for querying engine state is plain SQL over its registered
+    view (snapshot = current sessions), with FlussSqlSession enforcing
+    the same READ path as any table. No bespoke reader required."""
+    fsql.sql("""
+        CREATE TABLE sessions (
+            user_id BIGINT NOT NULL,
+            session_start TIMESTAMP NOT NULL,
+            last_ts TIMESTAMP,
+            n_events BIGINT,
+            cents BIGINT,
+            PRIMARY KEY (user_id, session_start)
+        ) WITH ('bucket.num' = '2', 'bucket.key' = 'user_id')
+    """)
+    fsql.sql(
+        "INSERT INTO sessions VALUES "
+        "(7, TIMESTAMP '2026-01-01 10:00:00', TIMESTAMP '2026-01-01 10:20:00', 4, 250), "
+        "(7, TIMESTAMP '2026-01-01 12:00:00', TIMESTAMP '2026-01-01 12:05:00', 2, 100), "
+        "(9, TIMESTAMP '2026-01-01 11:00:00', TIMESTAMP '2026-01-01 11:30:00', 6, 999)"
+    )
+    got = fsql.sql("""
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(sum(cents) AS BIGINT) / 100.0 AS total_value
+        FROM fluss_sessions
+        GROUP BY user_id ORDER BY user_id
+    """).collect()
+    assert [(r["user_id"], r["n_sessions"], float(r["total_value"])) for r in got] == [
+        (7, 2, 3.5),
+        (9, 1, 9.99),
+    ]
