@@ -230,14 +230,16 @@ class FlussTable:
         start = {b: hwm1.get(b, 0) for b in range(self.schema.num_buckets)}
         cl = self.kv.changelog(spark, start_offsets=start)
         if v2 != cur:
+            # one map literal, not an O(buckets) when-chain: constant
+            # expression depth however many buckets the table has
             end = {int(b): o for b, o in hist[v2].log_hwm.items()}
-            bound = F.coalesce(
-                *[
-                    F.when(F.col(BUCKET_COL) == b, F.lit(o))
-                    for b, o in end.items()
-                ],
-                F.lit(0),
-            ) if end else F.lit(0)
+            if end:
+                bmap = F.create_map(
+                    *[x for b, o in end.items() for x in (F.lit(b), F.lit(o))]
+                )
+                bound = F.coalesce(bmap[F.col(BUCKET_COL)], F.lit(0))
+            else:
+                bound = F.lit(0)
             cl = cl.filter(F.col(LOG_OFFSET_COL) < bound)
         from pyspark.sql.window import Window
 
