@@ -61,6 +61,7 @@ from fluss_spark.types import (
     DELETE,
     OFFSET_COL,
     TIMESTAMP_COL,
+    ddl_of,
     parse_type,
 )
 
@@ -437,7 +438,7 @@ class KvStore:
         if per_bucket is None:
             per_bucket = {
                 int(r[BUCKET_COL]): int(r["mx"])
-                for r in spark.read.schema(self.log.file_schema())
+                for r in spark.read.schema(ddl_of(self.log.file_schema()))
                 .option("basePath", staged)
                 .parquet(staged)
                 .groupBy(BUCKET_COL)
@@ -579,8 +580,10 @@ class KvStore:
         for data_dir, bkts in sorted(by_dir.items()):
             df = self._read_snapshot_dir(spark, data_dir)
             # partition-dir pruning: this dir may hold older versions of
-            # buckets that a newer dir supersedes
-            parts.append(df.filter(F.col(BUCKET_COL).isin(bkts)))
+            # buckets that a newer dir supersedes. SQL-string filter =
+            # one py4j round trip (isin(list) converts per element)
+            in_list = ", ".join(str(int(b)) for b in sorted(bkts))
+            parts.append(df.filter(f"`{BUCKET_COL}` IN ({in_list})"))
         if not parts:
             return spark.createDataFrame([], self.schema.to_struct_type())
         return reduce(lambda a, b: a.unionByName(b), parts).drop(BUCKET_COL)
@@ -653,8 +656,16 @@ class KvStore:
         eras / dir written under the current schema) keeps the exact
         bare-scan plan."""
         era = self._era_for_dir(data_dir)
+        # schema as a DDL STRING: StructType.simpleString() is pure
+        # Python, so this is ONE py4j round trip; passing the StructType
+        # itself converts the tree field-by-field (~15 round trips per
+        # read, and the seed probe reads every manifest dir each commit)
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in self._snapshot_schema(era).fields
+        )
         df = (
-            spark.read.schema(self._snapshot_schema(era))
+            spark.read.schema(ddl)
             .option("basePath", os.path.join(self.snapshot_dir, data_dir))
             .parquet(os.path.join(self.snapshot_dir, data_dir))
         )

@@ -43,6 +43,7 @@ from fluss_spark.types import (
     OFFSET_COL,
     TIMESTAMP_COL,
     TableSchema,
+    ddl_of,
 )
 
 COMMIT_DIR_COL = "__commit"
@@ -258,7 +259,7 @@ class LogStore:
         per_bucket = self._footer_hwm(staged)
         if per_bucket is None:  # stats unavailable -> Spark fallback
             spark = df.sparkSession
-            written = spark.read.schema(self.file_schema()).parquet(staged)
+            written = spark.read.schema(ddl_of(self.file_schema())).parquet(staged)
             per_bucket = {
                 int(r[BUCKET_COL]): int(r["mx"])
                 for r in written.groupBy(BUCKET_COL).agg(F.max(OFFSET_COL).alias("mx")).collect()
@@ -452,7 +453,7 @@ class LogStore:
                 # per tier (the local tier reads its whole root — one
                 # InMemoryFileIndex, the plan the tests pin)
                 frames.append(
-                    spark.read.schema(self.file_schema(with_commit_col=True))
+                    spark.read.schema(ddl_of(self.file_schema(with_commit_col=True)))
                     .option("basePath", root)
                     .parquet(
                         *(
@@ -476,7 +477,7 @@ class LogStore:
                 paths = [os.path.join(root, d) for d in sorted(ds)]
                 if idx == -1:
                     frames.append(
-                        spark.read.schema(self.file_schema(with_commit_col=True))
+                        spark.read.schema(ddl_of(self.file_schema(with_commit_col=True)))
                         .option("basePath", root)
                         .parquet(*paths)
                     )
@@ -486,7 +487,7 @@ class LogStore:
                     }
                     frames.append(
                         spark.read.schema(
-                            self.file_schema(with_commit_col=True, era=era_map)
+                            ddl_of(self.file_schema(with_commit_col=True, era=era_map))
                         )
                         .option("basePath", root)
                         .parquet(*paths)

@@ -63,6 +63,14 @@ def type_name(dt: T.DataType) -> str:
     return dt.simpleString()
 
 
+def ddl_of(struct: T.StructType) -> str:
+    """DDL string form of a read schema. simpleString() is pure Python,
+    so reader.schema(ddl_of(st)) costs ONE py4j round trip where
+    reader.schema(st) converts the tree field-by-field (~2 round trips
+    per field) — it adds up on the per-commit hot paths."""
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in struct.fields)
+
+
 @dataclass
 class Field:
     name: str
