@@ -480,7 +480,7 @@ class KvStore:
         # the staged files ARE this commit's changelog (see docstring)
         staging = self.log.staging_path(version)
         changelog = (
-            spark.read.schema(self.log.file_schema())
+            spark.read.schema(ddl_of(self.log.file_schema()))
             .option("basePath", staging)
             .parquet(staging)
         )
