@@ -242,9 +242,25 @@ class KvStore:
         must not) and auto-increment pk tables (id segments are assigned
         by the generic append path) take the two-pass WAL-first route."""
         schema = self.schema
-        if schema.partition_keys or any(f.auto_increment for f in schema.fields):
-            return self._commit_twopass(spark, changelog, commit_ts_ms)
-        return self._commit_single_action(spark, changelog, commit_ts_ms, batch_buckets)
+        # AQE off for the commit transaction only: the commit plan's
+        # shape is fixed (hash by bucket -> window -> explode ->
+        # partitioned write) — there is no join to re-plan, a window
+        # partition cannot be split, and empty shuffle partitions
+        # already emit no files, so AQE's stage-by-stage replanning
+        # contributes ~0.4s of pure driver latency per commit and
+        # nothing else (A/B at sf0.1: warm commit 1.4s -> 1.0s).
+        # User/bench queries keep the session's AQE setting.
+        key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            if schema.partition_keys or any(f.auto_increment for f in schema.fields):
+                return self._commit_twopass(spark, changelog, commit_ts_ms)
+            return self._commit_single_action(
+                spark, changelog, commit_ts_ms, batch_buckets
+            )
+        finally:
+            spark.conf.set(key, prev)
 
     def _commit_single_action(
         self,

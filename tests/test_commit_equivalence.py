@@ -75,9 +75,15 @@ def _batch_df(spark, rows):
     return spark.createDataFrame(rows, "k int, v string, n long, __op string")
 
 
+def _nskey(tup):
+    """None-safe sort key (v/n columns are nullable)."""
+    return tuple((x is None, x) for x in tup)
+
+
 def _snap(t, spark):
     return sorted(
-        (r["k"], r["v"], r["n"]) for r in t.snapshot(spark).collect()
+        ((r["k"], r["v"], r["n"]) for r in t.snapshot(spark).collect()),
+        key=_nskey,
     )
 
 
@@ -88,8 +94,11 @@ def _events(t, spark):
         "__seq", "__sub", "k", "v", "n",
     ).collect()
     ev = sorted(
-        (r[BUCKET_COL], r[CHANGE_TYPE_COL], r["__seq"], r["__sub"], r["k"], r["v"], r["n"])
-        for r in rows
+        (
+            (r[BUCKET_COL], r[CHANGE_TYPE_COL], r["__seq"], r["__sub"], r["k"], r["v"], r["n"])
+            for r in rows
+        ),
+        key=_nskey,
     )
     # per (key, commit), WAL offset order must equal (seq, sub) order —
     # the fold seq restarts every commit, so the scope is one commit
