@@ -3,6 +3,8 @@ changelog semantics — FIXTURES.md §B scripted-replay golden checks."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -418,6 +420,55 @@ def test_upsert_crash_before_current_advance_is_invisible(
     assert t.changelog(spark).count() == 2  # the two seed +I events
 
     # retry lands the batch exactly once (no double rows, no lost rows)
+    t.upsert(batch, ordering=["id"])
+    assert {tuple(r) for r in t.snapshot(spark).collect()} == {
+        (1, 1.0), (2, 20.0), (3, 3.0),
+    }
+    cl = t.changelog(spark)
+    assert cl.filter("id = 3 AND _change_type = '+I'").count() == 1
+    assert cl.filter("id = 2 AND _change_type = '+U'").count() == 1
+
+
+@pytest.mark.parametrize("crash_point", ["wal_rename", "manifest_write"])
+def test_single_action_crash_at_publish_prep_is_invisible(
+    spark, catalog, monkeypatch, crash_point
+):
+    """Crash points SPECIFIC to the fused single-action commit: right at
+    the WAL-dir rename (combined write finished, nothing published) and
+    at the manifest write (both renames done, catalog not advanced).
+    Either way the failed commit must be invisible and a retry must land
+    the batch exactly once — clean_orphans wipes tmp leftovers, the
+    rename/overwrite steps are idempotent, and reads resolve strictly
+    through the catalog CURRENT pointer."""
+    import fluss_spark.sources.kv as kv_mod
+    from fluss_spark.sources.kv import KvStore
+
+    t = _crash_table(catalog, spark, f"cr_sa_{crash_point}")
+    batch = spark.createDataFrame([(2, 20.0), (3, 3.0)], "id bigint, v double")
+
+    if crash_point == "wal_rename":
+        orig_rename = os.rename
+
+        def boom(src, dst, *a, **k):
+            if "commit-v" in str(src):
+                raise RuntimeError("simulated crash at WAL rename")
+            return orig_rename(src, dst, *a, **k)
+
+        # kv.py imports `os` at module level; patch the module's view
+        monkeypatch.setattr(kv_mod.os, "rename", boom)
+    else:
+        def boom(self, version, buckets):
+            raise RuntimeError("simulated crash at manifest write")
+
+        monkeypatch.setattr(KvStore, "_write_manifest", boom)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.upsert(batch, ordering=["id"])
+    monkeypatch.undo()
+
+    assert {tuple(r) for r in t.snapshot(spark).collect()} == {(1, 1.0), (2, 2.0)}
+    assert t.changelog(spark).count() == 2
+
     t.upsert(batch, ordering=["id"])
     assert {tuple(r) for r in t.snapshot(spark).collect()} == {
         (1, 1.0), (2, 20.0), (3, 3.0),
