@@ -90,8 +90,9 @@ _PRIORITY = [
     "dd_cluster_components",
     "ann_ivf_topk",
     "ann_recall_audit",
-    "tx_lang_id",
     "tx_dataset_card",
+    # --- new this round: the first partitioned-pk registered query ---
+    "m14_partitioned_pk",
 ]
 
 

@@ -155,6 +155,27 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         t.append(ev, ordering=["event_id"])
+    elif variant == "part_pk":
+        # PARTITIONED primary-key table (reference: partitioned pk
+        # tables with auto-partitioning, W4; partition keys must be a
+        # subset of the pk). Commits take the two-pass WAL-first path
+        # (the WAL interposes partition dirs) — the only registered
+        # query exercising it end-to-end.
+        schema = TableSchema(
+            fields=[
+                Field("event_type", "STRING", nullable=False),
+                Field("user_id", "BIGINT", nullable=False),
+                Field("value", "DOUBLE"),
+            ],
+            primary_key=["event_type", "user_id"],
+            partition_keys=["event_type"],
+            num_buckets=4,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        batch = ev.select("event_type", "user_id", "value", "event_id")
+        t.upsert(batch.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.upsert(batch.filter(F.col("event_id") > half), ordering=["event_id"])
     elif variant == "deletes":
         # events of type 'error' are DELETE ops for that key
         schema = TableSchema(
@@ -519,6 +540,31 @@ def m4_default_merge_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     (server/kv/rowmerger/DefaultRowMerger.java)."""
     t = _build(spark, sf, "default")
     return t.snapshot(spark).select("user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@register(
+    "m14_partitioned_pk",
+    oracle="""
+    SELECT user_id, round(value, 2) AS value
+    FROM events
+    WHERE event_type = 'click'
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def m14_partitioned_pk(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned PRIMARY-KEY table: pk=(event_type, user_id) with
+    event_type as the partition key (the reference requires partition
+    keys ⊆ pk; auto-partitioned pk tables are its W4 surface). Two
+    upsert commits replay per key through the two-pass WAL-first commit
+    (partitioned WAL layout), then the snapshot is read back pruned to
+    ONE partition — per-user last-write-wins state of the 'click'
+    partition must equal the from-scratch SQL fold."""
+    t = _build(spark, sf, "part_pk")
+    return (
+        t.snapshot(spark)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.round("value", 2).alias("value"))
+    )
 
 
 @register(
