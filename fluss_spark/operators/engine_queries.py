@@ -1761,17 +1761,33 @@ def _fold_session_batch(t: FlussTable, spark: SparkSession, batch: DataFrame) ->
     touches only affected keys. Scale shape: one user_id exchange for
     the batch fold, one for the islands window — both bounded per user,
     never global."""
+    # persist the per-user interval fold: the bounds probe below and the
+    # commit action would otherwise each recompute the whole batch fold
+    # (one user_id exchange per recompute). The persisted frame is
+    # O(sessions in batch), far smaller than the batch itself, and the
+    # bounds come off it rather than a second pass over raw events.
+    s = _batch_sessions(batch).persist()
+    try:
+        bounds = s.agg(
+            F.min(F.col("b_start").cast("long")), F.max(F.col("b_last").cast("long"))
+        ).collect()[0]
+        lo, hi = bounds[0], bounds[1]
+        if lo is None:
+            return
+        _fold_session_batch_inner(t, spark, s, lo, hi)
+    finally:
+        s.unpersist()
+
+
+def _fold_session_batch_inner(t: FlussTable, spark: SparkSession, s, lo, hi) -> None:
+    """Gaps-and-islands merge of the folded batch sessions `s` (already
+    persisted by the caller) against the stored sessions inside the
+    [lo, hi] +/- gap time bound; ends in one mixed upsert/delete
+    commit."""
     from pyspark.sql.window import Window
 
     from fluss_spark.operators.replay import OP_COL
 
-    s = _batch_sessions(batch)
-    bounds = batch.agg(
-        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
-    ).collect()[0]
-    lo, hi = bounds[0], bounds[1]
-    if lo is None:
-        return
     stored = (
         t.snapshot(spark)
         .filter(
