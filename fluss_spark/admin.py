@@ -759,12 +759,10 @@ class Admin:
             num_rows = 0
             manifest = t.kv._manifest(state.snapshot_version) or {}
             for bkt, data_dir in manifest.items():
-                bdir = os.path.join(t.kv.snapshot_dir, data_dir, f"__bucket={bkt}")
-                if not os.path.isdir(bdir):
-                    continue
-                for fn in os.listdir(bdir):
-                    if fn.endswith(".parquet"):
-                        num_rows += pq.read_metadata(os.path.join(bdir, fn)).num_rows
+                for bdir in t.kv.bucket_dirs(data_dir, bkt):
+                    for fn in os.listdir(bdir):
+                        if fn.endswith(".parquet"):
+                            num_rows += pq.read_metadata(os.path.join(bdir, fn)).num_rows
         return TableStats(num_rows=num_rows, size_bytes=size, num_files=files)
 
     # -- lake snapshot (Admin.getLatestLakeSnapshot) ----------------------
@@ -845,12 +843,14 @@ class Admin:
         def _uri(p: str) -> str:
             return "file://" + urllib.parse.quote(os.path.abspath(p))
 
-        # replay prior exports to diff against the live file set
+        # replay prior exports to diff against the live file set (and
+        # keep the last metaData action for the pollution-heal below)
         prior = sorted(
             e.name for e in os.scandir(log_dir)
             if e.name.endswith(".json") and e.name[:-5].isdigit()
         )
         live_before: set[str] = set()
+        prior_meta: dict | None = None
         for fn in prior:
             with open(os.path.join(log_dir, fn)) as f:
                 for line in f:
@@ -859,6 +859,8 @@ class Admin:
                         live_before.add(act["add"]["path"])
                     elif "remove" in act:
                         live_before.discard(act["remove"]["path"])
+                    elif "metaData" in act:
+                        prior_meta = act["metaData"]
         version = int(prior[-1][:-5]) + 1 if prior else 0
 
         now_ms = int(time.time() * 1000)
@@ -881,13 +883,25 @@ class Admin:
                 if k not in part_cols:
                     part_cols.append(k)
 
+        from fluss_spark.iceberg import (
+            _check_no_mixed_partition_layout,
+            lake_excluded_columns,
+        )
+
+        # same guard as the Iceberg export: a live set mixing
+        # partition-dir layouts would read back NULL partition values
+        _check_no_mixed_partition_layout(part_cols, snap.files, f"{db}.{name}")
+
+        t = FlussTable(self.catalog, db, name)
+        # pk tables: never surface the WAL system columns the fused
+        # commit writes (as nulls) into snapshot footers
+        excl = lake_excluded_columns(t.schema)
         actions: list[dict] = []
         if version == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
         if version == 0:
-            t = FlussTable(self.catalog, db, name)
             _SPARK_T = {"INT": "integer", "BIGINT": "long", "STRING": "string",
                         "DATE": "date", "TIMESTAMP": "timestamp",
                         "DOUBLE": "double", "FLOAT": "float"}
@@ -897,6 +911,9 @@ class Admin:
 
                 struct = from_arrow_schema(pq.read_schema(snap.files[0]))
                 schema = json.loads(struct.json())
+                schema["fields"] = [
+                    f for f in schema["fields"] if f["name"] not in excl
+                ]
             else:
                 # empty table: a v0 log without metaData is invalid —
                 # derive the schema from the declared fields
@@ -924,6 +941,18 @@ class Admin:
                     "createdTime": now_ms,
                 }
             })
+        elif prior_meta is not None and excl:
+            # heal a polluted lineage: a pre-fix export may have leaked
+            # WAL system columns into the Delta schema (footers of fused
+            # pk snapshots carried them); Delta allows a metaData action
+            # in any commit, so append one corrected schema
+            pm_schema = json.loads(prior_meta["schemaString"])
+            cleaned = [f for f in pm_schema["fields"] if f["name"] not in excl]
+            if len(cleaned) != len(pm_schema["fields"]):
+                pm_schema["fields"] = cleaned
+                healed = dict(prior_meta)
+                healed["schemaString"] = json.dumps(pm_schema)
+                actions.append({"metaData": healed})
         for uri in removes:
             actions.append({
                 "remove": {"path": uri, "deletionTimestamp": now_ms,
@@ -1100,8 +1129,7 @@ class Admin:
         cs = history[snapshot_id]
         files = []
         for bkt, data_dir in sorted(manifest.items()):
-            bdir = os.path.join(t.kv.snapshot_dir, data_dir, f"__bucket={bkt}")
-            if os.path.isdir(bdir):
+            for bdir in t.kv.bucket_dirs(data_dir, bkt):
                 for fn in sorted(os.listdir(bdir)):
                     if fn.endswith(".parquet"):
                         files.append(os.path.relpath(os.path.join(bdir, fn), t.kv.snapshot_dir))

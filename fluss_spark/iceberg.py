@@ -39,6 +39,29 @@ _FORMAT_VERSION = 2
 _ADDED, _EXISTING, _DELETED = 1, 0, 2
 
 
+def lake_excluded_columns(schema) -> frozenset[str]:
+    """Columns a lake export must NEVER surface for this table.
+
+    PK-table snapshot data files carry the WAL system columns
+    (_change_type, __seq, __sub, __offset, __timestamp — written as
+    nulls by the fused single-action commit, sources/kv.py), so they
+    appear in parquet footers; exports that build their schema from
+    footers would leak them into the lake-facing schema. The
+    reference's lake tiering exposes only data columns on the pk
+    snapshot surface. Log tables intentionally export
+    __offset/__timestamp — that IS their log surface — so nothing is
+    excluded for them."""
+    if not schema.is_pk_table:
+        return frozenset()
+    from fluss_spark.operators.replay import SEQ_COL, SUB_COL
+    from fluss_spark.sources.kv import DEST_COL
+    from fluss_spark.types import CHANGE_TYPE_COL, OFFSET_COL, TIMESTAMP_COL
+
+    return frozenset(
+        {CHANGE_TYPE_COL, SEQ_COL, SUB_COL, OFFSET_COL, TIMESTAMP_COL, DEST_COL}
+    )
+
+
 @dataclass
 class IcebergExport:
     """Result of Admin.export_iceberg_metadata: one appended snapshot."""
@@ -246,6 +269,33 @@ def file_commit_version(path: str) -> int | None:
     return None
 
 
+def _check_no_mixed_partition_layout(
+    part_cols: list[str], files: list[str], label: str
+) -> None:
+    """Refuse lake export while the live file set mixes partition-dir
+    layouts: if a user partition column appears in only SOME live
+    files' paths (e.g. pk-snapshot dirs written before the partitioned
+    single-action layout next to dirs written after), readers that
+    project partition values from path/manifest metadata would surface
+    NULLs for the old files. Compaction rewrites every file under the
+    current layout, after which export proceeds. System path segments
+    (__bucket, __commit) are present in every layout and exempt."""
+    user_parts = [c for c in part_cols if not c.startswith("__")]
+    if not user_parts:
+        return
+    for p in files:
+        vals = _path_partition_values(p)
+        missing = [c for c in user_parts if c not in vals]
+        if missing:
+            raise ValueError(
+                f"{label} has live files written under a partition-dir "
+                f"layout missing {missing} ({p}): lake export would "
+                "surface NULL partition values for them. Run CALL "
+                "sys.compact_snapshot to rewrite the snapshot under "
+                "the current layout first."
+            )
+
+
 def _check_no_era_files(schema, files, label: str) -> None:
     """Refuse lake export while any LIVE file predates a rename/retype:
     such files carry OLD physical column names, and external readers
@@ -323,6 +373,11 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
         )
     prior_fields = {f["name"]: f for f in (prior_schema or {}).get("fields", [])}
     next_id = [prior.get("last-column-id", 0) if prior else 0]
+    # pk tables: WAL system columns in snapshot footers (and any already
+    # leaked into a prior export's schema — the carry below drops them,
+    # healing polluted metadata lineages; older snapshots still resolve
+    # their own recorded schema-id) never reach the lake-facing schema
+    excl = lake_excluded_columns(t.schema)
 
     def alloc() -> int:
         next_id[0] += 1
@@ -331,7 +386,7 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
     # ordered union: prior schema's names first (stable order), then new
     # names from the ADDED files' footers in footer order
     named: list[tuple[str, object]] = []
-    seen = set(prior_fields)
+    seen = set(prior_fields) | set(excl)
     footer_sources = adds if prior_fields else sorted(current)
     for p in footer_sources:
         arrow = pq.read_schema(p)
@@ -341,7 +396,11 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
                 seen.add(fld.name)
                 named.append((fld.name, fld.type))
 
-    fields = [dict(f) for f in (prior_schema or {}).get("fields", [])]
+    fields = [
+        dict(f)
+        for f in (prior_schema or {}).get("fields", [])
+        if f["name"] not in excl
+    ]
     if named:
         # two passes so nested element/key ids sit AFTER all new column
         # ids (the Iceberg fresh-schema id assignment rule)
@@ -363,6 +422,7 @@ def export_iceberg_metadata(admin, db: str, name: str, target_dir: str) -> Icebe
         for k in _path_partition_values(p):
             if k not in part_cols:
                 part_cols.append(k)
+    _check_no_mixed_partition_layout(part_cols, snap.files, f"{db}.{name}")
     # partition field-ids are stable the same way: reuse the prior
     # spec's field-id per name, allocate new ones past the prior max
     prior_specs = prior.get("partition-specs", []) if prior else []
@@ -651,10 +711,23 @@ def read_iceberg_snapshot(
         else meta["current-schema-id"]
     )
     schema = next(s for s in meta["schemas"] if s["schema-id"] == schema_id)
+    # the partition spec is per-SNAPSHOT too: specs are appended with new
+    # spec-ids on change, and a time-travelled snapshot taken before a
+    # spec change must project ITS partition fields, not the table-level
+    # default. The snapshot's manifest-list entries record the
+    # partition_spec_id they were written under (the spec's
+    # manifest_file field-id 502); fall back to the default only when
+    # the recorded id is absent (pre-fix metadata).
+    spec_id = meta["default-spec-id"]
+    if snap_rec is not None:
+        _, manifests, _ = read_container(snap_rec["manifest-list"])
+        ids = {m.get("partition_spec_id") for m in manifests} - {None}
+        if len(ids) == 1 and any(
+            s["spec-id"] == next(iter(ids)) for s in meta["partition-specs"]
+        ):
+            spec_id = next(iter(ids))
     spec = next(
-        s
-        for s in meta["partition-specs"]
-        if s["spec-id"] == meta["default-spec-id"]
+        s for s in meta["partition-specs"] if s["spec-id"] == spec_id
     )
     return IcebergSnapshot(
         version=version,

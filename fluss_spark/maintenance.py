@@ -337,11 +337,14 @@ def _compact_snapshot_locked(table: FlussTable, spark: SparkSession, max_dirs: i
     version = state.version + 1
     data_dir = f"data-v{version}"
     snap = kv.snapshot(spark)
+    # partition dirs above the bucket dir for partitioned pk tables —
+    # same physical layout the single-action commit writes, so
+    # compaction preserves partition-directory pruning
     (
         snap.withColumn("__bucket", kv._bucket_expr())
         .repartition(min(kv.schema.num_buckets, 32), F.col("__bucket"))
         .write.mode("overwrite")
-        .partitionBy("__bucket")
+        .partitionBy(*kv.schema.partition_keys, "__bucket")
         .parquet(os.path.join(kv.snapshot_dir, data_dir))
     )
     kv._write_manifest(version, {b: data_dir for b in manifest})
@@ -654,7 +657,7 @@ def _rebucket_locked(table: FlussTable, spark: SparkSession, new_buckets: int) -
             snap.withColumn("__bucket", bucket_expr)
             .repartition(min(new_buckets, 32), F.col("__bucket"))
             .write.mode("overwrite")
-            .partitionBy("__bucket")
+            .partitionBy(*schema.partition_keys, "__bucket")
             .parquet(os.path.join(kv.snapshot_dir, data_dir))
         )
         kv._write_manifest(version, {b: data_dir for b in range(new_buckets)})

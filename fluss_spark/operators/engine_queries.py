@@ -158,9 +158,10 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
     elif variant == "part_pk":
         # PARTITIONED primary-key table (reference: partitioned pk
         # tables with auto-partitioning, W4; partition keys must be a
-        # subset of the pk). Commits take the two-pass WAL-first path
-        # (the WAL interposes partition dirs) — the only registered
-        # query exercising it end-to-end.
+        # subset of the pk). Commits take the single-action fused write
+        # with partition dirs above the bucket dirs on both the WAL and
+        # snapshot siblings — the only registered query exercising the
+        # partitioned pk layout end-to-end.
         schema = TableSchema(
             fields=[
                 Field("event_type", "STRING", nullable=False),
@@ -555,10 +556,12 @@ def m14_partitioned_pk(spark: SparkSession, sf: str) -> DataFrame:
     """Partitioned PRIMARY-KEY table: pk=(event_type, user_id) with
     event_type as the partition key (the reference requires partition
     keys ⊆ pk; auto-partitioned pk tables are its W4 surface). Two
-    upsert commits replay per key through the two-pass WAL-first commit
-    (partitioned WAL layout), then the snapshot is read back pruned to
-    ONE partition — per-user last-write-wins state of the 'click'
-    partition must equal the from-scratch SQL fold."""
+    upsert commits replay per key through the fused single-action
+    commit (partition dirs above bucket dirs on both siblings), then
+    the snapshot is read back pruned to ONE partition — directory
+    pruning, not just row-group stats — and per-user last-write-wins
+    state of the 'click' partition must equal the from-scratch SQL
+    fold."""
     t = _build(spark, sf, "part_pk")
     return (
         t.snapshot(spark)

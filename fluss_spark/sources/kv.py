@@ -30,10 +30,18 @@ under non-deterministic input or task retries — the single-action
 successor to the WAL-first barrier (the reference's WAL *is* the
 changelog, KvTablet.java:562-591: one append, not two passes), and
 "changelog replay reproduces the snapshot" (SortMergeReader.java:30-55)
-stays an *executed invariant* of every commit. Partitioned and
-auto-increment pk tables keep the two-pass WAL-first path (their WAL
-dir layout interposes partition dirs that the snapshot layout must not
-inherit).
+stays an *executed invariant* of every commit.
+
+Every pk-table layout takes the single action: partitioned tables
+(partitions sit above buckets in the physical layout, the reference's
+metadata/TableBucket.java) emit partition dirs on BOTH siblings —
+`__dest=w/<part>/__bucket=` matches the WAL layout and
+`__dest=s/<part>/__bucket=` gives pk snapshots partition-directory
+pruning; auto-increment tables pre-assign their id segments
+driver-side from a persisted fold (one tiny count job) and stamp ids
+inside the same commit window. The retained two-pass path
+(`_commit_twopass`) exists as the equivalence baseline the test suite
+compares against, not as a production route.
 """
 
 from __future__ import annotations
@@ -185,16 +193,19 @@ class KvStore:
             self.catalog.current_commit(self.db, self.table).snapshot_version
         )
         has_snapshot = bool(manifest_now)
-        # the batch-bucket discovery job pays off only when it can prune
-        # a LARGE bucket space; under ~64 buckets the semi-join on keys
-        # already bounds the read, so skip the extra job
-        if has_snapshot and len(manifest_now) > 64:
+        # batch-bucket discovery ALWAYS runs when a snapshot exists: the
+        # single-action commit feeds the prior snapshot of these buckets
+        # straight into its bucket window with no key semi-join, so an
+        # unbounded feed would shuffle O(table) per commit. The discovery
+        # collect is one tiny job (<= num_buckets rows) and also prunes
+        # the seed read's dir/footer walk.
+        if has_snapshot:
             batch_buckets = [
                 int(r["b"])
                 for r in b.select(self._bucket_expr().alias("b")).distinct().collect()
             ]
         else:
-            batch_buckets = None if has_snapshot else []
+            batch_buckets = []
         # no .distinct() on the probe side: a semi join dedups by
         # definition, and the distinct would cost its own exchange + agg
         ord_types = dict(b.dtypes)
@@ -236,12 +247,10 @@ class KvStore:
         batch_buckets: list[int] | None = None,
     ) -> CommitState:
         """Commit the replayed changelog: WAL append + touched-bucket
-        snapshot rewrite + atomic commit, as ONE Spark action whenever
-        the table layout allows (see _commit_single_action). Partitioned
-        pk tables (the WAL partitions by partition keys, the snapshot
-        must not) and auto-increment pk tables (id segments are assigned
-        by the generic append path) take the two-pass WAL-first route."""
-        schema = self.schema
+        snapshot rewrite + atomic commit, as ONE Spark action for every
+        pk-table layout (see _commit_single_action; partitioned tables
+        emit partition dirs on both siblings, auto-increment tables
+        pre-assign id segments from a persisted fold)."""
         # AQE off for the commit transaction only: the commit plan's
         # shape is fixed (hash by bucket -> window -> explode ->
         # partitioned write) — there is no join to re-plan, a window
@@ -254,8 +263,6 @@ class KvStore:
         prev = spark.conf.get(key, "true")
         spark.conf.set(key, "false")
         try:
-            if schema.partition_keys or any(f.auto_increment for f in schema.fields):
-                return self._commit_twopass(spark, changelog, commit_ts_ms)
             return self._commit_single_action(
                 spark, changelog, commit_ts_ms, batch_buckets
             )
@@ -275,9 +282,16 @@ class KvStore:
 
           - events (change rows) union prior-snapshot rows (seq=-1, so
             they sort before any event of their key) hash into buckets;
-          - one window over (bucket) ordered (pk, seq, sub) assigns
-            per-bucket WAL offsets (running event count + old HWM) and
-            flags each key's LAST row via lead(pk);
+            the prior feed is always bounded to the batch's buckets
+            (discovered in _fold_input) — O(touched buckets), never
+            O(table);
+          - one window over (bucket) ordered (seq, sub, pk) assigns
+            per-bucket WAL offsets (running event count + old HWM), so
+            offset order within a bucket IS batch-arrival order across
+            keys, matching the reference WAL (LogTablet.java appends in
+            arrival order) and the two-pass path; a second frame over
+            (bucket, pk) flags each key's LAST row (max fold position)
+            — same exchange, one extra in-memory sort;
           - routing: event -> WAL; last event that is not -D -> WAL +
             snapshot (an explode of the same evaluated row — the two
             copies cannot diverge, which is what the old WAL-first
@@ -286,12 +300,26 @@ class KvStore:
             that saw >=1 event (max-over-bucket window) — untouched
             buckets keep their old manifest entry and cost no I/O.
 
+        Partitioned tables put their partition dirs ABOVE the bucket
+        dirs on BOTH siblings (partitionBy(__dest, <parts>, __bucket)):
+        __dest=w matches the WAL's staged layout verbatim, and __dest=s
+        gives pk snapshots partition-directory pruning (the reference
+        layers partitions above buckets the same way,
+        metadata/TableBucket.java, TableDescriptor.java:74).
+
+        Auto-increment ids are stamped INSIDE the commit window: the
+        fold is persisted, one tiny count job packs per-bucket id
+        segments gap-free in bucket order (AutoIncrementManager's
+        BoundedSegmentSequenceGenerator model), and each event row takes
+        segment_base[bucket] + its running event count — identical ids
+        to the generic append path, without its second full pass.
+
         The driver then renames __dest=w to the log staging dir and
-        __dest=s to snapshot/data-vN — metadata-only moves. vs the
-        two-pass path this removes one full action (its plan/analyze/AQE
-        round dominated the commit constant: ~1.4s driver gap vs ~1.0s
-        of executor time per steady-state sf0.1 commit) and one pk
-        exchange + staged-file read-back of the batch.
+        __dest=s to snapshot/data-vN — metadata-only moves. Snapshot
+        copies null out the WAL system columns (_change_type, __seq,
+        __sub, __offset, __timestamp): no reader consumes them on the
+        snapshot surface and real values would bloat every snapshot file
+        and leak into lake-export schemas built from footers.
 
         The reference analog: the WAL *is* the changelog — one append
         (KvTablet.java:562-591), with the snapshot (RocksDB state) fed
@@ -314,6 +342,49 @@ class KvStore:
         qcols = [f"`{c}`" for c in cols]
         # Spark-SQL DDL type strings (the schema's own are engine DDL)
         declared = {f.name: parse_type(f.type).simpleString() for f in schema.fields}
+        bucket_sql = (
+            f"CAST(pmod(hash({', '.join(f'`{c}`' for c in schema.bucket_keys)}), "
+            f"{schema.num_buckets}) AS INT)"
+        )
+
+        # M10: pre-assign per-bucket id segments driver-side. The fold is
+        # persisted first so the count job and the write action see the
+        # SAME evaluated rows (the fold order can be non-deterministic
+        # when no explicit ordering was given — without the barrier the
+        # two jobs could disagree on per-bucket event counts and the ids
+        # would gap or collide).
+        auto_cols = [f.name for f in schema.fields if f.auto_increment]
+        auto_next = dict(state0.auto_increment)
+        persisted = None
+        id_expr: dict[str, str] = {}
+        if auto_cols:
+            persisted = changelog.persist()
+            changelog = persisted
+            bucket_counts = sorted(
+                (int(r["b"]), r["cnt"])
+                for r in changelog.selectExpr(f"{bucket_sql} AS b")
+                .groupBy("b")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            )
+            for c in auto_cols:
+                base_id, seg = auto_next.get(c, 0), {}
+                acc = base_id
+                for bkt, cnt in bucket_counts:
+                    seg[bkt] = acc
+                    acc += cnt
+                auto_next[c] = acc
+                if seg:
+                    pairs = ", ".join(
+                        f"{b}, CAST({s} AS BIGINT)" for b, s in seg.items()
+                    )
+                    id_expr[c] = (
+                        f"coalesce(element_at(map({pairs}), `{BUCKET_COL}`), "
+                        f"CAST({base_id} AS BIGINT))"
+                    )
+                else:
+                    id_expr[c] = f"CAST({base_id} AS BIGINT)"
+
         sys_cast = [
             f"`{CHANGE_TYPE_COL}`",
             f"CAST(`{SEQ_COL}` AS BIGINT) AS `{SEQ_COL}`",
@@ -326,9 +397,8 @@ class KvStore:
             # prior rows of the candidate buckets ride the same window;
             # a prior row that is still the last row of its key (no
             # events) is the survivor the two-pass path found by
-            # anti-join. batch_buckets (when the >64-bucket discovery
-            # ran) bounds this feed to the batch's buckets. seq=-1 sorts
-            # prior rows before every event of their key.
+            # anti-join. seq=-1 sorts prior rows before every event of
+            # their key and loses the per-key max to any event.
             old = self.snapshot(spark, buckets=batch_buckets).selectExpr(
                 *qcols,
                 f"CAST(NULL AS STRING) AS `{CHANGE_TYPE_COL}`",
@@ -337,35 +407,54 @@ class KvStore:
             )
             ev = ev.unionByName(old)
 
-        bucket_sql = (
-            f"CAST(pmod(hash({', '.join(f'`{c}`' for c in schema.bucket_keys)}), "
-            f"{schema.num_buckets}) AS INT)"
-        )
         pk_sql = ", ".join(f"`{c}`" for c in pk)
-        over = f"PARTITION BY `{BUCKET_COL}` ORDER BY {pk_sql}, `{SEQ_COL}`, `{SUB_COL}`"
+        # arrival-order window: offsets follow (seq, sub, pk) — the fold
+        # sequence = batch arrival — so cross-key WAL order matches the
+        # reference contract and the two-pass path exactly
+        over = f"PARTITION BY `{BUCKET_COL}` ORDER BY `{SEQ_COL}`, `{SUB_COL}`, {pk_sql}"
         is_event = f"(`{CHANGE_TYPE_COL}` IS NOT NULL)"
         base = {int(b): off for b, off in state0.log_hwm.items()}
-        base_sql = (
-            "CASE "
-            + " ".join(f"WHEN `{BUCKET_COL}` = {b} THEN {off}" for b, off in base.items())
-            + " ELSE 0 END"
-            if base
-            else "0"
+        # one map literal, not an O(buckets) when-chain: constant
+        # expression/codegen depth at any bucket count (same shape as
+        # table.py snapshot_diff's bound map)
+        if base:
+            pairs = ", ".join(f"{b}, CAST({off} AS BIGINT)" for b, off in base.items())
+            base_sql = f"coalesce(element_at(map({pairs}), `{BUCKET_COL}`), CAST(0 AS BIGINT))"
+        else:
+            base_sql = "CAST(0 AS BIGINT)"
+        # running event count in arrival order — feeds the offset and the
+        # auto-increment stamp (Catalyst collapses the duplicate window
+        # expression into one)
+        rc = (
+            f"count(CASE WHEN {is_event} THEN 1 END) OVER ({over} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        nxt = f"lead(struct({pk_sql})) OVER ({over})"
+        # last row of a key = its max fold position; computed on a
+        # (bucket, pk) frame that shares the bucket exchange (hash(bucket)
+        # clusters (bucket, pk) too) and costs one extra in-memory sort
+        pos = f"struct(`{SEQ_COL}`, `{SUB_COL}`)"
+        is_last = f"({pos} = max({pos}) OVER (PARTITION BY `{BUCKET_COL}`, {pk_sql}))"
+        data_proj = [
+            (
+                f"CASE WHEN {is_event} THEN CAST(({id_expr[c]}) + {rc} - 1 AS BIGINT) "
+                f"ELSE `{c}` END AS `{c}`"
+                if c in id_expr
+                else f"`{c}`"
+            )
+            for c in cols
+        ]
         ev = ev.selectExpr("*", f"{bucket_sql} AS `{BUCKET_COL}`").selectExpr(
-            *qcols,
+            *data_proj,
             f"`{CHANGE_TYPE_COL}`",
             f"`{SEQ_COL}`",
             f"`{SUB_COL}`",
             f"CAST(CASE WHEN {is_event} THEN "
-            f"count(CASE WHEN {is_event} THEN 1 END) OVER ({over} "
-            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 + ({base_sql}) "
+            f"{rc} - 1 + ({base_sql}) "
             f"END AS BIGINT) AS `{OFFSET_COL}`",
             f"CASE WHEN {is_event} THEN timestamp_millis({ts_ms}) END AS `{TIMESTAMP_COL}`",
             # window expressions must be plain columns before the
             # generator below: Spark rejects window functions in explode()
-            f"({nxt} IS NULL OR {nxt} != struct({pk_sql})) AS __is_last",
+            f"{is_last} AS __is_last",
             f"(max(CAST({is_event} AS INT)) OVER (PARTITION BY `{BUCKET_COL}`) = 1)"
             " AS __touched",
             f"`{BUCKET_COL}`",
@@ -377,6 +466,7 @@ class KvStore:
             " WHEN __is_last AND __touched THEN array('s')"
             " ELSE array() END"  # explode drops the row
         )
+        is_snap = f"(`{DEST_COL}` = 's')"
         out = ev.selectExpr(
             *qcols,
             f"`{CHANGE_TYPE_COL}`",
@@ -386,19 +476,36 @@ class KvStore:
             f"`{TIMESTAMP_COL}`",
             f"explode({dests}) AS `{DEST_COL}`",
             f"`{BUCKET_COL}`",
+        ).selectExpr(
+            # snapshot copies carry NO WAL system-column values: nulls
+            # compress to nothing, and lake exports (schema from parquet
+            # footers) must not see real values on the snapshot surface
+            *qcols,
+            f"CASE WHEN {is_snap} THEN NULL ELSE `{CHANGE_TYPE_COL}` END AS `{CHANGE_TYPE_COL}`",
+            f"CASE WHEN {is_snap} THEN NULL ELSE `{SEQ_COL}` END AS `{SEQ_COL}`",
+            f"CASE WHEN {is_snap} THEN NULL ELSE `{SUB_COL}` END AS `{SUB_COL}`",
+            f"CASE WHEN {is_snap} THEN NULL ELSE `{OFFSET_COL}` END AS `{OFFSET_COL}`",
+            f"CASE WHEN {is_snap} THEN NULL ELSE `{TIMESTAMP_COL}` END AS `{TIMESTAMP_COL}`",
+            f"`{DEST_COL}`",
+            f"`{BUCKET_COL}`",
         )
 
         combined = os.path.join(self.log.tmp_dir, f"commit-v{version}")
         codec = schema.properties.get("table.log.compression", "snappy")  # W6
         # rows left the bucket window hash-clustered by BUCKET_COL, so
-        # partitionBy emits one file per (dest, bucket) without another
-        # exchange
-        (
-            out.write.mode("overwrite")
-            .option("compression", codec)
-            .partitionBy(DEST_COL, BUCKET_COL)
-            .parquet(combined)
-        )
+        # partitionBy emits one file per (dest[, partition], bucket)
+        # without another exchange; partition keys sit ABOVE the bucket
+        # in both siblings' dir layout (reference TableBucket layering)
+        try:
+            (
+                out.write.mode("overwrite")
+                .option("compression", codec)
+                .partitionBy(DEST_COL, *schema.partition_keys, BUCKET_COL)
+                .parquet(combined)
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
         # driver-side publish prep: sibling dirs -> their destinations
         staged = self.log.staging_path(version)
@@ -437,7 +544,7 @@ class KvStore:
             version=version,
             log_hwm=hwm,
             snapshot_version=version,
-            auto_increment=dict(state0.auto_increment),
+            auto_increment=auto_next,
             ts_ms=ts_ms,
             log_start=state0.log_start,
             log_floor=state0.log_floor,
@@ -467,6 +574,9 @@ class KvStore:
         self, spark: SparkSession, changelog: DataFrame, commit_ts_ms: int | None
     ) -> CommitState:
         """WAL append + touched-bucket snapshot rewrite + atomic commit.
+        Retained as the equivalence BASELINE the test suite compares the
+        single-action path against (tests/test_commit_equivalence.py);
+        no production route dispatches here anymore.
 
         WAL-FIRST: the fold plan is computed exactly ONCE — inside the
         WAL write job — and the STAGED WAL FILES are the lineage cut.
@@ -608,6 +718,23 @@ class KvStore:
         m = self._manifest(version) or {}
         return set(m.values())
 
+    def bucket_dirs(self, data_dir: str, bucket: int) -> list[str]:
+        """Physical dirs holding one bucket inside a snapshot data dir.
+        Flat layout (unpartitioned tables, compaction/rebucket rewrites)
+        keeps __bucket= as the direct child; the partitioned
+        single-action layout nests it under <part>=v/ dirs — one walk
+        finds both."""
+        root = os.path.join(self.snapshot_dir, data_dir)
+        name = f"{BUCKET_COL}={bucket}"
+        direct = os.path.join(root, name)
+        if os.path.isdir(direct):
+            return [direct]
+        if not self.schema.partition_keys or not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(r, name) for r, dirs, _f in os.walk(root) if name in dirs
+        )
+
     def minmax_from_metadata(self, column: str, version: int | None = None):
         """A2 statistics for PK tables: (min, max) of a numeric/temporal
         column over the LIVE snapshot, from Parquet footer stats of the
@@ -638,9 +765,7 @@ class KvStore:
         # assigns to a newer dir — walk exactly the (dir, bucket) pairs
         # the manifest references, mirroring scan()'s per-bucket filter
         paths = [
-            p
-            for b, d in sorted(manifest.items())
-            if os.path.isdir(p := os.path.join(self.snapshot_dir, d, f"{BUCKET_COL}={b}"))
+            p for b, d in sorted(manifest.items()) for p in self.bucket_dirs(d, b)
         ]
         return footer_minmax(paths, column)
 
@@ -689,6 +814,11 @@ class KvStore:
             from fluss_spark.types import era_projection
 
             df = df.select(era_projection(self.schema, era, [BUCKET_COL]))
+        elif self.schema.partition_keys:
+            # Spark appends partition-DIR columns after the file columns
+            # regardless of the user schema's order; restore declared
+            # order (snapshot()'s contract is data_columns() order)
+            df = df.select(*self.schema.data_columns(), BUCKET_COL)
         return df
 
     def changelog(self, spark: SparkSession, start_offsets: dict[int, int] | None = None) -> DataFrame:

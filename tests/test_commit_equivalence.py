@@ -1,21 +1,19 @@
 """Single-action commit ≡ two-pass commit.
 
-The round-7 fused commit (`KvStore._commit_single_action`: one write
-action producing WAL + snapshot as sibling partition dirs) must produce
-the SAME commit artifacts as the retained two-pass WAL-first path
-(`_commit_twopass`, still used by partitioned / auto-increment pk
-tables) for any batch sequence:
+The fused commit (`KvStore._commit_single_action`: one write action
+producing WAL + snapshot as sibling partition dirs) must produce the
+SAME commit artifacts as the retained two-pass WAL-first baseline
+(`_commit_twopass`) for any batch sequence and every pk-table layout
+(plain, partitioned, auto-increment):
 
   - identical snapshot rows,
   - identical per-bucket high-water marks,
-  - identical changelog EVENT MULTISET (change type, fold seq/sub, data),
-  - per-key WAL offset order == fold (seq, sub) order in both.
-
-Offsets are NOT compared across keys: the two paths assign per-bucket
-offsets in different (both valid) within-bucket orders — two-pass sorts
-by (seq, sub, pk), single-action by (pk, seq, sub); the contract is
-per-KEY changelog order (all events of a key share a bucket since
-bucket key ⊆ pk), which both preserve.
+  - identical changelog events INCLUDING per-row WAL offsets: since
+    round 8 both paths assign per-bucket offsets in the same
+    (seq, sub, pk) arrival order (the reference WAL appends in arrival
+    order within a bucket), so the full (bucket, offset, event) tuple
+    multiset must match row-for-row, cross-key included,
+  - per-(key, commit) WAL offset order == fold (seq, sub) order.
 """
 
 from __future__ import annotations
@@ -95,7 +93,7 @@ def _events(t, spark):
     ).collect()
     ev = sorted(
         (
-            (r[BUCKET_COL], r[CHANGE_TYPE_COL], r["__seq"], r["__sub"], r["k"], r["v"], r["n"])
+            (r[BUCKET_COL], r[OFFSET_COL], r[CHANGE_TYPE_COL], r["__seq"], r["__sub"], r["k"], r["v"], r["n"])
             for r in rows
         ),
         key=_nskey,
@@ -197,3 +195,130 @@ def test_commit_paths_equivalent_property(spark_session, tmp_path_factory, seqs)
         ta.kv.upsert(_batch_df(spark, rows), ordering=None, commit_ts_ms=ts + i)
         tb.kv.upsert(_batch_df(spark, rows), ordering=None, commit_ts_ms=ts + i)
     _assert_equal_state(ta, tb, spark)
+
+
+def _state_tuple(t, spark, cols):
+    """(snapshot rows, hwm, full event multiset incl. offsets) over an
+    arbitrary column list — the generic form of _snap/_events for the
+    partitioned / auto-increment schemas."""
+    snap = sorted(
+        (tuple(r[c] for c in cols) for r in t.snapshot(spark).collect()), key=_nskey
+    )
+    rows = (
+        t.kv.log.scan(spark)
+        .select(BUCKET_COL, OFFSET_COL, CHANGE_TYPE_COL, "__seq", "__sub", *cols)
+        .collect()
+    )
+    ev = sorted(
+        (
+            (r[BUCKET_COL], r[OFFSET_COL], r[CHANGE_TYPE_COL], r["__seq"], r["__sub"])
+            + tuple(r[c] for c in cols)
+            for r in rows
+        ),
+        key=_nskey,
+    )
+    return snap, _hwm(t), ev
+
+
+def test_commit_paths_equivalent_partitioned(spark, tmp_path):
+    """Partitioned pk tables through both paths: same snapshots, HWMs and
+    offset-exact events; the single-action snapshot layout must nest the
+    partition dirs ABOVE the bucket dirs (directory pruning surface)."""
+    import os
+
+    cat = Catalog(str(tmp_path / "wh_part"))
+    schema = TableSchema(
+        fields=[
+            Field("dt", "STRING", nullable=False),
+            Field("k", "INT", nullable=False),
+            Field("v", "STRING"),
+        ],
+        primary_key=["dt", "k"],
+        partition_keys=["dt"],
+        num_buckets=4,
+        properties={},
+    )
+    ta = create_table(cat, "db", "two_pass_part", schema)
+    tb = create_table(cat, "db", "single_action_part", schema)
+    _force_twopass(ta)
+    ts = 1_700_000_300_000
+
+    batches = [
+        # two partitions, several keys
+        [("d1", k, f"v{k}", "U") for k in range(6)]
+        + [("d2", k, f"w{k}", "U") for k in range(3)],
+        # update in one partition + delete in the other + a NEW partition
+        [("d1", 1, "x", "U"), ("d2", 0, None, "D"), ("d3", 9, "new", "U")],
+        # delete every key of one partition
+        [("d3", 9, None, "D")],
+    ]
+    for i, rows in enumerate(batches):
+        for t in (ta, tb):
+            df = spark.createDataFrame(rows, "dt string, k int, v string, __op string")
+            t.kv.upsert(df, ordering=None, commit_ts_ms=ts + i)
+        assert _state_tuple(ta, spark, ["dt", "k", "v"]) == _state_tuple(
+            tb, spark, ["dt", "k", "v"]
+        )
+
+    # physical layout: partition dirs above bucket dirs on BOTH siblings
+    snap_dirs = [
+        e.name
+        for e in os.scandir(os.path.join(tb.kv.snapshot_dir, "data-v1"))
+        if e.is_dir()
+    ]
+    assert all(d.startswith("dt=") for d in snap_dirs) and snap_dirs
+    bucket_sub = [
+        e.name
+        for e in os.scandir(os.path.join(tb.kv.snapshot_dir, "data-v1", snap_dirs[0]))
+        if e.is_dir()
+    ]
+    assert all(d.startswith(f"{BUCKET_COL}=") for d in bucket_sub) and bucket_sub
+    # partition filter reads back correctly through the nested layout
+    got = sorted(
+        (r["k"], r["v"])
+        for r in tb.snapshot(spark).filter(F.col("dt") == "d1").collect()
+    )
+    assert got == [(0, "v0"), (1, "x"), (2, "v2"), (3, "v3"), (4, "v4"), (5, "v5")]
+
+
+def test_commit_paths_equivalent_auto_increment(spark, tmp_path):
+    """Auto-increment pk tables through both paths: identical ids on
+    every WAL event and snapshot row (segment packing in bucket order +
+    arrival-order numbering), identical counter state, gap-free ids."""
+    cat = Catalog(str(tmp_path / "wh_auto"))
+    schema = TableSchema(
+        fields=[
+            Field("k", "INT", nullable=False),
+            Field("v", "STRING"),
+            Field("rid", "BIGINT", auto_increment=True),
+        ],
+        primary_key=["k"],
+        num_buckets=4,
+        properties={},
+    )
+    ta = create_table(cat, "db", "two_pass_auto", schema)
+    tb = create_table(cat, "db", "single_action_auto", schema)
+    _force_twopass(ta)
+    ts = 1_700_000_400_000
+
+    batches = [
+        [(k, f"v{k}", "U") for k in range(10)],
+        [(1, "x", "U"), (2, None, "D"), (42, "new", "U")],
+        [(k, None, "D") for k in range(0, 10, 3)],
+    ]
+    total_events = 0
+    for i, rows in enumerate(batches):
+        for t in (ta, tb):
+            df = spark.createDataFrame(rows, "k int, v string, __op string")
+            t.kv.upsert(df, ordering=None, commit_ts_ms=ts + i)
+        assert _state_tuple(ta, spark, ["k", "v", "rid"]) == _state_tuple(
+            tb, spark, ["k", "v", "rid"]
+        )
+        st_a = ta.catalog.current_commit(ta.db, ta.name)
+        st_b = tb.catalog.current_commit(tb.db, tb.name)
+        assert st_a.auto_increment == st_b.auto_increment
+        total_events = st_b.auto_increment["rid"]
+
+    # gap-free across all commits: every id in [0, total) exactly once
+    ids = sorted(r["rid"] for r in tb.kv.log.scan(spark).select("rid").collect())
+    assert ids == list(range(total_events))

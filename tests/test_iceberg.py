@@ -575,3 +575,257 @@ def test_iceberg_stable_field_ids_and_add_column(spark, admin, tmp_path):
     assert (50, 1.5) in rows
     assert all(c is None for a, c in rows if a != 50)
     assert len(rows) == 5  # 2 commits x 2 rows + the new one
+
+
+def test_iceberg_pk_export_schema_is_declared_columns_only(spark, admin, tmp_path):
+    """ADVICE r7 (high): fused pk-table snapshot files carry the WAL
+    system columns (as nulls) in their parquet footers; the exported
+    Iceberg schema must surface ONLY the declared columns plus the path
+    partition column(s) — never _change_type/__seq/__sub/__offset/
+    __timestamp."""
+    t = admin.create_table(
+        "db", "icepk_clean",
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "STRING")],
+            primary_key=["id"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame([(i, f"x{i}") for i in range(10)], "id bigint, v string"),
+        ordering=["id"],
+    )
+    t.upsert(
+        spark.createDataFrame([(3, "updated")], "id bigint, v string"), ordering=["id"]
+    )
+    # precondition: the snapshot footers DO contain the system columns
+    import pyarrow.parquet as pq
+
+    snap_files = admin.get_latest_lake_snapshot("db", "icepk_clean").files
+    footer_names = set()
+    for p in snap_files:
+        footer_names |= set(pq.read_schema(p).names)
+    assert "_change_type" in footer_names and "__offset" in footer_names
+
+    target = str(tmp_path / "icepk_clean")
+    admin.export_iceberg_metadata("db", "icepk_clean", target)
+    meta_dir = os.path.join(target, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert {f["name"] for f in cur["fields"]} == {"id", "v", "__bucket"}
+    # read-back surfaces exactly the exported columns
+    df = read_iceberg_table(spark, target)
+    assert set(df.columns) == {"id", "v", "__bucket"}
+    got = {(r["id"], r["v"]) for r in df.select("id", "v").collect()}
+    assert got == {(i, f"x{i}") for i in range(10) if i != 3} | {(3, "updated")}
+
+
+def test_iceberg_pk_export_heals_polluted_prior_schema(spark, admin, tmp_path):
+    """A pre-fix export that leaked WAL system columns into the Iceberg
+    schema is healed by the next export: the carried prior fields drop
+    the internal names (a new schema-id is appended; the old snapshot
+    still resolves its own recorded schema-id)."""
+    t = admin.create_table(
+        "db", "icepk_heal",
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "STRING")],
+            primary_key=["id"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame([(i, f"x{i}") for i in range(6)], "id bigint, v string"),
+        ordering=["id"],
+    )
+    target = str(tmp_path / "icepk_heal")
+    admin.export_iceberg_metadata("db", "icepk_heal", target)
+    meta_dir = os.path.join(target, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    # simulate the r7 pollution: inject system columns into the current
+    # schema as a pre-fix export would have recorded them
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    nid = meta["last-column-id"]
+    for name in ("_change_type", "__seq", "__offset"):
+        nid += 1
+        cur["fields"].append(
+            {"id": nid, "name": name, "required": False, "type": "string"}
+        )
+    meta["last-column-id"] = nid
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    # next commit + export must carry ONLY the clean fields forward
+    t.upsert(
+        spark.createDataFrame([(1, "updated")], "id bigint, v string"), ordering=["id"]
+    )
+    admin.export_iceberg_metadata("db", "icepk_heal", target)
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v2 = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{v2}.metadata.json")) as f:
+        meta2 = json.load(f)
+    cur2 = next(
+        s for s in meta2["schemas"] if s["schema-id"] == meta2["current-schema-id"]
+    )
+    assert {f["name"] for f in cur2["fields"]} == {"id", "v", "__bucket"}
+    # stable ids: the surviving fields keep their original ids
+    old_ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert all(f["id"] == old_ids[f["name"]] for f in cur2["fields"])
+    got = {
+        (r["id"], r["v"])
+        for r in read_iceberg_table(spark, target).select("id", "v").collect()
+    }
+    assert got == {(i, f"x{i}") for i in range(6) if i != 1} | {(1, "updated")}
+
+
+def test_delta_pk_export_schema_clean_and_heals(spark, admin, tmp_path):
+    """export_delta_log on a pk table: the v0 metaData schema holds only
+    declared columns + partition path cols; a polluted prior metaData
+    (pre-fix export) is corrected by appending a cleaned metaData action
+    on the next export."""
+    t = admin.create_table(
+        "db", "dlpk",
+        TableSchema(
+            fields=[Field("id", "BIGINT", nullable=False), Field("v", "STRING")],
+            primary_key=["id"],
+            num_buckets=2,
+        ),
+    )
+    t.upsert(
+        spark.createDataFrame([(i, f"x{i}") for i in range(6)], "id bigint, v string"),
+        ordering=["id"],
+    )
+    target = str(tmp_path / "dlpk")
+    admin.export_delta_log("db", "dlpk", target)
+    log_dir = os.path.join(target, "_delta_log")
+
+    def _schema_fields(fn):
+        out = None
+        with open(os.path.join(log_dir, fn)) as f:
+            for line in f:
+                act = json.loads(line)
+                if "metaData" in act:
+                    out = [
+                        fl["name"]
+                        for fl in json.loads(act["metaData"]["schemaString"])["fields"]
+                    ]
+        return out
+
+    assert set(_schema_fields("00000000000000000000.json")) == {"id", "v", "__bucket"}
+
+    # simulate a pre-fix polluted v0 metaData, then re-export
+    p0 = os.path.join(log_dir, "00000000000000000000.json")
+    lines = open(p0).read().splitlines()
+    out_lines = []
+    for line in lines:
+        act = json.loads(line)
+        if "metaData" in act:
+            sch = json.loads(act["metaData"]["schemaString"])
+            sch["fields"] += [
+                {"name": "_change_type", "nullable": True, "metadata": {}, "type": "string"},
+                {"name": "__offset", "nullable": True, "metadata": {}, "type": "long"},
+            ]
+            act["metaData"]["schemaString"] = json.dumps(sch)
+        out_lines.append(json.dumps(act))
+    with open(p0, "w") as f:
+        f.write("\n".join(out_lines) + "\n")
+
+    t.upsert(
+        spark.createDataFrame([(1, "updated")], "id bigint, v string"), ordering=["id"]
+    )
+    admin.export_delta_log("db", "dlpk", target)
+    healed = _schema_fields("00000000000000000001.json")
+    assert healed is not None and set(healed) == {"id", "v", "__bucket"}
+
+
+def test_iceberg_per_snapshot_partition_spec_and_mixed_layout_guard(
+    spark, admin, tmp_path
+):
+    """ADVICE r7 (low): a time-travelled snapshot taken BEFORE a
+    partition-spec change must project ITS spec (resolved from its
+    manifest's recorded partition_spec_id), not the table-level default;
+    and an export over a live set MIXING partition-dir layouts must be
+    refused (old-layout files would read back NULL partition values)."""
+    import types as pytypes
+
+    from fluss_spark.sources.kv import KvStore
+    from fluss_spark.types import BUCKET_COL  # noqa: F401
+
+    t = admin.create_table(
+        "db", "icespec",
+        TableSchema(
+            fields=[
+                Field("dt", "STRING", nullable=False),
+                Field("id", "BIGINT", nullable=False),
+                Field("v", "STRING"),
+            ],
+            primary_key=["dt", "id"],
+            partition_keys=["dt"],
+            num_buckets=2,
+        ),
+    )
+    # first commit through the two-pass baseline: bucket-only snapshot
+    # layout, dt lives IN the data files (the pre-round-8 layout)
+    t.kv._commit_changelog = pytypes.MethodType(
+        lambda self, spark_, cl, ts, bb=None: KvStore._commit_twopass(
+            self, spark_, cl, ts
+        ),
+        t.kv,
+    )
+    rows = [("d1", i, f"x{i}") for i in range(6)] + [("d2", i, f"y{i}") for i in range(6)]
+    t.upsert(spark.createDataFrame(rows, "dt string, id bigint, v string"), ordering=["id"])
+    target = str(tmp_path / "icespec")
+    e1 = admin.export_iceberg_metadata("db", "icespec", target)
+    snap1 = e1.snapshot_id
+    df1 = read_iceberg_table(spark, target)
+    assert {(r["dt"], r["id"], r["v"]) for r in df1.select("dt", "id", "v").collect()} == set(rows)
+
+    # restore the fused path; a PARTIAL upsert leaves the live set mixed
+    # (old bucket-only dirs + new partitioned dirs) -> export refused
+    del t.kv._commit_changelog
+    t.upsert(
+        spark.createDataFrame([("d1", 0, "upd")], "dt string, id bigint, v string"),
+        ordering=["id"],
+    )
+    with pytest.raises(ValueError, match="partition-dir layout"):
+        admin.export_iceberg_metadata("db", "icespec", target)
+    with pytest.raises(ValueError, match="partition-dir layout"):
+        admin.export_delta_log("db", "icespec", str(tmp_path / "icespec_dl"))
+
+    # full rewrite moves every bucket to the partitioned layout
+    rows2 = [("d1", i, f"X{i}") for i in range(6)] + [("d2", i, f"Y{i}") for i in range(6)]
+    t.upsert(spark.createDataFrame(rows2, "dt string, id bigint, v string"), ordering=["id"])
+    admin.export_iceberg_metadata("db", "icespec", target)
+
+    meta_dir = os.path.join(target, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    # spec changed: appended with a new spec-id, default advanced
+    assert len(meta["partition-specs"]) == 2
+    spec_names = {
+        s["spec-id"]: [pf["name"] for pf in s["fields"]]
+        for s in meta["partition-specs"]
+    }
+    assert spec_names[0] == ["__bucket"]
+    assert set(spec_names[meta["default-spec-id"]]) == {"dt", "__bucket"}
+
+    # current snapshot projects dt from the manifests (new spec)
+    cur = read_iceberg_table(spark, target)
+    assert {(r["dt"], r["id"], r["v"]) for r in cur.select("dt", "id", "v").collect()} == set(rows2)
+    # time travel to snapshot 1 resolves the OLD spec: dt comes from the
+    # file data, values intact (the table-level default would project
+    # dt as a partition column the old files' paths don't carry)
+    old = read_iceberg_table(spark, target, snapshot_id=snap1)
+    assert {(r["dt"], r["id"], r["v"]) for r in old.select("dt", "id", "v").collect()} == set(rows)
