@@ -1869,7 +1869,16 @@ def _fold_session_batch_inner(t: FlussTable, spark: SparkSession, s, lo, hi) -> 
         .withColumn(OP_COL, F.lit("D"))
         .withColumn("__ord", F.lit(0))
     )
-    t.upsert(upserts.unionByName(absorbed), ordering=["__ord"])
+    # persist the islands OUTPUT (O(affected sessions), tiny): the
+    # upsert otherwise re-runs the whole islands pass — stored-snapshot
+    # scan + user_id exchange + window — once for its batch-bucket
+    # discovery job and again inside the commit write action; with the
+    # cache one islands evaluation serves all of them
+    changes = upserts.unionByName(absorbed).persist()
+    try:
+        t.upsert(changes, ordering=["__ord"])
+    finally:
+        changes.unpersist()
 
 
 @register(

@@ -89,6 +89,14 @@ class KvStore:
         self.log = LogStore(catalog, db, table)
         self.snapshot_dir = os.path.join(catalog.table_dir(db, table), "snapshot")
         self.manifest_dir = os.path.join(catalog.table_dir(db, table), "meta", "snapshots")
+        # analyzed-DataFrame cache for snapshot data dirs: a data dir is
+        # IMMUTABLE once a committed manifest references it (GC only
+        # deletes dirs no retained manifest references), so the resolved
+        # read plan can be reused across commits — the seed probe and
+        # the commit's prior-row feed re-read every referenced dir each
+        # commit, and the JVM analysis round was a measurable slice of
+        # the per-commit driver gap. Keyed by (data dir, spark session).
+        self._dir_cache: dict[tuple[str, int], DataFrame] = {}
 
     # ------------------------------------------------------------------ #
     # manifests: per-version {bucket -> data dir name}
@@ -795,7 +803,21 @@ class KvStore:
         """One snapshot data dir, projected onto the CURRENT schema by
         field id (rename=alias, retype=widening cast). Identity (no
         eras / dir written under the current schema) keeps the exact
-        bare-scan plan."""
+        bare-scan plan. The resolved DataFrame is cached per dir (dirs
+        are immutable, see __init__) — file listing happens at execution
+        time, so the cache saves only driver-side analysis, never
+        staleness."""
+        key = (data_dir, id(spark))
+        cached = self._dir_cache.get(key)
+        if cached is not None:
+            return cached
+        df = self._read_snapshot_dir_uncached(spark, data_dir)
+        if len(self._dir_cache) > 256:  # bound: old dirs age out via GC
+            self._dir_cache.clear()
+        self._dir_cache[key] = df
+        return df
+
+    def _read_snapshot_dir_uncached(self, spark: SparkSession, data_dir: str) -> DataFrame:
         era = self._era_for_dir(data_dir)
         # schema as a DDL STRING: StructType.simpleString() is pure
         # Python, so this is ONE py4j round trip; passing the StructType
