@@ -23,21 +23,22 @@ registry.load_all_queries()
 # operators take the window — the relational family keeps its two rounds
 # of driver-green history and stays covered by tests/test_oracle_parity.py,
 # which runs the identical compare over ALL registered queries.
-# Round-7 rotation. The union of the r1-r6 windows covers all 174
-# registered queries with zero never-green rows. This round the
-# single-action commit write (kv.py) changed the PLAN of every
-# engine-lifecycle query, so the window = 10 engine-core sentinels
-# (continuous driver history; s9/a1 are log-side and unchanged but stay
-# for continuity) + the five round-6 additions needing their 2nd
-# consecutive green row (verdict item 2) + the 16 other engine-family
-# queries whose commit plans changed this round + 19 thin-history rows
-# holding exactly one green row across r1-r6 (family-diverse picks).
+# Round-8 rotation. The union of the r1-r7 windows covers all 175
+# registered queries with zero never-green rows. This round the commit
+# path changed again for EVERY pk-table layout (arrival-order window,
+# always-bounded prior feed, partitioned + auto-increment routed onto
+# the fused single action, snapshot-dir read cache) and the lake
+# exports changed their schema derivation, so the window = 10
+# engine-core sentinels + m14_partitioned_pk (its 2nd consecutive
+# green, AND the query whose layout this round rebuilt) + 17
+# engine/export-family queries whose plans changed + 22 thin-history
+# rows holding exactly one green row across r1-r7 (family-diverse:
+# ann/dd/fn_rb/mm/op picks; the tx family rotates in next round).
 # Everything rotated out keeps its green rows and stays covered by
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered queries.
 _PRIORITY = [
-    # engine-core sentinels (driver-green every round; plans changed by
-    # the single-action commit except s9/a1)
+    # engine-core sentinels (driver-green every round)
     "m1_changelog_emission",
     "m3_partial_update",
     "m6_versioned_snapshot",
@@ -48,17 +49,12 @@ _PRIORITY = [
     "s9_tiered_log_scan",
     "t9_log_changelog_view",
     "a1_count_metadata",
-    # --- round-6 additions: certify a 2nd consecutive green round ---
-    "s10_iceberg_union_read",
-    "dd_cdc_spans",
-    "emb_outliers",
-    "t14_incremental_sessions",
-    "t15_snapshot_diff",
-    # --- engine-family queries whose commit plans changed this round
-    #     (single-action WAL+snapshot write + selectExpr fold) ---
+    # --- 2nd consecutive green + partitioned single-action layout ---
+    "m14_partitioned_pk",
+    # --- engine/export-family queries whose plans changed this round
+    #     (fused commit for all layouts + export schema filtering) ---
     "m2_delete_replay",
     "m4_default_merge_snapshot",
-    "m5_first_row_snapshot",
     "m12_sql_update_delete",
     "m13_sql_merge_into",
     "l4_lookup_join",
@@ -67,32 +63,36 @@ _PRIORITY = [
     "l7_vector_index",
     "t12_incremental_mt",
     "t13_scd2_history",
+    "t14_incremental_sessions",
+    "t15_snapshot_diff",
     "dd_exact_engine",
     "dd_incremental_lsh",
-    "dd_fuzzy_contamination",
+    "dd_cdc_spans",
     "ann_incremental_ivf",
-    "a2_minmax_snapshot",
-    # --- thin-history rows (exactly one green row in r1-r6) ---
-    "join_tpch_q9",
-    "join_tpch_q12",
-    "subquery_tpch_q2",
-    "subquery_tpch_q20",
-    "s8_offset_time_travel",
-    "p6_partition_pruned_scan",
-    "t5_session_window",
-    "t5_sliding_window",
-    "op_asof_join",
-    "op_funnel",
-    "op_sessionize",
-    "op_retention_cohort",
-    "dd_minhash_lsh",
-    "dd_lsh_canonical",
-    "dd_cluster_components",
-    "ann_ivf_topk",
-    "ann_recall_audit",
-    "tx_dataset_card",
-    # --- new this round: the first partitioned-pk registered query ---
-    "m14_partitioned_pk",
+    "s10_iceberg_union_read",
+    # --- thin-history rows (exactly one green row in r1-r7) ---
+    "ann_bruteforce_topk",
+    "ann_hyperplane_lsh",
+    "ann_ivf_nprobe",
+    "ann_kmeans_ivf",
+    "ann_pq_adc",
+    "ann_range_search",
+    "ann_sq8_rerank",
+    "dd_contamination",
+    "dd_embedding_cosine",
+    "dd_exact",
+    "dd_lsh_verify_pipeline",
+    "dd_minhash_estimate",
+    "dd_ngram_jaccard",
+    "fn_rb_and_or_agg",
+    "fn_rb_binary_roundtrip",
+    "fn_rb_build_cardinality",
+    "mm_audio_segment",
+    "mm_decode_metadata",
+    "mm_frame_sample",
+    "mm_resize_pipeline",
+    "op_interval_join",
+    "op_transition_matrix",
 ]
 
 
