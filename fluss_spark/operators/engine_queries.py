@@ -1769,24 +1769,39 @@ def _fold_session_batch(t: FlussTable, spark: SparkSession, batch: DataFrame) ->
     # (one user_id exchange per recompute). The persisted frame is
     # O(sessions in batch), far smaller than the batch itself, and the
     # bounds come off it rather than a second pass over raw events.
+    # ONE collect yields both the time bounds and the batch's bucket
+    # set (every affected key's user is in the batch — merges only
+    # happen on islands holding a fresh session — so these buckets are
+    # a valid superset for the commit), letting the upsert skip its
+    # per-commit bucket-discovery job.
     s = _batch_sessions(batch).persist()
     try:
-        bounds = s.agg(
-            F.min(F.col("b_start").cast("long")), F.max(F.col("b_last").cast("long"))
-        ).collect()[0]
-        lo, hi = bounds[0], bounds[1]
-        if lo is None:
+        rows = (
+            s.groupBy(t.kv._bucket_expr().alias("b"))
+            .agg(
+                F.min(F.col("b_start").cast("long")).alias("lo"),
+                F.max(F.col("b_last").cast("long")).alias("hi"),
+            )
+            .collect()
+        )
+        if not rows:
             return
-        _fold_session_batch_inner(t, spark, s, lo, hi)
+        lo = min(r["lo"] for r in rows)
+        hi = max(r["hi"] for r in rows)
+        buckets = sorted(int(r["b"]) for r in rows)
+        _fold_session_batch_inner(t, spark, s, lo, hi, buckets)
     finally:
         s.unpersist()
 
 
-def _fold_session_batch_inner(t: FlussTable, spark: SparkSession, s, lo, hi) -> None:
+def _fold_session_batch_inner(
+    t: FlussTable, spark: SparkSession, s, lo, hi, buckets=None
+) -> None:
     """Gaps-and-islands merge of the folded batch sessions `s` (already
     persisted by the caller) against the stored sessions inside the
     [lo, hi] +/- gap time bound; ends in one mixed upsert/delete
-    commit."""
+    commit (`buckets` = the batch's bucket set, forwarded so the
+    commit skips its discovery job)."""
     from pyspark.sql.window import Window
 
     from fluss_spark.operators.replay import OP_COL
@@ -1876,7 +1891,7 @@ def _fold_session_batch_inner(t: FlussTable, spark: SparkSession, s, lo, hi) -> 
     # cache one islands evaluation serves all of them
     changes = upserts.unionByName(absorbed).persist()
     try:
-        t.upsert(changes, ordering=["__ord"])
+        t.upsert(changes, ordering=["__ord"], batch_buckets=buckets)
     finally:
         changes.unpersist()
 

@@ -127,12 +127,17 @@ class KvStore:
         partial_update_cols: list[str] | None = None,
         commit_ts_ms: int | None = None,
         merge_mode: str | None = None,
+        batch_buckets: list[int] | None = None,
     ) -> CommitState:
         """Apply a batch of upserts/deletes. Rows may carry an `__op`
         column ('U'/'D'); absent means all upserts. `ordering` fixes the
         intra-batch fold order per key (default: arrival order).
         `partial_update_cols` = target columns incl. pk (M3,
-        client/table/writer/Upsert.java:39-59)."""
+        client/table/writer/Upsert.java:39-59). `batch_buckets` (a
+        SUPERSET of the batch keys' buckets, e.g. known from an earlier
+        aggregation of the same frame) skips the per-commit bucket
+        discovery job that otherwise bounds the seed read and the
+        commit's prior-snapshot feed."""
         spark = df.sparkSession
         schema = self.schema
         pk, cols = schema.primary_key, schema.data_columns()
@@ -142,7 +147,9 @@ class KvStore:
             if missing_pk:
                 raise ValueError(f"partial update must include the primary key, missing {missing_pk}")
 
-        fold_in, may_have_deletes, batch_buckets = self._fold_input(spark, df, ordering)
+        fold_in, may_have_deletes, batch_buckets = self._fold_input(
+            spark, df, ordering, batch_buckets
+        )
 
         changelog, _ = replay(
             fold_in,
@@ -154,7 +161,11 @@ class KvStore:
         return self._commit_changelog(spark, changelog, commit_ts_ms, batch_buckets)
 
     def _fold_input(
-        self, spark: SparkSession, df: DataFrame, ordering: list[str] | None
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        ordering: list[str] | None,
+        known_buckets: list[int] | None = None,
     ) -> tuple[DataFrame, bool, list[int] | None]:
         """Build the fold input (seed ∪ batch, with per-key __seq) so the
         whole upsert fold costs ONE pk hash exchange
@@ -206,14 +217,17 @@ class KvStore:
         # straight into its bucket window with no key semi-join, so an
         # unbounded feed would shuffle O(table) per commit. The discovery
         # collect is one tiny job (<= num_buckets rows) and also prunes
-        # the seed read's dir/footer walk.
-        if has_snapshot:
+        # the seed read's dir/footer walk. A caller that already knows a
+        # superset of the batch's buckets passes it in and skips the job.
+        if not has_snapshot:
+            batch_buckets = []
+        elif known_buckets is not None:
+            batch_buckets = [int(x) for x in known_buckets]
+        else:
             batch_buckets = [
                 int(r["b"])
                 for r in b.select(self._bucket_expr().alias("b")).distinct().collect()
             ]
-        else:
-            batch_buckets = []
         # no .distinct() on the probe side: a semi join dedups by
         # definition, and the distinct would cost its own exchange + agg
         ord_types = dict(b.dtypes)
