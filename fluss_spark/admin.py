@@ -28,7 +28,10 @@ class KvSnapshotMetadata:
     consistent snapshot + the changelog offsets to resume from."""
 
     snapshot_id: int
-    bucket_dirs: dict[int, str]  # bucket -> data dir (manifest)
+    # manifest units -> data dir: {bucket: dir} for unpartitioned pk
+    # tables, {(partition path, bucket): dir} for partitioned ones (the
+    # reference's TableBucket granularity)
+    bucket_dirs: dict
     files: list[str]  # parquet files, relative to the snapshot root
     log_offsets: dict[int, int]
 
@@ -758,11 +761,10 @@ class Admin:
             # newer dirs and must not be counted).
             num_rows = 0
             manifest = t.kv._manifest(state.snapshot_version) or {}
-            for bkt, data_dir in manifest.items():
-                for bdir in t.kv.bucket_dirs(data_dir, bkt):
-                    for fn in os.listdir(bdir):
-                        if fn.endswith(".parquet"):
-                            num_rows += pq.read_metadata(os.path.join(bdir, fn)).num_rows
+            for bdir in t.kv.manifest_unit_paths(manifest) or []:
+                for fn in os.listdir(bdir):
+                    if fn.endswith(".parquet"):
+                        num_rows += pq.read_metadata(os.path.join(bdir, fn)).num_rows
         return TableStats(num_rows=num_rows, size_bytes=size, num_files=files)
 
     # -- lake snapshot (Admin.getLatestLakeSnapshot) ----------------------
@@ -1128,11 +1130,10 @@ class Admin:
         history = {s.version: s for s in self.catalog.commit_history(db, name)}
         cs = history[snapshot_id]
         files = []
-        for bkt, data_dir in sorted(manifest.items()):
-            for bdir in t.kv.bucket_dirs(data_dir, bkt):
-                for fn in sorted(os.listdir(bdir)):
-                    if fn.endswith(".parquet"):
-                        files.append(os.path.relpath(os.path.join(bdir, fn), t.kv.snapshot_dir))
+        for bdir in t.kv.manifest_unit_paths(manifest) or []:
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    files.append(os.path.relpath(os.path.join(bdir, fn), t.kv.snapshot_dir))
         return KvSnapshotMetadata(
             snapshot_id=snapshot_id,
             bucket_dirs=dict(sorted(manifest.items())),

@@ -347,7 +347,15 @@ def _compact_snapshot_locked(table: FlussTable, spark: SparkSession, max_dirs: i
         .partitionBy(*kv.schema.partition_keys, "__bucket")
         .parquet(os.path.join(kv.snapshot_dir, data_dir))
     )
-    kv._write_manifest(version, {b: data_dir for b in manifest})
+    if kv.schema.partition_keys:
+        # pair-granular manifest: everything now lives in the fresh dir;
+        # the written (partition, bucket) set comes from a dir walk
+        pairs = kv._walk_pairs(os.path.join(kv.snapshot_dir, data_dir))
+        kv._write_manifest(
+            version, {p: data_dir for p in pairs}, {data_dir: pairs}
+        )
+    else:
+        kv._write_manifest(version, {b: data_dir for b in manifest})
     new_state = CommitState(
         version=version,
         log_hwm=state.log_hwm,
@@ -660,7 +668,13 @@ def _rebucket_locked(table: FlussTable, spark: SparkSession, new_buckets: int) -
             .partitionBy(*schema.partition_keys, "__bucket")
             .parquet(os.path.join(kv.snapshot_dir, data_dir))
         )
-        kv._write_manifest(version, {b: data_dir for b in range(new_buckets)})
+        if schema.partition_keys:
+            pairs = kv._walk_pairs(os.path.join(kv.snapshot_dir, data_dir))
+            kv._write_manifest(
+                version, {p: data_dir for p in pairs}, {data_dir: pairs}
+            )
+        else:
+            kv._write_manifest(version, {b: data_dir for b in range(new_buckets)})
         snapshot_version = version
 
     # crash-safe publication order (the _truncate_commits_before rule:

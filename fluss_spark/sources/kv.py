@@ -99,20 +99,114 @@ class KvStore:
         self._dir_cache: dict[tuple[str, int], DataFrame] = {}
 
     # ------------------------------------------------------------------ #
-    # manifests: per-version {bucket -> data dir name}
+    # manifests
+    #
+    # Unpartitioned tables: per-version {bucket -> data dir name} — the
+    # bucket is the snapshot unit, rewriting it replaces the whole
+    # bucket.
+    #
+    # Partitioned tables: per-version {(partition path, bucket) -> data
+    # dir} — the snapshot unit is the (partition, bucket) PAIR, exactly
+    # the reference's TableBucket (metadata/TableBucket.java holds
+    # (partitionId, bucket)). A commit touching one partition rewrites
+    # only that partition's pairs; every other partition's files are
+    # untouched bytes referenced through older manifest entries. The
+    # manifest also records, per data dir, the pair set the dir was
+    # WRITTEN with ("dir_pairs"): a dir can physically hold pairs a
+    # newer dir has since superseded, and readers subtract the
+    # superseded set (dir_pairs - currently-mapped) as a small
+    # anti-filter instead of enumerating every live pair — O(pairs
+    # rewritten since the last compaction), not O(table partitions).
+    # Partition paths are the hive-style dir strings Spark wrote
+    # (taken from directory walks, never re-derived from values, so
+    # escaping stays consistent end to end).
     # ------------------------------------------------------------------ #
-    def _manifest(self, version: int) -> dict[int, str] | None:
+    def _manifest(self, version: int):
+        """{bucket -> dir} (unpartitioned) or {(partpath, bucket) ->
+        dir} (partitioned); None if the version has no manifest."""
         p = os.path.join(self.manifest_dir, f"v{version}.json")
         if version < 0 or not os.path.exists(p):
             return None
         with open(p) as f:
-            return {int(k): v for k, v in json.load(f)["buckets"].items()}
+            doc = json.load(f)
+        if "pairs" in doc:
+            return {
+                (pp, int(b)): d
+                for pp, bks in doc["pairs"].items()
+                for b, d in bks.items()
+            }
+        return {int(k): v for k, v in doc["buckets"].items()}
 
-    def _write_manifest(self, version: int, buckets: dict[int, str]) -> None:
+    def _manifest_dir_pairs(self, version: int) -> dict[str, list]:
+        """{dir -> [(partpath, bucket), ...]} the dir was written with
+        (partitioned manifests only; {} otherwise)."""
+        p = os.path.join(self.manifest_dir, f"v{version}.json")
+        if version < 0 or not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            doc = json.load(f)
+        return {
+            d: [(pp, int(b)) for pp, b in pairs]
+            for d, pairs in doc.get("dir_pairs", {}).items()
+        }
+
+    def _write_manifest(
+        self,
+        version: int,
+        entries: dict,
+        dir_pairs: dict[str, list] | None = None,
+    ) -> None:
+        if self.schema.partition_keys:
+            pairs: dict[str, dict[str, str]] = {}
+            for (pp, b), d in entries.items():
+                pairs.setdefault(pp, {})[str(int(b))] = d
+            referenced = set(entries.values())
+            doc = {
+                "pairs": pairs,
+                "dir_pairs": {
+                    d: [[pp, int(b)] for pp, b in sorted(ps)]
+                    for d, ps in (dir_pairs or {}).items()
+                    if d in referenced
+                },
+            }
+        else:
+            doc = {"buckets": {str(k): v for k, v in entries.items()}}
         Catalog._write_atomic(
-            os.path.join(self.manifest_dir, f"v{version}.json"),
-            json.dumps({"buckets": {str(k): v for k, v in buckets.items()}}),
+            os.path.join(self.manifest_dir, f"v{version}.json"), json.dumps(doc)
         )
+
+    @staticmethod
+    def _walk_pairs(root: str) -> list[tuple[str, int]]:
+        """(partition path, bucket) pairs physically present under a
+        written dir (WAL staging or snapshot data dir), from the
+        hive-style dir names Spark emitted."""
+        marker = f"{BUCKET_COL}="
+        out = []
+        for r, dirs, _files in os.walk(root):
+            for d in dirs:
+                if d.startswith(marker):
+                    rel = os.path.relpath(r, root)
+                    out.append(("" if rel == "." else rel, int(d[len(marker):])))
+        return sorted(out)
+
+    def _partpath_filter(self, partpath: str):
+        """Typed Spark predicate matching one partition path: each
+        hive segment's value string is unescaped and CAST to the
+        declared column type — the same parse Spark's own partition
+        discovery applies, so the comparison is value-exact without
+        re-deriving any path string."""
+        import urllib.parse
+
+        types = {f.name: parse_type(f.type) for f in self.schema.fields}
+        cond = F.lit(True)
+        for seg in partpath.split("/"):
+            if not seg:
+                continue
+            k, v = seg.split("=", 1)
+            cond = cond & (
+                F.col(k) == F.lit(urllib.parse.unquote(v)).cast(types[k])
+            )
+        return cond
 
     def _bucket_expr(self):
         return F.pmod(F.hash(*self.schema.bucket_keys), F.lit(self.schema.num_buckets)).cast("int")
@@ -147,7 +241,7 @@ class KvStore:
             if missing_pk:
                 raise ValueError(f"partial update must include the primary key, missing {missing_pk}")
 
-        fold_in, may_have_deletes, batch_buckets = self._fold_input(
+        fold_in, may_have_deletes, batch_buckets, pair_pred = self._fold_input(
             spark, df, ordering, batch_buckets
         )
 
@@ -158,7 +252,9 @@ class KvStore:
             merge_mode=merge_mode,
             may_have_deletes=may_have_deletes,
         )
-        return self._commit_changelog(spark, changelog, commit_ts_ms, batch_buckets)
+        return self._commit_changelog(
+            spark, changelog, commit_ts_ms, batch_buckets, pair_pred
+        )
 
     def _fold_input(
         self,
@@ -166,7 +262,7 @@ class KvStore:
         df: DataFrame,
         ordering: list[str] | None,
         known_buckets: list[int] | None = None,
-    ) -> tuple[DataFrame, bool, list[int] | None]:
+    ):
         """Build the fold input (seed ∪ batch, with per-key __seq) so the
         whole upsert fold costs ONE pk hash exchange
         (tests/test_plans.py pins this on the full path)."""
@@ -219,10 +315,35 @@ class KvStore:
         # collect is one tiny job (<= num_buckets rows) and also prunes
         # the seed read's dir/footer walk. A caller that already knows a
         # superset of the batch's buckets passes it in and skips the job.
+        # Partitioned tables discover (partition values, bucket) PAIRS:
+        # the typed pair predicate bounds the seed and the prior feed to
+        # the batch's partitions too (directory pruning), capped at 512
+        # pairs so a corpus-wide backfill doesn't explode the plan.
+        pair_pred = None
+        pcols = schema.partition_keys
         if not has_snapshot:
             batch_buckets = []
         elif known_buckets is not None:
             batch_buckets = [int(x) for x in known_buckets]
+        elif pcols:
+            rows = (
+                b.select(*pcols, self._bucket_expr().alias("__b"))
+                .distinct()
+                .collect()
+            )
+            batch_buckets = sorted({int(r["__b"]) for r in rows})
+            if 0 < len(rows) <= 512:
+                pair_pred = reduce(
+                    lambda a, c: a | c,
+                    [
+                        reduce(
+                            lambda a, c: a & c,
+                            [F.col(p) == F.lit(r[p]) for p in pcols],
+                        )
+                        & (F.col(BUCKET_COL) == int(r["__b"]))
+                        for r in rows
+                    ],
+                )
         else:
             batch_buckets = [
                 int(r["b"])
@@ -232,7 +353,7 @@ class KvStore:
         # definition, and the distinct would cost its own exchange + agg
         ord_types = dict(b.dtypes)
         seed = (
-            self.snapshot(spark, buckets=batch_buckets)
+            self.snapshot(spark, buckets=batch_buckets, pair_pred=pair_pred)
             .join(b.select(*pk), on=pk, how="left_semi")
             .selectExpr(
                 "*",
@@ -259,7 +380,7 @@ class KvStore:
             f"- sum(`{SEED_COL}`) OVER (PARTITION BY {pk_sql}) END AS BIGINT) "
             f"AS `{SEQ_COL}`",
         ).select(*cols, OP_COL, SEQ_COL, SEED_COL)
-        return fold_in, may_have_deletes, batch_buckets
+        return fold_in, may_have_deletes, batch_buckets, pair_pred
 
     def _commit_changelog(
         self,
@@ -267,6 +388,7 @@ class KvStore:
         changelog: DataFrame,
         commit_ts_ms: int | None,
         batch_buckets: list[int] | None = None,
+        pair_pred=None,
     ) -> CommitState:
         """Commit the replayed changelog: WAL append + touched-bucket
         snapshot rewrite + atomic commit, as ONE Spark action for every
@@ -286,7 +408,7 @@ class KvStore:
         spark.conf.set(key, "false")
         try:
             return self._commit_single_action(
-                spark, changelog, commit_ts_ms, batch_buckets
+                spark, changelog, commit_ts_ms, batch_buckets, pair_pred
             )
         finally:
             spark.conf.set(key, prev)
@@ -297,6 +419,7 @@ class KvStore:
         changelog: DataFrame,
         commit_ts_ms: int | None,
         batch_buckets: list[int] | None,
+        pair_pred=None,
     ) -> CommitState:
         """One write action produces the WAL and the snapshot as sibling
         partition dirs (__dest=w / __dest=s), fused into a single
@@ -420,8 +543,12 @@ class KvStore:
             # a prior row that is still the last row of its key (no
             # events) is the survivor the two-pass path found by
             # anti-join. seq=-1 sorts prior rows before every event of
-            # their key and loses the per-key max to any event.
-            old = self.snapshot(spark, buckets=batch_buckets).selectExpr(
+            # their key and loses the per-key max to any event. On
+            # partitioned tables the typed pair predicate additionally
+            # bounds the feed to the batch's (partition, bucket) pairs.
+            old = self.snapshot(
+                spark, buckets=batch_buckets, pair_pred=pair_pred
+            ).selectExpr(
                 *qcols,
                 f"CAST(NULL AS STRING) AS `{CHANGE_TYPE_COL}`",
                 f"CAST(-1 AS BIGINT) AS `{SEQ_COL}`",
@@ -477,8 +604,16 @@ class KvStore:
             # window expressions must be plain columns before the
             # generator below: Spark rejects window functions in explode()
             f"{is_last} AS __is_last",
-            f"(max(CAST({is_event} AS INT)) OVER (PARTITION BY `{BUCKET_COL}`) = 1)"
-            " AS __touched",
+            # the snapshot-rewrite unit is the (partition, bucket) PAIR
+            # on partitioned tables (reference TableBucket granularity):
+            # a prior row survives into the new dir only if ITS pair saw
+            # an event — other partitions of the same bucket stay as
+            # untouched bytes behind their old manifest entries
+            f"(max(CAST({is_event} AS INT)) OVER (PARTITION BY "
+            + ", ".join(
+                [f"`{BUCKET_COL}`"] + [f"`{c}`" for c in schema.partition_keys]
+            )
+            + ") = 1) AS __touched",
             f"`{BUCKET_COL}`",
         )
         dests = (
@@ -543,10 +678,17 @@ class KvStore:
         per_bucket = self._footer_hwm_or_read(spark, staged)
         for bkt, mx in per_bucket.items():
             hwm[str(bkt)] = mx + 1
-        touched_buckets = sorted(per_bucket)
+        # the snapshot-rewrite unit: buckets (unpartitioned) or
+        # (partition path, bucket) pairs (partitioned) — both read off
+        # the staged WAL's directory names, zero extra jobs
+        if schema.partition_keys:
+            touched = self._walk_pairs(staged)
+        else:
+            touched = sorted(per_bucket)
 
         new_manifest = dict(old_manifest)
-        if touched_buckets:
+        dir_pairs = None
+        if touched:
             data_dir = f"data-v{version}"
             os.makedirs(self.snapshot_dir, exist_ok=True)
             dst = os.path.join(self.snapshot_dir, data_dir)
@@ -557,11 +699,27 @@ class KvStore:
                 os.rename(snap_part, dst)
             else:  # every key of the touched buckets was deleted
                 os.makedirs(dst)
-            for bkt in touched_buckets:
-                new_manifest[bkt] = data_dir
+            if schema.partition_keys:
+                # a touched pair with no surviving rows (all its keys
+                # deleted) leaves the manifest entirely
+                snap_pairs = set(self._walk_pairs(dst))
+                for pair in touched:
+                    if pair in snap_pairs:
+                        new_manifest[pair] = data_dir
+                    else:
+                        new_manifest.pop(pair, None)
+                dir_pairs = dict(
+                    self._manifest_dir_pairs(state0.snapshot_version)
+                )
+                dir_pairs[data_dir] = sorted(snap_pairs)
+            else:
+                for bkt in touched:
+                    new_manifest[bkt] = data_dir
+        elif schema.partition_keys:
+            dir_pairs = self._manifest_dir_pairs(state0.snapshot_version)
         shutil.rmtree(combined, ignore_errors=True)
 
-        self._write_manifest(version, new_manifest)
+        self._write_manifest(version, new_manifest, dir_pairs)
         new_state = CommitState(
             version=version,
             log_hwm=hwm,
@@ -662,13 +820,38 @@ class KvStore:
                 bucket_rows.withColumn(BUCKET_COL, self._bucket_expr())
                 .repartition(min(schema.num_buckets, 32), F.col(BUCKET_COL))
                 .write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
+                .partitionBy(*schema.partition_keys, BUCKET_COL)
                 .parquet(os.path.join(self.snapshot_dir, data_dir))
             )
-            for bkt in touched_buckets:
-                new_manifest[bkt] = data_dir
+            if schema.partition_keys:
+                # the baseline rewrites touched buckets WHOLE (across
+                # partitions): every pair of a touched bucket remaps to
+                # the new dir; pairs with no surviving rows drop out
+                snap_pairs = set(
+                    self._walk_pairs(os.path.join(self.snapshot_dir, data_dir))
+                )
+                for pair in [
+                    p for p in new_manifest if p[1] in set(touched_buckets)
+                ]:
+                    if pair not in snap_pairs:
+                        new_manifest.pop(pair, None)
+                for pair in snap_pairs:
+                    new_manifest[pair] = data_dir
+            else:
+                for bkt in touched_buckets:
+                    new_manifest[bkt] = data_dir
 
-        self._write_manifest(version, new_manifest)
+        if schema.partition_keys:
+            dir_pairs = dict(
+                self._manifest_dir_pairs(
+                    self.catalog.current_commit(self.db, self.table).snapshot_version
+                )
+            )
+            if touched_buckets:
+                dir_pairs[data_dir] = sorted(snap_pairs)
+            self._write_manifest(version, new_manifest, dir_pairs)
+        else:
+            self._write_manifest(version, new_manifest)
         state.snapshot_version = version
         self.log.publish(version)
         self.catalog.commit(self.db, self.table, state)
@@ -710,16 +893,23 @@ class KvStore:
         spark: SparkSession,
         version: int | None = None,
         buckets: list[int] | None = None,
+        pair_pred=None,
     ) -> DataFrame:
         """KV snapshot scan (S4). `version` = time travel to an older
         snapshot (M11 — snapshot-id = manifest version). `buckets`
         restricts the read to those buckets' files (manifest + partition
-        dir pruning — the lookup fast path)."""
+        dir pruning — the lookup fast path). `pair_pred` (partitioned
+        tables): a typed predicate over the partition columns and
+        __bucket that bounds the physical read to known (partition,
+        bucket) pairs — Spark partition pruning resolves it to
+        directories."""
         if version is None:
             version = self.catalog.current_commit(self.db, self.table).snapshot_version
         manifest = self._manifest(version)
         if not manifest:
             return spark.createDataFrame([], self.schema.to_struct_type())
+        if self.schema.partition_keys:
+            return self._snapshot_pairs(spark, version, manifest, buckets, pair_pred)
         wanted = set(manifest) if buckets is None else (set(buckets) & set(manifest))
         by_dir: dict[str, list[int]] = {}
         for bkt in wanted:
@@ -736,26 +926,52 @@ class KvStore:
             return spark.createDataFrame([], self.schema.to_struct_type())
         return reduce(lambda a, b: a.unionByName(b), parts).drop(BUCKET_COL)
 
+    def _snapshot_pairs(
+        self, spark, version: int, manifest: dict, buckets, pair_pred
+    ) -> DataFrame:
+        """Partitioned snapshot scan over the (partition, bucket)-pair
+        manifest. Per referenced dir the read EXCLUDES the dir's
+        superseded pairs (pairs the dir was written with that a newer
+        dir has since taken over — an anti-filter sized O(pairs
+        rewritten since the dir was written), small after compaction)
+        instead of enumerating every live pair, so full scans keep
+        O(recent-touches) plan size at any partition count."""
+        wanted = (
+            manifest
+            if buckets is None
+            else {k: v for k, v in manifest.items() if k[1] in set(buckets)}
+        )
+        dir_pairs = self._manifest_dir_pairs(version)
+        by_dir: dict[str, set] = {}
+        for pair, d in wanted.items():
+            by_dir.setdefault(d, set()).add(pair)
+        parts = []
+        for data_dir in sorted(by_dir):
+            df = self._read_snapshot_dir(spark, data_dir)
+            written = dir_pairs.get(data_dir)
+            if written is None:  # no record (defensive): derive physically
+                written = self._walk_pairs(os.path.join(self.snapshot_dir, data_dir))
+            shadowed = [p for p in written if manifest.get(tuple(p)) != data_dir]
+            cond = F.lit(True)
+            if buckets is not None:
+                bset = sorted({b for _pp, b in by_dir[data_dir]})
+                cond = cond & F.expr(
+                    f"`{BUCKET_COL}` IN ({', '.join(str(b) for b in bset)})"
+                )
+            for pp, b in shadowed:
+                cond = cond & ~(
+                    self._partpath_filter(pp) & (F.col(BUCKET_COL) == int(b))
+                )
+            if pair_pred is not None:
+                cond = cond & pair_pred
+            parts.append(df.filter(cond))
+        if not parts:
+            return spark.createDataFrame([], self.schema.to_struct_type())
+        return reduce(lambda a, b: a.unionByName(b), parts).drop(BUCKET_COL)
+
     def referenced_data_dirs(self, version: int) -> set[str]:
         m = self._manifest(version) or {}
         return set(m.values())
-
-    def bucket_dirs(self, data_dir: str, bucket: int) -> list[str]:
-        """Physical dirs holding one bucket inside a snapshot data dir.
-        Flat layout (unpartitioned tables, compaction/rebucket rewrites)
-        keeps __bucket= as the direct child; the partitioned
-        single-action layout nests it under <part>=v/ dirs — one walk
-        finds both."""
-        root = os.path.join(self.snapshot_dir, data_dir)
-        name = f"{BUCKET_COL}={bucket}"
-        direct = os.path.join(root, name)
-        if os.path.isdir(direct):
-            return [direct]
-        if not self.schema.partition_keys or not os.path.isdir(root):
-            return []
-        return sorted(
-            os.path.join(r, name) for r, dirs, _f in os.walk(root) if name in dirs
-        )
 
     def minmax_from_metadata(self, column: str, version: int | None = None):
         """A2 statistics for PK tables: (min, max) of a numeric/temporal
@@ -783,13 +999,39 @@ class KvStore:
         manifest = self._manifest(version)
         if not manifest:
             return None
-        # a data dir can physically hold buckets the CURRENT manifest
-        # assigns to a newer dir — walk exactly the (dir, bucket) pairs
-        # the manifest references, mirroring scan()'s per-bucket filter
-        paths = [
-            p for b, d in sorted(manifest.items()) for p in self.bucket_dirs(d, b)
-        ]
+        # a data dir can physically hold buckets/pairs the CURRENT
+        # manifest assigns to a newer dir — walk exactly the units the
+        # manifest references, mirroring scan()'s pruning. Partitioned:
+        # each (partpath, bucket) entry maps to ONE precise physical
+        # subdir, so the footer walk sees only live rows.
+        paths = self.manifest_unit_paths(manifest)
+        if paths is None:
+            return None
         return footer_minmax(paths, column)
+
+    def manifest_unit_paths(self, manifest: dict) -> list[str] | None:
+        """Physical dir per manifest unit — {bucket: dir} ->
+        dir/__bucket=b; {(partpath, bucket): dir} ->
+        dir/partpath/__bucket=b. Returns None if a partitioned entry
+        resolves into a flat (non-nested) legacy dir, where live and
+        superseded partitions share files and footer-level pruning is
+        impossible."""
+        paths = []
+        if self.schema.partition_keys:
+            for (pp, b), d in sorted(manifest.items()):
+                sub = os.path.join(self.snapshot_dir, d, pp, f"{BUCKET_COL}={b}")
+                if os.path.isdir(sub):
+                    paths.append(sub)
+                elif os.path.isdir(
+                    os.path.join(self.snapshot_dir, d, f"{BUCKET_COL}={b}")
+                ):
+                    return None  # flat legacy dir: pairs not separable
+            return paths
+        for b, d in sorted(manifest.items()):
+            p = os.path.join(self.snapshot_dir, d, f"{BUCKET_COL}={b}")
+            if os.path.isdir(p):
+                paths.append(p)
+        return paths
 
     def _snapshot_schema(self, era=None):
         from pyspark.sql import types as T
@@ -945,6 +1187,18 @@ class KvStore:
         # not one scan per manifest dir (a 16-dir manifest previously
         # built 16 scans to read <=1 row).
         bkt = int(spark.range(1).select(bucket_expr.cast("int").alias("b")).first()["b"])
+        if schema.partition_keys:
+            # pair-granular manifest: the key's partition values (typed
+            # literals — Spark prunes partition dirs from them) plus the
+            # bucket bound the read through the shadow-aware pair scan;
+            # dirs not holding bucket `bkt` entries never enter the plan
+            pred = F.col(BUCKET_COL) == F.lit(bkt)
+            for c in schema.partition_keys:
+                if c in key:
+                    pred = pred & (F.col(c) == F.lit(key[c]).cast(types[c]))
+            return self.snapshot(
+                spark, buckets=[bkt], pair_pred=pred
+            ).filter(self._key_cond(key))
         data_dir = manifest.get(bkt)
         if data_dir is None:
             return spark.createDataFrame([], self.schema.to_struct_type())

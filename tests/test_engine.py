@@ -457,7 +457,7 @@ def test_single_action_crash_at_publish_prep_is_invisible(
         # kv.py imports `os` at module level; patch the module's view
         monkeypatch.setattr(kv_mod.os, "rename", boom)
     else:
-        def boom(self, version, buckets):
+        def boom(self, version, entries, dir_pairs=None):
             raise RuntimeError("simulated crash at manifest write")
 
         monkeypatch.setattr(KvStore, "_write_manifest", boom)

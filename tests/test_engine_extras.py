@@ -541,3 +541,82 @@ def test_incremental_ivf_index_advances(spark, catalog):
         ).collect()
     }
     assert 100 in hits and hits >= {1, 3, 5, 7}
+
+
+def test_partitioned_pair_granular_snapshot(spark, catalog):
+    """The snapshot-rewrite unit on partitioned pk tables is the
+    (partition, bucket) PAIR (reference TableBucket granularity): a
+    commit touching one partition must leave every other partition's
+    files untouched BYTES on disk, referenced through older manifest
+    entries; superseded pairs still physically present in old dirs are
+    excluded by the dir_pairs anti-filter; a pair whose keys are all
+    deleted leaves the manifest."""
+    import glob
+    import os
+
+    schema = TableSchema(
+        fields=[
+            Field("dt", "STRING", nullable=False),
+            Field("k", "INT", nullable=False),
+            Field("v", "STRING"),
+        ],
+        primary_key=["dt", "k"],
+        partition_keys=["dt"],
+        num_buckets=2,
+    )
+    t = create_table(catalog, "db", "pair_gran", schema)
+    rows = [("d1", k, f"a{k}") for k in range(6)] + [("d2", k, f"b{k}") for k in range(6)]
+    t.upsert(spark.createDataFrame(rows, "dt string, k int, v string"), ordering=["k"])
+
+    def _files(pattern):
+        return {
+            p: (os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(f"{t.kv.snapshot_dir}/{pattern}", recursive=True)
+            if p.endswith(".parquet")
+        }
+
+    d2_before = _files("**/dt=d2/**")
+    assert d2_before  # nested layout: dt dirs above bucket dirs
+
+    # commit touching ONLY d1
+    t.upsert(
+        spark.createDataFrame([("d1", 0, "A0"), ("d1", 99, "new")], "dt string, k int, v string"),
+        ordering=["k"],
+    )
+    state = catalog.current_commit("db", "pair_gran")
+    m = t.kv._manifest(state.snapshot_version)
+    d2_entries = {pair: d for pair, d in m.items() if pair[0] == "dt=d2"}
+    d1_entries = {pair: d for pair, d in m.items() if pair[0] == "dt=d1"}
+    assert d2_entries and all(d == "data-v1" for d in d2_entries.values())
+    assert any(d != "data-v1" for d in d1_entries.values())
+    # d2's physical files: identical paths, mtimes, sizes — zero I/O
+    assert _files("**/dt=d2/**") == d2_before
+
+    # values: old d1 rows in data-v1 are shadowed, new ones visible
+    snap = {(r["dt"], r["k"]): r["v"] for r in t.snapshot(spark).collect()}
+    want = {("d1", k): f"a{k}" for k in range(1, 6)}
+    want[("d1", 0)] = "A0"
+    want[("d1", 99)] = "new"
+    want.update({("d2", k): f"b{k}" for k in range(6)})
+    assert snap == want
+    # partition-pruned read + point lookup through the pair manifest
+    assert {r["k"] for r in t.snapshot(spark).filter(F.col("dt") == "d2").collect()} == set(range(6))
+    assert t.lookup(spark, {"dt": "d1", "k": 0}).collect()[0]["v"] == "A0"
+    assert t.lookup(spark, {"dt": "d2", "k": 3}).collect()[0]["v"] == "b3"
+
+    # delete EVERY d2 key -> its pairs leave the manifest entirely
+    t.upsert(
+        spark.createDataFrame(
+            [("d2", k, None, "D") for k in range(6)], "dt string, k int, v string, __op string"
+        ),
+        ordering=["k"],
+    )
+    state = catalog.current_commit("db", "pair_gran")
+    m = t.kv._manifest(state.snapshot_version)
+    assert not any(pair[0] == "dt=d2" for pair in m)
+    assert t.snapshot(spark).filter(F.col("dt") == "d2").count() == 0
+    assert {r["k"] for r in t.snapshot(spark).collect()} == {0, 1, 2, 3, 4, 5, 99}
+
+    # A2 footer stats stay exact through pair-precise subdirs
+    mm = t.kv.minmax_from_metadata("k")
+    assert mm == (0, 99)

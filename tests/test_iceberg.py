@@ -748,19 +748,35 @@ def test_delta_pk_export_schema_clean_and_heals(spark, admin, tmp_path):
     assert healed is not None and set(healed) == {"id", "v", "__bucket"}
 
 
-def test_iceberg_per_snapshot_partition_spec_and_mixed_layout_guard(
+def test_iceberg_mixed_partition_layout_guard_and_per_snapshot_spec(
     spark, admin, tmp_path
 ):
-    """ADVICE r7 (low): a time-travelled snapshot taken BEFORE a
-    partition-spec change must project ITS spec (resolved from its
-    manifest's recorded partition_spec_id), not the table-level default;
-    and an export over a live set MIXING partition-dir layouts must be
-    refused (old-layout files would read back NULL partition values)."""
-    import types as pytypes
+    """ADVICE r7 (low) + upgrade hygiene. (a) The mixed-layout guard:
+    a live file set where a user partition column appears in only SOME
+    paths (possible only for data written before the partitioned
+    layouts — every current writer nests partition dirs) must refuse
+    export. (b) Per-snapshot partition-spec resolution: a retained
+    snapshot reads under the spec recorded by ITS manifest
+    (partition_spec_id), not the table-level default — verified by
+    appending a changed default spec to the metadata the way a later
+    export would."""
+    from fluss_spark.iceberg import _check_no_mixed_partition_layout
 
-    from fluss_spark.sources.kv import KvStore
-    from fluss_spark.types import BUCKET_COL  # noqa: F401
+    # (a) guard unit: one file missing the dt= segment -> refuse;
+    # system segments (__bucket/__commit) are exempt
+    ok = [
+        "snapshot/data-v1/dt=d1/__bucket=0/f1.parquet",
+        "snapshot/data-v1/dt=d2/__bucket=1/f2.parquet",
+    ]
+    _check_no_mixed_partition_layout(["dt", "__bucket"], ok, "t")  # no raise
+    mixed = ok + ["snapshot/data-v0/__bucket=0/f0.parquet"]
+    with pytest.raises(ValueError, match="partition-dir layout"):
+        _check_no_mixed_partition_layout(["dt", "__bucket"], mixed, "t")
+    _check_no_mixed_partition_layout(["__bucket"], mixed, "t")  # system-only: ok
 
+    # (b) per-snapshot spec: export a partitioned pk table (spec =
+    # [dt, __bucket]), then simulate a later export that changed the
+    # default spec — the OLD snapshot must still resolve ITS spec
     t = admin.create_table(
         "db", "icespec",
         TableSchema(
@@ -774,58 +790,37 @@ def test_iceberg_per_snapshot_partition_spec_and_mixed_layout_guard(
             num_buckets=2,
         ),
     )
-    # first commit through the two-pass baseline: bucket-only snapshot
-    # layout, dt lives IN the data files (the pre-round-8 layout)
-    t.kv._commit_changelog = pytypes.MethodType(
-        lambda self, spark_, cl, ts, bb=None: KvStore._commit_twopass(
-            self, spark_, cl, ts
-        ),
-        t.kv,
-    )
     rows = [("d1", i, f"x{i}") for i in range(6)] + [("d2", i, f"y{i}") for i in range(6)]
     t.upsert(spark.createDataFrame(rows, "dt string, id bigint, v string"), ordering=["id"])
     target = str(tmp_path / "icespec")
     e1 = admin.export_iceberg_metadata("db", "icespec", target)
-    snap1 = e1.snapshot_id
-    df1 = read_iceberg_table(spark, target)
-    assert {(r["dt"], r["id"], r["v"]) for r in df1.select("dt", "id", "v").collect()} == set(rows)
-
-    # restore the fused path; a PARTIAL upsert leaves the live set mixed
-    # (old bucket-only dirs + new partitioned dirs) -> export refused
-    del t.kv._commit_changelog
-    t.upsert(
-        spark.createDataFrame([("d1", 0, "upd")], "dt string, id bigint, v string"),
-        ordering=["id"],
-    )
-    with pytest.raises(ValueError, match="partition-dir layout"):
-        admin.export_iceberg_metadata("db", "icespec", target)
-    with pytest.raises(ValueError, match="partition-dir layout"):
-        admin.export_delta_log("db", "icespec", str(tmp_path / "icespec_dl"))
-
-    # full rewrite moves every bucket to the partitioned layout
-    rows2 = [("d1", i, f"X{i}") for i in range(6)] + [("d2", i, f"Y{i}") for i in range(6)]
-    t.upsert(spark.createDataFrame(rows2, "dt string, id bigint, v string"), ordering=["id"])
-    admin.export_iceberg_metadata("db", "icespec", target)
-
     meta_dir = os.path.join(target, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
         v = int(f.read().strip())
-    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mpath) as f:
         meta = json.load(f)
-    # spec changed: appended with a new spec-id, default advanced
-    assert len(meta["partition-specs"]) == 2
-    spec_names = {
-        s["spec-id"]: [pf["name"] for pf in s["fields"]]
-        for s in meta["partition-specs"]
+    assert [pf["name"] for s in meta["partition-specs"] for pf in s["fields"]] == [
+        "dt", "__bucket",
+    ]
+    # simulate a later spec change: append spec-id 1 with different
+    # fields and advance the default — exactly what a future export
+    # with a changed path layout would write
+    meta["partition-specs"].append(
+        {"spec-id": 1, "fields": [{"name": "__bucket", "transform": "identity",
+                                   "source-id": 99, "field-id": 1001}]}
+    )
+    meta["default-spec-id"] = 1
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    # the snapshot's manifest recorded spec-id 0 -> read projects dt
+    # from manifests despite the new table-level default
+    snap = read_iceberg_snapshot(target, snapshot_id=e1.snapshot_id)
+    assert [pf["name"] for pf in snap.partition_fields] == ["dt", "__bucket"]
+    got = {
+        (r["dt"], r["id"], r["v"])
+        for r in read_iceberg_table(spark, target, snapshot_id=e1.snapshot_id)
+        .select("dt", "id", "v")
+        .collect()
     }
-    assert spec_names[0] == ["__bucket"]
-    assert set(spec_names[meta["default-spec-id"]]) == {"dt", "__bucket"}
-
-    # current snapshot projects dt from the manifests (new spec)
-    cur = read_iceberg_table(spark, target)
-    assert {(r["dt"], r["id"], r["v"]) for r in cur.select("dt", "id", "v").collect()} == set(rows2)
-    # time travel to snapshot 1 resolves the OLD spec: dt comes from the
-    # file data, values intact (the table-level default would project
-    # dt as a partition column the old files' paths don't carry)
-    old = read_iceberg_table(spark, target, snapshot_id=snap1)
-    assert {(r["dt"], r["id"], r["v"]) for r in old.select("dt", "id", "v").collect()} == set(rows)
+    assert got == set(rows)

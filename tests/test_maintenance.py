@@ -726,3 +726,44 @@ def test_zorder_compaction_layout(spark, catalog):
     t2.append(spark.createDataFrame([("a",)], "s string"))
     with pytest.raises(ValueError):
         compact_log(t2, spark, target_commits=1, zorder_columns=["s"])
+
+
+def test_partitioned_pk_compact_and_rebucket(spark, catalog):
+    """Snapshot compaction and rebucket on a PARTITIONED pk table must
+    rewrite into the nested (partition above bucket) layout and a
+    pair-granular manifest, preserving reads and lookups."""
+    from fluss_spark.maintenance import compact_snapshot, rebucket_table
+
+    schema = TableSchema(
+        fields=[
+            Field("dt", "STRING", nullable=False),
+            Field("k", "INT", nullable=False),
+            Field("v", "STRING"),
+        ],
+        primary_key=["dt", "k"],
+        partition_keys=["dt"],
+        num_buckets=2,
+        properties={"table.snapshot.auto-compact-dirs": "0"},
+    )
+    t = create_table(catalog, "db", "pk_part_cr", schema)
+    for i in range(4):  # alternating single-partition commits -> the
+        # other partition's pairs keep their older dirs (>= 2 dirs)
+        rows = [(f"d{1 + i % 2}", k, f"v{i}_{k}") for k in range(i, i + 3)]
+        t.upsert(spark.createDataFrame(rows, "dt string, k int, v string"), ordering=["k"])
+    state0 = catalog.current_commit("db", "pk_part_cr")
+    assert len(set(t.kv._manifest(state0.snapshot_version).values())) > 1
+    before = sorted(map(tuple, t.snapshot(spark).collect()))
+
+    assert compact_snapshot(t, spark, max_dirs=1)
+    state = catalog.current_commit("db", "pk_part_cr")
+    m = t.kv._manifest(state.snapshot_version)
+    assert len(set(m.values())) == 1  # one fresh dir
+    assert all(isinstance(pair, tuple) and pair[0].startswith("dt=") for pair in m)
+    assert sorted(map(tuple, t.snapshot(spark).collect())) == before
+    assert t.lookup(spark, {"dt": "d1", "k": 3}).count() == 1
+
+    rebucket_table(t, spark, 4)
+    t2 = type(t)(catalog, "db", "pk_part_cr")  # re-open under new layout
+    assert t2.schema.num_buckets == 4
+    assert sorted(map(tuple, t2.snapshot(spark).collect())) == before
+    assert t2.lookup(spark, {"dt": "d2", "k": 4}).count() == 1
