@@ -97,6 +97,7 @@ class KvStore:
         # commit, and the JVM analysis round was a measurable slice of
         # the per-commit driver gap. Keyed by (data dir, spark session).
         self._dir_cache: dict[tuple[str, int], DataFrame] = {}
+        self._partpath_parse_cache: dict[str, tuple | None] = {}
 
     # ------------------------------------------------------------------ #
     # manifests
@@ -189,6 +190,41 @@ class KvStore:
                     out.append(("" if rel == "." else rel, int(d[len(marker):])))
         return sorted(out)
 
+    def _parsed_partpath(self, partpath: str):
+        """Typed partition-value tuple parsed from a manifest partpath
+        string (the inverse of Spark's hive path escaping — always
+        PARSE dir strings, never construct them), or None when a value
+        type has no exact driver-side parse (those tables keep
+        bucket-level dir pruning only). Cached per partpath — manifest
+        strings repeat across versions."""
+        import datetime
+        import urllib.parse
+
+        cached = self._partpath_parse_cache.get(partpath)
+        if cached is not None or partpath in self._partpath_parse_cache:
+            return cached
+        types = {f.name: f.type.upper() for f in self.schema.fields}
+        vals: list = []
+        out = None
+        try:
+            for seg in partpath.split("/"):
+                k, v = seg.split("=", 1)
+                v = urllib.parse.unquote(v)
+                t = types[k]
+                if t in ("STRING", "VARCHAR", "CHAR"):
+                    vals.append(v)
+                elif t in ("INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT"):
+                    vals.append(int(v))
+                elif t == "DATE":
+                    vals.append(datetime.date.fromisoformat(v))
+                else:  # float/timestamp/bool: no exact text parse
+                    raise ValueError(t)
+            out = tuple(vals)
+        except (ValueError, KeyError):
+            out = None
+        self._partpath_parse_cache[partpath] = out
+        return out
+
     def _partpath_filter(self, partpath: str):
         """Typed Spark predicate matching one partition path: each
         hive segment's value string is unescaped and CAST to the
@@ -241,7 +277,7 @@ class KvStore:
             if missing_pk:
                 raise ValueError(f"partial update must include the primary key, missing {missing_pk}")
 
-        fold_in, may_have_deletes, batch_buckets, pair_pred = self._fold_input(
+        fold_in, may_have_deletes, batch_buckets, pair_scope = self._fold_input(
             spark, df, ordering, batch_buckets
         )
 
@@ -253,7 +289,7 @@ class KvStore:
             may_have_deletes=may_have_deletes,
         )
         return self._commit_changelog(
-            spark, changelog, commit_ts_ms, batch_buckets, pair_pred
+            spark, changelog, commit_ts_ms, batch_buckets, pair_scope
         )
 
     def _fold_input(
@@ -320,6 +356,7 @@ class KvStore:
         # the batch's partitions too (directory pruning), capped at 512
         # pairs so a corpus-wide backfill doesn't explode the plan.
         pair_pred = None
+        pair_keys = None
         pcols = schema.partition_keys
         if not has_snapshot:
             batch_buckets = []
@@ -344,6 +381,24 @@ class KvStore:
                         for r in rows
                     ],
                 )
+                # exact manifest-key pruning: parse each candidate
+                # entry's partpath back to typed values (never construct
+                # paths) and keep only entries matching a batch pair —
+                # the prior feed's PLAN then holds O(batch pairs) dirs,
+                # not every dir holding those buckets. Entries whose
+                # partpath has no exact driver-side parse are kept
+                # conservatively.
+                want = {
+                    tuple(r[p] for p in pcols) + (int(r["__b"]),) for r in rows
+                }
+                bset = set(batch_buckets)
+                pair_keys = []
+                for pp, bkt in manifest_now:
+                    if bkt not in bset:
+                        continue
+                    parsed = self._parsed_partpath(pp)
+                    if parsed is None or parsed + (bkt,) in want:
+                        pair_keys.append((pp, bkt))
         else:
             batch_buckets = [
                 int(r["b"])
@@ -353,7 +408,9 @@ class KvStore:
         # definition, and the distinct would cost its own exchange + agg
         ord_types = dict(b.dtypes)
         seed = (
-            self.snapshot(spark, buckets=batch_buckets, pair_pred=pair_pred)
+            self.snapshot(
+                spark, buckets=batch_buckets, pair_pred=pair_pred, pair_keys=pair_keys
+            )
             .join(b.select(*pk), on=pk, how="left_semi")
             .selectExpr(
                 "*",
@@ -380,7 +437,12 @@ class KvStore:
             f"- sum(`{SEED_COL}`) OVER (PARTITION BY {pk_sql}) END AS BIGINT) "
             f"AS `{SEQ_COL}`",
         ).select(*cols, OP_COL, SEQ_COL, SEED_COL)
-        return fold_in, may_have_deletes, batch_buckets, pair_pred
+        pair_scope = (
+            (pair_pred, pair_keys)
+            if (pair_pred is not None or pair_keys is not None)
+            else None
+        )
+        return fold_in, may_have_deletes, batch_buckets, pair_scope
 
     def _commit_changelog(
         self,
@@ -388,7 +450,7 @@ class KvStore:
         changelog: DataFrame,
         commit_ts_ms: int | None,
         batch_buckets: list[int] | None = None,
-        pair_pred=None,
+        pair_scope=None,
     ) -> CommitState:
         """Commit the replayed changelog: WAL append + touched-bucket
         snapshot rewrite + atomic commit, as ONE Spark action for every
@@ -408,7 +470,7 @@ class KvStore:
         spark.conf.set(key, "false")
         try:
             return self._commit_single_action(
-                spark, changelog, commit_ts_ms, batch_buckets, pair_pred
+                spark, changelog, commit_ts_ms, batch_buckets, pair_scope
             )
         finally:
             spark.conf.set(key, prev)
@@ -419,7 +481,7 @@ class KvStore:
         changelog: DataFrame,
         commit_ts_ms: int | None,
         batch_buckets: list[int] | None,
-        pair_pred=None,
+        pair_scope=None,
     ) -> CommitState:
         """One write action produces the WAL and the snapshot as sibling
         partition dirs (__dest=w / __dest=s), fused into a single
@@ -546,8 +608,12 @@ class KvStore:
             # their key and loses the per-key max to any event. On
             # partitioned tables the typed pair predicate additionally
             # bounds the feed to the batch's (partition, bucket) pairs.
+            pair_pred, pair_keys = pair_scope if pair_scope else (None, None)
             old = self.snapshot(
-                spark, buckets=batch_buckets, pair_pred=pair_pred
+                spark,
+                buckets=batch_buckets,
+                pair_pred=pair_pred,
+                pair_keys=pair_keys,
             ).selectExpr(
                 *qcols,
                 f"CAST(NULL AS STRING) AS `{CHANGE_TYPE_COL}`",
@@ -894,22 +960,27 @@ class KvStore:
         version: int | None = None,
         buckets: list[int] | None = None,
         pair_pred=None,
+        pair_keys=None,
     ) -> DataFrame:
         """KV snapshot scan (S4). `version` = time travel to an older
         snapshot (M11 — snapshot-id = manifest version). `buckets`
         restricts the read to those buckets' files (manifest + partition
-        dir pruning — the lookup fast path). `pair_pred` (partitioned
-        tables): a typed predicate over the partition columns and
-        __bucket that bounds the physical read to known (partition,
-        bucket) pairs — Spark partition pruning resolves it to
-        directories."""
+        dir pruning — the lookup fast path). Partitioned tables:
+        `pair_pred` is a typed predicate over the partition columns and
+        __bucket that bounds the physical read (Spark partition pruning
+        resolves it to directories); `pair_keys` is a set of manifest
+        (partpath, bucket) keys that additionally bounds WHICH DIRS
+        enter the plan — plan size O(|pair_keys| dirs), not O(all dirs
+        holding those buckets)."""
         if version is None:
             version = self.catalog.current_commit(self.db, self.table).snapshot_version
         manifest = self._manifest(version)
         if not manifest:
             return spark.createDataFrame([], self.schema.to_struct_type())
         if self.schema.partition_keys:
-            return self._snapshot_pairs(spark, version, manifest, buckets, pair_pred)
+            return self._snapshot_pairs(
+                spark, version, manifest, buckets, pair_pred, pair_keys
+            )
         wanted = set(manifest) if buckets is None else (set(buckets) & set(manifest))
         by_dir: dict[str, list[int]] = {}
         for bkt in wanted:
@@ -927,7 +998,7 @@ class KvStore:
         return reduce(lambda a, b: a.unionByName(b), parts).drop(BUCKET_COL)
 
     def _snapshot_pairs(
-        self, spark, version: int, manifest: dict, buckets, pair_pred
+        self, spark, version: int, manifest: dict, buckets, pair_pred, pair_keys=None
     ) -> DataFrame:
         """Partitioned snapshot scan over the (partition, bucket)-pair
         manifest. Per referenced dir the read EXCLUDES the dir's
@@ -941,6 +1012,9 @@ class KvStore:
             if buckets is None
             else {k: v for k, v in manifest.items() if k[1] in set(buckets)}
         )
+        if pair_keys is not None:
+            keyset = set(pair_keys)
+            wanted = {k: v for k, v in wanted.items() if k in keyset}
         dir_pairs = self._manifest_dir_pairs(version)
         by_dir: dict[str, set] = {}
         for pair, d in wanted.items():
