@@ -824,3 +824,41 @@ def test_iceberg_mixed_partition_layout_guard_and_per_snapshot_spec(
         .collect()
     }
     assert got == set(rows)
+
+
+def test_iceberg_export_partitioned_pk_pair_layout(spark, admin, tmp_path):
+    """Partitioned pk snapshots (pair-granular manifests, partition dirs
+    above bucket dirs) export to Iceberg with an identity spec over
+    (dt, __bucket) and read back row-identical — including after a
+    second commit that rewrote only ONE partition's pairs."""
+    t = admin.create_table(
+        "db", "icepart",
+        TableSchema(
+            fields=[
+                Field("dt", "STRING", nullable=False),
+                Field("id", "BIGINT", nullable=False),
+                Field("v", "STRING"),
+            ],
+            primary_key=["dt", "id"],
+            partition_keys=["dt"],
+            num_buckets=2,
+        ),
+    )
+    rows = [("d1", i, f"x{i}") for i in range(5)] + [("d2", i, f"y{i}") for i in range(5)]
+    t.upsert(spark.createDataFrame(rows, "dt string, id bigint, v string"), ordering=["id"])
+    t.upsert(
+        spark.createDataFrame([("d1", 0, "upd")], "dt string, id bigint, v string"),
+        ordering=["id"],
+    )
+    target = str(tmp_path / "icepart")
+    admin.export_iceberg_metadata("db", "icepart", target)
+    snap = read_iceberg_snapshot(target)
+    assert [pf["name"] for pf in snap.partition_fields] == ["dt", "__bucket"]
+    got = {
+        (r["dt"], r["id"], r["v"])
+        for r in read_iceberg_table(spark, target).select("dt", "id", "v").collect()
+    }
+    want = {r for r in rows if r != ("d1", 0, "x0")} | {("d1", 0, "upd")}
+    assert got == want
+    # schema surfaces only declared columns + path partition cols
+    assert {f["name"] for f in snap.schema["fields"]} == {"dt", "id", "v", "__bucket"}
