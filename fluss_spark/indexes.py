@@ -169,14 +169,20 @@ def sync_index(
             .groupBy(column, *pk)
             .agg(F.max_by("_change_type", F.col("_log_offset")).alias("__ct"))
         )
+        # persist the folded batch (O(changed index keys)): the index
+        # upsert's bucket-discovery job, seed probe, and commit write
+        # would otherwise each re-run this groupBy exchange
         batch = final.select(
             column,
             *pk,
             F.when(F.col("__ct").isin("-U", "-D"), F.lit("D"))
             .otherwise(F.lit("U"))
             .alias(OP_COL),
-        )
-        idx.upsert(batch, ordering=pk)
+        ).persist()
+        try:
+            idx.upsert(batch, ordering=pk)
+        finally:
+            batch.unpersist()
     cl.unpersist()
 
     # record the high-water mark AFTER the index commit (crash between

@@ -508,12 +508,13 @@ def auto_partition(
     'dropped': [...]}. Partition values use the reference's time-unit
     formats (yyyyMMdd etc., ConfigOptions.java:1726-1812).
 
-    On a PRIMARY KEY table expired rows live in the KV snapshot (its
-    dirs partition by bucket, the partition value is a data column), so
-    retention must route through the engine's delete path, exactly like
-    Admin.drop_partition — pass `spark`. Without a session the call
-    refuses rather than leave snapshot rows that the dropped log dirs
-    can no longer explain."""
+    On a PRIMARY KEY table expired rows live in the KV snapshot (pair-
+    granular manifests keyed (partition path, bucket)), so retention
+    must route through the engine's delete path, exactly like
+    Admin.drop_partition — the delete commit drops the expired pairs
+    from the manifest and their old files age out via snapshot GC.
+    Pass `spark`; without a session the call refuses rather than leave
+    snapshot rows that the dropped log dirs can no longer explain."""
     props = table.schema.properties
     if props.get("table.auto-partition.enabled", "false") != "true":
         return {"created": [], "dropped": []}

@@ -261,9 +261,15 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             "lang",
             "source",
         )
-        half_doc = docs.agg(F.max("doc_id")).first()[0] // 2
-        t.upsert(docs.filter(F.col("doc_id") <= half_doc), ordering=["doc_id"])
-        t.upsert(docs.filter(F.col("doc_id") > half_doc), ordering=["doc_id"])
+        # one corpus fingerprint pass serves the split probe and both
+        # commits' (discovery + write) evaluations
+        docs = docs.persist()
+        try:
+            half_doc = docs.agg(F.max("doc_id")).first()[0] // 2
+            t.upsert(docs.filter(F.col("doc_id") <= half_doc), ordering=["doc_id"])
+            t.upsert(docs.filter(F.col("doc_id") > half_doc), ordering=["doc_id"])
+        finally:
+            docs.unpersist()
     elif variant == "lsh_state":
         # NEAR-dup dedup as storage semantics: the LSH band-signature
         # index is itself an engine pk table — pk=(band, band_sig) with
@@ -294,8 +300,14 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         ).select(
             F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"), "doc_id"
         )
-        t.upsert(banded.filter(F.col("doc_id") <= cutoff // 2), ordering=["doc_id"])
-        t.upsert(banded.filter(F.col("doc_id") > cutoff // 2), ordering=["doc_id"])
+        # one shingle->minhash->banding pass serves both commits' fold
+        # and discovery evaluations
+        banded = banded.persist()
+        try:
+            t.upsert(banded.filter(F.col("doc_id") <= cutoff // 2), ordering=["doc_id"])
+            t.upsert(banded.filter(F.col("doc_id") > cutoff // 2), ordering=["doc_id"])
+        finally:
+            banded.unpersist()
     elif variant == "ivf_state":
         # vector-index-as-storage: the IVF coarse-quantizer assignment of
         # the "already ingested" corpus (first 90% of vec_ids) lives in
@@ -326,9 +338,14 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             properties={"index.ivf.centroids": _json.dumps(cents)},
         )
         t = create_table(cat, "db", variant, schema)
-        assigned = assign_cells(e_old, cents).select("cell", "vec_id")
-        t.upsert(assigned.filter(F.col("vec_id") <= cut // 2), ordering=["vec_id"])
-        t.upsert(assigned.filter(F.col("vec_id") > cut // 2), ordering=["vec_id"])
+        # one cell-assignment kernel pass serves both commits' fold and
+        # discovery evaluations
+        assigned = assign_cells(e_old, cents).select("cell", "vec_id").persist()
+        try:
+            t.upsert(assigned.filter(F.col("vec_id") <= cut // 2), ordering=["vec_id"])
+            t.upsert(assigned.filter(F.col("vec_id") > cut // 2), ordering=["vec_id"])
+        finally:
+            assigned.unpersist()
     elif variant == "vindexed":
         # first-class vector-index lifecycle: base pk table holding the
         # embeddings, IVF index created (trains + freezes the quantizer

@@ -130,15 +130,22 @@ class FlussTable:
 
     def delete_where(self, spark: SparkSession, cond, **kw) -> CommitState:
         """Row-level DELETE pushdown (PushdownUtils.deleteSingleRow
-        generalized): filter the snapshot, delete those keys."""
-        keys = self.snapshot(spark).filter(cond)
-        return self.delete(keys, **kw)
+        generalized): filter the snapshot, delete those keys. The
+        matched set is persisted (MEMORY_AND_DISK) so the commit's
+        bucket-discovery job and write action share one snapshot scan."""
+        keys = self.snapshot(spark).filter(cond).persist()
+        try:
+            return self.delete(keys, **kw)
+        finally:
+            keys.unpersist()
 
     def update_where(self, spark: SparkSession, cond, assignments: dict[str, object], **kw) -> CommitState:
         """Row-level UPDATE (SupportsRowLevelUpdate): read-modify-write
         as one upsert batch. All assignments evaluate against the OLD
         row in a single projection (SQL semantics: SET a = b, b = a
-        swaps — sequential withColumn would feed the new a into b)."""
+        swaps — sequential withColumn would feed the new a into b).
+        The matched set is persisted so the commit's discovery job and
+        write action share one snapshot scan."""
         exprs = {
             c: e if hasattr(e, "_jc") or hasattr(e, "_expr") else F.lit(e)
             for c, e in assignments.items()
@@ -147,9 +154,13 @@ class FlussTable:
         unknown = set(exprs) - set(batch.columns)
         if unknown:
             raise ValueError(f"unknown column(s) in UPDATE assignments: {sorted(unknown)}")
-        return self.upsert(
-            batch.select(*[exprs.get(c, F.col(c)).alias(c) for c in batch.columns]), **kw
-        )
+        batch = batch.select(
+            *[exprs.get(c, F.col(c)).alias(c) for c in batch.columns]
+        ).persist()
+        try:
+            return self.upsert(batch, **kw)
+        finally:
+            batch.unpersist()
 
     # -- reads ------------------------------------------------------------
     def scan(

@@ -238,14 +238,20 @@ def sync_vector_index(
         final = assigned.groupBy("cell", "__pk").agg(
             F.max_by("_change_type", F.col("_log_offset")).alias("__ct")
         )
+        # persist the folded batch (O(changed vectors)): the upsert's
+        # bucket-discovery job, seed probe, and commit write would
+        # otherwise each re-run the mapInPandas assignment + groupBy
         batch = final.select(
             "cell",
             F.col("__pk").alias(pk0),
             F.when(F.col("__ct").isin("-U", "-D"), F.lit("D"))
             .otherwise(F.lit("U"))
             .alias(OP_COL),
-        )
-        idx.upsert(batch, ordering=[pk0])
+        ).persist()
+        try:
+            idx.upsert(batch, ordering=[pk0])
+        finally:
+            batch.unpersist()
     cl.unpersist()
 
     sch = catalog.get_schema(db, idx_name)
