@@ -17,10 +17,11 @@ transaction does all of it set-at-a-time:
      events AND detects each key's last event; that last event (when
      not -D) is exploded into a second copy routed to the snapshot
      side, together with prior-snapshot rows whose key saw no event.
-     ONLY touched buckets are rewritten — untouched buckets stay as
-     prior-version files, referenced through a per-version manifest
-     {bucket -> data dir}, so per-commit write cost is O(touched
-     buckets), not O(table)
+     ONLY touched snapshot units are rewritten — the unit is the
+     bucket (plain pk tables) or the (partition, bucket) pair
+     (partitioned ones); untouched units stay as prior-version files,
+     referenced through a per-version manifest, so per-commit write
+     cost is O(touched units), not O(table)
   4. the driver renames __dest=w/__dest=s into the log commit dir and
      snapshot/data-vN, then one atomic commit advances the table to V'
 
