@@ -78,6 +78,12 @@ from fluss_spark.types import (
 # sibling artifacts: __dest=w (WAL commit files) / __dest=s (snapshot)
 DEST_COL = "__dest"
 
+# largest batch (partition, bucket)-pair set that still builds a typed
+# pair predicate + manifest-key pruning for the seed/prior reads; a
+# corpus-wide backfill above it falls back to bucket-only bounding
+# rather than exploding the plan with an O(pairs) OR-of-ANDs
+PAIR_SCOPE_MAX = 512
+
 
 class KvStore:
     def __init__(self, catalog: Catalog, db: str, table: str):
@@ -370,7 +376,7 @@ class KvStore:
                 .collect()
             )
             batch_buckets = sorted({int(r["__b"]) for r in rows})
-            if 0 < len(rows) <= 512:
+            if 0 < len(rows) <= PAIR_SCOPE_MAX:
                 pair_pred = reduce(
                     lambda a, c: a | c,
                     [

@@ -322,3 +322,58 @@ def test_commit_paths_equivalent_auto_increment(spark, tmp_path):
     # gap-free across all commits: every id in [0, total) exactly once
     ids = sorted(r["rid"] for r in tb.kv.log.scan(spark).select("rid").collect())
     assert ids == list(range(total_events))
+
+
+_part_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["d1", "d2", "d3"]),  # partition
+        st.integers(min_value=0, max_value=7),  # key within partition
+        st.sampled_from(["U", "D"]),
+        st.sampled_from(["a", "b", None]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seqs=st.lists(_part_ops, min_size=1, max_size=3), cap=st.sampled_from([0, 512]))
+def test_commit_paths_equivalent_property_partitioned(
+    spark_session, tmp_path_factory, seqs, cap, monkeypatch
+):
+    """Random partition-skewed commit sequences through both paths on a
+    PARTITIONED pk table — sweeps the pair-granular manifest's shadow
+    logic (superseded pairs in old dirs, deleted pairs, partitions
+    appearing mid-stream) against the whole-bucket two-pass baseline.
+    `cap=0` forces the PAIR_SCOPE_MAX fallback (bucket-only bounding,
+    no pair predicate/key pruning) so both scope modes stay equivalent."""
+    import fluss_spark.sources.kv as kv_mod
+
+    spark = spark_session
+    if cap == 0:
+        monkeypatch.setattr(kv_mod, "PAIR_SCOPE_MAX", 0)
+    tmp_path = tmp_path_factory.mktemp("commit_eq_part")
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = TableSchema(
+        fields=[
+            Field("dt", "STRING", nullable=False),
+            Field("k", "INT", nullable=False),
+            Field("v", "STRING"),
+        ],
+        primary_key=["dt", "k"],
+        partition_keys=["dt"],
+        num_buckets=4,
+        properties={},
+    )
+    ta = create_table(cat, "db", "two_pass_p", schema)
+    tb = create_table(cat, "db", "single_action_p", schema)
+    _force_twopass(ta)
+    ts = 1_700_000_500_000
+    for i, seq in enumerate(seqs):
+        rows = [(dt, k, v, op) for (dt, k, op, v) in seq]
+        for t in (ta, tb):
+            df = spark.createDataFrame(rows, "dt string, k int, v string, __op string")
+            t.kv.upsert(df, ordering=None, commit_ts_ms=ts + i)
+        assert _state_tuple(ta, spark, ["dt", "k", "v"]) == _state_tuple(
+            tb, spark, ["dt", "k", "v"]
+        )
