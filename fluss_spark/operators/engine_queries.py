@@ -177,6 +177,32 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         batch = ev.select("event_type", "user_id", "value", "event_id")
         t.upsert(batch.filter(F.col("event_id") <= half), ordering=["event_id"])
         t.upsert(batch.filter(F.col("event_id") > half), ordering=["event_id"])
+    elif variant == "pair_pk":
+        # pair-granular commit lifecycle (m15): after a cross-partition
+        # seed commit, a SINGLE-PARTITION commit advances only the
+        # 'click' pairs — every other partition's snapshot files stay
+        # untouched bytes behind their older manifest entries (the
+        # (partition, bucket)-pair snapshot unit, sources/kv.py)
+        schema = TableSchema(
+            fields=[
+                Field("event_type", "STRING", nullable=False),
+                Field("user_id", "BIGINT", nullable=False),
+                Field("value", "DOUBLE"),
+            ],
+            primary_key=["event_type", "user_id"],
+            partition_keys=["event_type"],
+            num_buckets=4,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        batch = ev.select("event_type", "user_id", "value", "event_id")
+        t.upsert(batch.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.upsert(
+            batch.filter(
+                (F.col("event_id") > half) & (F.col("event_type") == "click")
+            ),
+            ordering=["event_id"],
+        )
     elif variant == "deletes":
         # events of type 'error' are DELETE ops for that key
         schema = TableSchema(
@@ -584,6 +610,40 @@ def m14_partitioned_pk(spark: SparkSession, sf: str) -> DataFrame:
         t.snapshot(spark)
         .filter(F.col("event_type") == "click")
         .select("user_id", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "m15_pair_granular_commit",
+    oracle="""
+    WITH h AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS half FROM events)
+    SELECT event_type, user_id, round(value, 2) AS value
+    FROM events
+    WHERE event_type = 'click'
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    UNION ALL
+    SELECT event_type, user_id, round(value, 2) AS value
+    FROM events, h
+    WHERE event_type = 'view' AND event_id <= h.half
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def m15_pair_granular_commit(spark: SparkSession, sf: str) -> DataFrame:
+    """(partition, bucket)-PAIR commit granularity end-to-end: a
+    partitioned pk table seeded across all partitions, then advanced by
+    a commit touching ONLY the 'click' partition — its pairs remap to
+    the new data dir while every other partition's files stay untouched
+    bytes behind older manifest entries (reference TableBucket
+    granularity, metadata/TableBucket.java). Reading 'click' (full
+    fold) next to 'view' (frozen at the seed commit) proves the pair
+    boundary: the single-partition commit advanced exactly one
+    partition's state. The partition filter prunes directories through
+    the pair manifest."""
+    t = _build(spark, sf, "pair_pk")
+    return (
+        t.snapshot(spark)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", "user_id", F.round("value", 2).alias("value"))
     )
 
 
