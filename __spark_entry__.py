@@ -33,7 +33,10 @@ registry.load_all_queries()
 # green, AND the query whose layout this round rebuilt) + 17
 # engine/export-family queries whose plans changed + 22 thin-history
 # rows holding exactly one green row across r1-r7 (family-diverse:
-# ann/dd/fn_rb/mm/op picks; the tx family rotates in next round).
+# ann/dd/fn_rb/mm/op picks; the tx family rotates in next round) + the
+# new m15_pair_granular_commit (the round's pair-manifest centerpiece
+# driven end-to-end — first green row sought, the m14-in-r7 pattern;
+# op_transition_matrix yielded its slot and stays on local parity).
 # Everything rotated out keeps its green rows and stays covered by
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered queries.
@@ -92,7 +95,8 @@ _PRIORITY = [
     "mm_frame_sample",
     "mm_resize_pipeline",
     "op_interval_join",
-    "op_transition_matrix",
+    # --- new this round: pair-granular commit boundary ---
+    "m15_pair_granular_commit",
 ]
 
 
