@@ -31,12 +31,18 @@ registry.load_all_queries()
 # exports changed their schema derivation, so the window = 10
 # engine-core sentinels + m14_partitioned_pk (its 2nd consecutive
 # green, AND the query whose layout this round rebuilt) + 17
-# engine/export-family queries whose plans changed + 22 thin-history
+# engine/export-family queries whose plans changed + 18 thin-history
 # rows holding exactly one green row across r1-r7 (family-diverse:
 # ann/dd/fn_rb/mm/op picks; the tx family rotates in next round) + the
 # new m15_pair_granular_commit (the round's pair-manifest centerpiece
 # driven end-to-end — first green row sought, the m14-in-r7 pattern;
-# op_transition_matrix yielded its slot and stays on local parity).
+# op_transition_matrix yielded its slot and stays on local parity)
+# + three NEW queries that upgrade previously local-only §2 rows to
+# driver-verified: m16_auto_increment (M10 ids through the fused
+# commit window), l3_insert_if_not_exists (L3), s12_multi_table_union
+# (S12) — ann_sq8_rerank / dd_minhash_estimate / mm_resize_pipeline
+# yielded their slots (each keeps its green row + local parity; their
+# families keep 6/5/3 in-window representatives).
 # Everything rotated out keeps its green rows and stays covered by
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered queries.
@@ -80,12 +86,10 @@ _PRIORITY = [
     "ann_kmeans_ivf",
     "ann_pq_adc",
     "ann_range_search",
-    "ann_sq8_rerank",
     "dd_contamination",
     "dd_embedding_cosine",
     "dd_exact",
     "dd_lsh_verify_pipeline",
-    "dd_minhash_estimate",
     "dd_ngram_jaccard",
     "fn_rb_and_or_agg",
     "fn_rb_binary_roundtrip",
@@ -93,10 +97,13 @@ _PRIORITY = [
     "mm_audio_segment",
     "mm_decode_metadata",
     "mm_frame_sample",
-    "mm_resize_pipeline",
     "op_interval_join",
     # --- new this round: pair-granular commit boundary ---
     "m15_pair_granular_commit",
+    # --- new this round: local-only §2 rows upgraded to driver-verified ---
+    "m16_auto_increment",
+    "l3_insert_if_not_exists",
+    "s12_multi_table_union",
 ]
 
 

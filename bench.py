@@ -68,7 +68,7 @@ def main() -> None:
     for _variant in (
         "default", "first_row", "versioned", "aggregation", "part_log",
         "deletes", "partial", "prefix", "plain_log", "tiered_log",
-        "dedup_state",
+        "dedup_state", "autoinc_pk",
     ):
         _eq._build(spark, "/root/testdata/sf0.001", _variant)
 

@@ -543,6 +543,68 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
                 INSERT (user_id, event_type, value)
                 VALUES (s.user_id, s.event_type, round(s.value, 2))
         """)
+    elif variant == "autoinc_pk":
+        # auto-increment column on a pk table: ids are stamped inside
+        # the fused single-action commit window (same running event
+        # count that assigns offsets), so every WAL event — including
+        # -U before-images — takes one fresh id, and the counter
+        # persists across commits (M10, Schema.java:552,
+        # server/kv/autoinc/)
+        schema = TableSchema(
+            fields=[
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+                Field("rid", "BIGINT", auto_increment=True),
+            ],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+    elif variant == "iine":
+        # L3 insert-if-not-exists lifecycle: seed a key subset, then
+        # probe with EVERY key — present keys must resist the insert,
+        # absent ones take the probe batch's fold
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        t.upsert(
+            ev.filter((F.col("event_id") <= half) & (F.col("user_id") % 3 != 0)),
+            ordering=["event_id"],
+        )
+        t.kv.insert_if_not_exists(ev, ordering=["event_id"])
+    elif variant == "multi":
+        # S12 multi-table client: one handle appends disjoint halves
+        # into two homogeneous log tables
+        from fluss_spark.table import MultiTable
+
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT"),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            num_buckets=4,
+        )
+        t = create_table(cat, "db", variant, schema)
+        create_table(cat, "db", "multi_b", schema)
+        mt = MultiTable(cat, [("db", variant), ("db", "multi_b")])
+        half = _max_event_id(sf) // 2
+        mt.append_all(
+            {
+                f"db.{variant}": ev.filter(F.col("event_id") <= half),
+                "db.multi_b": ev.filter(F.col("event_id") > half),
+            },
+            ordering=["event_id"],
+        )
     elif variant == "sqldml":
         # row-level DELETE/UPDATE through the SQL statement surface
         # (writes.md:90-115): latest-event state per user, then two
@@ -644,6 +706,123 @@ def m15_pair_granular_commit(spark: SparkSession, sf: str) -> DataFrame:
         t.snapshot(spark)
         .filter(F.col("event_type").isin("click", "view"))
         .select("event_type", "user_id", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "m16_auto_increment",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS u
+      FROM events
+    )
+    SELECT CAST(2 * n - u AS BIGINT) AS n_events,
+           CAST(2 * n - u AS BIGINT) AS n_ids,
+           CAST(0 AS BIGINT) AS lo,
+           CAST(2 * n - u - 1 AS BIGINT) AS hi,
+           CAST((2 * n - u) * (2 * n - u - 1) // 2 AS BIGINT) AS id_sum,
+           CAST(n - u AS BIGINT) AS n_before
+    FROM c
+    """,
+)
+def m16_auto_increment(spark: SparkSession, sf: str) -> DataFrame:
+    """M10 auto-increment on a PRIMARY-KEY table through the fused
+    single-action commit (Schema.java:552, server/kv/autoinc/
+    AutoIncrementManager): ids are stamped inside the commit window by
+    the same running event count that assigns WAL offsets, segments
+    packed gap-free in bucket order, counter persisted across commits.
+    Every WAL event takes one fresh id — each input row emits +I/+U
+    and every non-first event per key also emits a -U before-image
+    (changelog image FULL), so after two upsert commits over the full
+    event set the id domain is exactly [0, 2N - U) for N events over U
+    users: count/distinct/min/max/sum of the ids and the before-image
+    count are all derivable in closed form, which is what the oracle
+    checks — any gap, duplicate, or cross-commit counter reset breaks
+    the sum or the bounds."""
+    t = _build(spark, sf, "autoinc_pk")
+    cl = t.changelog(spark)
+    return cl.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("rid").alias("n_ids"),
+        F.min("rid").alias("lo"),
+        F.max("rid").alias("hi"),
+        F.sum("rid").alias("id_sum"),
+        F.sum((F.col("_change_type") == "-U").cast("bigint")).alias("n_before"),
+    )
+
+
+@register(
+    "l3_insert_if_not_exists",
+    oracle="""
+    WITH h AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS half FROM events),
+    pref AS (
+      SELECT user_id, event_type, round(value, 2) AS value
+      FROM events, h
+      WHERE user_id % 3 != 0 AND event_id <= h.half
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ),
+    alll AS (
+      SELECT user_id, event_type, round(value, 2) AS value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    )
+    SELECT a.user_id,
+           CASE WHEN p.user_id IS NULL THEN a.event_type ELSE p.event_type END
+             AS event_type,
+           CASE WHEN p.user_id IS NULL THEN a.value ELSE p.value END AS value
+    FROM alll a LEFT JOIN pref p ON a.user_id = p.user_id
+    """,
+)
+def l3_insert_if_not_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """L3 insert-if-not-exists (Lookup.enableInsertIfNotExists,
+    Lookup.java:96-105): a seed commit stores the first-half fold for
+    users with user_id % 3 != 0 only, then insert_if_not_exists probes
+    with EVERY event — present keys must RESIST the insert (they keep
+    their seeded first-half state), absent keys (the % 3 == 0 users,
+    plus any user whose events all land in the second half) take the
+    probe batch's per-key fold. The snapshot is therefore a mix the
+    oracle reproduces with a presence-aware join of the two folds —
+    an insert that overwrote an existing key, or skipped an absent
+    one, shows up as a value mismatch."""
+    t = _build(spark, sf, "iine")
+    return t.snapshot(spark).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "s12_multi_table_union",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s12_multi_table_union(spark: SparkSession, sf: str) -> DataFrame:
+    """S12 multi-table client (client/table/MultiTable.java,
+    MultiTableBatchScanner/MultiTableWriter): one handle appends the
+    event halves into TWO homogeneous log tables and scans them back
+    as one DataFrame (union_scan). Per-type counts, distinct ids, id
+    bounds, and int64 cent sums over the union must equal the same
+    aggregates over the undivided event table — a dropped batch,
+    double-read, or cross-table row leak breaks a count or the sum."""
+    t = _build(spark, sf, "multi")
+    from fluss_spark.table import MultiTable
+
+    mt = MultiTable(t.catalog, [("db", "multi"), ("db", "multi_b")])
+    u = mt.union_scan(spark, ["event_id", "user_id", "event_type", "value"])
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
     )
 
 
