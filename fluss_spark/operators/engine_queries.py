@@ -605,6 +605,107 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             },
             ordering=["event_id"],
         )
+    elif variant == "overwrite":
+        # M8 overwrite merge mode: a correction batch FORCES its rows
+        # in, bypassing the versioned engine's max-version rule that
+        # would reject the lower version
+        schema = TableSchema(
+            fields=[
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+                Field("ver", "BIGINT"),
+            ],
+            primary_key=["user_id"],
+            num_buckets=8,
+            properties={
+                "table.merge-engine": "versioned",
+                "table.merge-engine.versioned.ver-column": "ver",
+            },
+        )
+        t = create_table(cat, "db", variant, schema)
+        t.upsert(ev.withColumn("ver", F.col("event_id")), ordering=["event_id"])
+        corrections = (
+            ev.filter(F.col("user_id") % 5 == 0)
+            .select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.lit("corrected").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(0).cast("bigint").alias("ver"),
+            )
+        )
+        t.upsert(corrections, merge_mode="overwrite")
+    elif variant == "wal_image":
+        # M9 WAL changelog image: before-images are dropped, the
+        # changelog is exactly the after-image stream
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+            properties={"table.changelog.image": "wal"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+    elif variant == "compacted":
+        # T10 compaction lifecycle: four upsert commits leave four
+        # snapshot dirs + four log dirs, then both tiers are compacted;
+        # the fold state must be byte-identical through the rewrite
+        from fluss_spark.maintenance import compact_log, compact_snapshot
+
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        hi = _max_event_id(sf)
+        for i in range(4):
+            t.upsert(
+                ev.filter(
+                    (F.col("event_id") > i * hi // 4)
+                    & (F.col("event_id") <= (i + 1) * hi // 4)
+                ),
+                ordering=["event_id"],
+            )
+        compact_log(t, spark, target_commits=2)
+        compact_snapshot(t, spark, max_dirs=1)
+    elif variant == "ttl_log":
+        # W5 log TTL at commit granularity: three appends at pinned
+        # commit timestamps, then expire_log_ttl with a pinned `now`
+        # whose cutoff lands exactly between the first and second
+        # commit — the first tertile's dir is deleted, earliest
+        # readable offsets advance past it
+        from fluss_spark.maintenance import expire_log_ttl
+
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT"),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            num_buckets=4,
+            properties={"table.log.ttl": "10s"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        hi = _max_event_id(sf)
+        t0 = 1_700_000_000_000
+        for i in range(3):
+            t.append(
+                ev.filter(
+                    (F.col("event_id") > i * hi // 3)
+                    & (F.col("event_id") <= (i + 1) * hi // 3)
+                ),
+                ordering=["event_id"],
+                commit_ts_ms=t0 + i * 60_000,
+            )
+        # cutoff = now - 10s = t0 + 60_000 exactly: commit 1 (ts t0) is
+        # strictly older and expires; commit 2 (ts == cutoff) is kept
+        expire_log_ttl(t, spark, now_ms=t0 + 70_000)
     elif variant == "sqldml":
         # row-level DELETE/UPDATE through the SQL statement surface
         # (writes.md:90-115): latest-event state per user, then two
@@ -823,6 +924,112 @@ def s12_multi_table_union(spark: SparkSession, sf: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+
+
+@register(
+    "m17_overwrite_merge",
+    oracle="""
+    SELECT user_id,
+           CASE WHEN user_id % 5 = 0 THEN 'corrected' ELSE event_type END
+             AS event_type,
+           CASE WHEN user_id % 5 = 0 THEN 0.0 ELSE round(value, 2) END
+             AS value,
+           CAST(CASE WHEN user_id % 5 = 0 THEN 0 ELSE event_id END AS BIGINT)
+             AS ver
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def m17_overwrite_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """M8 OVERWRITE merge mode (the writer-side escape hatch the
+    reference exposes next to its merge engines,
+    server/kv/rowmerger/): a VERSIONED table (ver = event_id, so the
+    max-version rule keeps each user's last event) is then hit by a
+    correction batch carrying ver = 0 — the versioned engine would
+    REJECT every correction as stale, so the query only matches the
+    oracle if merge_mode='overwrite' really bypasses the engine and
+    forces the rows in. Users with user_id % 5 == 0 must read
+    ('corrected', 0.0, ver 0); everyone else keeps the versioned
+    fold."""
+    t = _build(spark, sf, "overwrite")
+    return t.snapshot(spark).select(
+        "user_id", "event_type", F.round("value", 2).alias("value"), "ver"
+    )
+
+
+@register(
+    "m18_wal_image_changelog",
+    oracle="""
+    SELECT '+U' AS _change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def m18_wal_image_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """M9 changelog image WAL (table.changelog.image='wal' vs the
+    default 'full'; reference: the changelog surface either replays
+    full before/after images or just the write-ahead stream): the WAL
+    image drops every UPDATE_BEFORE row AND — for default merge with
+    full-row updates — converts +I to +U (the skip-old-lookup
+    optimization, 'similar to database WAL behavior'), so the
+    changelog collapses to ONE change type: exactly N '+U' rows for N
+    input events, zero -U/-D/+I. The group-by must therefore return a
+    single row whose count and int64 cent sum equal the raw event
+    table's — a leaked before-image inflates both (before-images carry
+    the PRIOR value), an unconverted +I splits the group."""
+    t = _build(spark, sf, "wal_image")
+    return (
+        t.changelog(spark)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+
+
+@register("t16_compacted_read", oracle=_LAST_PER_USER)
+def t16_compacted_read(spark: SparkSession, sf: str) -> DataFrame:
+    """T10 compaction (maintenance.compact_log/compact_snapshot; the
+    reference's tiering/compaction service rewrites segments without
+    changing their logical content, fluss-lake/.../tiering/): four
+    upsert commits leave four snapshot dirs and four log commit dirs,
+    then BOTH tiers are compacted — the snapshot into one data dir,
+    the log into one commit dir with offsets preserved verbatim. The
+    fold state must be unchanged through the rewrite: the snapshot
+    after compaction equals the from-scratch last-write-wins oracle
+    (a row lost, duplicated, or reordered by the rewrite breaks the
+    hash)."""
+    t = _build(spark, sf, "compacted")
+    return t.snapshot(spark).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "t17_log_ttl",
+    oracle="""
+    WITH m AS (SELECT CAST(max(event_id) // 3 AS BIGINT) AS third FROM events)
+    SELECT e.event_id, e.user_id, e.event_type, round(e.value, 2) AS value
+    FROM events e, m
+    WHERE e.event_id > m.third
+    """,
+)
+def t17_log_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """W5 log TTL at commit-dir granularity (maintenance.
+    expire_log_ttl; reference: LogTieringTask deletes expired segments
+    on both tiers): three appends land at pinned commit timestamps one
+    minute apart, then TTL expiry runs with a pinned `now` whose
+    cutoff falls exactly on the second commit's timestamp — the first
+    tertile's commit dir is deleted, the second (ts == cutoff) and the
+    newest are kept, and earliest readable offsets advance past the
+    trimmed commit. The remaining scan must be exactly the last two
+    tertiles — an off-by-one in the cutoff comparison, or a scan that
+    still surfaces the trimmed dir's rows, breaks the row set."""
+    t = _build(spark, sf, "ttl_log")
+    return t.scan(spark).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
 
 
