@@ -605,6 +605,103 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             },
             ordering=["event_id"],
         )
+    elif variant == "stream_drain":
+        # T1/T2/S2: per-bucket offset subscription drained
+        # availableNow-style into a sink table. Batch 0 = everything
+        # available at subscribe time (earliest startup), batch 1 =
+        # ONLY the commit that landed after the first drain — the
+        # checkpointed offsets must fence exactly there.
+        from fluss_spark.streaming.reader import LogStreamReader
+
+        fields = [
+            Field("event_id", "BIGINT"),
+            Field("user_id", "BIGINT"),
+            Field("event_type", "STRING"),
+            Field("value", "DOUBLE"),
+        ]
+        t = create_table(
+            cat, "db", variant, TableSchema(fields=fields, num_buckets=4)
+        )
+        sink = create_table(
+            cat,
+            "db",
+            "stream_sink",
+            TableSchema(
+                fields=[Field("batch_id", "BIGINT")] + fields, num_buckets=4
+            ),
+        )
+        third = _max_event_id(sf) // 3
+        t.append(ev.filter(F.col("event_id") <= third), ordering=["event_id"])
+        t.append(
+            ev.filter(
+                (F.col("event_id") > third) & (F.col("event_id") <= 2 * third)
+            ),
+            ordering=["event_id"],
+        )
+        reader = LogStreamReader(
+            t, spark, checkpoint_dir=os.path.join(wh, "ckpt"), startup_mode="earliest"
+        )
+
+        def _drain(df: DataFrame, bid: int) -> None:
+            sink.append(
+                df.select(
+                    F.lit(bid).cast("bigint").alias("batch_id"),
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    "value",
+                ),
+                ordering=["event_id"],
+            )
+
+        reader.process_available(_drain)
+        t.append(ev.filter(F.col("event_id") > 2 * third), ordering=["event_id"])
+        reader.process_available(_drain)
+    elif variant == "stream_hybrid":
+        # T3 hybrid snapshot->log handoff in STREAMING form: full
+        # startup on a pk table emits the snapshot as batch 0 (+I
+        # rows), then the log from the snapshot's offsets — a commit
+        # landing after subscribe time arrives as batch 1 WAL rows
+        from fluss_spark.streaming.reader import LogStreamReader
+
+        schema = TableSchema(
+            fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+            primary_key=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        sink = create_table(
+            cat,
+            "db",
+            "hybrid_sink",
+            TableSchema(
+                fields=[
+                    Field("batch_id", "BIGINT"),
+                    Field("change_type", "STRING"),
+                    Field("user_id", "BIGINT"),
+                ],
+                num_buckets=4,
+            ),
+        )
+        half = _max_event_id(sf) // 2
+        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        reader = LogStreamReader(
+            t, spark, checkpoint_dir=os.path.join(wh, "hckpt"), startup_mode="full"
+        )
+
+        def _drain_h(df: DataFrame, bid: int) -> None:
+            sink.append(
+                df.select(
+                    F.lit(bid).cast("bigint").alias("batch_id"),
+                    F.col("_change_type").alias("change_type"),
+                    "user_id",
+                ),
+                ordering=["user_id"],
+            )
+
+        reader.process_available(_drain_h)
+        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        reader.process_available(_drain_h)
     elif variant == "overwrite":
         # M8 overwrite merge mode: a correction batch FORCES its rows
         # in, bypassing the versioned engine's max-version rule that
@@ -1030,6 +1127,94 @@ def t17_log_ttl(spark: SparkSession, sf: str) -> DataFrame:
     t = _build(spark, sf, "ttl_log")
     return t.scan(spark).select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "t18_stream_subscription",
+    oracle="""
+    WITH m AS (SELECT CAST(max(event_id) // 3 AS BIGINT) AS third FROM events)
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events, m WHERE event_id <= 2 * m.third
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(min(event_id) AS BIGINT),
+           CAST(max(event_id) AS BIGINT),
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events, m WHERE event_id > 2 * m.third
+    """,
+)
+def t18_stream_subscription(spark: SparkSession, sf: str) -> DataFrame:
+    """T1/T2 per-bucket offset subscription + S2 streaming scan,
+    driven to completion (LogScanner.poll,
+    client/table/scanner/log/LogScanner.java:69-131; earliest startup,
+    FlussOffsetInitializers.scala:26-40): two appended commits are
+    drained as batch 0 (everything available at subscribe time), a
+    THIRD commit lands, and a second drain must deliver EXACTLY that
+    commit as batch 1 — the checkpointed per-bucket offsets are the
+    only fence between the batches. Each batch is appended to a sink
+    table with its batch id (the exactly-once consume shape, T7); the
+    per-batch counts, id bounds, and cent sums must split the event
+    table exactly at the two-thirds boundary — a row delivered twice,
+    dropped, or fenced into the wrong batch breaks a sum or a bound."""
+    t = _build(spark, sf, "stream_drain")
+    sink = FlussTable(t.catalog, "db", "stream_sink")
+    return sink.scan(spark).groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+
+
+@register(
+    "t19_hybrid_stream_handoff",
+    oracle="""
+    WITH h AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS half FROM events),
+    h1 AS (SELECT DISTINCT user_id FROM events, h WHERE event_id <= h.half),
+    e2 AS (
+      SELECT e.user_id,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id)
+               AS rn,
+             e.user_id IN (SELECT user_id FROM h1) AS ex1
+      FROM events e, h
+      WHERE e.event_id > h.half
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id, '+I' AS change_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM h1
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), '+I', CAST(count(*) AS BIGINT)
+    FROM e2 WHERE rn = 1 AND NOT ex1 HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), '-U', CAST(count(*) AS BIGINT)
+    FROM e2 WHERE NOT (rn = 1 AND NOT ex1) HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), '+U', CAST(count(*) AS BIGINT)
+    FROM e2 WHERE NOT (rn = 1 AND NOT ex1) HAVING count(*) > 0
+    """,
+)
+def t19_hybrid_stream_handoff(spark: SparkSession, sf: str) -> DataFrame:
+    """T3 hybrid snapshot->log handoff in streaming form
+    (HybridSnapshotLogSplit.java:37; full startup mode): subscribing
+    to a pk table already holding the first-half fold emits the KV
+    SNAPSHOT as batch 0 — one +I row per stored key — and pins the log
+    position to the snapshot's offsets; the second-half upsert then
+    arrives as batch 1 carrying the WAL slice, where a key's first
+    event is +I only if the key was NOT in the snapshot and every
+    other event emits a -U/+U pair. Per-(batch, change-type) counts
+    are fully determined by the halves' user sets — a handoff that
+    re-reads WAL rows already represented in the snapshot, or misses
+    rows committed after subscribe time, changes a count."""
+    t = _build(spark, sf, "stream_hybrid")
+    sink = FlussTable(t.catalog, "db", "hybrid_sink")
+    return sink.scan(spark).groupBy("batch_id", "change_type").agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 
