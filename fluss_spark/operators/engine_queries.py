@@ -243,6 +243,24 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         t.upsert(ev, ordering=["event_id"])
+    elif variant == "bucketed_log":
+        # W1-W3: explicit bucket key -> deterministic hash spread (a
+        # bucketless log buckets by writer partition id, which depends
+        # on input splits)
+        schema = TableSchema(
+            fields=[
+                Field("event_id", "BIGINT"),
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            bucket_keys=["user_id"],
+            num_buckets=4,
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        t.append(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.append(ev.filter(F.col("event_id") > half), ordering=["event_id"])
     elif variant == "plain_log":
         schema = TableSchema(
             fields=[
@@ -702,6 +720,56 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         reader.process_available(_drain_h)
         t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
         reader.process_available(_drain_h)
+    elif variant == "stream_redelivery":
+        # T7 exactly-once: a consumer processes a batch but CRASHES
+        # before commit_batch — a fresh reader on the same checkpoint
+        # must re-read EXACTLY the same offset range under the same
+        # batch id (batch-id-keyed idempotence, the engine's analog of
+        # writer-id dedup). The sink deliberately keeps both deliveries
+        # so the query can prove the redelivery was byte-identical.
+        from fluss_spark.streaming.reader import LogStreamReader
+
+        fields = [
+            Field("event_id", "BIGINT"),
+            Field("user_id", "BIGINT"),
+            Field("event_type", "STRING"),
+            Field("value", "DOUBLE"),
+        ]
+        t = create_table(
+            cat, "db", variant, TableSchema(fields=fields, num_buckets=4)
+        )
+        sink = create_table(
+            cat,
+            "db",
+            "redelivery_sink",
+            TableSchema(
+                fields=[Field("batch_id", "BIGINT")] + fields, num_buckets=4
+            ),
+        )
+        half = _max_event_id(sf) // 2
+        t.append(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t.append(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        ck = os.path.join(wh, "rck")
+
+        def _sink(df: DataFrame, bid: int) -> None:
+            sink.append(
+                df.select(
+                    F.lit(bid).cast("bigint").alias("batch_id"),
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    "value",
+                ),
+                ordering=["event_id"],
+            )
+
+        r1 = LogStreamReader(t, spark, checkpoint_dir=ck, startup_mode="earliest")
+        df, bid = r1.poll()
+        _sink(df, bid)  # processed... and the consumer dies here:
+        del r1  # no commit_batch -> the checkpoint never advanced
+        r2 = LogStreamReader(t, spark, checkpoint_dir=ck, startup_mode="earliest")
+        n = r2.process_available(_sink)
+        assert n == 1, f"expected exactly the one redelivered batch, got {n}"
     elif variant == "overwrite":
         # M8 overwrite merge mode: a correction batch FORCES its rows
         # in, bypassing the versioned engine's max-version rule that
@@ -1215,6 +1283,120 @@ def t19_hybrid_stream_handoff(spark: SparkSession, sf: str) -> DataFrame:
     sink = FlussTable(t.catalog, "db", "hybrid_sink")
     return sink.scan(spark).groupBy("batch_id", "change_type").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "t20_exactly_once_redelivery",
+    oracle="""
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_delivered,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 AS BIGINT) AS n_batches,
+           CAST(2 * sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_delivered
+    FROM events
+    """,
+)
+def t20_exactly_once_redelivery(spark: SparkSession, sf: str) -> DataFrame:
+    """T7 exactly-once consumption (the engine's batch-id-keyed
+    idempotence; reference: checkpointed offsets advance only after
+    the batch function returns, so a failed batch re-reads the same
+    range — streaming/reader.py:151, FlussMicroBatchStream.scala
+    analog): a consumer processes the full available range, crashes
+    BEFORE committing its checkpoint, and a fresh reader on the same
+    checkpoint dir redelivers. The sink keeps both deliveries, so the
+    invariants are exact: total delivered rows = 2N, distinct events =
+    N (the redelivery is byte-identical, no partial range), exactly
+    ONE batch id across both deliveries (the replay reuses the failed
+    batch's id — an advanced checkpoint or a renumbered batch breaks
+    it), and delivered cent sum = exactly twice the corpus."""
+    t = _build(spark, sf, "stream_redelivery")
+    sink = FlussTable(t.catalog, "db", "redelivery_sink")
+    return sink.scan(spark).agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.countDistinct("batch_id").alias("n_batches"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents_delivered"),
+    )
+
+
+@register(
+    "m19_snapshot_time_travel",
+    oracle="""
+    WITH h AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS half FROM events)
+    SELECT 'v1' AS snap, user_id, event_type, round(value, 2) AS value
+    FROM events, h
+    WHERE event_id <= h.half
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    UNION ALL
+    SELECT 'v2' AS snap, user_id, event_type, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def m19_snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """M11 KV snapshot versioning (snapshot-id = manifest version; the
+    reference keeps every published KV snapshot addressable until
+    expiry): the shared two-commit build is read back at BOTH
+    versions — the oldest snapshot version in the commit history must
+    be exactly the first-half fold, frozen even though a later commit
+    rewrote the buckets, and the current version the full fold. A
+    version pointer that resolves to rewritten files, or a manifest
+    that lost the old dir mapping, changes v1's rows."""
+    t = _build(spark, sf, "default")
+    versions = sorted(
+        s.snapshot_version
+        for s in t.catalog.commit_history("db", "default")
+        if s.snapshot_version > 0
+    )
+    v1 = t.snapshot(spark, version=versions[0]).select(
+        F.lit("v1").alias("snap"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    v2 = t.snapshot(spark).select(
+        F.lit("v2").alias("snap"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    return v1.unionByName(v2)
+
+
+@register(
+    "s13_bucket_offset_invariants",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_buckets,
+           CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(0 AS BIGINT) AS min_offset_sum,
+           CAST(0 AS BIGINT) AS gap_rows
+    FROM events
+    """,
+)
+def s13_bucket_offset_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    """W1-W3 bucketing and offset assignment (reference: rows hash to
+    a fixed bucket set and each bucket's log is a dense offset
+    sequence, metadata/TableBucket.java + the log append protocol):
+    over the shared two-commit log build, every one of the 4 buckets
+    must be populated (W1 hash spread), each bucket's offsets must
+    start at 0 (W2) and be gap-free and duplicate-free across the two
+    commits (W3: per bucket, max-min+1 == rows == distinct offsets).
+    The aggregate folds those per-bucket checks into closed-form
+    totals: any gap, duplicate, restart-from-zero, or empty bucket
+    moves gap_rows, min_offset_sum, or n_buckets off the constant."""
+    t = _build(spark, sf, "bucketed_log")
+    per_bucket = t.scan(spark).groupBy("__bucket").agg(
+        F.min("__offset").alias("lo"),
+        F.max("__offset").alias("hi"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("__offset").alias("dst"),
+    )
+    return per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cnt").alias("total_rows"),
+        F.sum("lo").alias("min_offset_sum"),
+        F.sum(F.col("hi") - F.col("lo") + 1 - F.col("dst")).alias("gap_rows"),
     )
 
 
