@@ -91,7 +91,35 @@ def create_index(
         },
     )
     idx = create_table(catalog, db, index_table_name(table, column), schema)
-    sync_index(catalog, db, table, column, spark)
+    # Bootstrap from the SNAPSHOT, not the changelog: the live image is
+    # O(rows) while the changelog is O(history) — on a long-lived table
+    # the full-history fold reads every superseded event and every
+    # before-image just to retract them again, whereas the snapshot
+    # already IS the folded state (the vector index bootstraps the same
+    # way, vector_index.py). HWM is captured BEFORE the snapshot read:
+    # a commit landing between the two is present in the snapshot AND
+    # re-consumed by the idempotent first sync (harmless); the reverse
+    # order would permanently drop such a commit. Crash safety keeps
+    # the sync-prop write LAST: dying between the seed upsert and the
+    # prop write leaves INDEX_SYNC_PROP empty, so the next sync folds
+    # from offset zero over the seed — idempotent, self-healing.
+    end = base.log.latest_offsets()
+    seed = (
+        base.snapshot(spark)
+        .filter(F.col(column).isNotNull())
+        .select(column, *pk)
+        .withColumn(OP_COL, F.lit("U"))
+    )
+    idx.upsert(seed, ordering=pk)
+    idx_name = index_table_name(table, column)
+    sch = catalog.get_schema(db, idx_name)
+    sch.properties[INDEX_SYNC_PROP] = json.dumps(
+        {str(b): o for b, o in end.items()}, sort_keys=True
+    )
+    sch.properties[INDEX_EPOCH_PROP] = base.schema.properties.get(
+        "table.bucket.epoch", "0"
+    )
+    catalog.set_schema(db, idx_name, sch)
     return idx
 
 
