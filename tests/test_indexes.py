@@ -264,3 +264,25 @@ def test_sync_catches_bucket_born_between_syncs(spark, catalog):
         r["id"] for r in index_lookup(catalog, "db", "born", "grp", 7, spark).collect()
     )
     assert got == sorted([k1, k2])
+
+
+def test_create_index_on_empty_base_then_catch_up(spark, catalog):
+    """Snapshot-bootstrapped create on an EMPTY base: the seed upsert is
+    empty and latest_offsets is {}, so the recorded sync map must fall
+    back to resume-from-zero — the first real commit is then fully
+    absorbed by the next sync, not silently skipped."""
+    t = create_table(
+        catalog, "db", "eb",
+        TableSchema(
+            fields=[Field("k", "BIGINT", nullable=False), Field("v", "STRING")],
+            primary_key=["k"],
+            num_buckets=2,
+        ),
+    )
+    create_index(catalog, "db", "eb", "v", spark)
+    idx = FlussTable(catalog, "db", index_table_name("eb", "v"))
+    assert idx.snapshot(spark).count() == 0
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    assert sync_index(catalog, "db", "eb", "v", spark) == 2
+    got = index_lookup(catalog, "db", "eb", "v", "a", spark)
+    assert [r["k"] for r in got.collect()] == [1]
