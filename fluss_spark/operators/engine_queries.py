@@ -562,12 +562,12 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
                 VALUES (s.user_id, s.event_type, round(s.value, 2))
         """)
     elif variant == "autoinc_pk":
-        # auto-increment column on a pk table: ids are stamped inside
-        # the fused single-action commit window (same running event
-        # count that assigns offsets), so every WAL event — including
-        # -U before-images — takes one fresh id, and the counter
-        # persists across commits (M10, Schema.java:552,
-        # server/kv/autoinc/)
+        # auto-increment column on a pk table: an id is minted once per
+        # inserted key inside the fused single-action commit window
+        # (running +I count over the same bucket exchange that assigns
+        # offsets), carried verbatim through every later -U/+U image of
+        # the key, and the counter persists across commits (M10,
+        # Schema.java:552, KvTablet.java:763-775, server/kv/autoinc/)
         schema = TableSchema(
             fields=[
                 Field("user_id", "BIGINT"),
@@ -585,7 +585,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
     elif variant == "iine":
         # L3 insert-if-not-exists lifecycle: seed a key subset, then
         # probe with EVERY key — present keys must resist the insert,
-        # absent ones take the probe batch's fold
+        # absent ones take a key-only stub row (non-key columns null,
+        # Lookup.java:97-105)
         schema = TableSchema(
             fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
             primary_key=["user_id"],
@@ -984,37 +985,44 @@ def m15_pair_granular_commit(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     )
     SELECT CAST(2 * n - u AS BIGINT) AS n_events,
-           CAST(2 * n - u AS BIGINT) AS n_ids,
+           CAST(u AS BIGINT) AS n_ids,
+           CAST(u AS BIGINT) AS n_key_id_pairs,
            CAST(0 AS BIGINT) AS lo,
-           CAST(2 * n - u - 1 AS BIGINT) AS hi,
-           CAST((2 * n - u) * (2 * n - u - 1) // 2 AS BIGINT) AS id_sum,
-           CAST(n - u AS BIGINT) AS n_before
+           CAST(u - 1 AS BIGINT) AS hi,
+           CAST(u * (u - 1) // 2 AS BIGINT) AS id_sum,
+           CAST(n - u AS BIGINT) AS n_before,
+           CAST(0 AS BIGINT) AS n_null_ids
     FROM c
     """,
 )
 def m16_auto_increment(spark: SparkSession, sf: str) -> DataFrame:
     """M10 auto-increment on a PRIMARY-KEY table through the fused
     single-action commit (Schema.java:552, server/kv/autoinc/
-    AutoIncrementManager): ids are stamped inside the commit window by
-    the same running event count that assigns WAL offsets, segments
-    packed gap-free in bucket order, counter persisted across commits.
-    Every WAL event takes one fresh id — each input row emits +I/+U
-    and every non-first event per key also emits a -U before-image
-    (changelog image FULL), so after two upsert commits over the full
-    event set the id domain is exactly [0, 2N - U) for N events over U
-    users: count/distinct/min/max/sum of the ids and the before-image
-    count are all derivable in closed form, which is what the oracle
-    checks — any gap, duplicate, or cross-commit counter reset breaks
-    the sum or the bounds."""
+    AutoIncrementManager): an id is minted once per inserted KEY
+    (KvTablet.applyInsert, KvTablet.java:763-775), is immutable for the
+    row's lifetime, and every -U before-image / +U after-image carries
+    the key's existing id verbatim. Segments are packed gap-free in
+    bucket order from the +I counts; the counter persists across
+    commits. After two upsert commits over the full event set (N events
+    over U users, no deletes) the changelog therefore holds 2N - U
+    events whose distinct ids form exactly [0, U) — and because ids are
+    insert-stable, the distinct (user_id, rid) PAIR count must also be
+    exactly U: a single key observed under two different ids (the
+    old per-event divergence) or an id shared by two keys breaks the
+    pair count, while a gap, duplicate, or cross-commit counter reset
+    breaks the sum or the bounds, and a before-image carrying an id
+    that never existed breaks n_ids."""
     t = _build(spark, sf, "autoinc_pk")
     cl = t.changelog(spark)
     return cl.agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("rid").alias("n_ids"),
+        F.countDistinct("user_id", "rid").alias("n_key_id_pairs"),
         F.min("rid").alias("lo"),
         F.max("rid").alias("hi"),
-        F.sum("rid").alias("id_sum"),
+        F.sum_distinct(F.col("rid")).alias("id_sum"),
         F.sum((F.col("_change_type") == "-U").cast("bigint")).alias("n_before"),
+        F.sum(F.col("rid").isNull().cast("bigint")).alias("n_null_ids"),
     )
 
 
@@ -1028,29 +1036,25 @@ def m16_auto_increment(spark: SparkSession, sf: str) -> DataFrame:
       WHERE user_id % 3 != 0 AND event_id <= h.half
       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
     ),
-    alll AS (
-      SELECT user_id, event_type, round(value, 2) AS value
-      FROM events
-      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
-    )
-    SELECT a.user_id,
-           CASE WHEN p.user_id IS NULL THEN a.event_type ELSE p.event_type END
-             AS event_type,
-           CASE WHEN p.user_id IS NULL THEN a.value ELSE p.value END AS value
-    FROM alll a LEFT JOIN pref p ON a.user_id = p.user_id
+    keys AS (SELECT DISTINCT user_id FROM events)
+    SELECT k.user_id, p.event_type, p.value
+    FROM keys k LEFT JOIN pref p ON k.user_id = p.user_id
     """,
 )
 def l3_insert_if_not_exists(spark: SparkSession, sf: str) -> DataFrame:
     """L3 insert-if-not-exists (Lookup.enableInsertIfNotExists,
-    Lookup.java:96-105): a seed commit stores the first-half fold for
+    Lookup.java:97-105): a seed commit stores the first-half fold for
     users with user_id % 3 != 0 only, then insert_if_not_exists probes
-    with EVERY event — present keys must RESIST the insert (they keep
-    their seeded first-half state), absent keys (the % 3 == 0 users,
-    plus any user whose events all land in the second half) take the
-    probe batch's per-key fold. The snapshot is therefore a mix the
-    oracle reproduces with a presence-aware join of the two folds —
-    an insert that overwrote an existing key, or skipped an absent
-    one, shows up as a value mismatch."""
+    with EVERY event. Present keys must RESIST the insert (they keep
+    their seeded first-half state); absent keys (the % 3 == 0 users,
+    plus any user whose events all land in the second half) take a
+    STUB row carrying only the lookup key — non-key columns null —
+    exactly the reference's 'inserted with the lookup key values'
+    miss behavior. The snapshot is therefore seeded rows beside
+    key-only stubs, which the oracle reproduces with a left join of
+    the probed key set against the seeded fold: an insert that
+    overwrote an existing key, stored probe payload on a miss, or
+    skipped an absent key shows up as a value/null mismatch."""
     t = _build(spark, sf, "iine")
     return t.snapshot(spark).select(
         "user_id", "event_type", F.round("value", 2).alias("value")

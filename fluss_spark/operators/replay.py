@@ -175,12 +175,17 @@ def _apply_changelog_image(
     """M9 changelog image (metadata/ChangelogImage.java): FULL keeps
     -U/+U pairs; WAL drops UPDATE_BEFORE, and — for default merge with
     full-row updates — converts +I to +U (the skip-old-lookup
-    optimization, 'similar to database WAL behavior')."""
+    optimization, 'similar to database WAL behavior'). The +I -> +U
+    shortcut is gated OFF on auto-increment tables, exactly as the
+    reference gates it on !hasAutoIncrement (KvTablet.java:723-725):
+    ids are minted at insert, so the commit path must still see which
+    events are inserts."""
     if schema.changelog_image != "wal":
         return out
     changelog, snapshot = out
     changelog = changelog.filter(F.col(CHANGE_TYPE_COL) != UPDATE_BEFORE)
-    if schema.merge_engine == "default" and full_row:
+    has_autoinc = any(f.auto_increment for f in schema.fields)
+    if schema.merge_engine == "default" and full_row and not has_autoinc:
         changelog = changelog.withColumn(
             CHANGE_TYPE_COL,
             F.when(F.col(CHANGE_TYPE_COL) == INSERT, F.lit(UPDATE_AFTER)).otherwise(

@@ -68,6 +68,7 @@ from fluss_spark.types import (
     BUCKET_COL,
     CHANGE_TYPE_COL,
     DELETE,
+    INSERT,
     OFFSET_COL,
     TIMESTAMP_COL,
     ddl_of,
@@ -283,6 +284,30 @@ class KvStore:
             missing_pk = [c for c in pk if c not in partial_update_cols]
             if missing_pk:
                 raise ValueError(f"partial update must include the primary key, missing {missing_pk}")
+
+        # M10: auto-increment columns are engine-assigned surrogate ids —
+        # a caller may neither supply values for them (the batch frame's
+        # columns ARE the write's target columns; the reference client
+        # rejects auto-inc among targets, UpsertWriterImpl.sanityCheck
+        # :107-152) nor name them as partial-update targets (server-side
+        # PerSchemaAutoIncrementUpdater.validateTargetColumns:101-127).
+        auto_cols = [f.name for f in schema.fields if f.auto_increment]
+        if auto_cols:
+            supplied = [c for c in auto_cols if c in df.columns]
+            if supplied:
+                raise ValueError(
+                    f"explicitly specifying values for auto-increment "
+                    f"column(s) {supplied} is not allowed — drop them from "
+                    "the batch; the engine assigns ids at key insert"
+                )
+            bad_targets = [
+                c for c in auto_cols if partial_update_cols and c in partial_update_cols
+            ]
+            if bad_targets:
+                raise ValueError(
+                    f"auto-increment column(s) {bad_targets} must not be "
+                    "included in partial-update target columns"
+                )
 
         fold_in, may_have_deletes, batch_buckets, pair_scope = self._fold_input(
             spark, df, ordering, batch_buckets
@@ -521,12 +546,19 @@ class KvStore:
         layers partitions above buckets the same way,
         metadata/TableBucket.java, TableDescriptor.java:74).
 
-        Auto-increment ids are stamped INSIDE the commit window: the
-        fold is persisted, one tiny count job packs per-bucket id
-        segments gap-free in bucket order (AutoIncrementManager's
-        BoundedSegmentSequenceGenerator model), and each event row takes
-        segment_base[bucket] + its running event count — identical ids
-        to the generic append path, without its second full pass.
+        Auto-increment ids are stamped INSIDE the commit window with the
+        reference's insert-stable semantics (ids assigned only in
+        applyInsert, KvTablet.java:763-775): the fold is persisted, one
+        tiny count job packs per-bucket id segments gap-free in bucket
+        order from the +I counts (AutoIncrementManager's
+        BoundedSegmentSequenceGenerator model), each +I event mints
+        segment_base[bucket] + its running insert count, and every other
+        row of the key — -U before-images, +U after-images, -D images,
+        and the snapshot copy — CARRIES the key's current id via a
+        last-non-null window anchored on the +I stamp and the
+        prior-snapshot row's stored value. A key's id therefore never
+        changes across updates, and only a delete + re-insert mints a
+        new one.
 
         The driver then renames __dest=w to the log staging dir and
         __dest=s to snapshot/data-vN — metadata-only moves. Snapshot
@@ -561,12 +593,16 @@ class KvStore:
             f"{schema.num_buckets}) AS INT)"
         )
 
-        # M10: pre-assign per-bucket id segments driver-side. The fold is
-        # persisted first so the count job and the write action see the
-        # SAME evaluated rows (the fold order can be non-deterministic
-        # when no explicit ordering was given — without the barrier the
-        # two jobs could disagree on per-bucket event counts and the ids
-        # would gap or collide).
+        # M10: pre-assign per-bucket id segments driver-side, sized by
+        # the bucket's INSERT (+I) count only — an id is minted once per
+        # inserted KEY and stays with the row for life (the reference
+        # assigns ids only in applyInsert, KvTablet.java:763-775; updates
+        # never regenerate them). The fold is persisted first so the
+        # count job and the write action see the SAME evaluated rows
+        # (the fold order can be non-deterministic when no explicit
+        # ordering was given — without the barrier the two jobs could
+        # disagree on per-bucket insert counts and the ids would gap or
+        # collide).
         auto_cols = [f.name for f in schema.fields if f.auto_increment]
         auto_next = dict(state0.auto_increment)
         persisted = None
@@ -576,7 +612,10 @@ class KvStore:
             changelog = persisted
             bucket_counts = sorted(
                 (int(r["b"]), r["cnt"])
-                for r in changelog.selectExpr(f"{bucket_sql} AS b")
+                for r in changelog.filter(
+                    F.col(CHANGE_TYPE_COL) == INSERT
+                )
+                .selectExpr(f"{bucket_sql} AS b")
                 .groupBy("b")
                 .agg(F.count("*").alias("cnt"))
                 .collect()
@@ -644,9 +683,7 @@ class KvStore:
             base_sql = f"coalesce(element_at(map({pairs}), `{BUCKET_COL}`), CAST(0 AS BIGINT))"
         else:
             base_sql = "CAST(0 AS BIGINT)"
-        # running event count in arrival order — feeds the offset and the
-        # auto-increment stamp (Catalyst collapses the duplicate window
-        # expression into one)
+        # running event count in arrival order — feeds the WAL offset
         rc = (
             f"count(CASE WHEN {is_event} THEN 1 END) OVER ({over} "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
@@ -656,16 +693,48 @@ class KvStore:
         # clusters (bucket, pk) too) and costs one extra in-memory sort
         pos = f"struct(`{SEQ_COL}`, `{SUB_COL}`)"
         is_last = f"({pos} = max({pos}) OVER (PARTITION BY `{BUCKET_COL}`, {pk_sql}))"
+        ev = ev.selectExpr("*", f"{bucket_sql} AS `{BUCKET_COL}`")
+        carried: dict[str, str] = {}
+        if id_expr:
+            # insert-stable ids (reference M10 semantics): a fresh id is
+            # minted only at a +I event — segment base + the bucket's
+            # running INSERT count (same arrival order as the offsets).
+            # Every other row of the key CARRIES its current id: the
+            # anchor column is the stamp on +I rows and the stored value
+            # on prior-snapshot rows (seq=-1, sorts first), so a
+            # last-non-null over (bucket, pk) in fold order gives -U
+            # before-images the id the row really had, +U after-images
+            # the same id, and a key re-inserted after an in-batch -D a
+            # fresh id (the new +I re-anchors). Staged as a real column:
+            # the carry window cannot nest the running-count window.
+            ins_rc = (
+                f"count(CASE WHEN `{CHANGE_TYPE_COL}` = '{INSERT}' THEN 1 END) "
+                f"OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+            anchor = [
+                f"CASE WHEN `{CHANGE_TYPE_COL}` = '{INSERT}' "
+                f"THEN CAST(({id_expr[c]}) + {ins_rc} - 1 AS BIGINT) "
+                f"WHEN `{CHANGE_TYPE_COL}` IS NULL THEN CAST(`{c}` AS BIGINT) "
+                f"END AS `__id_anchor_{i}`"
+                for i, c in enumerate(auto_cols)
+            ]
+            ev = ev.selectExpr("*", *anchor)
+            carry_over = (
+                f"PARTITION BY `{BUCKET_COL}`, {pk_sql} ORDER BY `{SEQ_COL}`, "
+                f"`{SUB_COL}` ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            )
+            for i, c in enumerate(auto_cols):
+                carried[c] = f"last(`__id_anchor_{i}`, true) OVER ({carry_over})"
         data_proj = [
             (
-                f"CASE WHEN {is_event} THEN CAST(({id_expr[c]}) + {rc} - 1 AS BIGINT) "
+                f"CASE WHEN {is_event} THEN CAST({carried[c]} AS BIGINT) "
                 f"ELSE `{c}` END AS `{c}`"
-                if c in id_expr
+                if c in carried
                 else f"`{c}`"
             )
             for c in cols
         ]
-        ev = ev.selectExpr("*", f"{bucket_sql} AS `{BUCKET_COL}`").selectExpr(
+        ev = ev.selectExpr(
             *data_proj,
             f"`{CHANGE_TYPE_COL}`",
             f"`{SEQ_COL}`",
@@ -823,6 +892,79 @@ class KvStore:
             }
         return per_bucket
 
+    def _stamp_autoinc_baseline(
+        self, spark: SparkSession, changelog: DataFrame
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Insert-stable auto-increment stamping for the two-pass
+        equivalence BASELINE, built a DIFFERENT way than the fused path
+        (filter +I -> row_number -> join-back, plus a stored-id join
+        against the snapshot, vs. the fused path's running-count window
+        anchored on prior-feed rows) so
+        tests/test_commit_equivalence.py compares two independent
+        implementations of the same reference contract: ids minted only
+        at insert (KvTablet.applyInsert, KvTablet.java:763-775), carried
+        verbatim through -U/+U/-D images, re-minted only after an
+        in-batch delete + re-insert. Returns (stamped changelog,
+        advanced counter map). `changelog` must already be persisted by
+        the caller (the count job and the WAL write must agree)."""
+        from fluss_spark.sources.log import _bucket_map_expr
+
+        schema, pk = self.schema, self.schema.primary_key
+        auto_cols = [f.name for f in schema.fields if f.auto_increment]
+        auto_next = dict(self.catalog.current_commit(self.db, self.table).auto_increment)
+        orig_cols = list(changelog.columns)
+        ev = changelog.withColumn(BUCKET_COL, self._bucket_expr())
+
+        # mint ids for +I events: per-bucket segments packed in bucket
+        # order, numbered within the bucket in WAL arrival order
+        ins = ev.filter(F.col(CHANGE_TYPE_COL) == INSERT)
+        order = [F.col(SEQ_COL), F.col(SUB_COL)] + [F.col(c) for c in pk]
+        wb = Window.partitionBy(BUCKET_COL).orderBy(*order)
+        counts = {
+            int(r[BUCKET_COL]): int(r["cnt"])
+            for r in ins.groupBy(BUCKET_COL).agg(F.count("*").alias("cnt")).collect()
+        }
+        minted = ins.select(
+            *pk, SEQ_COL, SUB_COL, BUCKET_COL, F.row_number().over(wb).alias("__ins_n")
+        )
+        for c in auto_cols:
+            base_id = auto_next.get(c, 0)
+            seg, acc = {}, base_id
+            for bkt in sorted(counts):
+                seg[bkt] = acc
+                acc += counts[bkt]
+            auto_next[c] = acc
+            minted = minted.withColumn(
+                f"__mint_{c}",
+                (_bucket_map_expr(seg, base_id) + F.col("__ins_n") - 1).cast("long"),
+            )
+        minted = minted.drop("__ins_n", BUCKET_COL)
+
+        # stored ids of pre-existing keys (the update/delete images of a
+        # key's pre-batch incarnation carry these)
+        stored = self.snapshot(spark).select(
+            *pk, *[F.col(c).alias(f"__stored_{c}") for c in auto_cols]
+        )
+        ev = ev.join(minted, on=list(pk) + [SEQ_COL, SUB_COL], how="left").join(
+            stored, on=pk, how="left"
+        )
+        # incarnation carry: rows at/after the key's latest in-batch +I
+        # take that mint; rows before any in-batch +I take the stored id
+        wk = (
+            Window.partitionBy(*pk)
+            .orderBy(F.col(SEQ_COL), F.col(SUB_COL))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in auto_cols:
+            ev = ev.withColumn(
+                c,
+                F.coalesce(
+                    F.last(f"__mint_{c}", ignorenulls=True).over(wk),
+                    F.col(f"__stored_{c}"),
+                ).cast("long"),
+            )
+        return ev.select(*orig_cols), auto_next
+
     def _commit_twopass(
         self, spark: SparkSession, changelog: DataFrame, commit_ts_ms: int | None
     ) -> CommitState:
@@ -848,13 +990,27 @@ class KvStore:
         # per-key changelog order is preserved in offset order.
         old_hwm = {int(b): off for b, off in self.catalog.current_commit(self.db, self.table).log_hwm.items()}
         wal_order = [SEQ_COL, SUB_COL] + pk
-        state = self.log.append(
-            changelog,
-            ordering=wal_order,
-            extra_cols=[CHANGE_TYPE_COL, SEQ_COL, SUB_COL],
-            commit_ts_ms=commit_ts_ms,
-            defer_commit=True,
-        )
+        auto_override = None
+        stamp_persist = None
+        if any(f.auto_increment for f in schema.fields):
+            # persist = barrier: the insert-count job and the WAL write
+            # must see the same evaluated fold rows
+            stamp_persist = changelog.persist()
+            changelog, auto_override = self._stamp_autoinc_baseline(
+                spark, stamp_persist
+            )
+        try:
+            state = self.log.append(
+                changelog,
+                ordering=wal_order,
+                extra_cols=[CHANGE_TYPE_COL, SEQ_COL, SUB_COL],
+                commit_ts_ms=commit_ts_ms,
+                defer_commit=True,
+                auto_increment_override=auto_override,
+            )
+        finally:
+            if stamp_persist is not None:
+                stamp_persist.unpersist()
         version = state.version
         # the staged files ARE this commit's changelog (see docstring)
         staging = self.log.staging_path(version)
@@ -931,21 +1087,45 @@ class KvStore:
         return state
 
     def insert_if_not_exists(self, df: DataFrame, ordering: list[str] | None = None) -> DataFrame:
-        """L3 (Lookup.enableInsertIfNotExists, Lookup.java:96-105):
-        insert rows whose key is absent, then return the current row for
-        every requested key (present rows win; absent ones are the
-        freshly inserted values). One left-anti + one upsert commit."""
+        """L3 (Lookup.enableInsertIfNotExists, Lookup.java:97-105): a
+        probe key with no matching row inserts a STUB row carrying only
+        the lookup KEY VALUES — non-key columns stay null (auto-increment
+        columns are engine-assigned as usual), exactly the reference's
+        'a new row will be inserted with the lookup key values'. Present
+        keys are untouched; the return is the current row for every
+        probed key. Because the insert carries nothing but the key,
+        duplicate probes of one absent key are idempotent — the batch
+        collapses them to one stub, identical to what sequential per-probe
+        application would leave. Rejected on tables with non-nullable
+        columns outside the primary key / auto-increment set (the stub
+        could not satisfy them — same validation as the reference).
+        `ordering` is accepted for API symmetry with upsert but has no
+        effect on the stub fold. One left-anti + one upsert commit."""
         spark = df.sparkSession
-        pk = self.schema.primary_key
+        schema, pk = self.schema, self.schema.primary_key
+        bad = [
+            f.name
+            for f in schema.fields
+            if not f.nullable and f.name not in pk and not f.auto_increment
+        ]
+        if bad:
+            raise ValueError(
+                "insert-if-not-exists requires all columns outside the "
+                f"primary key to be nullable (or auto-increment): {bad} "
+                "are NOT NULL and a key-only stub row cannot satisfy them"
+            )
+        keys = df.select(*pk).distinct()
         # persist the anti-join so the presence probe and the upsert seed
         # don't each recompute the snapshot scan
-        missing = df.join(self.snapshot(spark).select(*pk), on=pk, how="left_anti").persist()
+        missing = keys.join(
+            self.snapshot(spark).select(*pk), on=pk, how="left_anti"
+        ).persist()
         try:
             if missing.limit(1).count() > 0:
-                self.upsert(missing, ordering=ordering)
+                self.upsert(missing)
         finally:
             missing.unpersist()
-        return self.snapshot(spark).join(df.select(*pk).distinct(), on=pk, how="left_semi")
+        return self.snapshot(spark).join(keys, on=pk, how="left_semi")
 
     def _state_from_changelog(self, changelog: DataFrame) -> DataFrame:
         """Replay invariant: the last change event per key IS its state;

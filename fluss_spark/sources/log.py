@@ -57,6 +57,21 @@ _EXTRA_TYPES = {
 }
 
 
+def _bucket_map_expr(per_bucket: dict[int, int], default: int):
+    """bucket -> value lookup as ONE map literal (element_at on a map
+    returns NULL for absent keys): constant expression/codegen depth at
+    any bucket count, where a chained F.when would grow O(buckets)."""
+    if not per_bucket:
+        return F.lit(default).cast("long")
+    pairs = ", ".join(
+        f"{int(b)}, CAST({int(v)} AS BIGINT)" for b, v in per_bucket.items()
+    )
+    return F.expr(
+        f"coalesce(element_at(map({pairs}), `{BUCKET_COL}`), "
+        f"CAST({int(default)} AS BIGINT))"
+    )
+
+
 class LogStore:
     def __init__(self, catalog: Catalog, db: str, table: str):
         self.catalog = catalog
@@ -151,6 +166,7 @@ class LogStore:
         extra_cols: list[str] | None = None,
         commit_ts_ms: int | None = None,
         defer_commit: bool = False,
+        auto_increment_override: dict[str, int] | None = None,
     ) -> CommitState:
         """Append a batch; assigns __bucket/__offset/__timestamp and
         commits atomically. `ordering` fixes intra-batch offset order
@@ -161,6 +177,11 @@ class LogStore:
         publish() nor the meta/CURRENT advance happens — the caller
         publishes + commits after adding more to the same version (PK
         upsert bundles WAL + snapshot into one commit).
+        `auto_increment_override` means the caller already stamped the
+        auto-increment columns (pk-table WALs carry insert-stable ids the
+        log layer cannot derive) and supplies the advanced counter map;
+        the per-record stamping below — correct for plain log tables,
+        where every appended record IS an insert — is skipped.
         """
         schema = self.schema
         self.clean_orphans()
@@ -205,20 +226,25 @@ class LogStore:
         order_cols = [F.col(c) for c in ordering] if ordering else [F.monotonically_increasing_id()]
         w = Window.partitionBy(BUCKET_COL).orderBy(*order_cols)
         base = {int(b): off for b, off in state.log_hwm.items()}
-        base_expr = F.coalesce(
-            *[F.when(F.col(BUCKET_COL) == b, F.lit(off)) for b, off in base.items()],
-            F.lit(0),
-        ) if base else F.lit(0)
+        # one map literal, not an O(buckets) when-chain: constant
+        # expression/codegen depth at any bucket count (same shape as
+        # kv.py's fused-commit HWM base)
+        base_expr = _bucket_map_expr(base, default=0)
         out = out.withColumn(OFFSET_COL, (F.row_number().over(w) - 1 + base_expr).cast("long"))
         out = out.withColumn(TIMESTAMP_COL, F.timestamp_millis(F.lit(ts_ms)))
 
         # M10 auto-increment: allocate a contiguous per-bucket segment of
         # ids from the table counter (AutoIncrementManager's segment model,
         # BoundedSegmentSequenceGenerator) — ids are gap-free across the
-        # commit because segments are packed by cumulative bucket counts
+        # commit because segments are packed by cumulative bucket counts.
+        # On a LOG table every appended record is an insert, so the
+        # per-record stamp matches the reference's assign-at-insert rule;
+        # pk-table WALs arrive pre-stamped (auto_increment_override).
         auto_next = dict(state.auto_increment)
         auto_cols = [f.name for f in schema.fields if f.auto_increment]
-        if auto_cols:
+        if auto_increment_override is not None:
+            auto_next = dict(auto_increment_override)
+        elif auto_cols:
             bucket_counts = sorted(
                 (int(r[BUCKET_COL]), r["cnt"])
                 for r in out.groupBy(BUCKET_COL).agg(F.count("*").alias("cnt")).collect()
@@ -229,10 +255,7 @@ class LogStore:
                 for bkt, cnt in bucket_counts:
                     seg_start[bkt] = acc
                     acc += cnt
-                seg_expr = F.coalesce(
-                    *[F.when(F.col(BUCKET_COL) == bkt, F.lit(s)) for bkt, s in seg_start.items()],
-                    F.lit(base_id),
-                )
+                seg_expr = _bucket_map_expr(seg_start, default=base_id)
                 out = out.withColumn(c, (seg_expr + F.row_number().over(w) - 1).cast("long"))
                 auto_next[c] = acc
         final_cols = [c for c in cols if c not in (BUCKET_COL, OFFSET_COL, TIMESTAMP_COL)]

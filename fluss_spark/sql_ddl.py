@@ -1358,7 +1358,10 @@ class FlussSqlSession:
                 if k not in t.schema.partition_keys:
                     raise SqlParseError(f"{k!r} is not a partition key of {db}.{name}")
                 static[k] = v.strip().strip("'")
-        cols = [c for c in t.schema.data_columns() if c not in static]
+        # auto-increment columns never bind from the query: the engine
+        # assigns them (log append: per record; pk commit: at key insert)
+        auto = {f.name for f in t.schema.fields if f.auto_increment}
+        cols = [c for c in t.schema.data_columns() if c not in static and c not in auto]
         if source.lower().startswith("values"):
             # VALUES rows bind positionally to the table's columns
             df = self.spark.sql(
@@ -1386,6 +1389,7 @@ class FlussSqlSession:
                 if f.name in static
                 else F.col(f.name).cast(parse_type(f.type)).alias(f.name)
                 for f in t.schema.fields
+                if f.name not in auto
             ]
         )
         if overwrite:
@@ -1631,6 +1635,10 @@ class FlussSqlSession:
                 # updating primary-key columns" (they also route
                 # bucketing/partitioning, so an update would move the row)
                 raise SqlParseError(f"cannot UPDATE primary-key column {col!r}")
+            if any(f.name == col and f.auto_increment for f in t.schema.fields):
+                # ids are engine-assigned at insert and immutable
+                # (PerSchemaAutoIncrementUpdater.validateTargetColumns)
+                raise SqlParseError(f"cannot UPDATE auto-increment column {col!r}")
             if col not in types:
                 raise SqlParseError(f"unknown column {col!r} in SET")
             if col in assigns:
@@ -1642,10 +1650,16 @@ class FlussSqlSession:
                 return
             # ONE projection: every assignment evaluates against the OLD
             # row (SQL semantics — SET a = b, b = a swaps; sequential
-            # withColumn would feed the new a into b)
+            # withColumn would feed the new a into b). Auto-increment
+            # columns stay out of the batch — the engine carries the
+            # key's existing id through the update.
             t.upsert(
                 rows.select(
-                    *[assigns.get(f.name, F.col(f.name)).alias(f.name) for f in t.schema.fields]
+                    *[
+                        assigns.get(f.name, F.col(f.name)).alias(f.name)
+                        for f in t.schema.fields
+                        if not f.auto_increment
+                    ]
                 )
             )
             return
@@ -1747,6 +1761,10 @@ class FlussSqlSession:
         fields = t.schema.fields
         types = {f.name: f.type for f in t.schema.fields}
         pk = t.schema.primary_key
+        # auto-increment columns are engine-assigned: excluded from SET */
+        # INSERT * expansion and from the write batch, rejected as
+        # explicit targets (validateTargetColumns semantics)
+        auto_set = {f.name for f in fields if f.auto_increment}
         t_marker, s_marker = F.col("__fluss_tgt"), F.col("__fluss_src")
         scope_cond = {
             "matched": t_marker.isNotNull() & s_marker.isNotNull(),
@@ -1813,7 +1831,9 @@ class FlussSqlSession:
                     missing = [
                         f.name
                         for f in fields
-                        if f.name not in pk and f.name not in src.columns
+                        if f.name not in pk
+                        and f.name not in auto_set
+                        and f.name not in src.columns
                     ]
                     if missing:
                         raise SqlParseError(
@@ -1828,7 +1848,7 @@ class FlussSqlSession:
                                     parse_type(f.type)
                                 )
                                 for f in fields
-                                if f.name not in pk
+                                if f.name not in pk and f.name not in auto_set
                             },
                         )
                     )
@@ -1852,6 +1872,10 @@ class FlussSqlSession:
                         raise SqlParseError(
                             f"cannot UPDATE primary-key column {col!r}"
                         )
+                    if col in auto_set:
+                        raise SqlParseError(
+                            f"cannot UPDATE auto-increment column {col!r}"
+                        )
                     if col not in types:
                         raise SqlParseError(f"unknown column {col!r} in SET")
                     if col in assigns:
@@ -1869,7 +1893,11 @@ class FlussSqlSession:
                 actions.append((base, "delete", None))
             elif low_act.startswith("insert") and scope == "by_target":
                 if re.match(r"insert\s*\*\s*$", act, re.I):
-                    missing = [f.name for f in fields if f.name not in src.columns]
+                    missing = [
+                        f.name
+                        for f in fields
+                        if f.name not in auto_set and f.name not in src.columns
+                    ]
                     if missing:
                         raise SqlParseError(
                             f"INSERT * source lacks target column(s) {missing}"
@@ -1877,6 +1905,7 @@ class FlussSqlSession:
                     ins = {
                         f.name: F.col(f"{s_alias}.{f.name}").cast(parse_type(f.type))
                         for f in fields
+                        if f.name not in auto_set
                     }
                 else:
                     im = re.match(
@@ -1893,6 +1922,12 @@ class FlussSqlSession:
                     unknown = [c for c in cols if c not in types]
                     if unknown:
                         raise SqlParseError(f"unknown INSERT column(s) {unknown}")
+                    bad_auto = [c for c in cols if c in auto_set]
+                    if bad_auto:
+                        raise SqlParseError(
+                            "explicitly specifying values for auto-increment "
+                            f"column(s) {bad_auto} is not allowed"
+                        )
                     lacking = [c for c in pk if c not in cols]
                     if lacking:
                         raise SqlParseError(
@@ -1951,7 +1986,8 @@ class FlussSqlSession:
             if kind == "delete":
                 op = F.when(action_idx == i, F.lit("D")).otherwise(op)
         batch = joined.filter(action_idx.isNotNull()).select(
-            *[field_value(f) for f in fields], op.alias(OP_COL)
+            *[field_value(f) for f in fields if f.name not in auto_set],
+            op.alias(OP_COL),
         )
         # ANSI cardinality rule: each target key may be touched at most
         # once per MERGE — catches both several source rows matching one

@@ -123,9 +123,15 @@ class FlussTable:
         return state
 
     def delete(self, df: DataFrame, **kw) -> CommitState:
-        """Delete by key rows (M2)."""
+        """Delete by key rows (M2). Auto-increment columns are dropped
+        if present (a delete needs only the key, and caller-supplied
+        values for engine-assigned ids are rejected by upsert — rows
+        read back from the snapshot carry them)."""
         if self.kv is None:
             raise ValueError("delete requires a Primary Key Table")
+        auto = [f.name for f in self.schema.fields if f.auto_increment]
+        if auto:
+            df = df.drop(*auto)
         return self.upsert(df.withColumn(OP_COL, F.lit("D")), **kw)
 
     def delete_where(self, spark: SparkSession, cond, **kw) -> CommitState:
@@ -154,8 +160,15 @@ class FlussTable:
         unknown = set(exprs) - set(batch.columns)
         if unknown:
             raise ValueError(f"unknown column(s) in UPDATE assignments: {sorted(unknown)}")
+        auto = [f.name for f in self.schema.fields if f.auto_increment]
+        assigned_auto = sorted(set(exprs) & set(auto))
+        if assigned_auto:
+            # PerSchemaAutoIncrementUpdater.validateTargetColumns:101-127
+            raise ValueError(
+                f"cannot UPDATE auto-increment column(s) {assigned_auto}"
+            )
         batch = batch.select(
-            *[exprs.get(c, F.col(c)).alias(c) for c in batch.columns]
+            *[exprs.get(c, F.col(c)).alias(c) for c in batch.columns if c not in auto]
         ).persist()
         try:
             return self.upsert(batch, **kw)

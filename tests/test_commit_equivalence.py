@@ -282,9 +282,12 @@ def test_commit_paths_equivalent_partitioned(spark, tmp_path):
 
 
 def test_commit_paths_equivalent_auto_increment(spark, tmp_path):
-    """Auto-increment pk tables through both paths: identical ids on
-    every WAL event and snapshot row (segment packing in bucket order +
-    arrival-order numbering), identical counter state, gap-free ids."""
+    """Auto-increment pk tables through both paths: insert-stable ids
+    (minted once per inserted key — KvTablet.applyInsert semantics,
+    KvTablet.java:763-775), identical on every WAL event and snapshot
+    row, identical counter state, dense id domain, ids carried verbatim
+    through updates/before-images, re-minted only after delete +
+    re-insert."""
     cat = Catalog(str(tmp_path / "wh_auto"))
     schema = TableSchema(
         fields=[
@@ -303,10 +306,15 @@ def test_commit_paths_equivalent_auto_increment(spark, tmp_path):
 
     batches = [
         [(k, f"v{k}", "U") for k in range(10)],
-        [(1, "x", "U"), (2, None, "D"), (42, "new", "U")],
+        # update an existing key + delete one + insert a new one — plus
+        # an in-batch insert->update->delete->re-insert chain on key 77
+        [(1, "x", "U"), (2, None, "D"), (42, "new", "U"),
+         (77, "a", "U"), (77, "b", "U"), (77, None, "D"), (77, "c", "U")],
         [(k, None, "D") for k in range(0, 10, 3)],
+        # re-insert a previously deleted key: a FRESH id, not the old one
+        [(2, "back", "U")],
     ]
-    total_events = 0
+    snap_ids: list[dict[int, int]] = []
     for i, rows in enumerate(batches):
         for t in (ta, tb):
             df = spark.createDataFrame(rows, "k int, v string, __op string")
@@ -317,11 +325,65 @@ def test_commit_paths_equivalent_auto_increment(spark, tmp_path):
         st_a = ta.catalog.current_commit(ta.db, ta.name)
         st_b = tb.catalog.current_commit(tb.db, tb.name)
         assert st_a.auto_increment == st_b.auto_increment
-        total_events = st_b.auto_increment["rid"]
+        snap_ids.append(
+            {r["k"]: r["rid"] for r in tb.snapshot(spark).select("k", "rid").collect()}
+        )
+    counter = tb.catalog.current_commit(tb.db, tb.name).auto_increment["rid"]
 
-    # gap-free across all commits: every id in [0, total) exactly once
-    ids = sorted(r["rid"] for r in tb.kv.log.scan(spark).select("rid").collect())
-    assert ids == list(range(total_events))
+    # counter advanced once per INSERT: 10 + 1(42) + 2(77 twice) + 1(2 again)
+    assert counter == 14
+    # dense domain: the WAL's distinct ids are exactly [0, counter)
+    wal = tb.kv.log.scan(spark).select("k", "rid", CHANGE_TYPE_COL).collect()
+    assert sorted({r["rid"] for r in wal}) == list(range(counter))
+    assert all(r["rid"] is not None for r in wal)
+    # insert-stable: key 1's id survived its update (snapshot after
+    # batch 2 == snapshot after batch 1)...
+    assert snap_ids[1][1] == snap_ids[0][1]
+    # ...and its -U before-image carried that same stored id
+    before_1 = [r["rid"] for r in wal if r["k"] == 1 and r[CHANGE_TYPE_COL] == "-U"]
+    assert before_1 == [snap_ids[0][1]]
+    # delete + re-insert mints a fresh id: key 2's new id is not its old
+    # one, and is the highest minted (last insert of the last commit)
+    assert snap_ids[3][2] != snap_ids[0][2]
+    assert snap_ids[3][2] == counter - 1
+    # a key's WAL history shows exactly its incarnations' ids: key 77
+    # inserted twice in one batch -> exactly 2 distinct ids ever
+    assert len({r["rid"] for r in wal if r["k"] == 77}) == 2
+
+
+def test_auto_increment_rejects_supplied_values_and_targets(spark, tmp_path):
+    """Reference validation parity: a batch carrying the auto-increment
+    column is rejected (UpsertWriterImpl.sanityCheck:107-152), as are
+    partial-update target columns naming it
+    (PerSchemaAutoIncrementUpdater.validateTargetColumns:101-127);
+    delete frames read back from the snapshot (which carry the stored
+    ids) still work — table.delete drops the engine-assigned column."""
+    import pytest
+
+    cat = Catalog(str(tmp_path / "wh_auto_val"))
+    schema = TableSchema(
+        fields=[
+            Field("k", "INT", nullable=False),
+            Field("v", "STRING"),
+            Field("rid", "BIGINT", auto_increment=True),
+        ],
+        primary_key=["k"],
+        num_buckets=2,
+        properties={},
+    )
+    t = create_table(cat, "db", "auto_val", schema)
+    with pytest.raises(ValueError, match="auto-increment"):
+        t.kv.upsert(spark.createDataFrame([(1, "a", 5)], "k int, v string, rid long"))
+    with pytest.raises(ValueError, match="auto-increment"):
+        t.kv.upsert(
+            spark.createDataFrame([(1, "a")], "k int, v string"),
+            partial_update_cols=["k", "rid"],
+        )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    # delete_where routes full snapshot rows (incl. rid) through delete
+    t.delete_where(spark, F.col("k") == 1)
+    left = {r["k"]: r["rid"] for r in t.snapshot(spark).collect()}
+    assert set(left) == {2}
 
 
 _part_ops = st.lists(

@@ -68,12 +68,28 @@ def test_insert_if_not_exists(spark, catalog):
     t = create_table(catalog, "db", "iine_pk", schema)
     t.upsert(spark.createDataFrame([(1, "existing")], "k int, v string"))
     got = t.kv.insert_if_not_exists(
-        spark.createDataFrame([(1, "default1"), (2, "default2")], "k int, v string")
+        spark.createDataFrame([(1, "ignored"), (2, "ignored"), (2, "dup")], "k int, v string")
     )
     rows = {r["k"]: r["v"] for r in got.collect()}
-    # existing key keeps its value; missing key was inserted
-    assert rows == {1: "existing", 2: "default2"}
+    # existing key keeps its value; the miss inserted a key-only STUB
+    # (Lookup.java:97-105 — 'inserted with the lookup key values'),
+    # never the probe payload; duplicate probes collapse to one stub
+    assert rows == {1: "existing", 2: None}
     assert t.snapshot(spark).count() == 2
+
+    # a table with a NOT NULL non-key column cannot host the stub
+    import pytest
+
+    bad = create_table(
+        catalog, "db", "iine_bad",
+        TableSchema(
+            fields=[Field("k", "INT", nullable=False), Field("v", "STRING", nullable=False)],
+            primary_key=["k"],
+            num_buckets=2,
+        ),
+    )
+    with pytest.raises(ValueError, match="nullable"):
+        bad.kv.insert_if_not_exists(spark.createDataFrame([(9, "x")], "k int, v string"))
 
 
 def test_schema_evolution_add_column(spark, catalog):
