@@ -68,7 +68,8 @@ def main() -> None:
     for _variant in (
         "default", "first_row", "versioned", "aggregation", "part_log",
         "deletes", "partial", "prefix", "plain_log", "tiered_log",
-        "dedup_state", "autoinc_pk",
+        "dedup_state", "autoinc_pk", "iine", "multi", "overwrite",
+        "wal_image", "compacted", "ttl_log", "bucketed_log",
     ):
         _eq._build(spark, "/root/testdata/sf0.001", _variant)
 

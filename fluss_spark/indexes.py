@@ -102,7 +102,12 @@ def create_index(
     # order would permanently drop such a commit. Crash safety keeps
     # the sync-prop write LAST: dying between the seed upsert and the
     # prop write leaves INDEX_SYNC_PROP empty, so the next sync folds
-    # from offset zero over the seed — idempotent, self-healing.
+    # from offset zero over the seed — idempotent, self-healing AS LONG
+    # AS the full changelog is still retained and the base was never
+    # rebucketed; sync_index applies its retention and epoch fences to
+    # the empty-map path too (missing offsets count as 0), so a
+    # recovery that cannot safely resume fails instead of silently
+    # folding a truncated slice.
     end = base.log.latest_offsets()
     seed = (
         base.snapshot(spark)
@@ -151,10 +156,14 @@ def sync_index(
     # rebucket fence (same contract as LogStreamReader): per-bucket
     # offsets are NOT comparable across a bucket-count change, so a
     # sync HWM recorded under an older epoch cannot resume — rebuild
-    # the index instead of silently misreading offset ranges
+    # the index instead of silently misreading offset ranges. The fence
+    # also guards the EMPTY sync map (a create_index that crashed before
+    # its prop write): resuming from offset zero is only safe when the
+    # base was never rebucketed, i.e. its epoch still matches the
+    # default the unwritten prop implies.
     epoch = base.schema.properties.get("table.bucket.epoch", "0")
     seen_epoch = idx.schema.properties.get(INDEX_EPOCH_PROP, "0")
-    if start and epoch != seen_epoch:
+    if epoch != seen_epoch:
         raise ValueError(
             f"base table {db}.{table} was rebucketed (epoch {seen_epoch} -> "
             f"{epoch}) after the last index sync; drop and recreate the "
@@ -164,29 +173,37 @@ def sync_index(
 
     # retention fence: TTL/truncation may have deleted changelog commits
     # this index never consumed — folding past the gap would silently
-    # lose their events forever
-    if start:
-        expired = {
-            b: (start.get(b, 0), e)
-            for b, e in base.earliest_offsets().items()
-            if start.get(b, 0) < e
-        }
-        if expired:
-            raise ValueError(
-                f"base table {db}.{table} expired unconsumed changelog "
-                f"(bucket: (synced, earliest) = {expired}); drop and "
-                f"recreate the index ({idx_name}), and set table.log.ttl "
-                "above the sync interval"
-            )
+    # lose their events forever. Missing offsets count as 0: with an
+    # EMPTY sync map (crashed bootstrap) a fold would start at offset
+    # zero, so any expired prefix means events between the seed's HWM
+    # and the retention floor may be gone — fail instead of silently
+    # folding only the retained slice over the seed.
+    expired = {
+        b: (start.get(b, 0), e)
+        for b, e in base.earliest_offsets().items()
+        if start.get(b, 0) < e
+    }
+    if expired:
+        raise ValueError(
+            f"base table {db}.{table} expired unconsumed changelog "
+            f"(bucket: (synced, earliest) = {expired}); drop and "
+            f"recreate the index ({idx_name}), and set table.log.ttl "
+            "above the sync interval"
+        )
 
     # fix the slice END before reading: a writer committing between the
     # changelog read and the HWM record would otherwise be skipped
     # forever (the HWM would cover rows this sync never processed)
     end = base.log.latest_offsets()
     cl = base.changelog(spark, start_offsets=start or None)
-    bound = F.lit(False)
-    for b, off in end.items():
-        bound = bound | ((F.col("__bucket") == b) & (F.col("_log_offset") < off))
+    # one map literal, not an O(buckets) OR-chain (same shape as the
+    # commit paths' per-bucket bases); absent buckets bound to 0, which
+    # excludes every row of a bucket that has no recorded end
+    from fluss_spark.sources.log import _bucket_map_expr
+
+    bound = F.col("_log_offset") < _bucket_map_expr(
+        {int(b): int(o) for b, o in end.items()}, default=0
+    )
     # one pass over the slice: the emptiness probe and the fold read
     # the same cached blocks instead of scanning the changelog twice
     cl = cl.filter(bound).persist()

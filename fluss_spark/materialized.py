@@ -494,9 +494,12 @@ def _refresh_incremental(fsql, t: FlussTable) -> int:
         delta = src.scan(fsql.spark, start_offsets=start or None)
         w = F.lit(1).cast("bigint")
         off_col = "__offset"
-    bound = F.lit(False)
-    for b, off in end.items():
-        bound = bound | ((F.col("__bucket") == b) & (F.col(off_col) < off))
+    # one map literal, not an O(buckets) OR-chain
+    from fluss_spark.sources.log import _bucket_map_expr
+
+    bound = F.col(off_col) < _bucket_map_expr(
+        {int(b): int(o) for b, o in end.items()}, default=0
+    )
     delta = delta.filter(bound)
     if props.get(INC_WHERE_PROP):
         delta = delta.filter(F.expr(props[INC_WHERE_PROP]))

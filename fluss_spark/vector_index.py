@@ -190,9 +190,12 @@ def sync_vector_index(
     # the NEXT slice, never under this sync's HWM)
     end = base.log.latest_offsets()
     cl = base.changelog(spark, start_offsets=start or None)
-    bound = F.lit(False)
-    for b, off in end.items():
-        bound = bound | ((F.col("__bucket") == b) & (F.col("_log_offset") < off))
+    # one map literal, not an O(buckets) OR-chain
+    from fluss_spark.sources.log import _bucket_map_expr
+
+    bound = F.col("_log_offset") < _bucket_map_expr(
+        {int(b): int(o) for b, o in end.items()}, default=0
+    )
     cl = cl.filter(bound).persist()
     n = cl.count()
     if n:
