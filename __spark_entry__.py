@@ -23,26 +23,30 @@ registry.load_all_queries()
 # operators take the window — the relational family keeps its two rounds
 # of driver-green history and stays covered by tests/test_oracle_parity.py,
 # which runs the identical compare over ALL registered queries.
-# Round-8 rotation. The union of the r1-r7 windows covers all 175
-# registered queries with zero never-green rows. This round the commit
-# path changed again for EVERY pk-table layout (arrival-order window,
-# always-bounded prior feed, partitioned + auto-increment routed onto
-# the fused single action, snapshot-dir read cache) and the lake
-# exports changed their schema derivation, so the window = 10
-# engine-core sentinels + m14_partitioned_pk (its 2nd consecutive
-# green, AND the query whose layout this round rebuilt) + 17
-# engine/export-family queries whose plans changed + 18 thin-history
-# rows holding exactly one green row across r1-r7 (family-diverse:
-# ann/dd/fn_rb/mm/op picks; the tx family rotates in next round) + the
-# new m15_pair_granular_commit (the round's pair-manifest centerpiece
-# driven end-to-end — first green row sought, the m14-in-r7 pattern;
-# op_transition_matrix yielded its slot and stays on local parity)
-# + three NEW queries that upgrade previously local-only §2 rows to
-# driver-verified: m16_auto_increment (M10 ids through the fused
-# commit window), l3_insert_if_not_exists (L3), s12_multi_table_union
-# (S12) — ann_sq8_rerank / dd_minhash_estimate / mm_resize_pipeline
-# yielded their slots (each keeps its green row + local parity; their
-# families keep 6/5/3 in-window representatives).
+# Round-9 rotation. The union of the r1-r8 windows covers 179 of 188
+# registered queries with zero never-green rows. This round closes the
+# last §2 coverage debt and re-verifies the two semantics fixes:
+#   - the NINE round-8 registrations with zero driver-green history
+#     (m17/m18/m19, t16-t20, s13 — the last §2 rows without external
+#     correctness evidence; all hash-match locally at two SFs);
+#   - m16_auto_increment under its REWRITTEN oracle (ids are now
+#     insert-stable per key, KvTablet.java:763-775 parity — the old
+#     per-event-id green must be re-earned against the new contract)
+#     and l3_insert_if_not_exists under its stub-row oracle
+#     (Lookup.java:97-105 miss behavior);
+#   - m15_pair_granular_commit (2nd consecutive green) and
+#     s12_multi_table_union (2nd green; the log append path's
+#     per-bucket expressions became map literals this round);
+#   - m20_deferred_snapshot, NEW: table.snapshot.defer-commits
+#     WAL-only commits + cadence materialization, read through the
+#     hybrid snapshot+tail path with a pending tail;
+#   - the 18-row tx_* thin-history backlog queued since r8, plus the
+#     remaining 8 single-green rows that fit (dd/emb/ann picks) —
+#     dd_semdedup / mm_resize_pipeline / op_transition_matrix /
+#     op_user_paths / op_anomaly_zscore keep their green row + local
+#     parity and rotate in next round.
+# The 10 engine-core sentinels stay: every engine lifecycle this round
+# runs through the changed append/commit expressions.
 # Everything rotated out keeps its green rows and stays covered by
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered queries.
@@ -58,52 +62,51 @@ _PRIORITY = [
     "s9_tiered_log_scan",
     "t9_log_changelog_view",
     "a1_count_metadata",
-    # --- 2nd consecutive green + partitioned single-action layout ---
-    "m14_partitioned_pk",
-    # --- engine/export-family queries whose plans changed this round
-    #     (fused commit for all layouts + export schema filtering) ---
-    "m2_delete_replay",
-    "m4_default_merge_snapshot",
-    "m12_sql_update_delete",
-    "m13_sql_merge_into",
-    "l4_lookup_join",
-    "l5_delta_join",
-    "l6_index_lookup",
-    "l7_vector_index",
-    "t12_incremental_mt",
-    "t13_scd2_history",
-    "t14_incremental_sessions",
-    "t15_snapshot_diff",
-    "dd_exact_engine",
-    "dd_incremental_lsh",
-    "dd_cdc_spans",
-    "ann_incremental_ivf",
-    "s10_iceberg_union_read",
-    # --- thin-history rows (exactly one green row in r1-r7) ---
-    "ann_bruteforce_topk",
-    "ann_hyperplane_lsh",
-    "ann_ivf_nprobe",
-    "ann_kmeans_ivf",
-    "ann_pq_adc",
-    "ann_range_search",
-    "dd_contamination",
-    "dd_embedding_cosine",
-    "dd_exact",
-    "dd_lsh_verify_pipeline",
-    "dd_ngram_jaccard",
-    "fn_rb_and_or_agg",
-    "fn_rb_binary_roundtrip",
-    "fn_rb_build_cardinality",
-    "mm_audio_segment",
-    "mm_decode_metadata",
-    "mm_frame_sample",
-    "op_interval_join",
-    # --- new this round: pair-granular commit boundary ---
-    "m15_pair_granular_commit",
-    # --- new this round: local-only §2 rows upgraded to driver-verified ---
+    # --- the nine zero-green round-8 registrations (last §2 debt) ---
+    "m17_overwrite_merge",
+    "m18_wal_image_changelog",
+    "m19_snapshot_time_travel",
+    "t16_compacted_read",
+    "t17_log_ttl",
+    "t18_stream_subscription",
+    "t19_hybrid_stream_handoff",
+    "t20_exactly_once_redelivery",
+    "s13_bucket_offset_invariants",
+    # --- semantics re-verification under rewritten oracles ---
     "m16_auto_increment",
     "l3_insert_if_not_exists",
+    # --- consecutive-green certification + changed append plan ---
+    "m15_pair_granular_commit",
     "s12_multi_table_union",
+    # --- new this round: deferred snapshot materialization ---
+    "m20_deferred_snapshot",
+    # --- thin-history backlog (exactly one green row in r1-r8) ---
+    "tx_token_count",
+    "tx_quality_score",
+    "tx_lang_id",
+    "tx_fingerprint",
+    "tx_corpus_stats",
+    "tx_top_terms",
+    "tx_hash_sample",
+    "tx_shard_packing",
+    "tx_repetition_score",
+    "tx_word_entropy",
+    "tx_length_histogram",
+    "tx_bpe_token_count",
+    "tx_stratified_sample",
+    "tx_blocklist_redact",
+    "tx_domain_mix",
+    "tx_unigram_logloss",
+    "tx_pii_scrub",
+    "tx_bpe_train",
+    "dd_simhash",
+    "dd_minhash_estimate",
+    "dd_prefix_cluster",
+    "dd_passage_dedup",
+    "dd_url_normalize",
+    "emb_label_stats",
+    "ann_sq8_rerank",
+    "emb_pca_topcomponent",
 ]
 
 

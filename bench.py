@@ -69,7 +69,7 @@ def main() -> None:
         "default", "first_row", "versioned", "aggregation", "part_log",
         "deletes", "partial", "prefix", "plain_log", "tiered_log",
         "dedup_state", "autoinc_pk", "iine", "multi", "overwrite",
-        "wal_image", "compacted", "ttl_log", "bucketed_log",
+        "wal_image", "compacted", "ttl_log", "bucketed_log", "deferred",
     ):
         _eq._build(spark, "/root/testdata/sf0.001", _variant)
 

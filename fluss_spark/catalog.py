@@ -155,6 +155,13 @@ class Catalog:
         )
         self._write_atomic(os.path.join(tdir, "meta", "CURRENT"), str(state.version))
 
+    def commit_at(self, db: str, table: str, version: int) -> CommitState:
+        """The CommitState recorded for one version — a single file
+        read, where commit_history loads every version."""
+        tdir = self.table_dir(db, table)
+        with open(os.path.join(tdir, "meta", "commits", f"v{version}.json")) as f:
+            return CommitState.from_json(f.read())
+
     def commit_history(self, db: str, table: str) -> list[CommitState]:
         cdir = os.path.join(self.table_dir(db, table), "meta", "commits")
         out = []

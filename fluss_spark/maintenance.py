@@ -289,6 +289,12 @@ def _expire_log_ttl_locked(table: FlussTable, cutoff: int) -> int:
         # never delete the newest commit or anything at/after the cutoff
         if cs is None or v >= state.version or cs.ts_ms >= cutoff:
             continue
+        # deferred-materialization fence: a pk table's WAL commits above
+        # snapshot_version are the ONLY copy of their rows (the snapshot
+        # has not absorbed them yet) — expiring one would lose data, not
+        # history
+        if table.kv is not None and v > state.snapshot_version:
+            continue
         shutil.rmtree(e.path, ignore_errors=True)
         deleted += 1
         if newest_deleted is None or v > newest_deleted.version:

@@ -599,6 +599,34 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             ordering=["event_id"],
         )
         t.kv.insert_if_not_exists(ev, ordering=["event_id"])
+    elif variant == "deferred":
+        # deferred materialization lifecycle (defer-commits=3): commits
+        # 1-2 WAL-only, commit 3 triggers the cadence materialization,
+        # commit 4 leaves a pending tail the hybrid read must fold
+        schema = TableSchema(
+            fields=[
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            primary_key=["user_id"],
+            num_buckets=8,
+            properties={"table.snapshot.defer-commits": "3"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        third = _max_event_id(sf) // 3
+        t.upsert(ev.filter(F.col("event_id") <= third), ordering=["event_id"])
+        t.upsert(
+            ev.filter((F.col("event_id") > third) & (F.col("event_id") <= 2 * third)),
+            ordering=["event_id"],
+        )
+        t.upsert(
+            ev.filter(
+                (F.col("event_id") > 2 * third) & (F.col("event_id") <= 3 * third)
+            ),
+            ordering=["event_id"],
+        )
+        t.upsert(ev.filter(F.col("event_id") > 3 * third), ordering=["event_id"])
     elif variant == "multi":
         # S12 multi-table client: one handle appends disjoint halves
         # into two homogeneous log tables
@@ -1366,6 +1394,36 @@ def m19_snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         F.round("value", 2).alias("value"),
     )
     return v1.unionByName(v2)
+
+
+@register(
+    "m20_deferred_snapshot",
+    oracle="""
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def m20_deferred_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Deferred snapshot materialization (table.snapshot.defer-commits=3
+    — the RocksDB model: KvTablet.putAsLeader absorbs writes, the
+    periodic checkpoint in server/kv/snapshot/ materializes). Four
+    upsert commits land as WAL-only writes except the third, which
+    triggers the cadence materialization; the fourth leaves a PENDING
+    tail, so the read under test is the hybrid path end-to-end: last
+    materialized files + offset-bounded WAL-tail fold ('change log wins
+    over the snapshot', SortMergeReader). The build asserts the engine
+    really deferred (snapshot_version < version at read time with a
+    prior materialization in history); the oracle pins the fold to the
+    exact last-event-per-key state — a stale snapshot read, a
+    double-applied tail, or a tail that missed a bucket all move rows."""
+    t = _build(spark, sf, "deferred")
+    st = t.catalog.current_commit("db", "deferred")
+    assert st.snapshot_version < st.version, "expected a pending WAL tail"
+    assert st.snapshot_version > 0, "expected a cadence materialization"
+    return t.snapshot(spark).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    )
 
 
 @register(

@@ -106,6 +106,9 @@ class KvStore:
         # the per-commit driver gap. Keyed by (data dir, spark session).
         self._dir_cache: dict[tuple[str, int], DataFrame] = {}
         self._partpath_parse_cache: dict[str, tuple | None] = {}
+        # version -> per-bucket HWM at that commit (immutable once
+        # written; feeds the deferred-snapshot tail bounds)
+        self._hwm_cache: dict[int, dict[int, int]] = {}
 
     # ------------------------------------------------------------------ #
     # manifests
@@ -309,6 +312,19 @@ class KvStore:
                     "included in partial-update target columns"
                 )
 
+        if (
+            int(schema.properties.get("table.snapshot.defer-commits", "1") or "1") <= 1
+            and self._tail_start(self.catalog.current_commit(self.db, self.table))
+            is not None
+        ):
+            # defer-commits was lowered/unset while a WAL tail was
+            # pending: fold it in BEFORE bucket/pair discovery — the
+            # fused commit rewrites only this batch's units and advances
+            # snapshot_version, which would otherwise strand the tail's
+            # other units behind a "covered" HWM, and pair_keys computed
+            # against the stale manifest would miss tail-created pairs
+            self.materialize(spark)
+
         fold_in, may_have_deletes, batch_buckets, pair_scope = self._fold_input(
             spark, df, ordering, batch_buckets
         )
@@ -370,12 +386,15 @@ class KvStore:
         b = b.selectExpr(*proj).select(*cols, OP_COL, SEED_COL, *ord_extra)
 
         # read-old restricted to the batch's buckets and keys; on a table
-        # with no snapshot yet (first commit) there is nothing to read, so
-        # the batch-bucket discovery job is skipped entirely
-        manifest_now = self._manifest(
-            self.catalog.current_commit(self.db, self.table).snapshot_version
-        )
-        has_snapshot = bool(manifest_now)
+        # with no state yet (first commit) there is nothing to read, so
+        # the batch-bucket discovery job is skipped entirely. Under
+        # deferred materialization the state may live partly (or, before
+        # the first materialization, entirely) in the WAL tail — the
+        # hybrid snapshot() serves it, so "has state" must consider the
+        # tail, not just the manifest.
+        state_now = self.catalog.current_commit(self.db, self.table)
+        manifest_now = self._manifest(state_now.snapshot_version)
+        has_snapshot = bool(manifest_now) or self._tail_start(state_now) is not None
         # batch-bucket discovery ALWAYS runs when a snapshot exists: the
         # single-action commit feeds the prior snapshot of these buckets
         # straight into its bucket window with no key semi-join, so an
@@ -425,7 +444,7 @@ class KvStore:
                 }
                 bset = set(batch_buckets)
                 pair_keys = []
-                for pp, bkt in manifest_now:
+                for pp, bkt in manifest_now or {}:
                     if bkt not in bset:
                         continue
                     parsed = self._parsed_partpath(pp)
@@ -488,7 +507,22 @@ class KvStore:
         snapshot rewrite + atomic commit, as ONE Spark action for every
         pk-table layout (see _commit_single_action; partitioned tables
         emit partition dirs on both siblings, auto-increment tables
-        pre-assign id segments from a persisted fold)."""
+        pre-assign id segments from a persisted fold).
+
+        With `table.snapshot.defer-commits` = K > 1 the commit is
+        WAL-ONLY (the RocksDB model: the write path absorbs puts, a
+        periodic checkpoint materializes — server/kv/snapshot/) and
+        every K-th commit folds the accumulated tail into the snapshot
+        via materialize(); reads stay exact throughout because
+        snapshot() merges the uncovered tail on top."""
+        defer = int(
+            self.schema.properties.get("table.snapshot.defer-commits", "1") or "1"
+        )
+        if defer > 1:
+            state = self._commit_wal_only(spark, changelog, commit_ts_ms)
+            if state.version - max(state.snapshot_version, 0) >= defer:
+                state = self.materialize(spark)
+            return state
         # AQE off for the commit transaction only: the commit plan's
         # shape is fixed (hash by bucket -> window -> explode ->
         # partitioned write) — there is no join to re-plan, a window
@@ -506,6 +540,146 @@ class KvStore:
             )
         finally:
             spark.conf.set(key, prev)
+
+    def _commit_wal_only(
+        self, spark: SparkSession, changelog: DataFrame, commit_ts_ms: int | None
+    ) -> CommitState:
+        """Deferred commit (table.snapshot.defer-commits > 1): the WAL
+        append IS the whole commit — one bucket-clustered write, no
+        snapshot sibling, snapshot_version untouched. The reference
+        analog is exact: KvTablet.putAsLeader appends the WAL and puts
+        into RocksDB (which absorbs writes in-memory/L0); the periodic
+        snapshot (server/kv/snapshot/) is a separate checkpoint. Here
+        the 'memtable' is virtual — snapshot() folds the uncovered WAL
+        tail on top of the last materialized snapshot at read time — so
+        a crash after this commit loses nothing: the WAL is durable and
+        every read path re-derives the same state."""
+        schema = self.schema
+        wal_order = [SEQ_COL, SUB_COL] + schema.primary_key
+        auto_override = None
+        stamp_persist = None
+        if any(f.auto_increment for f in schema.fields):
+            # insert-stable ids against the CURRENT state (the hybrid
+            # snapshot feeds the stored-id join, so ids minted in the
+            # uncovered tail carry through later deferred commits)
+            stamp_persist = changelog.persist()
+            changelog, auto_override = self._stamp_autoinc_baseline(
+                spark, stamp_persist
+            )
+        try:
+            state = self.log.append(
+                changelog,
+                ordering=wal_order,
+                extra_cols=[CHANGE_TYPE_COL, SEQ_COL, SUB_COL],
+                commit_ts_ms=commit_ts_ms,
+                defer_commit=True,
+                auto_increment_override=auto_override,
+            )
+        finally:
+            if stamp_persist is not None:
+                stamp_persist.unpersist()
+        self.log.publish(state.version)
+        self.catalog.commit(self.db, self.table, state)
+        return state
+
+    def materialize(self, spark: SparkSession) -> CommitState:
+        """Fold the WAL tail into the materialized snapshot — the
+        periodic-checkpoint half of the deferred-commit mode (reference
+        analog: server/kv/snapshot/'s RocksDB checkpoint upload). Only
+        the (partition, bucket) units the tail touched are rewritten —
+        discovered DRIVER-SIDE from the tail commit dirs' names (zero
+        Spark jobs for discovery); every other unit keeps its old
+        manifest entry as untouched bytes. Commits a new version with no
+        WAL dir (the same sparse-version shape log compaction uses).
+        Amortization is the point: K deferred commits spraying keys over
+        P units cost ONE rewrite of each touched unit instead of K.
+
+        Crash-safe: the data-dir write and manifest write are invisible
+        until meta/CURRENT advances; a crash in between leaves orphans
+        the next materialization overwrites (same version number — the
+        tail is still uncovered, so version/state are unchanged)."""
+        import shutil
+        import time
+
+        schema = self.schema
+        state = self.catalog.current_commit(self.db, self.table)
+        start = self._tail_start(state)
+        if start is None:
+            return state
+        version = state.version + 1
+        pcols = schema.partition_keys
+
+        # touched units from the tail dirs' names: commit dirs with
+        # version > snapshot_version are wholly uncovered (a
+        # materialization at M records the full HWM at M)
+        local, remote = self.log.committed_dirs()
+        touched: set = set()
+        for name, path in list(remote.items()) + list(local.items()):
+            if int(name.split("=")[1]) > state.snapshot_version:
+                touched.update(self._walk_pairs(path))
+        buckets = sorted({b for _pp, b in touched})
+
+        # bound the base read to the touched units (same pair predicate
+        # + manifest-key pruning shapes the upsert seed uses)
+        old_manifest = self._manifest(state.snapshot_version) or {}
+        pair_pred = None
+        pair_keys = None
+        if pcols and 0 < len(touched) <= PAIR_SCOPE_MAX:
+            pair_pred = reduce(
+                lambda a, c: a | c,
+                [
+                    self._partpath_filter(pp) & (F.col(BUCKET_COL) == int(b))
+                    for pp, b in sorted(touched)
+                ],
+            )
+            pair_keys = [k for k in old_manifest if k in touched]
+
+        tail = self._tail_scan(spark, start, None, buckets, None)
+        base = self._materialized(
+            spark, state.snapshot_version, buckets, pair_pred, pair_keys
+        )
+        final = self._merge_tail(base, tail)
+
+        data_dir = f"data-v{version}"
+        os.makedirs(self.snapshot_dir, exist_ok=True)
+        dst = os.path.join(self.snapshot_dir, data_dir)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        (
+            final.withColumn(BUCKET_COL, self._bucket_expr())
+            .repartition(min(schema.num_buckets, 32), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(*pcols, BUCKET_COL)
+            .parquet(dst)
+        )
+
+        new_manifest = dict(old_manifest)
+        dir_pairs = None
+        if pcols:
+            snap_pairs = set(self._walk_pairs(dst))
+            for pair in touched:
+                if pair in snap_pairs:
+                    new_manifest[pair] = data_dir
+                else:  # every key of the pair deleted in the tail
+                    new_manifest.pop(pair, None)
+            dir_pairs = dict(self._manifest_dir_pairs(state.snapshot_version))
+            dir_pairs[data_dir] = sorted(snap_pairs)
+        else:
+            for _pp, bkt in touched:
+                new_manifest[bkt] = data_dir
+
+        self._write_manifest(version, new_manifest, dir_pairs)
+        new_state = CommitState(
+            version=version,
+            log_hwm=state.log_hwm,
+            snapshot_version=version,
+            auto_increment=state.auto_increment,
+            ts_ms=int(time.time() * 1000),
+            log_start=state.log_start,
+            log_floor=state.log_floor,
+        )
+        self.catalog.commit(self.db, self.table, new_state)
+        return new_state
 
     def _commit_single_action(
         self,
@@ -1149,18 +1323,120 @@ class KvStore:
         pair_pred=None,
         pair_keys=None,
     ) -> DataFrame:
-        """KV snapshot scan (S4). `version` = time travel to an older
-        snapshot (M11 — snapshot-id = manifest version). `buckets`
+        """KV state scan (S4). With `version=None` this is the CURRENT
+        state: the materialized snapshot plus — when
+        `table.snapshot.defer-commits` left a WAL tail the snapshot does
+        not cover — a merge of that tail on top ('change log wins over
+        the snapshot', SortMergeReader; zero extra cost when no tail
+        exists, which is every table with the default per-commit
+        materialization). `version` = time travel (M11 — snapshot-id =
+        commit version): an exact manifest version reads its files
+        verbatim; a deferred (WAL-only) version folds the offset-bounded
+        changelog slice onto the nearest older manifest. `buckets`
         restricts the read to those buckets' files (manifest + partition
-        dir pruning — the lookup fast path). Partitioned tables:
-        `pair_pred` is a typed predicate over the partition columns and
-        __bucket that bounds the physical read (Spark partition pruning
-        resolves it to directories); `pair_keys` is a set of manifest
-        (partpath, bucket) keys that additionally bounds WHICH DIRS
-        enter the plan — plan size O(|pair_keys| dirs), not O(all dirs
-        holding those buckets)."""
+        dir pruning — the lookup fast path) and bounds the tail scan the
+        same way. Partitioned tables: `pair_pred` is a typed predicate
+        over the partition columns and __bucket that bounds the physical
+        read (Spark partition pruning resolves it to directories, and it
+        prunes the tail's WAL dirs identically); `pair_keys` is a set of
+        manifest (partpath, bucket) keys that additionally bounds WHICH
+        DIRS enter the plan — plan size O(|pair_keys| dirs), not O(all
+        dirs holding those buckets)."""
+        state = self.catalog.current_commit(self.db, self.table)
         if version is None:
-            version = self.catalog.current_commit(self.db, self.table).snapshot_version
+            base = self._materialized(
+                spark, state.snapshot_version, buckets, pair_pred, pair_keys
+            )
+            start = self._tail_start(state)
+            if start is None:
+                return base
+            tail = self._tail_scan(spark, start, None, buckets, pair_pred)
+            return self._merge_tail(base, tail)
+        if version < 0 or self._manifest(version) is not None:
+            return self._materialized(spark, version, buckets, pair_pred, pair_keys)
+        if version > state.version:
+            raise ValueError(f"no such commit version: {version}")
+        # WAL-only (deferred) version: nearest older manifest + the
+        # changelog slice between its HWM and this version's HWM
+        m = self._nearest_manifest_version(version)
+        base = self._materialized(spark, m, buckets, pair_pred, pair_keys)
+        start = self._hwm_at(m) if m >= 0 else {}
+        end = self._hwm_at(version)
+        if start == end:
+            return base
+        tail = self._tail_scan(spark, start, end, buckets, pair_pred)
+        return self._merge_tail(base, tail)
+
+    def _tail_start(self, state: CommitState) -> dict[int, int] | None:
+        """Start offsets of the WAL tail the materialized snapshot does
+        not cover, or None when the snapshot is current. The default
+        per-commit materialization keeps snapshot_version == version, so
+        this is a no-I/O comparison on that path."""
+        if state.snapshot_version == state.version:
+            return None
+        cur = {int(b): o for b, o in state.log_hwm.items()}
+        if state.snapshot_version < 0:
+            return {} if cur else None
+        snap_hwm = self._hwm_at(state.snapshot_version)
+        return None if snap_hwm == cur else snap_hwm
+
+    def _hwm_at(self, version: int) -> dict[int, int]:
+        """Per-bucket log HWM recorded at a commit version (memoized —
+        commit states are immutable once written)."""
+        cached = self._hwm_cache.get(version)
+        if cached is None:
+            st = self.catalog.commit_at(self.db, self.table, version)
+            cached = {int(b): o for b, o in st.log_hwm.items()}
+            self._hwm_cache[version] = cached
+        return dict(cached)
+
+    def _nearest_manifest_version(self, version: int) -> int:
+        """Greatest manifest version <= `version`, or -1 if none."""
+        best = -1
+        if os.path.isdir(self.manifest_dir):
+            for e in os.scandir(self.manifest_dir):
+                if e.name.startswith("v") and e.name.endswith(".json"):
+                    v = int(e.name[1:-5])
+                    if best < v <= version:
+                        best = v
+        return best
+
+    def _tail_scan(
+        self,
+        spark: SparkSession,
+        start: dict[int, int],
+        end: dict[int, int] | None,
+        buckets: list[int] | None,
+        pair_pred,
+    ) -> DataFrame:
+        tail = self.log.scan(spark, start_offsets=start or None, end_offsets=end)
+        if pair_pred is not None:
+            tail = tail.filter(pair_pred)
+        elif buckets is not None:
+            in_list = ", ".join(str(int(b)) for b in sorted(buckets)) or "-1"
+            tail = tail.filter(f"`{BUCKET_COL}` IN ({in_list})")
+        return tail
+
+    def _merge_tail(self, base: DataFrame, tail: DataFrame) -> DataFrame:
+        """'Change log wins over the snapshot' (S5/S6 SortMergeReader):
+        the tail's last event per key decides; keys whose last event is
+        -D disappear; untouched base rows pass through (anti-join on the
+        tail's keys — no distinct, a semi/anti join dedups by
+        definition)."""
+        pk = self.schema.primary_key
+        merged = self._state_from_changelog(tail)
+        return base.join(tail.select(*pk), on=pk, how="left_anti").unionByName(merged)
+
+    def _materialized(
+        self,
+        spark: SparkSession,
+        version: int,
+        buckets: list[int] | None = None,
+        pair_pred=None,
+        pair_keys=None,
+    ) -> DataFrame:
+        """The materialized snapshot files at one manifest version —
+        no tail merge (the S4 physical read)."""
         manifest = self._manifest(version)
         if not manifest:
             return spark.createDataFrame([], self.schema.to_struct_type())
@@ -1436,10 +1712,12 @@ class KvStore:
         bucket_expr = F.pmod(
             F.hash(*[F.lit(key[c]).cast(types[c]) for c in bucket_key]), F.lit(schema.num_buckets)
         )
-        version = self.catalog.current_commit(self.db, self.table).snapshot_version
+        state = self.catalog.current_commit(self.db, self.table)
+        version = state.snapshot_version
         manifest = self._manifest(version)
         if not manifest:
             return self.snapshot(spark).filter(self._key_cond(key))
+        tail_start = self._tail_start(state)
         # resolve the owning bucket DRIVER-SIDE: the hash of literals is a
         # constant expression, so evaluate it once on a 1-row local
         # relation (no table scan, no shuffle, single local task). The
@@ -1462,13 +1740,25 @@ class KvStore:
             ).filter(self._key_cond(key))
         data_dir = manifest.get(bkt)
         if data_dir is None:
-            return spark.createDataFrame([], self.schema.to_struct_type())
-        p = self._read_snapshot_dir(spark, data_dir)
-        return (
-            p.filter(F.col(BUCKET_COL) == F.lit(bkt))
+            base = spark.createDataFrame([], self.schema.to_struct_type())
+        else:
+            base = (
+                self._read_snapshot_dir(spark, data_dir)
+                .filter(F.col(BUCKET_COL) == F.lit(bkt))
+                .filter(self._key_cond(key))
+                .drop(BUCKET_COL)
+            )
+        if tail_start is None:
+            return base
+        # deferred materialization left a WAL tail: merge the key's own
+        # slice of it (one bucket dir per tail commit + offset/stats
+        # pruning) on top of the single-dir base read
+        tail = (
+            self.log.scan(spark, start_offsets=tail_start or None)
+            .filter(F.col(BUCKET_COL) == F.lit(bkt))
             .filter(self._key_cond(key))
-            .drop(BUCKET_COL)
         )
+        return self._merge_tail(base, tail)
 
     @staticmethod
     def _key_cond(key: dict[str, object]):

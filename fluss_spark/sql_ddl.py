@@ -707,6 +707,7 @@ class FlussSqlSession:
             "create_index", "sync_index", "export_delta_log",
             "export_iceberg_metadata",
             "create_vector_index", "sync_vector_index",
+            "materialize_snapshot",
         ):
             raise SqlParseError(f"unknown procedure: sys.{proc}")
         target = args.get("table") or (pos + [None])[0]
@@ -796,6 +797,16 @@ class FlussSqlSession:
         if proc == "rebucket":
             v = mnt.rebucket_table(t, self.spark, int(args["buckets"]))
             return _rows([f"commit_version={v}"])
+        if proc == "materialize_snapshot":
+            # fold the deferred WAL tail into the snapshot now (the
+            # on-demand form of the table.snapshot.defer-commits cadence)
+            if t.kv is None:
+                raise SqlParseError(
+                    "CALL sys.materialize_snapshot: requires a primary-key table"
+                )
+            with self.catalog.write_lock(db, name):
+                st = t.kv.materialize(self.spark)
+            return _rows([f"snapshot_version={st.snapshot_version}"])
         raise SqlParseError(f"unknown procedure: sys.{proc}")
 
     # ------------------------------------------------------------------ #
