@@ -520,7 +520,10 @@ class KvStore:
         )
         if defer > 1:
             state = self._commit_wal_only(spark, changelog, commit_ts_ms)
-            if state.version - max(state.snapshot_version, 0) >= defer:
+            if (
+                state.version - max(state.snapshot_version, 0) >= defer
+                or self._tail_bytes_exceeded(state)
+            ):
                 state = self.materialize(spark)
             return state
         # AQE off for the commit transaction only: the commit plan's
@@ -581,6 +584,29 @@ class KvStore:
         self.log.publish(state.version)
         self.catalog.commit(self.db, self.table, state)
         return state
+
+    def _tail_bytes_exceeded(self, state: CommitState) -> bool:
+        """table.snapshot.defer-max-tail-bytes: a size threshold that
+        triggers materialization before the commit cadence does — bounds
+        the tail-fold cost of every read/seed between checkpoints on
+        tables with large batches (the same role RocksDB's memtable
+        size trigger plays next to its count trigger). Driver-side
+        os.walk over the uncovered commit dirs: O(tail files), no jobs."""
+        prop = self.schema.properties.get("table.snapshot.defer-max-tail-bytes")
+        if not prop:
+            return False
+        limit = int(prop)
+        local, remote = self.log.committed_dirs()
+        total = 0
+        for name, path in list(remote.items()) + list(local.items()):
+            if int(name.split("=")[1]) <= state.snapshot_version:
+                continue
+            for r, _d, files in os.walk(path):
+                for fn in files:
+                    total += os.path.getsize(os.path.join(r, fn))
+                    if total > limit:
+                        return True
+        return False
 
     def materialize(self, spark: SparkSession) -> CommitState:
         """Fold the WAL tail into the materialized snapshot — the

@@ -19,6 +19,8 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from fluss_spark.catalog import Catalog
@@ -282,6 +284,58 @@ def test_defer_revert_materializes_before_fused_commit(spark, catalog):
     assert _snap(t, spark) == sorted(
         [(1, "b1"), (2, "c2")] + [(k, f"a{k}") for k in range(8) if k not in (1, 2)]
     )
+
+
+_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # key
+        st.sampled_from(["U", "D"]),
+        st.sampled_from(["a", "b", None]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seqs=st.lists(_ops, min_size=1, max_size=5), k=st.sampled_from([2, 3]))
+def test_deferred_matches_eager_property(spark_session, tmp_path_factory, seqs, k):
+    """Random mixed upsert/delete commit sequences at K in {2, 3}: the
+    deferred table equals the always-materialize twin — snapshot rows
+    AND the full (bucket, offset, change-type) WAL multiset — after
+    every commit, across materialization boundaries in arbitrary
+    positions."""
+    spark = spark_session
+    tmp = tmp_path_factory.mktemp("defer_prop")
+    cat = Catalog(str(tmp / "wh"))
+    td = _mk(cat, "d", defer=k)
+    te = _mk(cat, "e")
+    ts = 1_700_002_000_000
+    for i, seq in enumerate(seqs):
+        rows = [(key, v, op) for (key, op, v) in seq]
+        for t in (td, te):
+            t.upsert(
+                spark.createDataFrame(rows, "k int, v string, __op string"),
+                ordering=None,
+                commit_ts_ms=ts + i,
+            )
+        assert _snap(td, spark) == _snap(te, spark)
+        assert _events(td, spark) == _events(te, spark)
+
+
+def test_tail_bytes_threshold_triggers_early(spark, catalog):
+    """table.snapshot.defer-max-tail-bytes: a tiny limit forces
+    materialization on the first deferred commit even though the
+    commit cadence (K=100) is nowhere near."""
+    t = _mk(catalog, "defer_bytes", defer=100)
+    sch = catalog.get_schema("db", "defer_bytes")
+    sch.properties["table.snapshot.defer-max-tail-bytes"] = "1"
+    catalog.set_schema("db", "defer_bytes", sch)
+    t = FlussTable(catalog, "db", "defer_bytes")
+    t.upsert(spark.createDataFrame([(1, "a")], "k int, v string"))
+    st = catalog.current_commit("db", "defer_bytes")
+    assert st.snapshot_version == st.version  # threshold fired
+    assert _snap(t, spark) == [(1, "a")]
 
 
 def test_call_materialize_snapshot(spark, catalog):
