@@ -1718,15 +1718,34 @@ class KvStore:
         return self._keyed_read(spark, key, self.schema.bucket_keys)
 
     def prefix_lookup(self, spark: SparkSession, key: dict[str, object]) -> DataFrame:
-        """Prefix lookup (L2, Lookup.java:87-105): key must equal the
-        bucket key, which must be a prefix of the pk (validated at table
-        definition in the reference, Lookup.java:66-90)."""
+        """Prefix lookup (L2, Lookup.java:66-105): the lookup columns
+        must be the bucket key, which must be a prefix of the pk. On a
+        PARTITIONED table the reference additionally requires the
+        partition fields in the lookup columns ('the schema of the
+        lookup columns should contain partition fields and bucket key',
+        Lookup.java:80-84) and the prefix property is checked with
+        partition fields excluded from both sides — a partition-less
+        prefix probe would fan out to every partition directory."""
+        pcols = self.schema.partition_keys
         bk = self.schema.bucket_keys
-        if sorted(key) != sorted(bk):
-            raise ValueError(f"prefix lookup key must be the bucket key {bk}, got {sorted(key)}")
-        pk = self.schema.primary_key
-        if pk[: len(bk)] != bk:
-            raise ValueError(f"bucket key {bk} is not a prefix of primary key {pk}")
+        missing_parts = [c for c in pcols if c not in key]
+        if missing_parts:
+            raise ValueError(
+                f"prefix lookup on a partitioned table must include the "
+                f"partition field(s) {missing_parts} (Lookup.java:80-84)"
+            )
+        if sorted(c for c in key if c not in pcols) != sorted(bk):
+            raise ValueError(
+                f"prefix lookup key must be the bucket key {bk}"
+                + (f" plus partition fields {pcols}" if pcols else "")
+                + f", got {sorted(key)}"
+            )
+        pk_np = [c for c in self.schema.primary_key if c not in pcols]
+        if pk_np[: len(bk)] != bk:
+            raise ValueError(
+                f"bucket key {bk} is not a prefix of the primary key "
+                f"excluding partition fields {pk_np}"
+            )
         return self._keyed_read(spark, key, bk)
 
     def _keyed_read(self, spark: SparkSession, key: dict[str, object], bucket_key: list[str]) -> DataFrame:

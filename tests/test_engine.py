@@ -163,6 +163,37 @@ def test_prefix_lookup(spark, catalog):
     assert sorted(r["c"] for r in got.collect()) == [0, 1, 2]
 
 
+def test_prefix_lookup_partitioned(spark, catalog):
+    """L2 on a partitioned table: the lookup columns must be partition
+    fields + bucket key (Lookup.java:80-84); the prefix property is
+    checked with partition fields excluded from both sides."""
+    schema = TableSchema(
+        fields=[
+            Field("dt", "STRING", nullable=False),
+            Field("a", "INT"),
+            Field("c", "BIGINT"),
+            Field("v", "STRING"),
+        ],
+        primary_key=["dt", "a", "c"],
+        partition_keys=["dt"],
+        bucket_keys=["a"],
+        num_buckets=3,
+    )
+    t = create_table(catalog, "db", "pk_pfx_part", schema)
+    rows = [
+        (dt, a, c, f"{dt}-{a}-{c}")
+        for dt in ("d1", "d2")
+        for a in range(4)
+        for c in range(2)
+    ]
+    t.upsert(spark.createDataFrame(rows, "dt string, a int, c bigint, v string"), ordering=["c"])
+    got = t.prefix_lookup(spark, {"dt": "d1", "a": 2})
+    assert sorted(r["v"] for r in got.collect()) == ["d1-2-0", "d1-2-1"]
+    # partition field is REQUIRED on partitioned tables
+    with pytest.raises(ValueError, match="partition field"):
+        t.prefix_lookup(spark, {"a": 2})
+
+
 # ---------------------------------------------------------------------- #
 # B4: partial update
 # ---------------------------------------------------------------------- #
