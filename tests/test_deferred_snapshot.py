@@ -338,6 +338,44 @@ def test_tail_bytes_threshold_triggers_early(spark, catalog):
     assert _snap(t, spark) == [(1, "a")]
 
 
+def test_deferred_rename_column_era_projection(spark, catalog):
+    """Schema evolution x deferral: a RENAME between deferred commits
+    must project era-old WAL files onto the new name both in the hybrid
+    tail fold and in the materialized rewrite."""
+    from fluss_spark.admin import Admin, RenameColumn
+
+    t = _mk(catalog, "defer_rn", defer=4)
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    Admin(catalog).alter_table("db", "defer_rn", [RenameColumn("v", "label")])
+    t = FlussTable(catalog, "db", "defer_rn")  # reopen under new schema
+    t.upsert(spark.createDataFrame([(2, "b2"), (3, "c")], "k int, label string"))
+    want = [(1, "a"), (2, "b2"), (3, "c")]
+    assert _snap(t, spark, cols=("k", "label")) == want  # hybrid fold
+    st = t.kv.materialize(spark)
+    assert st.snapshot_version == st.version
+    assert _snap(t, spark, cols=("k", "label")) == want  # materialized
+
+
+def test_deferred_base_secondary_index(spark, catalog):
+    """A secondary index on a deferred base: the bootstrap seed comes
+    from the hybrid snapshot (tail included), and syncs fold the WAL
+    slice exactly as on an eager base."""
+    from fluss_spark import indexes as ix
+
+    t = _mk(catalog, "defer_idx", defer=4)
+    t.upsert(spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"))
+    idx = ix.create_index(catalog, "db", "defer_idx", "v", spark)
+    assert sorted(
+        (r["v"], r["k"]) for r in idx.snapshot(spark).collect()
+    ) == [("x", 1), ("y", 2)]
+    t.upsert(spark.createDataFrame([(1, "z")], "k int, v string"))
+    ix.sync_index(catalog, "db", "defer_idx", "v", spark)
+    idx = FlussTable(catalog, "db", ix.index_table_name("defer_idx", "v"))
+    assert sorted(
+        (r["v"], r["k"]) for r in idx.snapshot(spark).collect()
+    ) == [("y", 2), ("z", 1)]
+
+
 def test_call_materialize_snapshot(spark, catalog):
     """CALL sys.materialize_snapshot folds the tail on demand."""
     from fluss_spark.sql_ddl import FlussSqlSession
