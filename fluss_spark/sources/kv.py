@@ -1115,15 +1115,26 @@ class KvStore:
         orig_cols = list(changelog.columns)
         ev = changelog.withColumn(BUCKET_COL, self._bucket_expr())
 
+        # ONE tiny collect gives both the batch's bucket set (bounds the
+        # stored-id read below to O(batch buckets), never O(table)) and
+        # the per-bucket +I counts that size the id segments
+        per_bucket = {
+            int(r[BUCKET_COL]): (int(r["cnt"]), int(r["ins"]))
+            for r in ev.groupBy(BUCKET_COL)
+            .agg(
+                F.count("*").alias("cnt"),
+                F.count(F.when(F.col(CHANGE_TYPE_COL) == INSERT, 1)).alias("ins"),
+            )
+            .collect()
+        }
+        batch_buckets = sorted(per_bucket)
+        counts = {b: ins for b, (_cnt, ins) in per_bucket.items() if ins}
+
         # mint ids for +I events: per-bucket segments packed in bucket
         # order, numbered within the bucket in WAL arrival order
         ins = ev.filter(F.col(CHANGE_TYPE_COL) == INSERT)
         order = [F.col(SEQ_COL), F.col(SUB_COL)] + [F.col(c) for c in pk]
         wb = Window.partitionBy(BUCKET_COL).orderBy(*order)
-        counts = {
-            int(r[BUCKET_COL]): int(r["cnt"])
-            for r in ins.groupBy(BUCKET_COL).agg(F.count("*").alias("cnt")).collect()
-        }
         minted = ins.select(
             *pk, SEQ_COL, SUB_COL, BUCKET_COL, F.row_number().over(wb).alias("__ins_n")
         )
@@ -1141,9 +1152,12 @@ class KvStore:
         minted = minted.drop("__ins_n", BUCKET_COL)
 
         # stored ids of pre-existing keys (the update/delete images of a
-        # key's pre-batch incarnation carry these)
-        stored = self.snapshot(spark).select(
-            *pk, *[F.col(c).alias(f"__stored_{c}") for c in auto_cols]
+        # key's pre-batch incarnation carry these) — bucket-bounded read,
+        # key-bounded rows (a semi join dedups by definition)
+        stored = (
+            self.snapshot(spark, buckets=batch_buckets)
+            .join(changelog.select(*pk), on=pk, how="left_semi")
+            .select(*pk, *[F.col(c).alias(f"__stored_{c}") for c in auto_cols])
         )
         ev = ev.join(minted, on=list(pk) + [SEQ_COL, SUB_COL], how="left").join(
             stored, on=pk, how="left"
