@@ -1559,8 +1559,10 @@ class KvStore:
         the reason LogStore.minmax_from_metadata refuses pk tables).
         Returns None (caller falls back to a snapshot scan) for string
         columns (truncatable stats), schema-evolution eras (physical
-        names differ per dir), partition keys, stat-less row groups, or
-        when no snapshot manifest exists yet."""
+        names differ per dir), partition keys, stat-less row groups,
+        when no snapshot manifest exists yet, or when deferred
+        materialization left a WAL tail the footers don't cover —
+        exactness over speed in every case."""
         from fluss_spark.sources.log import footer_minmax
         from fluss_spark.types import evolution_eras
 
@@ -1572,7 +1574,10 @@ class KvStore:
         if field is None or field.type.upper() in ("STRING", "VARCHAR", "BYTES", "BINARY"):
             return None
         if version is None:
-            version = self.catalog.current_commit(self.db, self.table).snapshot_version
+            state = self.catalog.current_commit(self.db, self.table)
+            if self._tail_start(state) is not None:
+                return None  # stale footers: the live state includes the tail
+            version = state.snapshot_version
         manifest = self._manifest(version)
         if not manifest:
             return None

@@ -376,6 +376,21 @@ def test_deferred_base_secondary_index(spark, catalog):
     ) == [("y", 2), ("z", 1)]
 
 
+def test_deferred_minmax_metadata_refuses_stale_footers(spark, catalog):
+    """A2 footer stats must refuse to answer while a WAL tail is
+    pending (the footers don't cover it) and serve again once
+    materialized."""
+    t = _mk(catalog, "defer_stats", defer=10)
+    t.upsert(spark.createDataFrame([(1, "a"), (5, "b")], "k int, v string"))
+    assert t.kv.minmax_from_metadata("k") is None  # tail pending
+    t.kv.materialize(spark)
+    assert t.kv.minmax_from_metadata("k") == (1, 5)
+    t.upsert(spark.createDataFrame([(9, "c")], "k int, v string"))
+    assert t.kv.minmax_from_metadata("k") is None  # new tail
+    t.kv.materialize(spark)
+    assert t.kv.minmax_from_metadata("k") == (1, 9)
+
+
 def test_call_materialize_snapshot(spark, catalog):
     """CALL sys.materialize_snapshot folds the tail on demand."""
     from fluss_spark.sql_ddl import FlussSqlSession
