@@ -1404,6 +1404,21 @@ class KvStore:
         end = self._hwm_at(version)
         if start == end:
             return base
+        # retention fence: TTL/expiry may have trimmed changelog inside
+        # the slice (legal — those commits were snapshot-covered by a
+        # LATER materialization) — folding over the gap would silently
+        # return a partial state instead of an error
+        expired = {
+            b: (start.get(b, 0), e)
+            for b, e in self.log.earliest_offsets().items()
+            if start.get(b, 0) < e and end.get(b, 0) > start.get(b, 0)
+        }
+        if expired:
+            raise ValueError(
+                f"cannot time-travel to deferred version {version}: the "
+                f"changelog slice from manifest v{m} was partly expired "
+                f"(bucket: (needed-from, earliest) = {expired})"
+            )
         tail = self._tail_scan(spark, start, end, buckets, pair_pred)
         return self._merge_tail(base, tail)
 

@@ -207,6 +207,33 @@ def test_deferred_time_travel_wal_only_version(spark, catalog):
         t.kv.snapshot(spark, version=99)
 
 
+def test_deferred_time_travel_fails_loudly_on_expired_slice(spark, catalog):
+    """Time travel to a WAL-only version whose changelog slice was
+    TTL-trimmed must raise, never silently fold a partial state."""
+    from fluss_spark import maintenance as mnt
+
+    t = _mk(catalog, "defer_tt_ttl", defer=10)
+    sch = catalog.get_schema("db", "defer_tt_ttl")
+    sch.properties["table.log.ttl"] = "1ms"
+    catalog.set_schema("db", "defer_tt_ttl", sch)
+    t = FlussTable(catalog, "db", "defer_tt_ttl")
+    ts = 1_600_000_000_000
+    t.upsert(spark.createDataFrame([(1, "a")], "k int, v string"), commit_ts_ms=ts)  # v1
+    t.kv.materialize(spark)  # v2 covers v1
+    t.upsert(spark.createDataFrame([(2, "b")], "k int, v string"), commit_ts_ms=ts)  # v3 WAL-only
+    t.upsert(spark.createDataFrame([(3, "c")], "k int, v string"), commit_ts_ms=ts)  # v4 WAL-only
+    t.kv.materialize(spark)  # v5 covers v3/v4
+    assert mnt.expire_log_ttl(t, spark) >= 2  # v1 + v3 at least trimmed
+    # v4's slice from manifest v2 needs the trimmed v3 commit
+    with pytest.raises(ValueError, match="expired"):
+        t.kv.snapshot(spark, version=4).collect()
+    # current state and materialized versions remain exact
+    assert _snap(t, spark) == [(1, "a"), (2, "b"), (3, "c")]
+    assert sorted(
+        (r["k"], r["v"]) for r in t.kv.snapshot(spark, version=2).collect()
+    ) == [(1, "a")]
+
+
 def test_materialize_crash_recovery(spark, catalog, monkeypatch):
     """Crash between the materialization's data-dir write and its
     manifest/CURRENT advance: nothing is visible, reads stay correct off
