@@ -365,6 +365,61 @@ def test_tail_bytes_threshold_triggers_early(spark, catalog):
     assert _snap(t, spark) == [(1, "a")]
 
 
+def test_deferred_merge_engines_match_eager(spark, catalog):
+    """Every merge engine through the deferred path: the hybrid read's
+    'last event per key' fold is engine-agnostic BECAUSE the changelog
+    is authoritative (the replay invariant) — versioned out-of-order
+    drops, aggregation accumulation, and first_row resistance must all
+    survive WAL-only commits and the materialization boundary."""
+    cases = {
+        "versioned": (
+            {"table.merge-engine": "versioned",
+             "table.merge-engine.versioned.ver-column": "ver"},
+            "k int, v string, ver bigint",
+            [
+                [(1, "a", 5), (2, "b", 3)],
+                [(1, "old", 2), (2, "new", 7)],  # k=1 dropped (older ver)
+                [(1, "newest", 9)],
+            ],
+            [(1, "newest", 9), (2, "new", 7)],
+        ),
+        "aggregation": (
+            {"table.merge-engine": "aggregation"},
+            "k int, v bigint",
+            [[(1, 10), (2, 1)], [(1, 5)], [(1, 2), (2, 3)]],
+            [(1, 17), (2, 4)],
+        ),
+        "first_row": (
+            {"table.merge-engine": "first_row"},
+            "k int, v string",
+            [[(1, "first")], [(1, "second"), (2, "x")], [(2, "y")]],
+            [(1, "first"), (2, "x")],
+        ),
+    }
+    for name, (props, ddl, batches, want) in cases.items():
+        fields = []
+        for part in ddl.split(","):
+            col, typ = part.strip().split(" ")
+            agg = "sum" if (name == "aggregation" and col != "k") else None
+            fields.append(Field(col, typ.upper(), nullable=(col != "k"), agg=agg))
+        td = create_table(
+            catalog, "db", f"defer_me_{name}",
+            TableSchema(fields=fields, primary_key=["k"], num_buckets=4,
+                        properties={**props, "table.snapshot.defer-commits": "2"}),
+        )
+        te = create_table(
+            catalog, "db", f"eager_me_{name}",
+            TableSchema(fields=fields, primary_key=["k"], num_buckets=4,
+                        properties=dict(props)),
+        )
+        cols = tuple(f.name for f in fields)
+        for i, rows in enumerate(batches):
+            for t in (td, te):
+                t.upsert(spark.createDataFrame(rows, ddl), commit_ts_ms=1_700_003_000_000 + i)
+            assert _snap(td, spark, cols=cols) == _snap(te, spark, cols=cols), name
+        assert _snap(td, spark, cols=cols) == sorted(want), name
+
+
 def test_deferred_rename_column_era_projection(spark, catalog):
     """Schema evolution x deferral: a RENAME between deferred commits
     must project era-old WAL files onto the new name both in the hybrid
