@@ -243,6 +243,27 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         t.upsert(ev, ordering=["event_id"])
+    elif variant == "prefix_part":
+        # partitioned composite pk (event_type, user_id, event_id),
+        # partition = event_type, bucket key = user_id: the L2
+        # partitioned contract (partition fields + bucket key probe)
+        schema = TableSchema(
+            fields=[
+                Field("event_type", "STRING", nullable=False),
+                Field("user_id", "BIGINT"),
+                Field("event_id", "BIGINT"),
+                Field("value", "DOUBLE"),
+            ],
+            primary_key=["event_type", "user_id", "event_id"],
+            partition_keys=["event_type"],
+            bucket_keys=["user_id"],
+            num_buckets=8,
+        )
+        t = create_table(cat, "db", variant, schema)
+        t.upsert(
+            ev.select("event_type", "user_id", "event_id", "value"),
+            ordering=["event_id"],
+        )
     elif variant == "bucketed_log":
         # W1-W3: explicit bucket key -> deterministic hash spread (a
         # bucketless log buckets by writer partition id, which depends
@@ -1686,6 +1707,31 @@ def l2_prefix_lookup(spark: SparkSession, sf: str) -> DataFrame:
     t = _build(spark, sf, "prefix")
     return t.prefix_lookup(spark, {"user_id": 7}).select(
         "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "l8_prefix_lookup_partitioned",
+    oracle="""
+    SELECT event_type, user_id, CAST(event_id AS BIGINT) AS event_id,
+           round(value, 2) AS value
+    FROM events WHERE event_type = 'click' AND user_id = 7
+    """,
+)
+def l8_prefix_lookup_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix lookup on a PARTITIONED pk table (L2's partitioned form,
+    Lookup.java:80-84: lookup columns = partition fields + bucket key;
+    the pk-prefix property is checked with partition fields excluded).
+    The table partitions by event_type with pk (event_type, user_id,
+    event_id) and bucket key user_id, so the probe
+    (event_type='click', user_id=7) resolves the owning bucket
+    driver-side, prunes to ONE partition directory, and must return
+    exactly that user's click rows — a lookup that read other
+    partitions' buckets, or missed the partition predicate, changes
+    the row set."""
+    t = _build(spark, sf, "prefix_part")
+    return t.prefix_lookup(spark, {"event_type": "click", "user_id": 7}).select(
+        "event_type", "user_id", "event_id", F.round("value", 2).alias("value")
     )
 
 
