@@ -70,6 +70,7 @@ def main() -> None:
         "deletes", "partial", "prefix", "plain_log", "tiered_log",
         "dedup_state", "autoinc_pk", "iine", "multi", "overwrite",
         "wal_image", "compacted", "ttl_log", "bucketed_log", "deferred",
+        "prefix_part",
     ):
         _eq._build(spark, "/root/testdata/sf0.001", _variant)
 
