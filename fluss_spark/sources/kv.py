@@ -691,8 +691,15 @@ class KvStore:
             dir_pairs = dict(self._manifest_dir_pairs(state.snapshot_version))
             dir_pairs[data_dir] = sorted(snap_pairs)
         else:
+            # mirror the partitioned prune: a bucket whose every key was
+            # deleted in the tail wrote no __bucket dir — drop its entry
+            # instead of pointing it at the new (empty-for-it) data dir
+            snap_buckets = {b for _pp, b in self._walk_pairs(dst)}
             for _pp, bkt in touched:
-                new_manifest[bkt] = data_dir
+                if bkt in snap_buckets:
+                    new_manifest[bkt] = data_dir
+                else:
+                    new_manifest.pop(bkt, None)
 
         self._write_manifest(version, new_manifest, dir_pairs)
         new_state = CommitState(
@@ -1055,8 +1062,14 @@ class KvStore:
                 )
                 dir_pairs[data_dir] = sorted(snap_pairs)
             else:
+                # same prune as the partitioned arm: a touched bucket
+                # with no surviving rows leaves the manifest
+                snap_buckets = {b for _pp, b in self._walk_pairs(dst)}
                 for bkt in touched:
-                    new_manifest[bkt] = data_dir
+                    if bkt in snap_buckets:
+                        new_manifest[bkt] = data_dir
+                    else:
+                        new_manifest.pop(bkt, None)
         elif schema.partition_keys:
             dir_pairs = self._manifest_dir_pairs(state0.snapshot_version)
         shutil.rmtree(combined, ignore_errors=True)

@@ -350,6 +350,50 @@ def test_deferred_matches_eager_property(spark_session, tmp_path_factory, seqs, 
         assert _events(td, spark) == _events(te, spark)
 
 
+def _bucket_of_keys(t, spark):
+    rows = t.kv.log.scan(spark).select("k", BUCKET_COL).distinct().collect()
+    return {r["k"]: r[BUCKET_COL] for r in rows}
+
+
+@pytest.mark.parametrize("defer", [None, 3])
+def test_fully_deleted_bucket_leaves_manifest(spark, catalog, defer):
+    """A bucket whose EVERY key is deleted (in the eager commit's batch,
+    or in the deferred tail at materialization) must lose its manifest
+    entry on the UNPARTITIONED path too — the new data dir wrote no
+    files for it, so a dangling entry would point a pruned read at a
+    dir with nothing to prune against."""
+    name = f"delbkt_{'d' if defer else 'e'}"
+    t = _mk(catalog, name, defer=defer)
+    t.upsert(
+        spark.createDataFrame([(k, f"a{k}") for k in range(16)], "k int, v string")
+    )
+    kb = _bucket_of_keys(t, spark)
+    victim = kb[0]
+    dead = sorted(k for k, b in kb.items() if b == victim)
+    live = next(k for k, b in kb.items() if b != victim)
+    assert dead and live is not None
+    # delete every key of the victim bucket + touch one other bucket
+    t.upsert(
+        spark.createDataFrame(
+            [(k, None, "D") for k in dead] + [(live, "upd", "U")],
+            "k int, v string, __op string",
+        )
+    )
+    if defer:
+        # force the fold of the pending tail through materialize()
+        t.kv.materialize(spark)
+    st = catalog.current_commit("db", name)
+    assert st.snapshot_version == st.version
+    manifest = t.kv._manifest(st.snapshot_version)
+    assert victim not in manifest, (victim, manifest)
+    # and the surviving buckets still read correctly
+    assert _snap(t, spark) == sorted(
+        (k, "upd" if k == live else f"a{k}") for k in range(16) if k not in dead
+    )
+    # dead keys miss on the keyed fast path too
+    assert t.lookup(spark, {"k": dead[0]}).count() == 0
+
+
 def test_tail_bytes_threshold_triggers_early(spark, catalog):
     """table.snapshot.defer-max-tail-bytes: a tiny limit forces
     materialization on the first deferred commit even though the
