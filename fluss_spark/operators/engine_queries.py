@@ -648,6 +648,52 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             ordering=["event_id"],
         )
         t.upsert(ev.filter(F.col("event_id") > 3 * third), ordering=["event_id"])
+    elif variant == "concurrent":
+        # optimistic concurrent commits (table.commit.concurrency):
+        # after a cross-partition seed, the second half lands as TWO
+        # pair-disjoint writers whose Spark work overlaps — the 'click'
+        # writer stages its fused commit, the other-partitions writer
+        # publishes in between (the _pre_lock_hook seam), and the first
+        # validates + rebases its bucket offsets on top (the reference's
+        # per-TableBucket leader parallelism, ReplicaManager.java)
+        schema = TableSchema(
+            fields=[
+                Field("event_type", "STRING", nullable=False),
+                Field("user_id", "BIGINT", nullable=False),
+                Field("value", "DOUBLE"),
+            ],
+            primary_key=["event_type", "user_id"],
+            partition_keys=["event_type"],
+            num_buckets=4,
+            properties={"table.commit.concurrency": "optimistic"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        half = _max_event_id(sf) // 2
+        batch = ev.select("event_type", "user_id", "value", "event_id")
+        t.upsert(batch.filter(F.col("event_id") <= half), ordering=["event_id"])
+        t2 = FlussTable(cat, "db", variant)
+        fired: list[int] = []
+
+        def _hook():
+            if not fired:
+                fired.append(1)
+                t2.upsert(
+                    batch.filter(
+                        (F.col("event_id") > half)
+                        & (F.col("event_type") != "click")
+                    ),
+                    ordering=["event_id"],
+                )
+
+        t.upsert(
+            batch.filter(
+                (F.col("event_id") > half) & (F.col("event_type") == "click")
+            ),
+            ordering=["event_id"],
+            _pre_lock_hook=_hook,
+        )
+        st = cat.current_commit("db", variant)
+        assert st.version == 3, "expected seed + interleaved pair of commits"
     elif variant == "multi":
         # S12 multi-table client: one handle appends disjoint halves
         # into two homogeneous log tables
@@ -1444,6 +1490,33 @@ def m20_deferred_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     assert st.snapshot_version > 0, "expected a cadence materialization"
     return t.snapshot(spark).select(
         "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "m21_concurrent_commits",
+    oracle="""
+    SELECT event_type, user_id, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY event_id DESC) = 1
+    """,
+)
+def m21_concurrent_commits(spark: SparkSession, sf: str) -> DataFrame:
+    """Optimistic concurrent commits (table.commit.concurrency=optimistic
+    — the reference's per-TableBucket leader parallelism,
+    server/replica/ReplicaManager.java: appends to different
+    (partition, bucket) units never serialize). The build interleaves
+    two pair-disjoint second-half writers — one stages its fused commit,
+    the other publishes in between, the first validates under the short
+    lock and rebases its shared-bucket offsets on top
+    (sources/kv.py upsert_optimistic). The read is the merged snapshot
+    across both concurrent commits; the oracle pins it to the exact
+    last-event-per-key fold — a lost commit, a double-applied rebase, or
+    a stale seed read all move rows."""
+    t = _build(spark, sf, "concurrent")
+    return t.snapshot(spark).select(
+        "event_type", "user_id", F.round("value", 2).alias("value")
     )
 
 

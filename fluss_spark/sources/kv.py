@@ -86,6 +86,15 @@ DEST_COL = "__dest"
 PAIR_SCOPE_MAX = 512
 
 
+class CommitConflictError(RuntimeError):
+    """An optimistic commit lost its validation: a concurrent commit
+    touched one of this writer's snapshot units (or changed table-wide
+    state — schema, log floor, pending tail) between the writer's base
+    read and its commit attempt. The transaction wrote nothing visible;
+    the caller may retry against the new state (upsert_optimistic does
+    so automatically up to max_retries)."""
+
+
 class KvStore:
     def __init__(self, catalog: Catalog, db: str, table: str):
         self.catalog = catalog
@@ -339,6 +348,217 @@ class KvStore:
         return self._commit_changelog(
             spark, changelog, commit_ts_ms, batch_buckets, pair_scope
         )
+
+    def upsert_optimistic(
+        self,
+        df: DataFrame,
+        ordering: list[str] | None = None,
+        partial_update_cols: list[str] | None = None,
+        commit_ts_ms: int | None = None,
+        merge_mode: str | None = None,
+        batch_buckets: list[int] | None = None,
+        max_retries: int = 3,
+        _pre_lock_hook=None,
+    ) -> CommitState:
+        """Upsert WITHOUT holding the table write lock across the heavy
+        work — the optimistic-concurrency successor to the global
+        single-writer transaction, mirroring the reference's
+        per-TableBucket leader parallelism (server/replica/
+        ReplicaManager.java runs one leader per (partition, bucket);
+        appends to different TableBuckets never serialize on each
+        other):
+
+          1. read the base state; build the fold and the fused commit
+             frame against it; WRITE the combined siblings to a
+             uniquely-named inflight staging dir — all outside the lock,
+             so two writers' Spark jobs genuinely overlap;
+          2. take the lock BRIEFLY: re-read the state and validate that
+             no intermediate commit touched this writer's snapshot
+             units ((partition, bucket) pairs, or buckets when
+             unpartitioned) — manifest entries for the units must be
+             unchanged, plus table-wide fences (schema, log floor, no
+             pending WAL tail);
+          3. pair-disjoint concurrent commits may still share a BUCKET's
+             offset space (partitions layer above buckets; the offset
+             counter is per bucket): rebase by shifting the staged WAL's
+             contended bucket dirs up by the concurrent rows' count —
+             O(contended buckets of this batch), zero when bucket sets
+             are disjoint — then publish on top of the CURRENT state.
+
+        On a conflict the staged files are discarded and the whole
+        transaction re-runs against the new state (the seed must be
+        re-read — a conflicting commit may have changed this batch's
+        keys), up to `max_retries` times before CommitConflictError.
+
+        Refused for auto-increment tables (the id counter is
+        table-global: two concurrent minters would collide) and deferred
+        materialization (a WAL-only commit's coverage bookkeeping is a
+        table-global watermark) — both fall back to the serial lock in
+        FlussTable.upsert. Unlike the serial path, AQE is left at the
+        session setting (toggling a session conf is not thread-safe).
+
+        `_pre_lock_hook` is a test seam: called after the staged write,
+        before the lock — where a concurrent commit would interleave.
+        """
+        import shutil
+        import time
+        import uuid
+
+        spark = df.sparkSession
+        schema = self.schema
+        if any(f.auto_increment for f in schema.fields):
+            raise ValueError(
+                "optimistic commits are not supported on auto-increment "
+                "tables (the id counter is table-global)"
+            )
+        if int(schema.properties.get("table.snapshot.defer-commits", "1") or "1") > 1:
+            raise ValueError(
+                "optimistic commits require eager materialization "
+                "(table.snapshot.defer-commits <= 1)"
+            )
+        if partial_update_cols is not None:
+            missing_pk = [c for c in schema.primary_key if c not in partial_update_cols]
+            if missing_pk:
+                raise ValueError(
+                    f"partial update must include the primary key, missing {missing_pk}"
+                )
+
+        reason = "conflict"
+        for _attempt in range(max(0, int(max_retries)) + 1):
+            state0 = self.catalog.current_commit(self.db, self.table)
+            if self._tail_start(state0) is not None:
+                raise ValueError(
+                    "optimistic commit refused: a deferred WAL tail is "
+                    "pending — materialize() first"
+                )
+            fold_in, may_have_deletes, buckets0, pair_scope = self._fold_input(
+                spark, df, ordering, batch_buckets
+            )
+            changelog, _ = replay(
+                fold_in,
+                schema,
+                partial_update_cols=partial_update_cols,
+                merge_mode=merge_mode,
+                may_have_deletes=may_have_deletes,
+            )
+            ts_ms = (
+                commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
+            )
+            out, persisted, _auto = self._commit_plan(
+                spark, changelog, ts_ms, buckets0, pair_scope, state0
+            )
+            combined = os.path.join(
+                self.log.tmp_dir, f"inflight-{uuid.uuid4().hex[:12]}"
+            )
+            try:
+                self._write_combined(out, combined, persisted)
+                if _pre_lock_hook is not None:
+                    _pre_lock_hook()
+                with self.catalog.write_lock(self.db, self.table):
+                    s1 = self.catalog.current_commit(self.db, self.table)
+                    reason = self._occ_conflict(state0, s1, combined)
+                    if reason is None:
+                        self._occ_shift_offsets(spark, combined, state0, s1)
+                        return self._commit_finish(
+                            spark,
+                            combined,
+                            s1,
+                            s1.version + 1,
+                            ts_ms,
+                            dict(s1.auto_increment),
+                        )
+            finally:
+                shutil.rmtree(combined, ignore_errors=True)
+        raise CommitConflictError(
+            f"optimistic commit on {self.db}.{self.table} gave up after "
+            f"{max_retries} retries: {reason}"
+        )
+
+    def _occ_conflict(
+        self, state0: CommitState, s1: CommitState, combined: str
+    ) -> str | None:
+        """Validation step of the optimistic commit: None if the staged
+        transaction (built against state0) may publish on top of s1,
+        else the human-readable conflict reason. The unit of conflict is
+        the snapshot-rewrite unit — the (partition path, bucket) pair on
+        partitioned tables, the bucket otherwise: a unit is compatible
+        iff its manifest entry is IDENTICAL at both states (concurrent
+        commits to other units never touch it; compaction/rebucket/
+        expiry rewrite entries and thus conflict, conservatively).
+        Unpartitioned buckets additionally require an unmoved log HWM
+        (bucket == unit there, so any WAL advance implies the unit was
+        touched — belt and braces); partitioned tables tolerate HWM
+        moves, which _occ_shift_offsets rebases."""
+        if s1.version == state0.version:
+            return None
+        if self.catalog.get_schema(self.db, self.table).to_json() != self.schema.to_json():
+            return "table schema changed"
+        if s1.log_floor != state0.log_floor:
+            return "log floor advanced (whole-log rewrite)"
+        if self._tail_start(s1) is not None:
+            return "a deferred WAL tail is pending"
+        units: set = set()
+        for dest in ("w", "s"):
+            part = os.path.join(combined, f"{DEST_COL}={dest}")
+            if os.path.isdir(part):
+                units.update(self._walk_pairs(part))
+        m0 = self._manifest(state0.snapshot_version) or {}
+        m1 = self._manifest(s1.snapshot_version) or {}
+        if self.schema.partition_keys:
+            for u in sorted(units):
+                if m0.get(u) != m1.get(u):
+                    return f"snapshot unit {u} was rewritten by a concurrent commit"
+        else:
+            for _pp, b in sorted(units):
+                if m0.get(b) != m1.get(b):
+                    return f"bucket {b} was rewritten by a concurrent commit"
+                if s1.log_hwm.get(str(b)) != state0.log_hwm.get(str(b)):
+                    return f"bucket {b} log advanced under a concurrent commit"
+        return None
+
+    def _occ_shift_offsets(
+        self, spark: SparkSession, combined: str, state0: CommitState, s1: CommitState
+    ) -> None:
+        """Rebase the staged WAL's per-bucket offsets from state0's HWMs
+        to s1's. A pair-disjoint concurrent commit can still append to
+        the same BUCKET (the offset space is per bucket, shared across
+        partitions), leaving our staged offsets starting below the new
+        HWM; shifting each contended bucket dir up by the concurrent
+        rows' count restores dense per-bucket numbering with the earlier
+        committer's rows first — the same order a per-bucket leader
+        would have produced. One small rewrite job per contended bucket
+        dir, O(this batch's contended buckets); nothing moves when
+        bucket sets are disjoint."""
+        import shutil
+
+        deltas = {
+            int(b): int(off) - int(state0.log_hwm.get(b, 0))
+            for b, off in s1.log_hwm.items()
+            if int(off) != int(state0.log_hwm.get(b, 0))
+        }
+        wal_part = os.path.join(combined, f"{DEST_COL}=w")
+        if not deltas or not os.path.isdir(wal_part):
+            return
+        codec = self.schema.properties.get("table.log.compression", "snappy")
+        for pp, b in self._walk_pairs(wal_part):
+            d = deltas.get(b)
+            if not d:
+                continue
+            bdir = os.path.join(wal_part, pp, f"{BUCKET_COL}={b}") if pp else os.path.join(
+                wal_part, f"{BUCKET_COL}={b}"
+            )
+            # dot-prefixed sibling: invisible to directory walks (never
+            # mistaken for a bucket dir if a failure strands it)
+            tmp = os.path.join(os.path.dirname(bdir), f".shift-{b}")
+            (
+                spark.read.parquet(bdir)
+                .withColumn(OFFSET_COL, (F.col(OFFSET_COL) + F.lit(int(d))).cast("long"))
+                .write.mode("overwrite")
+                .option("compression", codec)
+                .parquet(tmp)
+            )
+            shutil.rmtree(bdir)
+            os.rename(tmp, bdir)
 
     def _fold_input(
         self,
@@ -777,15 +997,36 @@ class KvStore:
         The reference analog: the WAL *is* the changelog — one append
         (KvTablet.java:562-591), with the snapshot (RocksDB state) fed
         from the same merge pass, not re-derived."""
-        import shutil
         import time
 
-        schema = self.schema
-        pk, cols = schema.primary_key, schema.data_columns()
         self.log.clean_orphans()
         state0 = self.catalog.current_commit(self.db, self.table)
         version = state0.version + 1
         ts_ms = commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
+        out, persisted, auto_next = self._commit_plan(
+            spark, changelog, ts_ms, batch_buckets, pair_scope, state0
+        )
+        combined = os.path.join(self.log.tmp_dir, f"commit-v{version}")
+        self._write_combined(out, combined, persisted)
+        return self._commit_finish(spark, combined, state0, version, ts_ms, auto_next)
+
+    def _commit_plan(
+        self,
+        spark: SparkSession,
+        changelog: DataFrame,
+        ts_ms: int,
+        batch_buckets: list[int] | None,
+        pair_scope,
+        state0: CommitState,
+    ):
+        """Build the fused commit-output frame (see _commit_single_action)
+        against a given base state. Returns (out frame, persisted handle
+        to unpersist after the write, advanced auto-increment map). Pure
+        plan construction — no writes, no metadata mutation — so the
+        optimistic path can run it (and the write) outside the table
+        lock."""
+        schema = self.schema
+        pk, cols = schema.primary_key, schema.data_columns()
         old_manifest = self._manifest(state0.snapshot_version) or {}
 
         # Everything below builds the plan from WHOLE-SELECT SQL strings
@@ -996,7 +1237,12 @@ class KvStore:
             f"`{BUCKET_COL}`",
         )
 
-        combined = os.path.join(self.log.tmp_dir, f"commit-v{version}")
+        return out, persisted, auto_next
+
+    def _write_combined(self, out: DataFrame, combined: str, persisted) -> None:
+        """The ONE write action of the fused commit: both siblings land
+        under `combined` as __dest=w / __dest=s partition dirs."""
+        schema = self.schema
         codec = schema.properties.get("table.log.compression", "snappy")  # W6
         # rows left the bucket window hash-clustered by BUCKET_COL, so
         # partitionBy emits one file per (dest[, partition], bucket)
@@ -1012,6 +1258,28 @@ class KvStore:
         finally:
             if persisted is not None:
                 persisted.unpersist()
+
+    def _commit_finish(
+        self,
+        spark: SparkSession,
+        combined: str,
+        base_state: CommitState,
+        version: int,
+        ts_ms: int,
+        auto_next: dict[str, int],
+    ) -> CommitState:
+        """Publish a written combined dir as commit `version` on top of
+        `base_state`: rename the siblings into place, advance the HWMs
+        and manifest RELATIVE TO base_state, then commit atomically. The
+        serial path passes base_state = the state the plan was built
+        against; the optimistic path passes the CURRENT state after
+        validating the plan's base is still compatible with it
+        (disjoint units, see upsert_optimistic)."""
+        import shutil
+
+        schema = self.schema
+        state0 = base_state
+        old_manifest = self._manifest(state0.snapshot_version) or {}
 
         # driver-side publish prep: sibling dirs -> their destinations
         staged = self.log.staging_path(version)
@@ -1348,7 +1616,7 @@ class KvStore:
             self.snapshot(spark).select(*pk), on=pk, how="left_anti"
         ).persist()
         try:
-            if missing.limit(1).count() > 0:
+            if not missing.isEmpty():
                 self.upsert(missing)
         finally:
             missing.unpersist()

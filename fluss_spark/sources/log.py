@@ -112,12 +112,21 @@ class LogStore:
     def clean_orphans(self) -> None:
         """Self-heal under the write lock: drop leftover staging dirs and
         any log commit dir newer than CURRENT (a writer that crashed
-        between rename and CURRENT advance)."""
+        between rename and CURRENT advance). `inflight-*` dirs are LIVE
+        optimistic-writer staging (kv.upsert_optimistic writes them
+        outside the lock by design) — only a stale one (dead writer,
+        age > 1h) is an orphan."""
         import shutil
 
         current = self.catalog.current_commit(self.db, self.table).version
         if os.path.isdir(self.tmp_dir):
             for e in os.scandir(self.tmp_dir):
+                if e.name.startswith("inflight-"):
+                    try:
+                        if time.time() - e.stat().st_mtime < 3600:
+                            continue
+                    except FileNotFoundError:
+                        continue
                 shutil.rmtree(e.path, ignore_errors=True)
         for e in os.scandir(self.log_dir):
             if e.name.startswith(f"{COMMIT_DIR_COL}=") and int(e.name.split("=")[1]) > current:

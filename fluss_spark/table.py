@@ -104,23 +104,51 @@ class FlussTable:
         manifest supersedes the incremental ones it absorbed)."""
         if self.kv is None:
             raise ValueError("upsert requires a Primary Key Table")
+        if self._optimistic_commits():
+            # `table.commit.concurrency` = "optimistic": the heavy work
+            # (fold + fused write) runs OUTSIDE the table lock — writers
+            # on disjoint (partition, bucket) units genuinely overlap,
+            # the reference's per-TableBucket leader parallelism
+            # (kv.upsert_optimistic: validate-then-publish under a short
+            # lock, conflicting units retry). Auto-increment and
+            # deferred-materialization tables fall back to serial (the
+            # id counter / coverage watermark are table-global).
+            state = self.kv.upsert_optimistic(df, **kw)
+            with self.catalog.write_lock(self.db, self.name):
+                if self._upsert_maintenance_locked(df.sparkSession):
+                    state = self.catalog.current_commit(self.db, self.name)
+            return state
+        with self.catalog.write_lock(self.db, self.name):
+            state = self.kv.upsert(df, **kw)
+            if self._upsert_maintenance_locked(df.sparkSession):
+                state = self.catalog.current_commit(self.db, self.name)
+        return state
+
+    def _optimistic_commits(self) -> bool:
+        props = self.schema.properties
+        return (
+            props.get("table.commit.concurrency", "serial") == "optimistic"
+            and not any(f.auto_increment for f in self.schema.fields)
+            and int(props.get("table.snapshot.defer-commits", "1") or "1") <= 1
+        )
+
+    def _upsert_maintenance_locked(self, spark: SparkSession) -> bool:
+        """Post-commit snapshot compaction + retention (see upsert
+        docstring). Caller holds the table write lock. Returns True if
+        compaction advanced the table version."""
         from fluss_spark import maintenance
 
         props = self.schema.properties
-        with self.catalog.write_lock(self.db, self.name):
-            state = self.kv.upsert(df, **kw)
-            max_dirs = int(props.get("table.snapshot.auto-compact-dirs", "16") or 0)
-            keep_prop = props.get("table.snapshot.num-retained")
-            compacted = max_dirs > 0 and maintenance._compact_snapshot_locked(
-                self, df.sparkSession, max_dirs=max_dirs
-            )
-            if keep_prop is not None:
-                maintenance._expire_snapshots_locked(self, int(keep_prop))
-            elif compacted:
-                maintenance._expire_snapshots_locked(self, 2)
-            if compacted:
-                state = self.catalog.current_commit(self.db, self.name)
-        return state
+        max_dirs = int(props.get("table.snapshot.auto-compact-dirs", "16") or 0)
+        keep_prop = props.get("table.snapshot.num-retained")
+        compacted = max_dirs > 0 and maintenance._compact_snapshot_locked(
+            self, spark, max_dirs=max_dirs
+        )
+        if keep_prop is not None:
+            maintenance._expire_snapshots_locked(self, int(keep_prop))
+        elif compacted:
+            maintenance._expire_snapshots_locked(self, 2)
+        return bool(compacted)
 
     def delete(self, df: DataFrame, **kw) -> CommitState:
         """Delete by key rows (M2). Auto-increment columns are dropped
