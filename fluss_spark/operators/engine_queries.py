@@ -816,6 +816,77 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         reader.process_available(_drain_h)
         t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
         reader.process_available(_drain_h)
+    elif variant == "deferred_stream":
+        # T3 hybrid handoff over a DEFERRED base (the reference's
+        # HybridSnapshotLogSplit when the KV snapshot lags the log,
+        # flink/source/split/HybridSnapshotLogSplit.java:37): at
+        # subscribe time the state lives entirely in the uncovered WAL
+        # tail (two WAL-only commits, no materialization yet) — batch 0
+        # must fold materialized files + tail, and the subscription must
+        # resume from the FULL high watermarks, not the stale snapshot's.
+        # Mid-stream, commit 3 triggers the cadence materialization
+        # (invisible to the reader: no offsets move) and commit 4 leaves
+        # a fresh pending tail; batch 1 is exactly their WAL slice.
+        from fluss_spark.streaming.reader import LogStreamReader
+
+        schema = TableSchema(
+            fields=[
+                Field("user_id", "BIGINT"),
+                Field("event_type", "STRING"),
+                Field("value", "DOUBLE"),
+            ],
+            primary_key=["user_id"],
+            num_buckets=8,
+            properties={"table.snapshot.defer-commits": "3"},
+        )
+        t = create_table(cat, "db", variant, schema)
+        sink = create_table(
+            cat,
+            "db",
+            "deferred_stream_sink",
+            TableSchema(
+                fields=[
+                    Field("batch_id", "BIGINT"),
+                    Field("change_type", "STRING"),
+                    Field("user_id", "BIGINT"),
+                ],
+                num_buckets=4,
+            ),
+        )
+        third = _max_event_id(sf) // 3
+        t.upsert(ev.filter(F.col("event_id") <= third), ordering=["event_id"])
+        t.upsert(
+            ev.filter((F.col("event_id") > third) & (F.col("event_id") <= 2 * third)),
+            ordering=["event_id"],
+        )
+        st = cat.current_commit("db", variant)
+        assert st.snapshot_version < st.version, "expected a pending WAL tail at subscribe time"
+        reader = LogStreamReader(
+            t, spark, checkpoint_dir=os.path.join(wh, "dckpt"), startup_mode="full"
+        )
+
+        def _drain_d(df: DataFrame, bid: int) -> None:
+            sink.append(
+                df.select(
+                    F.lit(bid).cast("bigint").alias("batch_id"),
+                    F.col("_change_type").alias("change_type"),
+                    "user_id",
+                ),
+                ordering=["user_id"],
+            )
+
+        reader.process_available(_drain_d)
+        t.upsert(
+            ev.filter(
+                (F.col("event_id") > 2 * third) & (F.col("event_id") <= 3 * third)
+            ),
+            ordering=["event_id"],
+        )  # triggers the cadence materialization
+        t.upsert(ev.filter(F.col("event_id") > 3 * third), ordering=["event_id"])
+        st = cat.current_commit("db", variant)
+        assert st.snapshot_version > 0, "expected a mid-stream materialization"
+        assert st.snapshot_version < st.version, "expected a fresh pending tail"
+        reader.process_available(_drain_d)
     elif variant == "stream_redelivery":
         # T7 exactly-once: a consumer processes a batch but CRASHES
         # before commit_batch — a fresh reader on the same checkpoint
@@ -1490,6 +1561,51 @@ def m20_deferred_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     assert st.snapshot_version > 0, "expected a cadence materialization"
     return t.snapshot(spark).select(
         "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "t21_stream_over_deferred_base",
+    oracle="""
+    WITH b AS (SELECT CAST(max(event_id) // 3 AS BIGINT) AS third FROM events),
+    s0 AS (SELECT DISTINCT user_id FROM events, b WHERE event_id <= 2 * b.third),
+    e2 AS (
+      SELECT e.user_id,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id)
+               AS rn,
+             e.user_id IN (SELECT user_id FROM s0) AS ex0
+      FROM events e, b
+      WHERE e.event_id > 2 * b.third
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id, '+I' AS change_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), '+I', CAST(count(*) AS BIGINT)
+    FROM e2 WHERE rn = 1 AND NOT ex0 HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), '-U', CAST(count(*) AS BIGINT)
+    FROM e2 WHERE NOT (rn = 1 AND NOT ex0) HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), '+U', CAST(count(*) AS BIGINT)
+    FROM e2 WHERE NOT (rn = 1 AND NOT ex0) HAVING count(*) > 0
+    """,
+)
+def t21_stream_over_deferred_base(spark: SparkSession, sf: str) -> DataFrame:
+    """T3 hybrid handoff composed with deferred materialization (m20):
+    subscribing to a pk table whose KV snapshot LAGS the log
+    (HybridSnapshotLogSplit.java:37 — snapshot + log suffix) must emit
+    batch 0 as the TAIL-FOLDED state (materialized files + uncovered
+    WAL slice) and resume the subscription from the full high
+    watermarks; a cadence materialization firing mid-stream moves no
+    offsets and must be invisible. Per-(batch, change-type) counts are
+    fully determined by the two-thirds split — a batch 0 built from the
+    stale snapshot files alone, a tail row double-delivered in batch 1,
+    or an offset reset at materialization time all move a count."""
+    t = _build(spark, sf, "deferred_stream")
+    sink = FlussTable(t.catalog, "db", "deferred_stream_sink")
+    return sink.scan(spark).groupBy("batch_id", "change_type").agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 

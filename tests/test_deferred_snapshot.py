@@ -394,6 +394,71 @@ def test_fully_deleted_bucket_leaves_manifest(spark, catalog, defer):
     assert t.lookup(spark, {"k": dead[0]}).count() == 0
 
 
+def test_stream_crash_across_materialization_window(spark, catalog, tmp_path):
+    """A streaming consumer that crashes between processing a batch and
+    committing its checkpoint must be redelivered EXACTLY the same
+    offset range by a fresh reader — even when a snapshot
+    materialization lands inside the crash window (materialize() moves
+    no log offsets, so the redelivery reads the same WAL slice; the
+    reference analog is a Flink recovery while the KV snapshot
+    checkpoint advances independently of the consumed log splits)."""
+    from fluss_spark.streaming.reader import LogStreamReader
+
+    t = _mk(catalog, "stream_mat", defer=10)  # manual materialization
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(tag, ks):
+        return spark.createDataFrame(
+            [(k, f"{tag}{k}") for k in ks], "k int, v string"
+        )
+
+    t.upsert(rows("a", range(8)))
+    t.upsert(rows("b", range(4, 12)))
+    st = catalog.current_commit("db", "stream_mat")
+    assert st.snapshot_version < st.version  # tail pending at subscribe
+
+    r1 = LogStreamReader(t, spark, checkpoint_dir=ckpt, startup_mode="full")
+    b0, bid0 = r1.poll()
+    assert bid0 == 0
+    # batch 0 = tail-folded state: b-values win on the overlap
+    assert sorted((r["k"], r["v"]) for r in b0.collect()) == sorted(
+        [(k, f"a{k}") for k in range(4)] + [(k, f"b{k}") for k in range(4, 12)]
+    )
+    r1.commit_batch()
+
+    t.upsert(rows("c", range(10, 16)))  # WAL-only
+    b1, bid1 = r1.poll()
+    delivered = sorted(
+        (r["k"], r["v"], r[CHANGE_TYPE_COL], r[OFFSET_COL]) for r in b1.collect()
+    )
+    assert delivered  # the batch really carried the new commit
+    # CRASH: r1 never commits. A materialization lands in the window.
+    del r1
+    t.kv.materialize(spark)
+    st = catalog.current_commit("db", "stream_mat")
+    assert st.snapshot_version == st.version
+
+    r2 = LogStreamReader(t, spark, checkpoint_dir=ckpt, startup_mode="full")
+    b1r, bid1r = r2.poll()
+    assert bid1r == bid1  # same batch id: batch-id-keyed idempotence
+    assert (
+        sorted(
+            (r["k"], r["v"], r[CHANGE_TYPE_COL], r[OFFSET_COL])
+            for r in b1r.collect()
+        )
+        == delivered
+    )
+    r2.commit_batch()
+    # post-recovery commits keep flowing from the right offsets
+    t.upsert(rows("d", [0]))
+    b2, _ = r2.poll()
+    assert [(r["k"], r["v"]) for r in b2.collect() if r[CHANGE_TYPE_COL] == "+U"] == [
+        (0, "d0")
+    ]
+    r2.commit_batch()
+    assert r2.poll() is None
+
+
 def test_tail_bytes_threshold_triggers_early(spark, catalog):
     """table.snapshot.defer-max-tail-bytes: a tiny limit forces
     materialization on the first deferred commit even though the
