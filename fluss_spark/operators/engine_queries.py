@@ -887,6 +887,56 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         assert st.snapshot_version > 0, "expected a mid-stream materialization"
         assert st.snapshot_version < st.version, "expected a fresh pending tail"
         reader.process_available(_drain_d)
+    elif variant == "delta_join_indexed":
+        # L5 as the reference actually builds it in Flink 2.2
+        # (Flink22DeltaJoinITCase.java): join state lives in STORAGE —
+        # each side's delta probes the other pk TABLE through its
+        # bucket-key index, pairs upsert into a pair-keyed pk sink, the
+        # operator itself holds only offsets. Two interleaved commit
+        # rounds with a drain between exercise both probe directions
+        # and pair updates.
+        from fluss_spark.streaming.delta_join import DeltaJoin
+
+        def _side_schema():
+            return TableSchema(
+                fields=[
+                    Field("user_id", "BIGINT", nullable=False),
+                    Field("event_id", "BIGINT"),
+                    Field("value", "DOUBLE"),
+                ],
+                primary_key=["user_id"],
+                num_buckets=8,
+            )
+
+        left = create_table(cat, "db", variant, _side_schema())
+        right = create_table(cat, "db", "dj_right_tbl", _side_schema())
+        sink = create_table(
+            cat,
+            "db",
+            "dj_indexed_sink",
+            TableSchema(
+                fields=[
+                    Field("user_id", "BIGINT", nullable=False),
+                    Field("l_event_id", "BIGINT"),
+                    Field("l_value", "DOUBLE"),
+                    Field("r_event_id", "BIGINT"),
+                    Field("r_value", "DOUBLE"),
+                ],
+                primary_key=["user_id"],
+                num_buckets=8,
+            ),
+        )
+        dj = DeltaJoin(left, right, on=["user_id"], sink=sink)
+        half = _max_event_id(sf) // 2
+        ev2 = ev.select("user_id", "event_id", "value")
+        even, odd = F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1
+        left.upsert(ev2.filter(even & (F.col("event_id") <= half)), ordering=["event_id"])
+        right.upsert(ev2.filter(odd & (F.col("event_id") <= half)), ordering=["event_id"])
+        dj.process_available(spark)
+        left.upsert(ev2.filter(even & (F.col("event_id") > half)), ordering=["event_id"])
+        right.upsert(ev2.filter(odd & (F.col("event_id") > half)), ordering=["event_id"])
+        dj.process_available(spark)
+        t = FlussTable(cat, "db", variant)
     elif variant == "stream_redelivery":
         # T7 exactly-once: a consumer processes a batch but CRASHES
         # before commit_batch — a fresh reader on the same checkpoint
@@ -1561,6 +1611,44 @@ def m20_deferred_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     assert st.snapshot_version > 0, "expected a cadence materialization"
     return t.snapshot(spark).select(
         "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "l9_delta_join_indexed",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id AS l_event_id, round(value, 2) AS l_value
+      FROM events WHERE event_id % 2 = 0
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ), r AS (
+      SELECT user_id, event_id AS r_event_id, round(value, 2) AS r_value
+      FROM events WHERE event_id % 2 = 1
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    )
+    SELECT l.user_id, l_event_id, l_value, r_event_id, r_value
+    FROM l JOIN r ON l.user_id = r.user_id
+    """,
+)
+def l9_delta_join_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-backed delta join — the reference's Flink 2.2 design
+    (Flink22DeltaJoinITCase.java): instead of a stateful stream-stream
+    join, each side's delta probes the other pk TABLE through its
+    bucket-key storage index and the pairs upsert into a pair-keyed pk
+    sink; the operator holds only offsets (bounded state). The build
+    drains two interleaved commit rounds (both probe directions, pair
+    updates); the sink must converge to exactly the inner join of the
+    two tables' final states — a missed probe direction, a stale
+    bucket-pruned read, or a pair not refreshed on update all move
+    rows (streaming/delta_join.py)."""
+    t = _build(spark, sf, "delta_join_indexed")
+    sink = FlussTable(t.catalog, "db", "dj_indexed_sink")
+    return sink.snapshot(spark).select(
+        "user_id",
+        "l_event_id",
+        F.round("l_value", 2).alias("l_value"),
+        "r_event_id",
+        F.round("r_value", 2).alias("r_value"),
     )
 
 
