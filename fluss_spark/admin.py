@@ -673,6 +673,16 @@ class Admin:
             has_rows = maintenance.materialized_partitions(t)
             if val in has_rows:
                 t.delete_where(spark, F.col(key) == F.lit(val))
+                # deferred materialization: the delete commit above landed
+                # WAL-ONLY, so its -D events are the only record that the
+                # partition's materialized rows died. drop_partition_dirs
+                # below removes the partition's WAL dirs INCLUDING those
+                # -D events — fold the tail into the snapshot first, or
+                # the manifest's pairs would resurrect the rows.
+                st = t.catalog.current_commit(db, name)
+                if t.kv._tail_start(st) is not None:
+                    with self.catalog.write_lock(db, name):
+                        t.kv.materialize(spark)
         with self.catalog.write_lock(db, name):
             active = maintenance.registered_partitions(t)
             known = set(active) | maintenance.materialized_partitions(t)

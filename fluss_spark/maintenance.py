@@ -361,7 +361,12 @@ def _compact_snapshot_locked(table: FlussTable, spark: SparkSession, max_dirs: i
             version, {p: data_dir for p in pairs}, {data_dir: pairs}
         )
     else:
-        kv._write_manifest(version, {b: data_dir for b in manifest})
+        # derive buckets from the WRITTEN dirs, not the old manifest: the
+        # tail-aware snapshot read can introduce keys in buckets the old
+        # manifest never referenced (deferred WAL-only commits), and it
+        # folds deletes that may empty a previously-referenced bucket
+        snap_buckets = {b for _pp, b in kv._walk_pairs(os.path.join(kv.snapshot_dir, data_dir))}
+        kv._write_manifest(version, {b: data_dir for b in snap_buckets})
     new_state = CommitState(
         version=version,
         log_hwm=state.log_hwm,
@@ -563,6 +568,14 @@ def auto_partition(
         to_delete = [p for p in dropped if p in on_disk]
         if to_delete:
             table.delete_where(spark, F.col(key).isin(to_delete))
+            # deferred materialization: the delete commit is WAL-only —
+            # fold it into the snapshot BEFORE drop_partition_dirs erases
+            # the partitions' WAL dirs (including the -D events), or the
+            # manifest's pairs would resurrect the expired rows
+            st = table.catalog.current_commit(table.db, table.name)
+            if table.kv._tail_start(st) is not None:
+                with table.catalog.write_lock(table.db, table.name):
+                    table.kv.materialize(spark)
     Catalog._write_atomic(meta_path, json.dumps({"active": keepers}))
     drop_partition_dirs(table, dropped)
     return {"created": [c for c in created if c not in existing], "dropped": dropped}
