@@ -588,22 +588,24 @@ class KvStore:
             ord_names = ["__arrival"]
         ord_extra = [c for c in ord_names if c not in cols]
         # ONE projection (a per-field withColumn loop costs a full plan
-        # copy + re-analysis per column — pure driver latency per commit)
+        # copy + re-analysis per column — pure driver latency per commit),
+        # built directly in output order so no reorder select follows
         have = set(b.columns)
         # parse_type().simpleString() = Spark-SQL DDL (the schema's own
         # type strings are engine DDL — e.g. BYTES — which CAST rejects)
+        ftype = {f.name: f.type for f in schema.fields}
         proj = [
             (
-                f"CAST(`{f.name}` AS {parse_type(f.type).simpleString()}) AS `{f.name}`"
-                if f.name in have
-                else f"CAST(NULL AS {parse_type(f.type).simpleString()}) AS `{f.name}`"
+                f"CAST(`{c}` AS {parse_type(ftype[c]).simpleString()}) AS `{c}`"
+                if c in have
+                else f"CAST(NULL AS {parse_type(ftype[c]).simpleString()}) AS `{c}`"
             )
-            for f in schema.fields
+            for c in cols
         ]
         proj.append(f"`{OP_COL}`" if may_have_deletes else f"'U' AS `{OP_COL}`")
         proj.append(f"0 AS `{SEED_COL}`")
         proj += [f"`{c}`" for c in ord_extra]
-        b = b.selectExpr(*proj).select(*cols, OP_COL, SEED_COL, *ord_extra)
+        b = b.selectExpr(*proj)
 
         # read-old restricted to the batch's buckets and keys; on a table
         # with no state yet (first commit) there is nothing to read, so
@@ -691,23 +693,28 @@ class KvStore:
                 *[f"CAST(NULL AS {ord_types[c]}) AS `{c}`" for c in ord_extra],
             )
         )
-        fold_in = seed.select(*b.columns).unionByName(b)
+        # a union aligns BY NAME and seed's column set equals b's, so no
+        # reorder select on either side
+        fold_in = seed.unionByName(b)
         # __seq inside the fold's own pk exchange: seed first (SEED desc),
         # then batch rows in `ordering` order. Batch rows number 1.. per
         # key whether or not a seed row exists (sum(SEED) over the key =
         # presence); seed rows pin __seq=0 — identical semantics to the
         # old pre-union row_number window, minus one full-batch exchange.
+        # ONE projection computes __seq and drops the ordering columns.
         pk_sql = ", ".join(f"`{c}`" for c in pk)
         ord_sql = ", ".join(
             [f"`{SEED_COL}` DESC"] + [f"`{c}` ASC NULLS FIRST" for c in ord_names]
         )
         fold_in = fold_in.selectExpr(
-            "*",
+            *[f"`{c}`" for c in cols],
+            f"`{OP_COL}`",
             f"CAST(CASE WHEN `{SEED_COL}` = 1 THEN 0 ELSE "
             f"row_number() OVER (PARTITION BY {pk_sql} ORDER BY {ord_sql}) "
             f"- sum(`{SEED_COL}`) OVER (PARTITION BY {pk_sql}) END AS BIGINT) "
             f"AS `{SEQ_COL}`",
-        ).select(*cols, OP_COL, SEQ_COL, SEED_COL)
+            f"`{SEED_COL}`",
+        )
         pair_scope = (
             (pair_pred, pair_keys)
             if (pair_pred is not None or pair_keys is not None)
@@ -1206,34 +1213,34 @@ class KvStore:
             + ") = 1) AS __touched",
             f"`{BUCKET_COL}`",
         )
-        dests = (
-            f"CASE WHEN {is_event} AND __is_last AND `{CHANGE_TYPE_COL}` != '{DELETE}'"
-            " THEN array('w', 's')"
-            f" WHEN {is_event} THEN array('w')"
-            " WHEN __is_last AND __touched THEN array('s')"
-            " ELSE array() END"  # explode drops the row
+        # routing + system-column shaping in ONE plan node: the 0-2
+        # destination copies of each row are FLAT structs unpacked by
+        # inline() in the same select that builds them (array_compact
+        # drops rows with no destination). The 's' copy carries NO WAL
+        # system-column values: nulls compress to nothing, and lake
+        # exports (schema from parquet footers) must not see real values
+        # on the snapshot surface.
+        w_struct = (
+            f"named_struct('{CHANGE_TYPE_COL}', `{CHANGE_TYPE_COL}`, "
+            f"'{SEQ_COL}', `{SEQ_COL}`, '{SUB_COL}', `{SUB_COL}`, "
+            f"'{OFFSET_COL}', `{OFFSET_COL}`, "
+            f"'{TIMESTAMP_COL}', `{TIMESTAMP_COL}`, '{DEST_COL}', 'w')"
         )
-        is_snap = f"(`{DEST_COL}` = 's')"
+        s_struct = (
+            f"named_struct('{CHANGE_TYPE_COL}', CAST(NULL AS STRING), "
+            f"'{SEQ_COL}', CAST(NULL AS BIGINT), '{SUB_COL}', CAST(NULL AS INT), "
+            f"'{OFFSET_COL}', CAST(NULL AS BIGINT), "
+            f"'{TIMESTAMP_COL}', CAST(NULL AS TIMESTAMP), '{DEST_COL}', 's')"
+        )
+        slot_w = f"CASE WHEN {is_event} THEN {w_struct} END"
+        slot_s = (
+            f"CASE WHEN __is_last AND (({is_event} AND "
+            f"`{CHANGE_TYPE_COL}` != '{DELETE}') OR (NOT {is_event} AND __touched)) "
+            f"THEN {s_struct} END"
+        )
         out = ev.selectExpr(
             *qcols,
-            f"`{CHANGE_TYPE_COL}`",
-            f"`{SEQ_COL}`",
-            f"`{SUB_COL}`",
-            f"`{OFFSET_COL}`",
-            f"`{TIMESTAMP_COL}`",
-            f"explode({dests}) AS `{DEST_COL}`",
-            f"`{BUCKET_COL}`",
-        ).selectExpr(
-            # snapshot copies carry NO WAL system-column values: nulls
-            # compress to nothing, and lake exports (schema from parquet
-            # footers) must not see real values on the snapshot surface
-            *qcols,
-            f"CASE WHEN {is_snap} THEN NULL ELSE `{CHANGE_TYPE_COL}` END AS `{CHANGE_TYPE_COL}`",
-            f"CASE WHEN {is_snap} THEN NULL ELSE `{SEQ_COL}` END AS `{SEQ_COL}`",
-            f"CASE WHEN {is_snap} THEN NULL ELSE `{SUB_COL}` END AS `{SUB_COL}`",
-            f"CASE WHEN {is_snap} THEN NULL ELSE `{OFFSET_COL}` END AS `{OFFSET_COL}`",
-            f"CASE WHEN {is_snap} THEN NULL ELSE `{TIMESTAMP_COL}` END AS `{TIMESTAMP_COL}`",
-            f"`{DEST_COL}`",
+            f"inline(array_compact(array({slot_w}, {slot_s})))",
             f"`{BUCKET_COL}`",
         )
 
