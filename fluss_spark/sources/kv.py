@@ -334,7 +334,7 @@ class KvStore:
             # against the stale manifest would miss tail-created pairs
             self.materialize(spark)
 
-        fold_in, may_have_deletes, batch_buckets, pair_scope = self._fold_input(
+        fold_in, may_have_deletes, batch_buckets, pair_scope, prior = self._fold_input(
             spark, df, ordering, batch_buckets
         )
 
@@ -346,7 +346,7 @@ class KvStore:
             may_have_deletes=may_have_deletes,
         )
         return self._commit_changelog(
-            spark, changelog, commit_ts_ms, batch_buckets, pair_scope
+            spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior
         )
 
     def upsert_optimistic(
@@ -431,7 +431,7 @@ class KvStore:
                     "optimistic commit refused: a deferred WAL tail is "
                     "pending — materialize() first"
                 )
-            fold_in, may_have_deletes, buckets0, pair_scope = self._fold_input(
+            fold_in, may_have_deletes, buckets0, pair_scope, prior = self._fold_input(
                 spark, df, ordering, batch_buckets
             )
             changelog, _ = replay(
@@ -445,7 +445,7 @@ class KvStore:
                 commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
             )
             out, persisted, _auto = self._commit_plan(
-                spark, changelog, ts_ms, buckets0, pair_scope, state0
+                spark, changelog, ts_ms, buckets0, pair_scope, state0, prior
             )
             combined = os.path.join(
                 self.log.tmp_dir, f"inflight-{uuid.uuid4().hex[:12]}"
@@ -680,10 +680,15 @@ class KvStore:
         # no .distinct() on the probe side: a semi join dedups by
         # definition, and the distinct would cost its own exchange + agg
         ord_types = dict(b.dtypes)
+        # ONE bounded-snapshot frame serves both the seed probe here and
+        # the commit's prior-row feed (_commit_plan reuses it instead of
+        # re-deriving an identical plan — one snapshot analysis per
+        # commit, and seed + prior feed are guaranteed the same basis)
+        bounded = self.snapshot(
+            spark, buckets=batch_buckets, pair_pred=pair_pred, pair_keys=pair_keys
+        )
         seed = (
-            self.snapshot(
-                spark, buckets=batch_buckets, pair_pred=pair_pred, pair_keys=pair_keys
-            )
+            bounded
             .join(b.select(*pk), on=pk, how="left_semi")
             .selectExpr(
                 "*",
@@ -720,7 +725,7 @@ class KvStore:
             if (pair_pred is not None or pair_keys is not None)
             else None
         )
-        return fold_in, may_have_deletes, batch_buckets, pair_scope
+        return fold_in, may_have_deletes, batch_buckets, pair_scope, bounded
 
     def _commit_changelog(
         self,
@@ -729,6 +734,7 @@ class KvStore:
         commit_ts_ms: int | None,
         batch_buckets: list[int] | None = None,
         pair_scope=None,
+        prior_frame: DataFrame | None = None,
     ) -> CommitState:
         """Commit the replayed changelog: WAL append + touched-bucket
         snapshot rewrite + atomic commit, as ONE Spark action for every
@@ -766,7 +772,7 @@ class KvStore:
         spark.conf.set(key, "false")
         try:
             return self._commit_single_action(
-                spark, changelog, commit_ts_ms, batch_buckets, pair_scope
+                spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior_frame
             )
         finally:
             spark.conf.set(key, prev)
@@ -948,6 +954,7 @@ class KvStore:
         commit_ts_ms: int | None,
         batch_buckets: list[int] | None,
         pair_scope=None,
+        prior_frame: DataFrame | None = None,
     ) -> CommitState:
         """One write action produces the WAL and the snapshot as sibling
         partition dirs (__dest=w / __dest=s), fused into a single
@@ -1011,7 +1018,7 @@ class KvStore:
         version = state0.version + 1
         ts_ms = commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
         out, persisted, auto_next = self._commit_plan(
-            spark, changelog, ts_ms, batch_buckets, pair_scope, state0
+            spark, changelog, ts_ms, batch_buckets, pair_scope, state0, prior_frame
         )
         combined = os.path.join(self.log.tmp_dir, f"commit-v{version}")
         self._write_combined(out, combined, persisted)
@@ -1025,6 +1032,7 @@ class KvStore:
         batch_buckets: list[int] | None,
         pair_scope,
         state0: CommitState,
+        prior_frame: DataFrame | None = None,
     ):
         """Build the fused commit-output frame (see _commit_single_action)
         against a given base state. Returns (out frame, persisted handle
@@ -1110,12 +1118,20 @@ class KvStore:
             # partitioned tables the typed pair predicate additionally
             # bounds the feed to the batch's (partition, bucket) pairs.
             pair_pred, pair_keys = pair_scope if pair_scope else (None, None)
-            old = self.snapshot(
-                spark,
-                buckets=batch_buckets,
-                pair_pred=pair_pred,
-                pair_keys=pair_keys,
-            ).selectExpr(
+            # reuse the fold's bounded-snapshot frame when the caller
+            # provides it: same plan, one analysis, and the seed + prior
+            # feed are guaranteed the same basis
+            prior = (
+                prior_frame
+                if prior_frame is not None
+                else self.snapshot(
+                    spark,
+                    buckets=batch_buckets,
+                    pair_pred=pair_pred,
+                    pair_keys=pair_keys,
+                )
+            )
+            old = prior.selectExpr(
                 *qcols,
                 f"CAST(NULL AS STRING) AS `{CHANGE_TYPE_COL}`",
                 f"CAST(-1 AS BIGINT) AS `{SEQ_COL}`",

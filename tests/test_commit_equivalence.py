@@ -53,7 +53,7 @@ def _schema():
 def _force_twopass(t):
     """Route every commit of this table through the two-pass path."""
     t.kv._commit_changelog = pytypes.MethodType(
-        lambda self, spark, cl, ts, bb=None, pp=None: KvStore._commit_twopass(
+        lambda self, spark, cl, ts, bb=None, pp=None, prior=None: KvStore._commit_twopass(
             self, spark, cl, ts
         ),
         t.kv,

@@ -314,7 +314,7 @@ def test_full_upsert_fold_is_single_shuffle(spark, sf_dir, tmp_path):
     )
     t = create_table(Catalog(str(tmp_path / "wh")), "db", "fold_plan", schema)
     t.upsert(ev.filter(F.col("event_id") % 2 == 0), ordering=["event_id"])
-    fold_in, mhd, _bb, _pp = t.kv._fold_input(
+    fold_in, mhd, _bb, _pp, _prior = t.kv._fold_input(
         spark, ev.filter(F.col("event_id") % 2 == 1), ["event_id"]
     )
     changelog, _ = replay(fold_in, schema, may_have_deletes=mhd)
