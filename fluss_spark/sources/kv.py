@@ -1796,6 +1796,8 @@ class KvStore:
     ) -> DataFrame:
         """The materialized snapshot files at one manifest version —
         no tail merge (the S4 physical read)."""
+        from fluss_spark.types import evolution_eras
+
         manifest = self._manifest(version)
         if not manifest:
             return spark.createDataFrame([], self.schema.to_struct_type())
@@ -1804,6 +1806,24 @@ class KvStore:
                 spark, version, manifest, buckets, pair_pred, pair_keys
             )
         wanted = set(manifest) if buckets is None else (set(buckets) & set(manifest))
+        if wanted and not evolution_eras(self.schema):
+            # leaf-dir fast path: each wanted bucket maps to exactly ONE
+            # physical <dir>/__bucket=b subdir, so passing those paths
+            # directly yields one relation with path-level pruning —
+            # replacing the per-dir IN-filter + union chain (O(dirs)
+            # plan nodes rebuilt per commit for the seed/prior feed; the
+            # superseded-bucket exclusion is equivalent because a
+            # superseded bucket's leaf is simply never listed)
+            leaves = [
+                os.path.join(self.snapshot_dir, manifest[b], f"{BUCKET_COL}={b}")
+                for b in sorted(wanted)
+            ]
+            if all(os.path.isdir(p) for p in leaves):
+                ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in self.schema.to_struct_type().fields
+                )
+                return spark.read.schema(ddl).parquet(*leaves)
         by_dir: dict[str, list[int]] = {}
         for bkt in wanted:
             by_dir.setdefault(manifest[bkt], []).append(bkt)

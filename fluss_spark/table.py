@@ -130,6 +130,13 @@ class FlussTable:
             props.get("table.commit.concurrency", "serial") == "optimistic"
             and not any(f.auto_increment for f in self.schema.fields)
             and int(props.get("table.snapshot.defer-commits", "1") or "1") <= 1
+            # defer-commits lowered while a WAL tail is pending: the
+            # serial path folds the tail first (under the lock); the
+            # optimistic path cannot, so route serial until it is gone
+            and self.kv._tail_start(
+                self.catalog.current_commit(self.db, self.name)
+            )
+            is None
         )
 
     def _upsert_maintenance_locked(self, spark: SparkSession) -> bool:

@@ -271,3 +271,19 @@ def test_autoinc_and_deferred_fall_back_to_serial(spark, catalog):
         td.kv.upsert_optimistic(_rows(spark, "x", range(3), "a").drop("p"))
     td.upsert(_rows(spark, "x", range(3), "a").drop("p"))  # serial fallback
     assert _snap(td, spark) == sorted((k, f"a{k}") for k in range(3))
+
+    # defer-commits lowered while a WAL tail is pending: the optimistic
+    # route cannot fold the tail, so upsert must fall back to serial
+    # (which materializes first) instead of raising
+    st = catalog.current_commit("db", "defer")
+    assert td.kv._tail_start(st) is not None  # tail pending
+    sch = catalog.get_schema("db", "defer")
+    sch.properties["table.snapshot.defer-commits"] = "1"
+    catalog.set_schema("db", "defer", sch)
+    td2 = FlussTable(catalog, "db", "defer")
+    td2.upsert(_rows(spark, "x", [0, 5], "b").drop("p"))
+    st = catalog.current_commit("db", "defer")
+    assert st.snapshot_version == st.version  # tail folded, eager again
+    assert _snap(td2, spark) == sorted(
+        {**{k: f"a{k}" for k in range(3)}, 0: "b0", 5: "b5"}.items()
+    )
