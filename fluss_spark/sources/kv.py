@@ -334,20 +334,35 @@ class KvStore:
             # against the stale manifest would miss tail-created pairs
             self.materialize(spark)
 
-        fold_in, may_have_deletes, batch_buckets, pair_scope, prior = self._fold_input(
-            spark, df, ordering, batch_buckets
-        )
+        # AQE off for the whole serial transaction (fold-input discovery
+        # job included), not just the commit action: every job in here
+        # has a fixed shape (tiny discovery aggregate, hash-by-bucket
+        # window write) where AQE's stage-by-stage replanning is pure
+        # driver latency. Deferred tables keep the session setting — a
+        # cadence materialize() runs a real join that AQE should plan.
+        defer = int(schema.properties.get("table.snapshot.defer-commits", "1") or "1")
+        key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(key, "true")
+        if defer <= 1:
+            spark.conf.set(key, "false")
+        try:
+            fold_in, may_have_deletes, batch_buckets, pair_scope, prior = self._fold_input(
+                spark, df, ordering, batch_buckets
+            )
 
-        changelog, _ = replay(
-            fold_in,
-            schema,
-            partial_update_cols=partial_update_cols,
-            merge_mode=merge_mode,
-            may_have_deletes=may_have_deletes,
-        )
-        return self._commit_changelog(
-            spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior
-        )
+            changelog, _ = replay(
+                fold_in,
+                schema,
+                partial_update_cols=partial_update_cols,
+                merge_mode=merge_mode,
+                may_have_deletes=may_have_deletes,
+            )
+            return self._commit_changelog(
+                spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior
+            )
+        finally:
+            if defer <= 1:
+                spark.conf.set(key, prev)
 
     def upsert_optimistic(
         self,
@@ -636,10 +651,14 @@ class KvStore:
         elif known_buckets is not None:
             batch_buckets = [int(x) for x in known_buckets]
         elif pcols:
-            rows = (
-                b.select(*pcols, self._bucket_expr().alias("__b"))
-                .distinct()
-                .collect()
+            # same map-side collect_set shape as the unpartitioned arm:
+            # one <=pairs set per scan partition, single-stage job
+            rows = list(
+                b.select(
+                    F.collect_set(
+                        F.struct(*pcols, self._bucket_expr().alias("__b"))
+                    ).alias("ps")
+                ).first()["ps"]
             )
             batch_buckets = sorted({int(r["__b"]) for r in rows})
             if 0 < len(rows) <= PAIR_SCOPE_MAX:
@@ -673,10 +692,17 @@ class KvStore:
                     if parsed is None or parsed + (bkt,) in want:
                         pair_keys.append((pp, bkt))
         else:
-            batch_buckets = [
-                int(r["b"])
-                for r in b.select(self._bucket_expr().alias("b")).distinct().collect()
-            ]
+            # collect_set, not distinct().collect(): the map-side partial
+            # aggregation reduces each scan partition to one <=num_buckets
+            # set, so the job is a single 1-reducer stage instead of a
+            # full distinct exchange (same tiny result, one less stage
+            # and no AQE replan on the discovery path)
+            batch_buckets = sorted(
+                int(x)
+                for x in b.select(
+                    F.collect_set(self._bucket_expr()).alias("bs")
+                ).first()["bs"]
+            )
         # no .distinct() on the probe side: a semi join dedups by
         # definition, and the distinct would cost its own exchange + agg
         ord_types = dict(b.dtypes)
@@ -759,23 +785,14 @@ class KvStore:
             ):
                 state = self.materialize(spark)
             return state
-        # AQE off for the commit transaction only: the commit plan's
-        # shape is fixed (hash by bucket -> window -> explode ->
-        # partitioned write) — there is no join to re-plan, a window
-        # partition cannot be split, and empty shuffle partitions
-        # already emit no files, so AQE's stage-by-stage replanning
-        # contributes ~0.4s of pure driver latency per commit and
-        # nothing else (A/B at sf0.1: warm commit 1.4s -> 1.0s).
-        # User/bench queries keep the session's AQE setting.
-        key = "spark.sql.adaptive.enabled"
-        prev = spark.conf.get(key, "true")
-        spark.conf.set(key, "false")
-        try:
-            return self._commit_single_action(
-                spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior_frame
-            )
-        finally:
-            spark.conf.set(key, prev)
+        # AQE is already off here for the fixed-shape commit plan (hash
+        # by bucket -> window -> explode -> partitioned write): the
+        # caller (upsert) scopes it off around the whole serial
+        # transaction — A/B at sf0.1: warm commit 1.4s -> 1.0s from the
+        # commit action alone, plus the discovery job's replan on top.
+        return self._commit_single_action(
+            spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior_frame
+        )
 
     def _commit_wal_only(
         self, spark: SparkSession, changelog: DataFrame, commit_ts_ms: int | None
@@ -1165,6 +1182,15 @@ class KvStore:
         pos = f"struct(`{SEQ_COL}`, `{SUB_COL}`)"
         is_last = f"({pos} = max({pos}) OVER (PARTITION BY `{BUCKET_COL}`, {pk_sql}))"
         ev = ev.selectExpr("*", f"{bucket_sql} AS `{BUCKET_COL}`")
+        # the bucket window's exchange sized to the table's bucket count,
+        # not spark.sql.shuffle.partitions: PARTITION BY bucket caps the
+        # usable parallelism at num_buckets (the reference runs exactly
+        # one leader per bucket), so any extra shuffle partitions are
+        # guaranteed-empty tasks that still pay scheduling + file-commit
+        # setup in the write stage. hash(bucket) into num_buckets
+        # satisfies the window's required distribution, so no second
+        # exchange is added.
+        ev = ev.repartition(schema.num_buckets, F.col(BUCKET_COL))
         carried: dict[str, str] = {}
         if id_expr:
             # insert-stable ids (reference M10 semantics): a fresh id is
@@ -1819,11 +1845,25 @@ class KvStore:
                 for b in sorted(wanted)
             ]
             if all(os.path.isdir(p) for p in leaves):
+                # cached per leaf set (same immutability argument as
+                # _read_snapshot_dir): repeat reads of one version —
+                # seed + prior feed inside a commit, every post-commit
+                # snapshot()/lookup of the same table — reuse the
+                # resolved relation and its file listing instead of
+                # re-analyzing per call
+                key = (tuple(leaves), id(spark))
+                cached = self._dir_cache.get(key)
+                if cached is not None:
+                    return cached
                 ddl = ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}"
                     for f in self.schema.to_struct_type().fields
                 )
-                return spark.read.schema(ddl).parquet(*leaves)
+                df = spark.read.schema(ddl).parquet(*leaves)
+                if len(self._dir_cache) > 256:
+                    self._dir_cache.clear()
+                self._dir_cache[key] = df
+                return df
         by_dir: dict[str, list[int]] = {}
         for bkt in wanted:
             by_dir.setdefault(manifest[bkt], []).append(bkt)
