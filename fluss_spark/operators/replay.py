@@ -70,6 +70,18 @@ def _lag_over(pk: list[str]) -> str:
     return f"PARTITION BY {pks} ORDER BY `{SEQ_COL}`"
 
 
+# `cluster_cols` (below) prefixes every fold window's PARTITION BY with
+# coarser clustering columns that are FUNCTIONS OF the primary key
+# (the commit path passes [__bucket], bucket = pmod(hash(pk), n)): the
+# per-key frames are identical, but a frame partitioned by
+# (bucket, pk) is satisfied by a hash(bucket) exchange — so the fold,
+# the changelog emission and the downstream commit windows (offsets,
+# is-last, id carry — all PARTITION BY bucket[, pk]) share ONE
+# num_buckets-wide exchange instead of a pk exchange plus a bucket
+# exchange (guide §2.4: two operations keyed the same way share one
+# exchange).
+
+
 def _struct_sql(cols: list[str]) -> str:
     return "struct(" + ", ".join(f"`{c}`" for c in cols) + ")"
 
@@ -81,6 +93,8 @@ def _emit(
     prev_state: str,
     prev_present: str,
     emit_cond: str,
+    extra_cols: list[str] | None = None,
+    emit_prior: bool = False,
 ) -> DataFrame:
     """Assemble changelog rows: per input record an array of 0-2 change
     events, exploded JVM-side. All state arguments are SQL expression
@@ -95,27 +109,44 @@ def _emit(
     that builds them, and the seed-row suppression rides the slot
     conditions (array_compact drops seed rows entirely) — three plan
     nodes fused into one, a measurable slice of the per-commit driver
-    constant."""
+    constant.
 
-    def mk(ct: str, row: str, sub: int) -> str:
+    `extra_cols` ride through unchanged (the commit path keeps __bucket
+    so its windows reuse the fold's exchange). `emit_prior` additionally
+    emits each SEED row as a prior-state row (`_change_type` NULL,
+    `__sub` -1, data columns verbatim) — the exact convention the fused
+    commit's snapshot-rewrite feed uses, so the prior rows ride the
+    fold's exchange instead of a second scan of the snapshot."""
+
+    def mk(ct_expr: str, row: str | None, sub: int) -> str:
+        val = (lambda c: f"({row}).`{c}`") if row is not None else (lambda c: f"`{c}`")
         return (
-            f"named_struct('{SUB_COL}', {sub}, '{CHANGE_TYPE_COL}', '{ct}', "
-            + ", ".join(f"'{c}', ({row}).`{c}`" for c in cols)
+            f"named_struct('{SUB_COL}', {sub}, '{CHANGE_TYPE_COL}', {ct_expr}, "
+            + ", ".join(f"'{c}', {val(c)}" for c in cols)
             + ")"
         )
 
     is_u = f"(`{SEED_COL}` = 0 AND `{OP_COL}` = 'U' AND ({emit_cond}))"
     slot1 = (
-        f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(UPDATE_BEFORE, prev_state, 0)}"
-        f" WHEN {is_u} AND NOT ({prev_present}) THEN {mk(INSERT, cur_state, 0)}"
+        f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(repr(UPDATE_BEFORE), prev_state, 0)}"
+        f" WHEN {is_u} AND NOT ({prev_present}) THEN {mk(repr(INSERT), cur_state, 0)}"
         f" WHEN `{SEED_COL}` = 0 AND `{OP_COL}` = 'D' AND ({prev_present})"
-        f" THEN {mk(DELETE, prev_state, 0)}"
+        f" THEN {mk(repr(DELETE), prev_state, 0)}"
         " END"
     )
-    slot2 = f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(UPDATE_AFTER, cur_state, 1)} END"
+    slot2 = f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(repr(UPDATE_AFTER), cur_state, 1)} END"
+    slots = [slot1, slot2]
+    if emit_prior:
+        # the seed row IS the prior-snapshot row: raw columns, no state
+        # struct (identical values — the seed sorts first, so no event
+        # has folded into the running state yet)
+        slots.append(
+            f"CASE WHEN `{SEED_COL}` = 1 THEN {mk('CAST(NULL AS STRING)', None, -1)} END"
+        )
     return df.selectExpr(
         f"`{SEQ_COL}`",
-        f"inline(array_compact(array({slot1}, {slot2})))",
+        *[f"`{c}`" for c in (extra_cols or [])],
+        f"inline(array_compact(array({', '.join(slots)})))",
     )
 
 
@@ -125,6 +156,8 @@ def replay(
     partial_update_cols: list[str] | None = None,
     merge_mode: str | None = None,
     may_have_deletes: bool = True,
+    cluster_cols: list[str] | None = None,
+    emit_prior: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a change stream into (changelog_df, snapshot_df).
 
@@ -135,10 +168,16 @@ def replay(
 
     `may_have_deletes=False` is a caller hint (the batch carried no __op
     column, so every op is 'U') that skips the delete-probe jobs.
+
+    `cluster_cols` / `emit_prior` are the fused-commit contract (see the
+    note above _run_over and _emit): windows additionally keyed by the
+    clustering columns, and seed rows re-emitted as NULL-change-type
+    prior rows that carry the clustering columns through.
     """
     engine = "default" if merge_mode == "overwrite" else schema.merge_engine
     pk = schema.primary_key
     cols = schema.data_columns()
+    part = list(cluster_cols or []) + list(pk)
     if not pk:
         raise ValueError("replay requires a primary-key table")
 
@@ -155,25 +194,36 @@ def replay(
                 (F.col(OP_COL) == "D") & (F.col(SEED_COL) == 0)
             ).limit(1).count() > 0
             if has_deletes:
-                out = replay_exact(df, schema, partial_update_cols)
+                out = replay_exact(
+                    df, schema, partial_update_cols, cluster_cols, emit_prior
+                )
             else:
-                out = _replay_partial(df, schema, partial_update_cols)
+                out = _replay_partial(df, schema, partial_update_cols, part, emit_prior)
         else:
-            out = _replay_default(df, schema)
-        return _apply_changelog_image(out, schema, full_row=not partial_update_cols)
+            out = _replay_default(df, schema, part, emit_prior)
+        return _apply_changelog_image(
+            out, schema, full_row=not partial_update_cols, prior_rows=emit_prior
+        )
     if engine == "first_row":
-        return _replay_first_row(df, schema)
+        return _replay_first_row(df, schema, part, emit_prior)
     if engine == "versioned":
-        return _apply_changelog_image(_replay_versioned(df, schema), schema, full_row=False)
+        return _apply_changelog_image(
+            _replay_versioned(df, schema, part, emit_prior),
+            schema, full_row=False, prior_rows=emit_prior,
+        )
     if engine == "aggregation":
         return _apply_changelog_image(
-            _replay_aggregation(df, schema, partial_update_cols), schema, full_row=False
+            _replay_aggregation(df, schema, partial_update_cols, part, emit_prior),
+            schema, full_row=False, prior_rows=emit_prior,
         )
     raise ValueError(f"unknown merge engine: {engine}")
 
 
 def _apply_changelog_image(
-    out: tuple[DataFrame, DataFrame], schema: TableSchema, full_row: bool
+    out: tuple[DataFrame, DataFrame],
+    schema: TableSchema,
+    full_row: bool,
+    prior_rows: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """M9 changelog image (metadata/ChangelogImage.java): FULL keeps
     -U/+U pairs; WAL drops UPDATE_BEFORE, and — for default merge with
@@ -186,7 +236,16 @@ def _apply_changelog_image(
     if schema.changelog_image != "wal":
         return out
     changelog, snapshot = out
-    changelog = changelog.filter(F.col(CHANGE_TYPE_COL) != UPDATE_BEFORE)
+    # NULL-safe when prior rows ride the changelog (fused commit:
+    # _change_type NULL marks a prior-snapshot row, which the plain
+    # != filter would silently drop — data loss on the rewrite feed)
+    if prior_rows:
+        changelog = changelog.filter(
+            F.col(CHANGE_TYPE_COL).isNull()
+            | (F.col(CHANGE_TYPE_COL) != UPDATE_BEFORE)
+        )
+    else:
+        changelog = changelog.filter(F.col(CHANGE_TYPE_COL) != UPDATE_BEFORE)
     has_autoinc = any(f.auto_increment for f in schema.fields)
     if schema.merge_engine == "default" and full_row and not has_autoinc:
         changelog = changelog.withColumn(
@@ -203,9 +262,16 @@ def _apply_changelog_image(
 # ---------------------------------------------------------------------- #
 
 
-def _replay_default(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, DataFrame]:
+def _replay_default(
+    df: DataFrame,
+    schema: TableSchema,
+    part: list[str] | None = None,
+    emit_prior: bool = False,
+) -> tuple[DataFrame, DataFrame]:
     pk, cols = schema.primary_key, schema.data_columns()
-    lag_over = _lag_over(pk)
+    part = part or pk
+    extra = [c for c in part if c not in pk]
+    lag_over = _lag_over(part)
 
     # state presence after each record
     state = f"CASE WHEN `{OP_COL}` = 'U' THEN {_struct_sql(cols)} END"
@@ -223,13 +289,15 @@ def _replay_default(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, Data
         prev_state="__prev",
         prev_present="__prev_present",
         emit_cond="true",
+        extra_cols=extra,
+        emit_prior=emit_prior,
     )
-    snapshot = _final_state(d, pk, cols)
+    snapshot = _final_state(d, part, cols)
     return changelog, snapshot
 
 
-def _final_state(d: DataFrame, pk: list[str], cols: list[str]) -> DataFrame:
-    pks = ", ".join(f"`{c}`" for c in pk)
+def _final_state(d: DataFrame, part: list[str], cols: list[str]) -> DataFrame:
+    pks = ", ".join(f"`{c}`" for c in part)
     return (
         d.selectExpr(
             "*",
@@ -246,14 +314,20 @@ def _final_state(d: DataFrame, pk: list[str], cols: list[str]) -> DataFrame:
 
 
 def _replay_partial(
-    df: DataFrame, schema: TableSchema, target_cols: list[str]
+    df: DataFrame,
+    schema: TableSchema,
+    target_cols: list[str],
+    part: list[str] | None = None,
+    emit_prior: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Running per-column state: target columns take the incoming value
     (explicit nulls overwrite — hence the struct wrapper that makes
     'set to null' distinguishable from 'not set'); untouched columns keep
     their last state (null before first write)."""
     pk, cols = schema.primary_key, schema.data_columns()
-    run_over, lag_over = _run_over(pk), _lag_over(pk)
+    part = part or pk
+    extra = [c for c in part if c not in pk]
+    run_over, lag_over = _run_over(part), _lag_over(part)
 
     running = []
     for c in cols:
@@ -286,8 +360,10 @@ def _replay_partial(
         prev_state="__prev",
         prev_present="__prev_present",
         emit_cond="true",
+        extra_cols=extra,
+        emit_prior=emit_prior,
     )
-    snapshot = _final_state(d, pk, cols)
+    snapshot = _final_state(d, part, cols)
     return changelog, snapshot
 
 
@@ -296,22 +372,43 @@ def _replay_partial(
 # ---------------------------------------------------------------------- #
 
 
-def _replay_first_row(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, DataFrame]:
+def _replay_first_row(
+    df: DataFrame,
+    schema: TableSchema,
+    part: list[str] | None = None,
+    emit_prior: bool = False,
+) -> tuple[DataFrame, DataFrame]:
     pk, cols = schema.primary_key, schema.data_columns()
+    part = part or pk
+    extra = [c for c in part if c not in pk]
     winners = (
         df.filter(f"`{OP_COL}` = 'U'")
         .selectExpr(
             "*",
-            f"row_number() OVER ({_lag_over(pk)}) AS __rn",
+            f"row_number() OVER ({_lag_over(part)}) AS __rn",
         )
         .filter("__rn = 1")
     )
-    changelog = winners.filter(f"`{SEED_COL}` = 0").selectExpr(
-        f"`{SEQ_COL}`",
-        f"0 AS `{SUB_COL}`",
-        f"'{INSERT}' AS `{CHANGE_TYPE_COL}`",
-        *[f"`{c}`" for c in cols],
-    )
+    if emit_prior:
+        # one row per winner, no union (keeps the fold's partitioning):
+        # a seed winner is the key's prior-snapshot row (the first write
+        # won before this batch — no changelog event), a batch winner is
+        # the +I insert
+        changelog = winners.selectExpr(
+            f"`{SEQ_COL}`",
+            *[f"`{c}`" for c in extra],
+            f"CASE WHEN `{SEED_COL}` = 1 THEN -1 ELSE 0 END AS `{SUB_COL}`",
+            f"CASE WHEN `{SEED_COL}` = 0 THEN '{INSERT}' END AS `{CHANGE_TYPE_COL}`",
+            *[f"`{c}`" for c in cols],
+        )
+    else:
+        changelog = winners.filter(f"`{SEED_COL}` = 0").selectExpr(
+            f"`{SEQ_COL}`",
+            *[f"`{c}`" for c in extra],
+            f"0 AS `{SUB_COL}`",
+            f"'{INSERT}' AS `{CHANGE_TYPE_COL}`",
+            *[f"`{c}`" for c in cols],
+        )
     snapshot = winners.select(*cols)
     return changelog, snapshot
 
@@ -321,12 +418,19 @@ def _replay_first_row(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, Da
 # ---------------------------------------------------------------------- #
 
 
-def _replay_versioned(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, DataFrame]:
+def _replay_versioned(
+    df: DataFrame,
+    schema: TableSchema,
+    part: list[str] | None = None,
+    emit_prior: bool = False,
+) -> tuple[DataFrame, DataFrame]:
     pk, cols = schema.primary_key, schema.data_columns()
+    part = part or pk
+    extra = [c for c in part if c not in pk]
     ver = schema.version_column
     if not ver:
         raise ValueError("versioned merge engine requires table.merge-engine.versioned.ver-column")
-    run_over, lag_over = _run_over(pk), _lag_over(pk)
+    run_over, lag_over = _run_over(part), _lag_over(part)
 
     # ranking key: (version with null -> -inf, then arrival order so the
     # newer write wins ties) — exactly createVersionComparator + new-wins
@@ -354,8 +458,10 @@ def _replay_versioned(df: DataFrame, schema: TableSchema) -> tuple[DataFrame, Da
         # emit only when this record became the winner (its seq is the
         # winner seq)
         emit_cond=f"__w.k.s = `{SEQ_COL}`",
+        extra_cols=extra,
+        emit_prior=emit_prior,
     )
-    snapshot = _final_state(d, pk, cols)
+    snapshot = _final_state(d, part, cols)
     return changelog, snapshot
 
 
@@ -405,7 +511,11 @@ def _agg_running(c: str, agg: str, run_over: str, delim: str = ",", dtype: str =
 
 
 def _replay_aggregation(
-    df: DataFrame, schema: TableSchema, partial_update_cols: list[str] | None = None
+    df: DataFrame,
+    schema: TableSchema,
+    partial_update_cols: list[str] | None = None,
+    part: list[str] | None = None,
+    emit_prior: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """AGGREGATION merge; with `partial_update_cols` only target columns
     take the batch's contributions, untouched columns carry the seed's
@@ -414,9 +524,11 @@ def _replay_aggregation(
     identically either way; last_value/first_value need the explicit
     carry so a partial batch's nulls don't overwrite."""
     pk, cols = schema.primary_key, schema.data_columns()
+    part = part or pk
+    extra = [c for c in part if c not in pk]
     agg_spec = schema.agg_spec
     delim = schema.properties.get("table.merge-engine.aggregation.listagg-delimiter", ",")
-    run_over, lag_over = _run_over(pk), _lag_over(pk)
+    run_over, lag_over = _run_over(part), _lag_over(part)
     dtypes = dict(df.dtypes)
     target = set(partial_update_cols) if partial_update_cols else None
 
@@ -460,8 +572,10 @@ def _replay_aggregation(
         prev_state="__prev",
         prev_present="__prev_present",
         emit_cond="true",
+        extra_cols=extra,
+        emit_prior=emit_prior,
     )
-    snapshot = _final_state(d, pk, cols)
+    snapshot = _final_state(d, part, cols)
     return changelog, snapshot
 
 
@@ -471,22 +585,31 @@ def _replay_aggregation(
 
 
 def replay_exact(
-    df: DataFrame, schema: TableSchema, partial_update_cols: list[str] | None = None
+    df: DataFrame,
+    schema: TableSchema,
+    partial_update_cols: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
+    emit_prior: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Per-key sequential fold via applyInPandas (Arrow-batched, grouped
     by pk — distributed, but row-at-a-time inside each key). Used only
     for partial-update+delete mixtures; semantics from
     PartialUpdater.updateRow/deleteRow (PartialUpdater.java:35-138):
     delete retracts target columns, the row dies when every non-pk
-    column is null."""
+    column is null. `cluster_cols`/`emit_prior` follow the fused-commit
+    contract (see replay): clustering columns ride through the output
+    and seed rows re-emit as NULL-change-type prior rows."""
     import pandas as pd
 
     pk, cols = schema.primary_key, schema.data_columns()
     non_pk = [c for c in cols if c not in pk]
     target = [c for c in (partial_update_cols or cols) if c not in pk]
+    extra = [c for c in (cluster_cols or []) if c not in pk]
 
     out_schema = ", ".join(
-        [f"`{SEQ_COL}` long", f"`{SUB_COL}` int", f"`{CHANGE_TYPE_COL}` string"]
+        [f"`{SEQ_COL}` long"]
+        + [f"`{c}` int" for c in extra]
+        + [f"`{SUB_COL}` int", f"`{CHANGE_TYPE_COL}` string"]
         + [f"`{f.name}` {f.to_struct_field().dataType.simpleString()}" for f in schema.fields]
     )
 
@@ -494,10 +617,16 @@ def replay_exact(
         pdf = pdf.sort_values(SEQ_COL)
         state: dict | None = None
         rows = []
+        ex: dict = {}
         for rec in pdf.to_dict("records"):
+            ex = {c: rec[c] for c in extra}
             is_seed = rec[SEED_COL] == 1
             if is_seed:
                 state = {c: rec[c] for c in cols}
+                if emit_prior:
+                    rows.append(
+                        {SEQ_COL: 0, **ex, SUB_COL: -1, CHANGE_TYPE_COL: None, **state}
+                    )
                 continue
             seq = rec[SEQ_COL]
             if rec[OP_COL] == "U":
@@ -507,13 +636,13 @@ def replay_exact(
                         state[c] = rec[c]
                     for c in target:
                         state[c] = rec[c]
-                    rows.append({SEQ_COL: seq, SUB_COL: 0, CHANGE_TYPE_COL: INSERT, **state})
+                    rows.append({SEQ_COL: seq, **ex, SUB_COL: 0, CHANGE_TYPE_COL: INSERT, **state})
                 else:
                     prev = dict(state)
                     for c in target:
                         state[c] = rec[c]
-                    rows.append({SEQ_COL: seq, SUB_COL: 0, CHANGE_TYPE_COL: UPDATE_BEFORE, **prev})
-                    rows.append({SEQ_COL: seq, SUB_COL: 1, CHANGE_TYPE_COL: UPDATE_AFTER, **state})
+                    rows.append({SEQ_COL: seq, **ex, SUB_COL: 0, CHANGE_TYPE_COL: UPDATE_BEFORE, **prev})
+                    rows.append({SEQ_COL: seq, **ex, SUB_COL: 1, CHANGE_TYPE_COL: UPDATE_AFTER, **state})
             else:  # delete
                 if state is None:
                     continue
@@ -521,12 +650,12 @@ def replay_exact(
                 for c in target:
                     state[c] = None
                 if all(state[c] is None or pd.isna(state[c]) for c in non_pk):
-                    rows.append({SEQ_COL: seq, SUB_COL: 0, CHANGE_TYPE_COL: DELETE, **prev})
+                    rows.append({SEQ_COL: seq, **ex, SUB_COL: 0, CHANGE_TYPE_COL: DELETE, **prev})
                     state = None
                 else:
-                    rows.append({SEQ_COL: seq, SUB_COL: 0, CHANGE_TYPE_COL: UPDATE_BEFORE, **prev})
-                    rows.append({SEQ_COL: seq, SUB_COL: 1, CHANGE_TYPE_COL: UPDATE_AFTER, **state})
-        return pd.DataFrame(rows, columns=[SEQ_COL, SUB_COL, CHANGE_TYPE_COL, *cols])
+                    rows.append({SEQ_COL: seq, **ex, SUB_COL: 0, CHANGE_TYPE_COL: UPDATE_BEFORE, **prev})
+                    rows.append({SEQ_COL: seq, **ex, SUB_COL: 1, CHANGE_TYPE_COL: UPDATE_AFTER, **state})
+        return pd.DataFrame(rows, columns=[SEQ_COL, *extra, SUB_COL, CHANGE_TYPE_COL, *cols])
 
     changelog = df.groupBy(*pk).applyInPandas(fold, schema=out_schema)
     snapshot = _snapshot_from_changelog(changelog, schema)

@@ -267,6 +267,11 @@ class KvStore:
     def _bucket_expr(self):
         return F.pmod(F.hash(*self.schema.bucket_keys), F.lit(self.schema.num_buckets)).cast("int")
 
+    def _bucket_sql(self) -> str:
+        """SQL-string form of _bucket_expr (whole-select plan building)."""
+        keys = ", ".join(f"`{c}`" for c in self.schema.bucket_keys)
+        return f"CAST(pmod(hash({keys}), {self.schema.num_buckets}) AS INT)"
+
     # ------------------------------------------------------------------ #
     # upsert / delete transaction (M1-M9)
     # ------------------------------------------------------------------ #
@@ -341,13 +346,14 @@ class KvStore:
         # driver latency. Deferred tables keep the session setting — a
         # cadence materialize() runs a real join that AQE should plan.
         defer = int(schema.properties.get("table.snapshot.defer-commits", "1") or "1")
+        fused = defer <= 1  # single-action commit: fold + rewrite share ONE exchange
         key = "spark.sql.adaptive.enabled"
         prev = spark.conf.get(key, "true")
         if defer <= 1:
             spark.conf.set(key, "false")
         try:
             fold_in, may_have_deletes, batch_buckets, pair_scope, prior = self._fold_input(
-                spark, df, ordering, batch_buckets
+                spark, df, ordering, batch_buckets, fused=fused
             )
 
             changelog, _ = replay(
@@ -356,9 +362,12 @@ class KvStore:
                 partial_update_cols=partial_update_cols,
                 merge_mode=merge_mode,
                 may_have_deletes=may_have_deletes,
+                cluster_cols=[BUCKET_COL] if fused else None,
+                emit_prior=fused,
             )
             return self._commit_changelog(
-                spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior
+                spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior,
+                prior_included=fused,
             )
         finally:
             if defer <= 1:
@@ -447,7 +456,7 @@ class KvStore:
                     "pending — materialize() first"
                 )
             fold_in, may_have_deletes, buckets0, pair_scope, prior = self._fold_input(
-                spark, df, ordering, batch_buckets
+                spark, df, ordering, batch_buckets, fused=True
             )
             changelog, _ = replay(
                 fold_in,
@@ -455,12 +464,15 @@ class KvStore:
                 partial_update_cols=partial_update_cols,
                 merge_mode=merge_mode,
                 may_have_deletes=may_have_deletes,
+                cluster_cols=[BUCKET_COL],
+                emit_prior=True,
             )
             ts_ms = (
                 commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
             )
             out, persisted, _auto = self._commit_plan(
-                spark, changelog, ts_ms, buckets0, pair_scope, state0, prior
+                spark, changelog, ts_ms, buckets0, pair_scope, state0, prior,
+                prior_included=True,
             )
             combined = os.path.join(
                 self.log.tmp_dir, f"inflight-{uuid.uuid4().hex[:12]}"
@@ -581,10 +593,29 @@ class KvStore:
         df: DataFrame,
         ordering: list[str] | None,
         known_buckets: list[int] | None = None,
+        fused: bool = False,
     ):
         """Build the fold input (seed ∪ batch, with per-key __seq) so the
-        whole upsert fold costs ONE pk hash exchange
-        (tests/test_plans.py pins this on the full path)."""
+        whole upsert fold costs ONE hash exchange
+        (tests/test_plans.py pins this on the full path).
+
+        `fused=False` (the WAL-only/deferred shape): the seed is the
+        bounded snapshot SEMI-JOINED to the batch's keys, __seq windows
+        partition by pk, and the fold's exchange is a pk hash — the
+        commit feeds the prior snapshot separately.
+
+        `fused=True` (the single-action commit shape): the seed is the
+        WHOLE bounded snapshot (every row of the batch's buckets/pairs —
+        exactly the rows the snapshot rewrite must feed anyway), a
+        `__bucket` column is materialized, and the frame is hash-
+        partitioned by bucket BEFORE the fold. Every window downstream —
+        the __seq assignment here, the replay fold, the commit's offset/
+        is-last/id-carry windows (all PARTITION BY __bucket[, pk], and
+        bucket = pmod(hash(pk), n) is a function of the pk) — is
+        satisfied by that single num_buckets-wide exchange: the whole
+        upsert transaction becomes scan → ONE exchange → windows →
+        write, with no seed semi-join/broadcast and the snapshot read
+        once instead of twice (guide §2.4)."""
         schema = self.schema
         pk, cols = schema.primary_key, schema.data_columns()
         # normalize the batch: every data column present (nulls for
@@ -713,27 +744,45 @@ class KvStore:
         bounded = self.snapshot(
             spark, buckets=batch_buckets, pair_pred=pair_pred, pair_keys=pair_keys
         )
-        seed = (
-            bounded
-            .join(b.select(*pk), on=pk, how="left_semi")
-            .selectExpr(
+        if fused:
+            # the whole bounded snapshot rides the fold (no semi-join):
+            # untouched keys' rows become the prior-row feed the commit
+            # needs anyway (replay re-emits them with a NULL change type)
+            seed = bounded.selectExpr(
                 "*",
                 f"'U' AS `{OP_COL}`",
                 f"1 AS `{SEED_COL}`",
-                # seed rows sort first by SEED, ord is moot
                 *[f"CAST(NULL AS {ord_types[c]}) AS `{c}`" for c in ord_extra],
             )
-        )
+        else:
+            seed = (
+                bounded
+                .join(b.select(*pk), on=pk, how="left_semi")
+                .selectExpr(
+                    "*",
+                    f"'U' AS `{OP_COL}`",
+                    f"1 AS `{SEED_COL}`",
+                    # seed rows sort first by SEED, ord is moot
+                    *[f"CAST(NULL AS {ord_types[c]}) AS `{c}`" for c in ord_extra],
+                )
+            )
         # a union aligns BY NAME and seed's column set equals b's, so no
         # reorder select on either side
         fold_in = seed.unionByName(b)
-        # __seq inside the fold's own pk exchange: seed first (SEED desc),
+        part_sql = ", ".join(f"`{c}`" for c in pk)
+        if fused:
+            # materialize __bucket and establish the transaction's ONE
+            # exchange here; every downstream window is keyed by
+            # __bucket[, pk] and reuses it
+            fold_in = fold_in.selectExpr("*", f"{self._bucket_sql()} AS `{BUCKET_COL}`")
+            fold_in = fold_in.repartition(schema.num_buckets, F.col(BUCKET_COL))
+            part_sql = f"`{BUCKET_COL}`, " + part_sql
+        # __seq inside the fold's own exchange: seed first (SEED desc),
         # then batch rows in `ordering` order. Batch rows number 1.. per
         # key whether or not a seed row exists (sum(SEED) over the key =
         # presence); seed rows pin __seq=0 — identical semantics to the
         # old pre-union row_number window, minus one full-batch exchange.
         # ONE projection computes __seq and drops the ordering columns.
-        pk_sql = ", ".join(f"`{c}`" for c in pk)
         ord_sql = ", ".join(
             [f"`{SEED_COL}` DESC"] + [f"`{c}` ASC NULLS FIRST" for c in ord_names]
         )
@@ -741,10 +790,11 @@ class KvStore:
             *[f"`{c}`" for c in cols],
             f"`{OP_COL}`",
             f"CAST(CASE WHEN `{SEED_COL}` = 1 THEN 0 ELSE "
-            f"row_number() OVER (PARTITION BY {pk_sql} ORDER BY {ord_sql}) "
-            f"- sum(`{SEED_COL}`) OVER (PARTITION BY {pk_sql}) END AS BIGINT) "
+            f"row_number() OVER (PARTITION BY {part_sql} ORDER BY {ord_sql}) "
+            f"- sum(`{SEED_COL}`) OVER (PARTITION BY {part_sql}) END AS BIGINT) "
             f"AS `{SEQ_COL}`",
             f"`{SEED_COL}`",
+            *([f"`{BUCKET_COL}`"] if fused else []),
         )
         pair_scope = (
             (pair_pred, pair_keys)
@@ -761,6 +811,7 @@ class KvStore:
         batch_buckets: list[int] | None = None,
         pair_scope=None,
         prior_frame: DataFrame | None = None,
+        prior_included: bool = False,
     ) -> CommitState:
         """Commit the replayed changelog: WAL append + touched-bucket
         snapshot rewrite + atomic commit, as ONE Spark action for every
@@ -791,7 +842,8 @@ class KvStore:
         # transaction — A/B at sf0.1: warm commit 1.4s -> 1.0s from the
         # commit action alone, plus the discovery job's replan on top.
         return self._commit_single_action(
-            spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior_frame
+            spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior_frame,
+            prior_included,
         )
 
     def _commit_wal_only(
@@ -972,6 +1024,7 @@ class KvStore:
         batch_buckets: list[int] | None,
         pair_scope=None,
         prior_frame: DataFrame | None = None,
+        prior_included: bool = False,
     ) -> CommitState:
         """One write action produces the WAL and the snapshot as sibling
         partition dirs (__dest=w / __dest=s), fused into a single
@@ -1035,7 +1088,8 @@ class KvStore:
         version = state0.version + 1
         ts_ms = commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
         out, persisted, auto_next = self._commit_plan(
-            spark, changelog, ts_ms, batch_buckets, pair_scope, state0, prior_frame
+            spark, changelog, ts_ms, batch_buckets, pair_scope, state0, prior_frame,
+            prior_included,
         )
         combined = os.path.join(self.log.tmp_dir, f"commit-v{version}")
         self._write_combined(out, combined, persisted)
@@ -1050,13 +1104,21 @@ class KvStore:
         pair_scope,
         state0: CommitState,
         prior_frame: DataFrame | None = None,
+        prior_included: bool = False,
     ):
         """Build the fused commit-output frame (see _commit_single_action)
         against a given base state. Returns (out frame, persisted handle
         to unpersist after the write, advanced auto-increment map). Pure
         plan construction — no writes, no metadata mutation — so the
         optimistic path can run it (and the write) outside the table
-        lock."""
+        lock.
+
+        `prior_included=True` is the single-exchange contract
+        (_fold_input fused=True + replay emit_prior=True): the changelog
+        already carries `__bucket`, is hash-partitioned by it, and
+        includes the prior-snapshot rows as NULL-change-type records —
+        so this plan adds NO exchange, no second snapshot scan and no
+        bucket recomputation; its windows reuse the fold's partitioning."""
         schema = self.schema
         pk, cols = schema.primary_key, schema.data_columns()
         old_manifest = self._manifest(state0.snapshot_version) or {}
@@ -1095,7 +1157,9 @@ class KvStore:
                 for r in changelog.filter(
                     F.col(CHANGE_TYPE_COL) == INSERT
                 )
-                .selectExpr(f"{bucket_sql} AS b")
+                .selectExpr(
+                    f"`{BUCKET_COL}` AS b" if prior_included else f"{bucket_sql} AS b"
+                )
                 .groupBy("b")
                 .agg(F.count("*").alias("cnt"))
                 .collect()
@@ -1124,9 +1188,11 @@ class KvStore:
             f"CAST(`{SUB_COL}` AS INT) AS `{SUB_COL}`",
         ]
         ev = changelog.selectExpr(
-            *[f"CAST(`{c}` AS {declared[c]}) AS `{c}`" for c in cols], *sys_cast
+            *[f"CAST(`{c}` AS {declared[c]}) AS `{c}`" for c in cols],
+            *sys_cast,
+            *([f"`{BUCKET_COL}`"] if prior_included else []),
         )
-        if old_manifest:
+        if old_manifest and not prior_included:
             # prior rows of the candidate buckets ride the same window;
             # a prior row that is still the last row of its key (no
             # events) is the survivor the two-pass path found by
@@ -1181,16 +1247,20 @@ class KvStore:
         # clusters (bucket, pk) too) and costs one extra in-memory sort
         pos = f"struct(`{SEQ_COL}`, `{SUB_COL}`)"
         is_last = f"({pos} = max({pos}) OVER (PARTITION BY `{BUCKET_COL}`, {pk_sql}))"
-        ev = ev.selectExpr("*", f"{bucket_sql} AS `{BUCKET_COL}`")
-        # the bucket window's exchange sized to the table's bucket count,
-        # not spark.sql.shuffle.partitions: PARTITION BY bucket caps the
-        # usable parallelism at num_buckets (the reference runs exactly
-        # one leader per bucket), so any extra shuffle partitions are
-        # guaranteed-empty tasks that still pay scheduling + file-commit
-        # setup in the write stage. hash(bucket) into num_buckets
-        # satisfies the window's required distribution, so no second
-        # exchange is added.
-        ev = ev.repartition(schema.num_buckets, F.col(BUCKET_COL))
+        if not prior_included:
+            ev = ev.selectExpr("*", f"{bucket_sql} AS `{BUCKET_COL}`")
+            # the bucket window's exchange sized to the table's bucket
+            # count, not spark.sql.shuffle.partitions: PARTITION BY bucket
+            # caps the usable parallelism at num_buckets (the reference
+            # runs exactly one leader per bucket), so any extra shuffle
+            # partitions are guaranteed-empty tasks that still pay
+            # scheduling + file-commit setup in the write stage.
+            # hash(bucket) into num_buckets satisfies the window's
+            # required distribution, so no second exchange is added.
+            # (prior_included: the changelog arrives already hash-
+            # partitioned by __bucket from the fold's exchange — adding
+            # either node here would re-shuffle for nothing.)
+            ev = ev.repartition(schema.num_buckets, F.col(BUCKET_COL))
         carried: dict[str, str] = {}
         if id_expr:
             # insert-stable ids (reference M10 semantics): a fresh id is

@@ -51,13 +51,18 @@ def _schema():
 
 
 def _force_twopass(t):
-    """Route every commit of this table through the two-pass path."""
-    t.kv._commit_changelog = pytypes.MethodType(
-        lambda self, spark, cl, ts, bb=None, pp=None, prior=None: KvStore._commit_twopass(
-            self, spark, cl, ts
-        ),
-        t.kv,
-    )
+    """Route every commit of this table through the two-pass path. The
+    fused single-action changelog additionally carries __bucket and the
+    NULL-change-type prior rows; the two-pass baseline must stay an
+    INDEPENDENT implementation, so it receives the plain changelog
+    (events only) and re-derives survivors by its own anti-join."""
+
+    def _twopass(self, spark, cl, ts, bb=None, pp=None, prior=None, prior_included=False):
+        if prior_included:
+            cl = cl.filter(f"`{CHANGE_TYPE_COL}` IS NOT NULL").drop(BUCKET_COL)
+        return KvStore._commit_twopass(self, spark, cl, ts)
+
+    t.kv._commit_changelog = pytypes.MethodType(_twopass, t.kv)
 
 
 def _mk_tables(spark, tmp_path, name):

@@ -295,15 +295,19 @@ def test_replay_fold_is_single_shuffle(spark, sf_dir):
 
 
 def test_full_upsert_fold_is_single_shuffle(spark, sf_dir, tmp_path):
-    """The FULL second-commit upsert path — seed read ∪ batch, __seq
-    assignment, changelog fold — must cost ONE hash exchange on the pk.
-    __seq is computed inside the fold's own exchange (kv._fold_input);
-    a pre-union row_number window would add a second full-batch shuffle,
-    and the seed semi-join must broadcast, not shuffle, at this size."""
+    """The FULL second-commit upsert transaction — seed read ∪ batch,
+    __seq assignment, changelog fold, AND the fused commit-output plan
+    (WAL offsets, is-last routing, snapshot rewrite feed) — must cost
+    exactly ONE hash exchange, keyed by __bucket and sized to the
+    table's bucket count. Every window is keyed __bucket[, pk] (bucket
+    is a function of the pk), so they all reuse the fold's exchange; the
+    prior-snapshot rows ride the same exchange as re-emitted seed rows,
+    so the snapshot is scanned ONCE and there is no semi-join at all."""
     import re
 
     from fluss_spark.catalog import Catalog
     from fluss_spark.operators.replay import replay
+    from fluss_spark.sources.kv import BUCKET_COL
     from fluss_spark.table import create_table
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
@@ -314,14 +318,31 @@ def test_full_upsert_fold_is_single_shuffle(spark, sf_dir, tmp_path):
     )
     t = create_table(Catalog(str(tmp_path / "wh")), "db", "fold_plan", schema)
     t.upsert(ev.filter(F.col("event_id") % 2 == 0), ordering=["event_id"])
-    fold_in, mhd, _bb, _pp, _prior = t.kv._fold_input(
-        spark, ev.filter(F.col("event_id") % 2 == 1), ["event_id"]
+    fold_in, mhd, bb, ps, _prior = t.kv._fold_input(
+        spark, ev.filter(F.col("event_id") % 2 == 1), ["event_id"], fused=True
     )
-    changelog, _ = replay(fold_in, schema, may_have_deletes=mhd)
+    changelog, _ = replay(
+        fold_in, schema, may_have_deletes=mhd,
+        cluster_cols=[BUCKET_COL], emit_prior=True,
+    )
     simple = changelog._sc._jvm.PythonSQLUtils.explainString(
         changelog._jdf.queryExecution(), "simple"
     )
     assert len(re.findall(r"Exchange hashpartitioning", simple)) == 1, simple
+    assert "BroadcastHashJoin" not in simple, simple
+
+    # the COMPLETE commit-output plan adds zero exchanges on top
+    state0 = t.kv.catalog.current_commit("db", "fold_plan")
+    out, _persisted, _auto = t.kv._commit_plan(
+        spark, changelog, 123456, bb, ps, state0, prior_included=True
+    )
+    full = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", full)) == 1, full
+    assert re.search(rf"hashpartitioning\(`?{BUCKET_COL}`?#\d+, 8\)", full), full
+    # one scan of the snapshot, one scan of the batch (plus no broadcast)
+    assert full.count("InMemoryFileIndex") == 2, full
 
 
 def test_q5_broadcasts_all_dims(spark, sf_dir):
