@@ -65,6 +65,18 @@ def _max_vec_id(sf: str) -> int:
     return _footer_max(sf, "embeddings", "vec_id")
 
 
+def _bulk(t: FlussTable, df: DataFrame, **kw):
+    """Bulk-load upsert: the batch is a corpus-wide slice whose bucket
+    keys (uniform ids/users/hashes) span every bucket, so the
+    all-buckets superset skips the per-commit bucket-discovery job
+    (~0.1s/commit of pure scheduling at any SF). `batch_buckets` is a
+    SUPERSET contract — always correct — and for these batches the
+    bounded seed equals the full snapshot anyway, so no extra bytes are
+    read. Selective batches (single partitions, point writes) must NOT
+    use this: discovery is what keeps their seed read O(touched)."""
+    return t.upsert(df, batch_buckets=list(range(t.schema.num_buckets)), **kw)
+
+
 def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
     key = (variant, sf)
     if key in _CACHE:
@@ -87,8 +99,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         t = create_table(cat, "db", variant, schema)
         # two batches -> exercises the cross-commit snapshot seed
         half = _max_event_id(sf) // 2
-        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
-        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") > half), ordering=["event_id"])
     elif variant == "first_row":
         schema = TableSchema(
             fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
@@ -97,7 +109,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             properties={"table.merge-engine": "first_row"},
         )
         t = create_table(cat, "db", variant, schema)
-        t.upsert(ev, ordering=["event_id"])
+        _bulk(t, ev, ordering=["event_id"])
     elif variant == "versioned":
         schema = TableSchema(
             fields=[
@@ -114,7 +126,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             },
         )
         t = create_table(cat, "db", variant, schema)
-        t.upsert(ev.withColumn("ver", F.col("event_id") % 97), ordering=["event_id"])
+        _bulk(t, ev.withColumn("ver", F.col("event_id") % 97), ordering=["event_id"])
     elif variant == "aggregation":
         schema = TableSchema(
             fields=[
@@ -141,7 +153,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             F.col("event_type").alias("last_type"),
             F.lit(1).cast("bigint").alias("n_events"),
         )
-        t.upsert(batch, ordering=["event_id"])
+        _bulk(t, batch, ordering=["event_id"])
     elif variant == "part_log":
         schema = TableSchema(
             fields=[
@@ -216,7 +228,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         batch = ev.withColumn(
             OP_COL, F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
         )
-        t.upsert(batch, ordering=["event_id"])
+        _bulk(t, batch, ordering=["event_id"])
     elif variant == "partial":
         # batch 1: full rows from the first half; batch 2: value-only
         # partial updates from the second half
@@ -227,8 +239,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
-        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
-        t.upsert(
+        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        _bulk(t,
             ev.filter(F.col("event_id") > half).select("event_id", "user_id", "value"),
             ordering=["event_id"],
             partial_update_cols=["user_id", "value"],
@@ -242,7 +254,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             num_buckets=8,
         )
         t = create_table(cat, "db", variant, schema)
-        t.upsert(ev, ordering=["event_id"])
+        _bulk(t, ev, ordering=["event_id"])
     elif variant == "prefix_part":
         # partitioned composite pk (event_type, user_id, event_id),
         # partition = event_type, bucket key = user_id: the L2
@@ -331,8 +343,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         docs = docs.persist()
         try:
             half_doc = docs.agg(F.max("doc_id")).first()[0] // 2
-            t.upsert(docs.filter(F.col("doc_id") <= half_doc), ordering=["doc_id"])
-            t.upsert(docs.filter(F.col("doc_id") > half_doc), ordering=["doc_id"])
+            _bulk(t, docs.filter(F.col("doc_id") <= half_doc), ordering=["doc_id"])
+            _bulk(t, docs.filter(F.col("doc_id") > half_doc), ordering=["doc_id"])
         finally:
             docs.unpersist()
     elif variant == "lsh_state":
@@ -369,8 +381,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         # and discovery evaluations
         banded = banded.persist()
         try:
-            t.upsert(banded.filter(F.col("doc_id") <= cutoff // 2), ordering=["doc_id"])
-            t.upsert(banded.filter(F.col("doc_id") > cutoff // 2), ordering=["doc_id"])
+            _bulk(t, banded.filter(F.col("doc_id") <= cutoff // 2), ordering=["doc_id"])
+            _bulk(t, banded.filter(F.col("doc_id") > cutoff // 2), ordering=["doc_id"])
         finally:
             banded.unpersist()
     elif variant == "ivf_state":
@@ -407,8 +419,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         # discovery evaluations
         assigned = assign_cells(e_old, cents).select("cell", "vec_id").persist()
         try:
-            t.upsert(assigned.filter(F.col("vec_id") <= cut // 2), ordering=["vec_id"])
-            t.upsert(assigned.filter(F.col("vec_id") > cut // 2), ordering=["vec_id"])
+            _bulk(t, assigned.filter(F.col("vec_id") <= cut // 2), ordering=["vec_id"])
+            _bulk(t, assigned.filter(F.col("vec_id") > cut // 2), ordering=["vec_id"])
         finally:
             assigned.unpersist()
     elif variant == "vindexed":
@@ -432,7 +444,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         e = _embeddings(spark, sf)
-        t.upsert(
+        _bulk(t,
             e.select("vec_id", F.col("v").alias("emb"), "label"),
             ordering=["vec_id"],
         )
@@ -442,7 +454,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             F.transform("v", lambda x: -x).alias("emb"),
             "label",
         )
-        t.upsert(upd, ordering=["vec_id"])
+        _bulk(t, upd, ordering=["vec_id"])
         sync_vector_index(cat, "db", variant, "emb", spark)
     elif variant == "tiered_log":
         # S9: auto-tiering on the append path — after 4 commits only the
@@ -484,7 +496,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             num_buckets=8,
         )
         t = create_table(cat, "db", variant, schema)
-        t.upsert(ev, ordering=["event_id"])
+        _bulk(t, ev, ordering=["event_id"])
         create_index(cat, "db", variant, "user_id", spark)
         t.delete_where(spark, F.col("event_id") % 97 == 0)
         t.update_where(
@@ -506,12 +518,12 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
-        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
         b2 = ev.filter(F.col("event_id") > half).withColumn(
             OP_COL,
             F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
         )
-        t.upsert(b2, ordering=["event_id"])
+        _bulk(t, b2, ordering=["event_id"])
     elif variant == "session_state":
         # sessionization as engine state (t14): sessions pk table fed by
         # three event batches in OUT-OF-ORDER arrival (ts tertiles
@@ -562,7 +574,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
-        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
         w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
         src = (
             ev.filter(F.col("event_id") > half)
@@ -601,8 +613,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
-        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
-        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") > half), ordering=["event_id"])
     elif variant == "iine":
         # L3 insert-if-not-exists lifecycle: seed a key subset, then
         # probe with EVERY key — present keys must resist the insert,
@@ -615,7 +627,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
-        t.upsert(
+        _bulk(t,
             ev.filter((F.col("event_id") <= half) & (F.col("user_id") % 3 != 0)),
             ordering=["event_id"],
         )
@@ -636,18 +648,18 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         third = _max_event_id(sf) // 3
-        t.upsert(ev.filter(F.col("event_id") <= third), ordering=["event_id"])
-        t.upsert(
+        _bulk(t, ev.filter(F.col("event_id") <= third), ordering=["event_id"])
+        _bulk(t,
             ev.filter((F.col("event_id") > third) & (F.col("event_id") <= 2 * third)),
             ordering=["event_id"],
         )
-        t.upsert(
+        _bulk(t,
             ev.filter(
                 (F.col("event_id") > 2 * third) & (F.col("event_id") <= 3 * third)
             ),
             ordering=["event_id"],
         )
-        t.upsert(ev.filter(F.col("event_id") > 3 * third), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") > 3 * third), ordering=["event_id"])
     elif variant == "concurrent":
         # optimistic concurrent commits (table.commit.concurrency):
         # after a cross-partition seed, the second half lands as TWO
@@ -798,7 +810,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             ),
         )
         half = _max_event_id(sf) // 2
-        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
         reader = LogStreamReader(
             t, spark, checkpoint_dir=os.path.join(wh, "hckpt"), startup_mode="full"
         )
@@ -814,7 +826,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             )
 
         reader.process_available(_drain_h)
-        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") > half), ordering=["event_id"])
         reader.process_available(_drain_h)
     elif variant == "deferred_stream":
         # T3 hybrid handoff over a DEFERRED base (the reference's
@@ -854,8 +866,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             ),
         )
         third = _max_event_id(sf) // 3
-        t.upsert(ev.filter(F.col("event_id") <= third), ordering=["event_id"])
-        t.upsert(
+        _bulk(t, ev.filter(F.col("event_id") <= third), ordering=["event_id"])
+        _bulk(t,
             ev.filter((F.col("event_id") > third) & (F.col("event_id") <= 2 * third)),
             ordering=["event_id"],
         )
@@ -876,13 +888,13 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             )
 
         reader.process_available(_drain_d)
-        t.upsert(
+        _bulk(t,
             ev.filter(
                 (F.col("event_id") > 2 * third) & (F.col("event_id") <= 3 * third)
             ),
             ordering=["event_id"],
         )  # triggers the cadence materialization
-        t.upsert(ev.filter(F.col("event_id") > 3 * third), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") > 3 * third), ordering=["event_id"])
         st = cat.current_commit("db", variant)
         assert st.snapshot_version > 0, "expected a mid-stream materialization"
         assert st.snapshot_version < st.version, "expected a fresh pending tail"
@@ -930,11 +942,11 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         half = _max_event_id(sf) // 2
         ev2 = ev.select("user_id", "event_id", "value")
         even, odd = F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1
-        left.upsert(ev2.filter(even & (F.col("event_id") <= half)), ordering=["event_id"])
-        right.upsert(ev2.filter(odd & (F.col("event_id") <= half)), ordering=["event_id"])
+        _bulk(left, ev2.filter(even & (F.col("event_id") <= half)), ordering=["event_id"])
+        _bulk(right, ev2.filter(odd & (F.col("event_id") <= half)), ordering=["event_id"])
         dj.process_available(spark)
-        left.upsert(ev2.filter(even & (F.col("event_id") > half)), ordering=["event_id"])
-        right.upsert(ev2.filter(odd & (F.col("event_id") > half)), ordering=["event_id"])
+        _bulk(left, ev2.filter(even & (F.col("event_id") > half)), ordering=["event_id"])
+        _bulk(right, ev2.filter(odd & (F.col("event_id") > half)), ordering=["event_id"])
         dj.process_available(spark)
         t = FlussTable(cat, "db", variant)
     elif variant == "stream_redelivery":
@@ -1006,7 +1018,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             },
         )
         t = create_table(cat, "db", variant, schema)
-        t.upsert(ev.withColumn("ver", F.col("event_id")), ordering=["event_id"])
+        _bulk(t, ev.withColumn("ver", F.col("event_id")), ordering=["event_id"])
         corrections = (
             ev.filter(F.col("user_id") % 5 == 0)
             .select("user_id")
@@ -1018,7 +1030,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
                 F.lit(0).cast("bigint").alias("ver"),
             )
         )
-        t.upsert(corrections, merge_mode="overwrite")
+        _bulk(t, corrections, merge_mode="overwrite")
     elif variant == "wal_image":
         # M9 WAL changelog image: before-images are dropped, the
         # changelog is exactly the after-image stream
@@ -1030,8 +1042,8 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
-        t.upsert(ev.filter(F.col("event_id") <= half), ordering=["event_id"])
-        t.upsert(ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
+        _bulk(t, ev.filter(F.col("event_id") > half), ordering=["event_id"])
     elif variant == "compacted":
         # T10 compaction lifecycle: four upsert commits leave four
         # snapshot dirs + four log dirs, then both tiers are compacted;
@@ -1046,7 +1058,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         t = create_table(cat, "db", variant, schema)
         hi = _max_event_id(sf)
         for i in range(4):
-            t.upsert(
+            _bulk(t,
                 ev.filter(
                     (F.col("event_id") > i * hi // 4)
                     & (F.col("event_id") <= (i + 1) * hi // 4)
@@ -1102,7 +1114,7 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             num_buckets=8,
         )
         t = create_table(cat, "db", variant, schema)
-        t.upsert(ev, ordering=["event_id"])
+        _bulk(t, ev, ordering=["event_id"])
         sess = FlussSqlSession(cat, spark, default_db="db")
         sess.sql("UPDATE sqldml SET value = round(value * 1.1, 2) WHERE event_type = 'click'")
         sess.sql("UPDATE sqldml SET event_type = 'audited' WHERE user_id = 7")
