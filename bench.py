@@ -71,6 +71,16 @@ def main() -> None:
         "dedup_state", "autoinc_pk", "iine", "multi", "overwrite",
         "wal_image", "compacted", "ttl_log", "bucketed_log", "deferred",
         "prefix_part",
+        # r10: the variants registered after this list was first written
+        # paid their first-ever fold/write JIT inside the timed region
+        # (measured: ivf_state build 13.5s cold vs 4.9s after the same
+        # sf0.001 warm the 21 variants above already get). Same contract:
+        # throwaway warm tables at sf0.001; the timed queries still build
+        # their own tables at the bench SF — only JVM JIT is pre-paid.
+        "concurrent", "deferred_stream", "delta_join_indexed",
+        "diff_state", "indexed", "ivf_state", "lsh_state", "pair_pk",
+        "part_pk", "session_state", "sqldml", "sqlmerge", "stream_drain",
+        "stream_hybrid", "stream_redelivery", "vindexed",
     ):
         _eq._build(spark, "/root/testdata/sf0.001", _variant)
 

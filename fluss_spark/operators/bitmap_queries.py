@@ -283,22 +283,29 @@ def fn_cms_topk_estimate(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    # ONE tokenize pass + ONE word-keyed (map-side-combinable) count
+    # serves both the sketch and the exact top-k: the counter cell for
+    # (r, c) is the SUM of the counts of every word hashing there —
+    # identical to counting occurrences directly — so md5 runs once per
+    # VOCABULARY word x row instead of once per token OCCURRENCE x row
+    # (occurrences/vocab is the win factor; both branches previously
+    # also re-ran the tokenize+explode scan).
+    wc = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .persist()
+    )
     counters = (
-        tok.select("word", rows)
-        .select("r", cms_col(F.col("r"), F.col("word")).alias("c"))
+        wc.select("word", "n_exact", rows)
+        .select("r", cms_col(F.col("r"), F.col("word")).alias("c"), "n_exact")
         .groupBy("r", "c")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(F.sum("n_exact").cast("bigint").alias("n"))
     )
     # Top-k vocabulary selection via TakeOrderedAndProject
     # (orderBy().limit), not a global row_number window over the full
     # vocabulary — each partition keeps its local top-K, so no
     # single-partition sort regardless of vocabulary size.
-    exact = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-        .orderBy(F.desc("n_exact"), F.asc("word"))
-        .limit(_CMS_TOPK)
-    )
+    exact = wc.orderBy(F.desc("n_exact"), F.asc("word")).limit(_CMS_TOPK)
     probes = exact.select("word", "n_exact", rows).select(
         "word", "n_exact", "r", cms_col(F.col("r"), F.col("word")).alias("c")
     )

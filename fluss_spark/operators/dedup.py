@@ -1538,7 +1538,14 @@ def dd_cdc_spans(spark: SparkSession, sf: str) -> DataFrame:
                 ).cast("binary")
             ).alias("span_fp"),
         )
+        # consumed twice (dup aggregate + join back): without the
+        # persist the whole chunking chain — per-position md5 through an
+        # interpreted HOF — runs once per consumer (the shingle_base
+        # lesson). Eagerly materialized so the join job's two subtrees
+        # never race a cold cache.
+        .persist()
     )
+    spans.count()
     dup = (
         spans.groupBy("span_fp")
         .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))

@@ -102,8 +102,13 @@ class DeltaJoin:
         those buckets' manifest dirs."""
         bk = other.schema.bucket_keys
         expr = F.pmod(F.hash(*bk), F.lit(other.schema.num_buckets)).cast("int")
+        # collect_set, not distinct().collect(): map-side partial
+        # aggregation reduces each scan partition to one <=num_buckets
+        # set, so discovery is a single 1-reducer stage instead of a
+        # full distinct exchange (the kv.py commit-discovery shape)
         return sorted(
-            int(r["b"]) for r in delta.select(expr.alias("b")).distinct().collect()
+            int(x)
+            for x in delta.select(F.collect_set(expr).alias("bs")).first()["bs"]
         )
 
     def _pair_cols(self, side: FlussTable, prefix: str) -> list:
@@ -129,24 +134,39 @@ class DeltaJoin:
         if not new_l and not new_r:
             return False
         parts: list[DataFrame] = []
-        if new_l:
-            dl = self._delta_final(spark, self.left, self._off_l, hl)
-            r_state = self.right.kv.snapshot(
-                spark, buckets=self._probe_buckets(spark, dl, self.right)
-            )
-            parts.append(self._emit(dl, r_state))
-        if new_r:
-            dr = self._delta_final(spark, self.right, self._off_r, hr)
-            l_state = self.left.kv.snapshot(
-                spark, buckets=self._probe_buckets(spark, dr, self.left)
-            )
-            parts.append(self._emit(l_state, dr))
-        pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        # both directions emit the same pair when one join key changed on
-        # both sides in one batch — identical values, distinct() collapses
-        pairs = pairs.distinct()
-        if not pairs.isEmpty():
-            self.sink.upsert(pairs, ordering=list(self.on))
+        cached: list[DataFrame] = []
+        try:
+            if new_l:
+                # persisted: the delta feeds the bucket-discovery job,
+                # the probe join AND the sink upsert's fold — without
+                # the cache the WAL scan + last-event window re-runs
+                # once per consumer
+                dl = self._delta_final(spark, self.left, self._off_l, hl).persist()
+                cached.append(dl)
+                r_state = self.right.kv.snapshot(
+                    spark, buckets=self._probe_buckets(spark, dl, self.right)
+                )
+                parts.append(self._emit(dl, r_state))
+            if new_r:
+                dr = self._delta_final(spark, self.right, self._off_r, hr).persist()
+                cached.append(dr)
+                l_state = self.left.kv.snapshot(
+                    spark, buckets=self._probe_buckets(spark, dr, self.left)
+                )
+                parts.append(self._emit(l_state, dr))
+            pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            # both directions emit the same pair when one join key changed on
+            # both sides in one batch — identical values, distinct() collapses
+            pairs = pairs.distinct().persist()
+            cached.append(pairs)
+            # count() (not isEmpty): one job fills the cache completely,
+            # so a non-empty batch's upsert folds the CACHED pairs
+            # instead of re-running the probe join
+            if pairs.count():
+                self.sink.upsert(pairs, ordering=list(self.on))
+        finally:
+            for df in cached:
+                df.unpersist()
         self._off_l, self._off_r = hl, hr
         return True
 
