@@ -77,6 +77,21 @@ def _bulk(t: FlussTable, df: DataFrame, **kw):
     return t.upsert(df, batch_buckets=list(range(t.schema.num_buckets)), **kw)
 
 
+def _par(*thunks):
+    """Run independent commit thunks from a small driver thread pool
+    (guide §2.6 job overlap): while one table's commit sits in its
+    driver-side phase (plan construction, publish renames), the other
+    table's write job back-fills the idle executors. ONLY for actions
+    on DIFFERENT tables — same-table commits must serialize (or go
+    through upsert_optimistic). Safe under the reentrant AQE scope in
+    kv.py; job descriptions/groups are thread-local in Spark."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
     key = (variant, sf)
     if key in _CACHE:
@@ -942,11 +957,18 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         half = _max_event_id(sf) // 2
         ev2 = ev.select("user_id", "event_id", "value")
         even, odd = F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1
-        _bulk(left, ev2.filter(even & (F.col("event_id") <= half)), ordering=["event_id"])
-        _bulk(right, ev2.filter(odd & (F.col("event_id") <= half)), ordering=["event_id"])
+        # left/right are DIFFERENT tables: their commits are independent
+        # and overlap from driver threads (guide §2.6) — each drain still
+        # runs after BOTH its feeding commits
+        _par(
+            lambda: _bulk(left, ev2.filter(even & (F.col("event_id") <= half)), ordering=["event_id"]),
+            lambda: _bulk(right, ev2.filter(odd & (F.col("event_id") <= half)), ordering=["event_id"]),
+        )
         dj.process_available(spark)
-        _bulk(left, ev2.filter(even & (F.col("event_id") > half)), ordering=["event_id"])
-        _bulk(right, ev2.filter(odd & (F.col("event_id") > half)), ordering=["event_id"])
+        _par(
+            lambda: _bulk(left, ev2.filter(even & (F.col("event_id") > half)), ordering=["event_id"]),
+            lambda: _bulk(right, ev2.filter(odd & (F.col("event_id") > half)), ordering=["event_id"]),
+        )
         dj.process_available(spark)
         t = FlussTable(cat, "db", variant)
     elif variant == "stream_redelivery":
@@ -2422,7 +2444,7 @@ def l5_delta_join(spark: SparkSession, sf: str) -> DataFrame:
             Field("event_id", "BIGINT"),
             Field("value", "DOUBLE"),
         ]
-        for name, parity in (("dj_left", 0), ("dj_right", 1)):
+        def _load_side(name: str, parity: int):
             t = create_table(
                 cat,
                 "db",
@@ -2437,6 +2459,12 @@ def l5_delta_join(spark: SparkSession, sf: str) -> DataFrame:
                 ),
                 ordering=["event_id"],
             )
+
+        # two independent tables: overlap their append commits (§2.6)
+        _par(
+            lambda: _load_side("dj_left", 0),
+            lambda: _load_side("dj_right", 1),
+        )
         _CACHE[key] = (cat, "dj_left")
     cat, _ = _CACHE[key]
     left = FlussTable(cat, "db", "dj_left").scan(spark).select(

@@ -85,6 +85,44 @@ DEST_COL = "__dest"
 # rather than exploding the plan with an O(pairs) OR-of-ANDs
 PAIR_SCOPE_MAX = 512
 
+# Reentrant, session-shared scope for the commit transaction's AQE-off
+# window: `spark.conf` is SESSION-global, so two commit transactions
+# overlapped from driver threads (independent tables — guide §2.6 job
+# overlap) must not race the naive get/set/restore pattern, which can
+# restore the other thread's temporary "false" and leave the session
+# with AQE off for every later query. Depth-counted per session: the
+# first enter saves the user's value and turns AQE off, the last exit
+# restores it.
+import threading as _threading
+
+_AQE_LOCK = _threading.Lock()
+_AQE_STATE: dict[str, list] = {}  # session id -> [depth, saved value]
+_AQE_KEY = "spark.sql.adaptive.enabled"
+
+
+def _aqe_off_enter(spark: SparkSession) -> None:
+    with _AQE_LOCK:
+        sid = spark.sparkContext.applicationId
+        st = _AQE_STATE.get(sid)
+        if st is None:
+            prev = spark.conf.get(_AQE_KEY, "true")
+            spark.conf.set(_AQE_KEY, "false")
+            _AQE_STATE[sid] = [1, prev]
+        else:
+            st[0] += 1
+
+
+def _aqe_off_exit(spark: SparkSession) -> None:
+    with _AQE_LOCK:
+        sid = spark.sparkContext.applicationId
+        st = _AQE_STATE.get(sid)
+        if st is None:
+            return
+        st[0] -= 1
+        if st[0] <= 0:
+            spark.conf.set(_AQE_KEY, st[1])
+            del _AQE_STATE[sid]
+
 
 class CommitConflictError(RuntimeError):
     """An optimistic commit lost its validation: a concurrent commit
@@ -347,10 +385,8 @@ class KvStore:
         # cadence materialize() runs a real join that AQE should plan.
         defer = int(schema.properties.get("table.snapshot.defer-commits", "1") or "1")
         fused = defer <= 1  # single-action commit: fold + rewrite share ONE exchange
-        key = "spark.sql.adaptive.enabled"
-        prev = spark.conf.get(key, "true")
         if defer <= 1:
-            spark.conf.set(key, "false")
+            _aqe_off_enter(spark)
         try:
             fold_in, may_have_deletes, batch_buckets, pair_scope, prior = self._fold_input(
                 spark, df, ordering, batch_buckets, fused=fused
@@ -371,7 +407,7 @@ class KvStore:
             )
         finally:
             if defer <= 1:
-                spark.conf.set(key, prev)
+                _aqe_off_exit(spark)
 
     def upsert_optimistic(
         self,

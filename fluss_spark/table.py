@@ -448,8 +448,24 @@ class MultiTable:
         return {path: t.scan(spark) for path, t in self.tables.items()}
 
     def append_all(self, batches: dict[str, DataFrame], **kw) -> None:
-        for path, df in batches.items():
-            self.tables[path].append(df, **kw)
+        """Appends to DISTINCT tables are independent commits — overlap
+        them from a small driver thread pool (guide §2.6): one table's
+        write job back-fills executors idled by another's driver-side
+        commit phase. Per-table commit order is irrelevant here because
+        each table receives exactly one batch per call."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(batches) <= 1:
+            for path, df in batches.items():
+                self.tables[path].append(df, **kw)
+            return
+        with ThreadPoolExecutor(max_workers=min(4, len(batches))) as pool:
+            futs = [
+                pool.submit(self.tables[path].append, df, **kw)
+                for path, df in batches.items()
+            ]
+            for f in futs:
+                f.result()
 
     def union_scan(self, spark: SparkSession, columns: list[str]) -> DataFrame:
         """Scan several homogeneous tables as one DataFrame."""
