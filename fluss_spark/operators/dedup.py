@@ -1264,12 +1264,25 @@ def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     order-free and SQL-derivable (correlated EXISTS in the oracle), so
     this is a full hash-match parity entry despite the iterative
     trainer."""
-    from fluss_spark.operators.similarity import _KM_ITERS, _KM_K, kmeans_assign
+    from fluss_spark.operators.similarity import (
+        _KM_ITERS,
+        _KM_K,
+        assign_cells,
+        corpus_centroids,
+    )
 
     e = load_spread(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    cells = kmeans_assign(e, k=_KM_K, iters=_KM_ITERS)
+    # the session-cached full-corpus quantizer: identical centroids to
+    # training on this frame (same rows, same partition layout for the
+    # partial sums) — one training serves this + the ann/emb queries
+    cents = corpus_centroids(spark, sf, _KM_K, _KM_ITERS)
+    cells = (
+        assign_cells(e, cents)
+        if cents
+        else e.select("vec_id", F.lit(0).alias("cell"))
+    )
     assigned = e.join(cells, "vec_id")
     return assigned.groupBy("cell").applyInPandas(
         _semdedup_kernel(_SEM_THR), "vec_id long, cell int, kept boolean"
