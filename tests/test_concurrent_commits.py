@@ -287,3 +287,37 @@ def test_autoinc_and_deferred_fall_back_to_serial(spark, catalog):
     assert _snap(td2, spark) == sorted(
         {**{k: f"a{k}" for k in range(3)}, 0: "b0", 5: "b5"}.items()
     )
+
+
+def test_parallel_different_table_upserts_keep_aqe_scope(catalog, spark):
+    """Two plain (serial-path) upserts to DIFFERENT tables overlapped
+    from driver threads: the commit transaction's AQE-off window is a
+    depth-counted session scope, so the overlap must neither corrupt
+    either table's result nor leave the session's AQE setting changed
+    (the naive get/set/restore it replaced could restore the other
+    thread's temporary 'false')."""
+    ta = _mk(catalog, "aqe_a", partitioned=False)
+    tb = _mk(catalog, "aqe_b", partitioned=False)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def w(t, tag):
+        try:
+            barrier.wait(timeout=30)
+            for rnd in range(2):
+                t.upsert(_rows(spark, "x", range(8), f"{tag}{rnd}").drop("p"))
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    th1 = threading.Thread(target=w, args=(ta, "a"))
+    th2 = threading.Thread(target=w, args=(tb, "b"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs
+    # AQE restored to the pre-existing session value after both scopes
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev
+    assert _snap(ta, spark) == sorted((k, f"a1{k}") for k in range(8))
+    assert _snap(tb, spark) == sorted((k, f"b1{k}") for k in range(8))
+    # second-round commits replayed on top of round 0: versions advanced
+    assert catalog.current_commit("db", "aqe_a").version == 2
+    assert catalog.current_commit("db", "aqe_b").version == 2
