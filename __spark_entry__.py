@@ -23,30 +23,29 @@ registry.load_all_queries()
 # operators take the window — the relational family keeps its two rounds
 # of driver-green history and stays covered by tests/test_oracle_parity.py,
 # which runs the identical compare over ALL registered queries.
-# Round-9 rotation. The union of the r1-r8 windows covers 179 of 188
-# registered queries with zero never-green rows. This round closes the
-# last §2 coverage debt and re-verifies the two semantics fixes:
-#   - the NINE round-8 registrations with zero driver-green history
-#     (m17/m18/m19, t16-t20, s13 — the last §2 rows without external
-#     correctness evidence; all hash-match locally at two SFs);
-#   - m16_auto_increment under its REWRITTEN oracle (ids are now
-#     insert-stable per key, KvTablet.java:763-775 parity — the old
-#     per-event-id green must be re-earned against the new contract)
-#     and l3_insert_if_not_exists under its stub-row oracle
-#     (Lookup.java:97-105 miss behavior);
-#   - m15_pair_granular_commit (2nd consecutive green) and
-#     s12_multi_table_union (2nd green; the log append path's
-#     per-bucket expressions became map literals this round);
-#   - m20_deferred_snapshot, NEW: table.snapshot.defer-commits
-#     WAL-only commits + cadence materialization, read through the
-#     hybrid snapshot+tail path with a pending tail;
-#   - the 18-row tx_* thin-history backlog queued since r8, plus the
-#     remaining 8 single-green rows that fit (dd/emb/ann picks) —
-#     dd_semdedup / mm_resize_pipeline / op_transition_matrix /
-#     op_user_paths / op_anomaly_zscore keep their green row + local
-#     parity and rotate in next round.
+# Round-10 rotation (optimization round — the window certifies, it does
+# not add features). The union of the r1-r9 windows covers 189 of the
+# then-registered 190 queries; the 4 round-10-part-1 registrations
+# (l8/l9/m21/t21) have zero driver history. This round's window:
+#   - the FOUR zero-green registrations (l8_prefix_lookup_partitioned —
+#     VERDICT r9 item 1, the one never-green query — plus
+#     l9/m21/t21 from the same part-1 work);
+#   - second-green certification of the 12 r9 first-greens under their
+#     current oracles (m16-m20, t16-t20, s13, l3 — the m15
+#     two-consecutive-greens precedent);
+#   - the 5 remaining single-green rows (dd_semdedup,
+#     mm_resize_pipeline, op_transition_matrix, op_user_paths,
+#     op_anomaly_zscore);
+#   - the queries whose DECLARED plans or build paths this
+#     optimization round restructured, so the driver itself certifies
+#     result-identity of the optimized paths: fn_cms_topk_estimate and
+#     dd_cdc_spans (declared-plan rewrites), emb_outliers /
+#     ann_kmeans_ivf (shared quantizer), dd_incremental_lsh /
+#     ann_incremental_ivf (variant warm), l4-l7, l5-family and
+#     s12 (overlapped commits + drain caching), and the heaviest
+#     fused-transaction lifecycles (m12-m15, t11/t12/t14/t15).
 # The 10 engine-core sentinels stay: every engine lifecycle this round
-# runs through the changed append/commit expressions.
+# runs through the fused single-exchange commit transaction.
 # Everything rotated out keeps its green rows and stays covered by
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered queries.
@@ -62,51 +61,50 @@ _PRIORITY = [
     "s9_tiered_log_scan",
     "t9_log_changelog_view",
     "a1_count_metadata",
-    # --- the nine zero-green round-8 registrations (last §2 debt) ---
+    # --- zero-green round-10-part-1 registrations ---
+    "l8_prefix_lookup_partitioned",
+    "l9_delta_join_indexed",
+    "m21_concurrent_commits",
+    "t21_stream_over_deferred_base",
+    # --- second-green certification of the r9 first-greens ---
+    "m16_auto_increment",
     "m17_overwrite_merge",
     "m18_wal_image_changelog",
     "m19_snapshot_time_travel",
+    "m20_deferred_snapshot",
     "t16_compacted_read",
     "t17_log_ttl",
     "t18_stream_subscription",
     "t19_hybrid_stream_handoff",
     "t20_exactly_once_redelivery",
     "s13_bucket_offset_invariants",
-    # --- semantics re-verification under rewritten oracles ---
-    "m16_auto_increment",
     "l3_insert_if_not_exists",
-    # --- consecutive-green certification + changed append plan ---
-    "m15_pair_granular_commit",
+    # --- remaining single-green rows ---
+    "dd_semdedup",
+    "mm_resize_pipeline",
+    "op_transition_matrix",
+    "op_user_paths",
+    "op_anomaly_zscore",
+    # --- declared plans / build paths this round restructured ---
+    "fn_cms_topk_estimate",
+    "dd_cdc_spans",
+    "emb_outliers",
+    "ann_kmeans_ivf",
+    "dd_incremental_lsh",
+    "ann_incremental_ivf",
+    "l4_lookup_join",
+    "l5_delta_join",
+    "l6_index_lookup",
+    "l7_vector_index",
     "s12_multi_table_union",
-    # --- new this round: deferred snapshot materialization ---
-    "m20_deferred_snapshot",
-    # --- thin-history backlog (exactly one green row in r1-r8) ---
-    "tx_token_count",
-    "tx_quality_score",
-    "tx_lang_id",
-    "tx_fingerprint",
-    "tx_corpus_stats",
-    "tx_top_terms",
-    "tx_hash_sample",
-    "tx_shard_packing",
-    "tx_repetition_score",
-    "tx_word_entropy",
-    "tx_length_histogram",
-    "tx_bpe_token_count",
-    "tx_stratified_sample",
-    "tx_blocklist_redact",
-    "tx_domain_mix",
-    "tx_unigram_logloss",
-    "tx_pii_scrub",
-    "tx_bpe_train",
-    "dd_simhash",
-    "dd_minhash_estimate",
-    "dd_prefix_cluster",
-    "dd_passage_dedup",
-    "dd_url_normalize",
-    "emb_label_stats",
-    "ann_sq8_rerank",
-    "emb_pca_topcomponent",
+    "m12_sql_update_delete",
+    "m13_sql_merge_into",
+    "m14_partitioned_pk",
+    "m15_pair_granular_commit",
+    "t11_materialized_table",
+    "t12_incremental_mt",
+    "t14_incremental_sessions",
+    "t15_snapshot_diff",
 ]
 
 

@@ -1766,12 +1766,15 @@ class KvStore:
             )
         keys = df.select(*pk).distinct()
         # persist the anti-join so the presence probe and the upsert seed
-        # don't each recompute the snapshot scan
+        # don't each recompute the snapshot scan; count() (not isEmpty,
+        # which stops at the first row and leaves the cache partial)
+        # fills the cache completely, so a non-empty probe's upsert folds
+        # the CACHED keys instead of re-running the anti-join
         missing = keys.join(
             self.snapshot(spark).select(*pk), on=pk, how="left_anti"
         ).persist()
         try:
-            if not missing.isEmpty():
+            if missing.count():
                 self.upsert(missing)
         finally:
             missing.unpersist()

@@ -136,7 +136,7 @@ class DeltaJoin:
         parts: list[DataFrame] = []
         cached: list[DataFrame] = []
         try:
-            if new_l:
+            def left_dir() -> DataFrame:
                 # persisted: the delta feeds the bucket-discovery job,
                 # the probe join AND the sink upsert's fold — without
                 # the cache the WAL scan + last-event window re-runs
@@ -146,14 +146,33 @@ class DeltaJoin:
                 r_state = self.right.kv.snapshot(
                     spark, buckets=self._probe_buckets(spark, dl, self.right)
                 )
-                parts.append(self._emit(dl, r_state))
-            if new_r:
+                return self._emit(dl, r_state)
+
+            def right_dir() -> DataFrame:
                 dr = self._delta_final(spark, self.right, self._off_r, hr).persist()
                 cached.append(dr)
                 l_state = self.left.kv.snapshot(
                     spark, buckets=self._probe_buckets(spark, dr, self.left)
                 )
-                parts.append(self._emit(l_state, dr))
+                return self._emit(l_state, dr)
+
+            if new_l and new_r:
+                # the two probe directions are independent until the
+                # union: each runs one discovery job (collect_set over
+                # its cached delta) whose driver-side phase the other
+                # direction's job back-fills (guide §2.6). Read-only
+                # jobs on different tables; plan construction from two
+                # driver threads is supported Spark usage, and the
+                # `cached` list append is GIL-atomic.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fl, fr = pool.submit(left_dir), pool.submit(right_dir)
+                    parts = [fl.result(), fr.result()]
+            elif new_l:
+                parts.append(left_dir())
+            elif new_r:
+                parts.append(right_dir())
             pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
             # both directions emit the same pair when one join key changed on
             # both sides in one batch — identical values, distinct() collapses
