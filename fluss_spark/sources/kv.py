@@ -687,6 +687,24 @@ class KvStore:
         proj.append(f"`{OP_COL}`" if may_have_deletes else f"'U' AS `{OP_COL}`")
         proj.append(f"0 AS `{SEED_COL}`")
         proj += [f"`{c}`" for c in ord_extra]
+        if fused:
+            # __bucket rides this projection (over the CAST key values,
+            # identical to hashing the post-union columns) instead of a
+            # separate post-union selectExpr: every transformation layer
+            # costs an eager re-analysis of the whole accumulated plan,
+            # so the fused chain materializes the column in BOTH union
+            # branches and drops the extra layer
+            cast_of = {
+                c: f"CAST(`{c}` AS {parse_type(ftype[c]).simpleString()})"
+                if c in have
+                else f"CAST(NULL AS {parse_type(ftype[c]).simpleString()})"
+                for c in schema.bucket_keys
+            }
+            keys_sql = ", ".join(cast_of[c] for c in schema.bucket_keys)
+            proj.append(
+                f"CAST(pmod(hash({keys_sql}), {schema.num_buckets}) AS INT)"
+                f" AS `{BUCKET_COL}`"
+            )
         b = b.selectExpr(*proj)
 
         # read-old restricted to the batch's buckets and keys; on a table
@@ -783,12 +801,15 @@ class KvStore:
         if fused:
             # the whole bounded snapshot rides the fold (no semi-join):
             # untouched keys' rows become the prior-row feed the commit
-            # needs anyway (replay re-emits them with a NULL change type)
+            # needs anyway (replay re-emits them with a NULL change type);
+            # __bucket is materialized here too (see the batch projection
+            # above) so the union needs no trailing bucket layer
             seed = bounded.selectExpr(
                 "*",
                 f"'U' AS `{OP_COL}`",
                 f"1 AS `{SEED_COL}`",
                 *[f"CAST(NULL AS {ord_types[c]}) AS `{c}`" for c in ord_extra],
+                f"{self._bucket_sql()} AS `{BUCKET_COL}`",
             )
         else:
             seed = (
@@ -807,10 +828,9 @@ class KvStore:
         fold_in = seed.unionByName(b)
         part_sql = ", ".join(f"`{c}`" for c in pk)
         if fused:
-            # materialize __bucket and establish the transaction's ONE
-            # exchange here; every downstream window is keyed by
-            # __bucket[, pk] and reuses it
-            fold_in = fold_in.selectExpr("*", f"{self._bucket_sql()} AS `{BUCKET_COL}`")
+            # __bucket arrived with both union branches; establish the
+            # transaction's ONE exchange here — every downstream window
+            # is keyed by __bucket[, pk] and reuses it
             fold_in = fold_in.repartition(schema.num_buckets, F.col(BUCKET_COL))
             part_sql = f"`{BUCKET_COL}`, " + part_sql
         # __seq inside the fold's own exchange: seed first (SEED desc),
