@@ -86,6 +86,52 @@ def _struct_sql(cols: list[str]) -> str:
     return "struct(" + ", ".join(f"`{c}`" for c in cols) + ")"
 
 
+def emit_select_list(
+    cols: list[str],
+    cur_state: str,
+    prev_state: str,
+    prev_present: str,
+    emit_cond: str,
+    extra_cols: list[str] | None = None,
+    emit_prior: bool = False,
+) -> list[str]:
+    """Select list of the changelog-emission layer (see `_emit`). A
+    standalone string builder so the layered fold (`_emit`) and the
+    one-statement SQL fold (kv.KvStore._fold_replay_sql) emit from the
+    SAME expression strings."""
+
+    def mk(ct_expr: str, row: str | None, sub: int) -> str:
+        val = (lambda c: f"({row}).`{c}`") if row is not None else (lambda c: f"`{c}`")
+        return (
+            f"named_struct('{SUB_COL}', {sub}, '{CHANGE_TYPE_COL}', {ct_expr}, "
+            + ", ".join(f"'{c}', {val(c)}" for c in cols)
+            + ")"
+        )
+
+    is_u = f"(`{SEED_COL}` = 0 AND `{OP_COL}` = 'U' AND ({emit_cond}))"
+    slot1 = (
+        f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(repr(UPDATE_BEFORE), prev_state, 0)}"
+        f" WHEN {is_u} AND NOT ({prev_present}) THEN {mk(repr(INSERT), cur_state, 0)}"
+        f" WHEN `{SEED_COL}` = 0 AND `{OP_COL}` = 'D' AND ({prev_present})"
+        f" THEN {mk(repr(DELETE), prev_state, 0)}"
+        " END"
+    )
+    slot2 = f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(repr(UPDATE_AFTER), cur_state, 1)} END"
+    slots = [slot1, slot2]
+    if emit_prior:
+        # the seed row IS the prior-snapshot row: raw columns, no state
+        # struct (identical values — the seed sorts first, so no event
+        # has folded into the running state yet)
+        slots.append(
+            f"CASE WHEN `{SEED_COL}` = 1 THEN {mk('CAST(NULL AS STRING)', None, -1)} END"
+        )
+    return [
+        f"`{SEQ_COL}`",
+        *[f"`{c}`" for c in (extra_cols or [])],
+        f"inline(array_compact(array({', '.join(slots)})))",
+    ]
+
+
 def _emit(
     df: DataFrame,
     cols: list[str],
@@ -117,36 +163,11 @@ def _emit(
     `__sub` -1, data columns verbatim) — the exact convention the fused
     commit's snapshot-rewrite feed uses, so the prior rows ride the
     fold's exchange instead of a second scan of the snapshot."""
-
-    def mk(ct_expr: str, row: str | None, sub: int) -> str:
-        val = (lambda c: f"({row}).`{c}`") if row is not None else (lambda c: f"`{c}`")
-        return (
-            f"named_struct('{SUB_COL}', {sub}, '{CHANGE_TYPE_COL}', {ct_expr}, "
-            + ", ".join(f"'{c}', {val(c)}" for c in cols)
-            + ")"
-        )
-
-    is_u = f"(`{SEED_COL}` = 0 AND `{OP_COL}` = 'U' AND ({emit_cond}))"
-    slot1 = (
-        f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(repr(UPDATE_BEFORE), prev_state, 0)}"
-        f" WHEN {is_u} AND NOT ({prev_present}) THEN {mk(repr(INSERT), cur_state, 0)}"
-        f" WHEN `{SEED_COL}` = 0 AND `{OP_COL}` = 'D' AND ({prev_present})"
-        f" THEN {mk(repr(DELETE), prev_state, 0)}"
-        " END"
-    )
-    slot2 = f"CASE WHEN {is_u} AND ({prev_present}) THEN {mk(repr(UPDATE_AFTER), cur_state, 1)} END"
-    slots = [slot1, slot2]
-    if emit_prior:
-        # the seed row IS the prior-snapshot row: raw columns, no state
-        # struct (identical values — the seed sorts first, so no event
-        # has folded into the running state yet)
-        slots.append(
-            f"CASE WHEN `{SEED_COL}` = 1 THEN {mk('CAST(NULL AS STRING)', None, -1)} END"
-        )
     return df.selectExpr(
-        f"`{SEQ_COL}`",
-        *[f"`{c}`" for c in (extra_cols or [])],
-        f"inline(array_compact(array({', '.join(slots)})))",
+        *emit_select_list(
+            cols, cur_state, prev_state, prev_present, emit_cond,
+            extra_cols, emit_prior,
+        )
     )
 
 
@@ -236,30 +257,57 @@ def _apply_changelog_image(
     if schema.changelog_image != "wal":
         return out
     changelog, snapshot = out
-    # NULL-safe when prior rows ride the changelog (fused commit:
-    # _change_type NULL marks a prior-snapshot row, which the plain
-    # != filter would silently drop — data loss on the rewrite feed)
-    if prior_rows:
-        changelog = changelog.filter(
-            F.col(CHANGE_TYPE_COL).isNull()
-            | (F.col(CHANGE_TYPE_COL) != UPDATE_BEFORE)
-        )
-    else:
-        changelog = changelog.filter(F.col(CHANGE_TYPE_COL) != UPDATE_BEFORE)
+    changelog = changelog.filter(wal_image_where_sql(prior_rows))
     has_autoinc = any(f.auto_increment for f in schema.fields)
     if schema.merge_engine == "default" and full_row and not has_autoinc:
         changelog = changelog.withColumn(
-            CHANGE_TYPE_COL,
-            F.when(F.col(CHANGE_TYPE_COL) == INSERT, F.lit(UPDATE_AFTER)).otherwise(
-                F.col(CHANGE_TYPE_COL)
-            ),
+            CHANGE_TYPE_COL, F.expr(wal_image_ct_case_sql())
         )
     return changelog, snapshot
+
+
+def wal_image_where_sql(prior_rows: bool) -> str:
+    """WAL changelog image: drop UPDATE_BEFORE rows. NULL-safe when
+    prior rows ride the changelog (fused commit: _change_type NULL marks
+    a prior-snapshot row, which the plain != filter would silently drop
+    — data loss on the rewrite feed). Shared with the SQL fold."""
+    if prior_rows:
+        return (
+            f"(`{CHANGE_TYPE_COL}` IS NULL OR "
+            f"`{CHANGE_TYPE_COL}` != '{UPDATE_BEFORE}')"
+        )
+    return f"`{CHANGE_TYPE_COL}` != '{UPDATE_BEFORE}'"
+
+
+def wal_image_ct_case_sql() -> str:
+    """WAL image's +I -> +U shortcut ('similar to database WAL
+    behavior') for default merge with full-row updates; the caller gates
+    it off on auto-increment tables (KvTablet.java:723-725). Shared with
+    the SQL fold."""
+    return (
+        f"CASE WHEN `{CHANGE_TYPE_COL}` = '{INSERT}' THEN '{UPDATE_AFTER}' "
+        f"ELSE `{CHANGE_TYPE_COL}` END"
+    )
 
 
 # ---------------------------------------------------------------------- #
 # default merge (last write wins) — DefaultRowMerger.java
 # ---------------------------------------------------------------------- #
+
+
+def default_fold_select_list(cols: list[str], part: list[str]) -> list[str]:
+    """Select list of the default-merge running-state layer (state
+    presence after each record). Shared by `_replay_default` and the
+    one-statement SQL fold (kv.KvStore._fold_replay_sql)."""
+    lag_over = _lag_over(part)
+    state = f"CASE WHEN `{OP_COL}` = 'U' THEN {_struct_sql(cols)} END"
+    return [
+        "*",
+        f"{state} AS __cur",
+        f"(`{OP_COL}` = 'U') AS __cur_present",
+        f"lag({state}) OVER ({lag_over}) AS __prev",
+        f"coalesce(lag(`{OP_COL}` = 'U') OVER ({lag_over}), false) AS __prev_present",
+    ]
 
 
 def _replay_default(
@@ -271,17 +319,7 @@ def _replay_default(
     pk, cols = schema.primary_key, schema.data_columns()
     part = part or pk
     extra = [c for c in part if c not in pk]
-    lag_over = _lag_over(part)
-
-    # state presence after each record
-    state = f"CASE WHEN `{OP_COL}` = 'U' THEN {_struct_sql(cols)} END"
-    d = df.selectExpr(
-        "*",
-        f"{state} AS __cur",
-        f"(`{OP_COL}` = 'U') AS __cur_present",
-        f"lag({state}) OVER ({lag_over}) AS __prev",
-        f"coalesce(lag(`{OP_COL}` = 'U') OVER ({lag_over}), false) AS __prev_present",
-    )
+    d = df.selectExpr(*default_fold_select_list(cols, part))
     changelog = _emit(
         d,
         cols,

@@ -388,19 +388,26 @@ class KvStore:
         if defer <= 1:
             _aqe_off_enter(spark)
         try:
-            fold_in, may_have_deletes, batch_buckets, pair_scope, prior = self._fold_input(
-                spark, df, ordering, batch_buckets, fused=fused
-            )
+            if fused and self._fold_replay_sql_ok(df, partial_update_cols, merge_mode):
+                # one-statement fold+replay: one JVM analysis instead of
+                # seven per-layer analyses (guide §7.3 driver latency)
+                changelog, batch_buckets, pair_scope, prior = self._fold_replay_sql(
+                    spark, df, ordering, batch_buckets
+                )
+            else:
+                fold_in, may_have_deletes, batch_buckets, pair_scope, prior = self._fold_input(
+                    spark, df, ordering, batch_buckets, fused=fused
+                )
 
-            changelog, _ = replay(
-                fold_in,
-                schema,
-                partial_update_cols=partial_update_cols,
-                merge_mode=merge_mode,
-                may_have_deletes=may_have_deletes,
-                cluster_cols=[BUCKET_COL] if fused else None,
-                emit_prior=fused,
-            )
+                changelog, _ = replay(
+                    fold_in,
+                    schema,
+                    partial_update_cols=partial_update_cols,
+                    merge_mode=merge_mode,
+                    may_have_deletes=may_have_deletes,
+                    cluster_cols=[BUCKET_COL] if fused else None,
+                    emit_prior=fused,
+                )
             return self._commit_changelog(
                 spark, changelog, commit_ts_ms, batch_buckets, pair_scope, prior,
                 prior_included=fused,
@@ -491,18 +498,23 @@ class KvStore:
                     "optimistic commit refused: a deferred WAL tail is "
                     "pending — materialize() first"
                 )
-            fold_in, may_have_deletes, buckets0, pair_scope, prior = self._fold_input(
-                spark, df, ordering, batch_buckets, fused=True
-            )
-            changelog, _ = replay(
-                fold_in,
-                schema,
-                partial_update_cols=partial_update_cols,
-                merge_mode=merge_mode,
-                may_have_deletes=may_have_deletes,
-                cluster_cols=[BUCKET_COL],
-                emit_prior=True,
-            )
+            if self._fold_replay_sql_ok(df, partial_update_cols, merge_mode):
+                changelog, buckets0, pair_scope, prior = self._fold_replay_sql(
+                    spark, df, ordering, batch_buckets
+                )
+            else:
+                fold_in, may_have_deletes, buckets0, pair_scope, prior = self._fold_input(
+                    spark, df, ordering, batch_buckets, fused=True
+                )
+                changelog, _ = replay(
+                    fold_in,
+                    schema,
+                    partial_update_cols=partial_update_cols,
+                    merge_mode=merge_mode,
+                    may_have_deletes=may_have_deletes,
+                    cluster_cols=[BUCKET_COL],
+                    emit_prior=True,
+                )
             ts_ms = (
                 commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
             )
@@ -730,63 +742,13 @@ class KvStore:
         # pairs so a corpus-wide backfill doesn't explode the plan.
         pair_pred = None
         pair_keys = None
-        pcols = schema.partition_keys
         if not has_snapshot:
             batch_buckets = []
         elif known_buckets is not None:
             batch_buckets = [int(x) for x in known_buckets]
-        elif pcols:
-            # same map-side collect_set shape as the unpartitioned arm:
-            # one <=pairs set per scan partition, single-stage job
-            rows = list(
-                b.select(
-                    F.collect_set(
-                        F.struct(*pcols, self._bucket_expr().alias("__b"))
-                    ).alias("ps")
-                ).first()["ps"]
-            )
-            batch_buckets = sorted({int(r["__b"]) for r in rows})
-            if 0 < len(rows) <= PAIR_SCOPE_MAX:
-                pair_pred = reduce(
-                    lambda a, c: a | c,
-                    [
-                        reduce(
-                            lambda a, c: a & c,
-                            [F.col(p) == F.lit(r[p]) for p in pcols],
-                        )
-                        & (F.col(BUCKET_COL) == int(r["__b"]))
-                        for r in rows
-                    ],
-                )
-                # exact manifest-key pruning: parse each candidate
-                # entry's partpath back to typed values (never construct
-                # paths) and keep only entries matching a batch pair —
-                # the prior feed's PLAN then holds O(batch pairs) dirs,
-                # not every dir holding those buckets. Entries whose
-                # partpath has no exact driver-side parse are kept
-                # conservatively.
-                want = {
-                    tuple(r[p] for p in pcols) + (int(r["__b"]),) for r in rows
-                }
-                bset = set(batch_buckets)
-                pair_keys = []
-                for pp, bkt in manifest_now or {}:
-                    if bkt not in bset:
-                        continue
-                    parsed = self._parsed_partpath(pp)
-                    if parsed is None or parsed + (bkt,) in want:
-                        pair_keys.append((pp, bkt))
         else:
-            # collect_set, not distinct().collect(): the map-side partial
-            # aggregation reduces each scan partition to one <=num_buckets
-            # set, so the job is a single 1-reducer stage instead of a
-            # full distinct exchange (same tiny result, one less stage
-            # and no AQE replan on the discovery path)
-            batch_buckets = sorted(
-                int(x)
-                for x in b.select(
-                    F.collect_set(self._bucket_expr()).alias("bs")
-                ).first()["bs"]
+            batch_buckets, pair_pred, pair_keys = self._discover_scope(
+                b, manifest_now
             )
         # no .distinct() on the probe side: a semi join dedups by
         # definition, and the distinct would cost its own exchange + agg
@@ -858,6 +820,265 @@ class KvStore:
             else None
         )
         return fold_in, may_have_deletes, batch_buckets, pair_scope, bounded
+
+    def _discover_scope(self, b: DataFrame, manifest_now):
+        """Batch write scope — (bucket list, typed pair predicate,
+        manifest pair keys) — from a normalized batch frame `b` (CAST
+        key/partition columns present under their schema names). ONE
+        map-side collect_set job. Shared by the layered fold
+        (_fold_input) and the one-statement SQL fold (_fold_replay_sql)."""
+        pair_pred = None
+        pair_keys = None
+        pcols = self.schema.partition_keys
+        if pcols:
+            # same map-side collect_set shape as the unpartitioned arm:
+            # one <=pairs set per scan partition, single-stage job
+            rows = list(
+                b.select(
+                    F.collect_set(
+                        F.struct(*pcols, self._bucket_expr().alias("__b"))
+                    ).alias("ps")
+                ).first()["ps"]
+            )
+            batch_buckets = sorted({int(r["__b"]) for r in rows})
+            if 0 < len(rows) <= PAIR_SCOPE_MAX:
+                pair_pred = reduce(
+                    lambda a, c: a | c,
+                    [
+                        reduce(
+                            lambda a, c: a & c,
+                            [F.col(p) == F.lit(r[p]) for p in pcols],
+                        )
+                        & (F.col(BUCKET_COL) == int(r["__b"]))
+                        for r in rows
+                    ],
+                )
+                # exact manifest-key pruning: parse each candidate
+                # entry's partpath back to typed values (never construct
+                # paths) and keep only entries matching a batch pair —
+                # the prior feed's PLAN then holds O(batch pairs) dirs,
+                # not every dir holding those buckets. Entries whose
+                # partpath has no exact driver-side parse are kept
+                # conservatively.
+                want = {
+                    tuple(r[p] for p in pcols) + (int(r["__b"]),) for r in rows
+                }
+                bset = set(batch_buckets)
+                pair_keys = []
+                for pp, bkt in manifest_now or {}:
+                    if bkt not in bset:
+                        continue
+                    parsed = self._parsed_partpath(pp)
+                    if parsed is None or parsed + (bkt,) in want:
+                        pair_keys.append((pp, bkt))
+        else:
+            # collect_set, not distinct().collect(): the map-side partial
+            # aggregation reduces each scan partition to one <=num_buckets
+            # set, so the job is a single 1-reducer stage instead of a
+            # full distinct exchange (same tiny result, one less stage
+            # and no AQE replan on the discovery path)
+            batch_buckets = sorted(
+                int(x)
+                for x in b.select(
+                    F.collect_set(self._bucket_expr()).alias("bs")
+                ).first()["bs"]
+            )
+        return batch_buckets, pair_pred, pair_keys
+
+    def _fold_replay_sql_ok(
+        self,
+        df: DataFrame,
+        partial_update_cols: list[str] | None,
+        merge_mode: str | None,
+    ) -> bool:
+        """Gate for the one-statement SQL fold: the composer covers the
+        default merge engine's fused fold only (the dominant commit
+        shape — every bulk load and plain upsert). Everything else —
+        partial updates (their delete probe + replay_exact dispatch),
+        non-default merge engines, DELETE-disabled tables whose batch
+        could carry deletes (the layered path runs the presence probe
+        and raises) — keeps the layered _fold_input + replay path."""
+        schema = self.schema
+        if partial_update_cols is not None:
+            return False
+        if merge_mode not in (None, "overwrite"):
+            return False
+        engine = "default" if merge_mode == "overwrite" else schema.merge_engine
+        if engine != "default":
+            return False
+        if schema.delete_behavior == "disable" and OP_COL in df.columns:
+            return False
+        return schema.changelog_image in ("full", "wal")
+
+    def _fold_replay_sql(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        ordering: list[str] | None,
+        known_buckets: list[int] | None,
+    ):
+        """The fused fold + default-merge replay as ONE spark.sql
+        statement (guide §7.3 — driver latency): the layered path's
+        seven eagerly-analyzed plan layers (batch projection, seed
+        projection, union, repartition, __seq window, fold windows,
+        changelog emission — each a full JVM re-analysis of the
+        accumulated tree per commit) become nested subqueries analyzed
+        ONCE. The expression strings are the SAME ones the layered path
+        passes to selectExpr (shared builders in operators/replay.py),
+        so the resolved plan — and the transaction's single
+        hash(__bucket) exchange — is identical by construction
+        (tests/test_plans.py pins the plan shape; the commit-equivalence
+        suite compares the output row-for-row against the independent
+        two-pass baseline).
+
+        Returns (changelog, batch_buckets, pair_scope, bounded) — the
+        same contract `_fold_input` + `replay(cluster_cols=[__bucket],
+        emit_prior=True)` produces for `_commit_changelog(
+        prior_included=True)`."""
+        from fluss_spark.operators.replay import (
+            default_fold_select_list,
+            emit_select_list,
+            wal_image_ct_case_sql,
+            wal_image_where_sql,
+        )
+
+        schema = self.schema
+        pk, cols = schema.primary_key, schema.data_columns()
+        may_have_deletes = OP_COL in df.columns
+        ord_names = list(ordering) if ordering else ["__arrival"]
+        ord_extra = [c for c in ord_names if c not in cols]
+        have = set(df.columns)
+        ftype = {f.name: f.type for f in schema.fields}
+        cast_sql = {
+            c: (
+                f"CAST(`{c}` AS {parse_type(ftype[c]).simpleString()})"
+                if c in have
+                else f"CAST(NULL AS {parse_type(ftype[c]).simpleString()})"
+            )
+            for c in cols
+        }
+
+        # batch projection (layer shared with _fold_input's `proj`);
+        # __arrival is computed inline — same per-row value as the
+        # layered path's pre-projection withColumn
+        bproj = [f"{cast_sql[c]} AS `{c}`" for c in cols]
+        bproj.append(f"`{OP_COL}`" if may_have_deletes else f"'U' AS `{OP_COL}`")
+        bproj.append(f"0 AS `{SEED_COL}`")
+        for c in ord_extra:
+            bproj.append(
+                "monotonically_increasing_id() AS `__arrival`"
+                if c == "__arrival"
+                else f"`{c}`"
+            )
+        keys_sql = ", ".join(cast_sql[c] for c in schema.bucket_keys)
+        bucket_from_cast = (
+            f"CAST(pmod(hash({keys_sql}), {schema.num_buckets}) AS INT)"
+        )
+        bproj.append(f"{bucket_from_cast} AS `{BUCKET_COL}`")
+
+        # write scope (same rules as _fold_input): skip on first commit,
+        # trust a caller-known superset, else one map-side discovery job
+        # over a minimal CAST key/partition frame
+        state_now = self.catalog.current_commit(self.db, self.table)
+        manifest_now = self._manifest(state_now.snapshot_version)
+        has_snapshot = (
+            bool(manifest_now) or self._tail_start(state_now) is not None
+        )
+        pair_pred = None
+        pair_keys = None
+        if not has_snapshot:
+            batch_buckets = []
+        elif known_buckets is not None:
+            batch_buckets = [int(x) for x in known_buckets]
+        else:
+            disc_cols = list(
+                dict.fromkeys(list(schema.bucket_keys) + list(schema.partition_keys))
+            )
+            bdisc = df.selectExpr(*[f"{cast_sql[c]} AS `{c}`" for c in disc_cols])
+            batch_buckets, pair_pred, pair_keys = self._discover_scope(
+                bdisc, manifest_now
+            )
+
+        bounded = self.snapshot(
+            spark, buckets=batch_buckets, pair_pred=pair_pred, pair_keys=pair_keys
+        )
+
+        # seed projection — column-for-column the batch projection's
+        # order (UNION ALL aligns by position)
+        df_types = dict(df.dtypes)
+        sproj = (
+            [f"`{c}`" for c in cols]
+            + [f"'U' AS `{OP_COL}`", f"1 AS `{SEED_COL}`"]
+            + [
+                f"CAST(NULL AS {'bigint' if c == '__arrival' else df_types[c]}) AS `{c}`"
+                for c in ord_extra
+            ]
+            + [f"{self._bucket_sql()} AS `{BUCKET_COL}`"]
+        )
+
+        union_sql = (
+            f"SELECT {', '.join(sproj)} FROM {{snap}}"
+            f" UNION ALL SELECT {', '.join(bproj)} FROM {{batch}}"
+        )
+        # the transaction's ONE exchange, sized to the table's bucket
+        # count (same node as DataFrame.repartition(n, __bucket))
+        repart_sql = (
+            f"SELECT /*+ REPARTITION({schema.num_buckets}, `{BUCKET_COL}`) */ *"
+            f" FROM ({union_sql})"
+        )
+        part_sql = ", ".join([f"`{BUCKET_COL}`"] + [f"`{c}`" for c in pk])
+        ord_sql = ", ".join(
+            [f"`{SEED_COL}` DESC"] + [f"`{c}` ASC NULLS FIRST" for c in ord_names]
+        )
+        seq_select = (
+            [f"`{c}`" for c in cols]
+            + [
+                f"`{OP_COL}`",
+                f"CAST(CASE WHEN `{SEED_COL}` = 1 THEN 0 ELSE "
+                f"row_number() OVER (PARTITION BY {part_sql} ORDER BY {ord_sql}) "
+                f"- sum(`{SEED_COL}`) OVER (PARTITION BY {part_sql}) END AS BIGINT) "
+                f"AS `{SEQ_COL}`",
+                f"`{SEED_COL}`",
+                f"`{BUCKET_COL}`",
+            ]
+        )
+        fold_sql = f"SELECT {', '.join(seq_select)} FROM ({repart_sql})"
+
+        # DeleteBehavior.IGNORE rides as a WHERE on the fold output —
+        # same placement as replay()'s filter (after __seq assignment)
+        where = ""
+        if schema.delete_behavior == "ignore" and may_have_deletes:
+            where = f" WHERE `{OP_COL}` != 'D' OR `{SEED_COL}` = 1"
+        d_sql = (
+            f"SELECT {', '.join(default_fold_select_list(cols, [BUCKET_COL] + list(pk)))}"
+            f" FROM ({fold_sql}){where}"
+        )
+        emit_sql = (
+            f"SELECT {', '.join(emit_select_list(cols, '__cur', '__prev', '__prev_present', 'true', [BUCKET_COL], True))}"
+            f" FROM ({d_sql})"
+        )
+        final_sql = emit_sql
+        if schema.changelog_image == "wal":
+            has_autoinc = any(f.auto_increment for f in schema.fields)
+            ct = (
+                wal_image_ct_case_sql()
+                if not has_autoinc
+                else f"`{CHANGE_TYPE_COL}`"
+            )
+            final_sql = (
+                f"SELECT `{SEQ_COL}`, `{BUCKET_COL}`, `{SUB_COL}`, "
+                f"{ct} AS `{CHANGE_TYPE_COL}`, "
+                + ", ".join(f"`{c}`" for c in cols)
+                + f" FROM ({emit_sql}) WHERE {wal_image_where_sql(True)}"
+            )
+
+        changelog = spark.sql(final_sql, snap=bounded, batch=df)
+        pair_scope = (
+            (pair_pred, pair_keys)
+            if (pair_pred is not None or pair_keys is not None)
+            else None
+        )
+        return changelog, batch_buckets, pair_scope, bounded
 
     def _commit_changelog(
         self,

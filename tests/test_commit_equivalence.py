@@ -444,3 +444,72 @@ def test_commit_paths_equivalent_property_partitioned(
         assert _state_tuple(ta, spark, ["dt", "k", "v"]) == _state_tuple(
             tb, spark, ["dt", "k", "v"]
         )
+
+
+def test_sql_fold_changelog_matches_layered_fold(spark, tmp_path):
+    """The one-statement SQL fold (`_fold_replay_sql`) must emit the
+    EXACT changelog frame — events, NULL-change-type prior rows, __seq /
+    __sub / __bucket — that the layered `_fold_input(fused=True)` +
+    `replay(cluster_cols=[__bucket], emit_prior=True)` chain emits, on
+    every shape the gate admits: plain, WAL changelog image (+I -> +U
+    shortcut + -U drop, NULL-safe for prior rows), DeleteBehavior.IGNORE
+    (the post-__seq filter), and a partitioned table (pair discovery)."""
+    from pyspark.sql import functions as F
+
+    from fluss_spark.operators.replay import replay
+    from fluss_spark.sources.kv import BUCKET_COL
+
+    shapes = {
+        "plain": ({}, None),
+        "wal": ({"table.changelog.image": "wal"}, None),
+        "ignore": ({"table.delete.behavior": "ignore"}, None),
+        "part": ({}, ["dt"]),
+    }
+    cat = Catalog(str(tmp_path / "wh"))
+    ts = 1_700_000_900_000
+    for name, (props, parts) in shapes.items():
+        fields = [
+            Field("k", "INT", nullable=False),
+            Field("v", "STRING"),
+            Field("n", "BIGINT"),
+        ]
+        pk = ["k"]
+        ddl = "k int, v string, n long, __op string"
+        mk = lambda rows: spark.createDataFrame(rows, ddl)  # noqa: E731
+        base = [(k, f"v{k}", k * 10, "U") for k in range(12)]
+        batch = [
+            (1, "x", 111, "U"), (1, "y", 112, "U"), (3, None, 0, "D"),
+            (99, "new", 9, "U"), (4, "d4", 0, "D"), (4, "back", 44, "U"),
+        ]
+        if parts:
+            fields = [Field("dt", "STRING", nullable=False)] + fields
+            pk = ["dt", "k"]
+            ddl = "dt string, " + ddl
+            base = [("a", *r) for r in base] + [("b", *r) for r in base[:4]]
+            batch = [("a", *r) for r in batch] + [("b", 2, "bx", 22, "U")]
+        schema = TableSchema(
+            fields=fields, primary_key=pk, partition_keys=parts or [],
+            num_buckets=4, properties=dict(props),
+        )
+        t = create_table(cat, "db", f"sqlfold_{name}", schema)
+        t.kv.upsert(mk(base), ordering=["n"], commit_ts_ms=ts)
+
+        df_sql = mk(batch)
+        assert t.kv._fold_replay_sql_ok(df_sql, None, None), name
+        cl_sql, bb_s, _ps, _prior = t.kv._fold_replay_sql(
+            spark, df_sql, ["n"], None
+        )
+        fold_in, mhd, bb_l, _ps2, _prior2 = t.kv._fold_input(
+            spark, mk(batch), ["n"], None, fused=True
+        )
+        cl_lay, _ = replay(
+            fold_in, schema, may_have_deletes=mhd,
+            cluster_cols=[BUCKET_COL], emit_prior=True,
+        )
+        assert bb_s == bb_l, name
+        assert sorted(cl_sql.columns) == sorted(cl_lay.columns), name
+        cols = cl_lay.columns
+        key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+        rows_sql = sorted((tuple(r[c] for c in cols) for r in cl_sql.collect()), key=key)
+        rows_lay = sorted((tuple(r[c] for c in cols) for r in cl_lay.collect()), key=key)
+        assert rows_sql == rows_lay, f"{name}: SQL fold != layered fold"

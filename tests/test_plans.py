@@ -345,6 +345,49 @@ def test_full_upsert_fold_is_single_shuffle(spark, sf_dir, tmp_path):
     assert full.count("InMemoryFileIndex") == 2, full
 
 
+def test_sql_fold_commit_plan_single_shuffle(spark, sf_dir, tmp_path):
+    """The one-statement SQL fold (`_fold_replay_sql`, the default serial
+    upsert path) must produce the SAME physical shape the layered fold
+    pins above: the complete commit-output plan costs exactly ONE hash
+    exchange keyed by __bucket and sized to the table's bucket count,
+    with the snapshot scanned once, the batch scanned once, and no
+    broadcast — the nested-subquery construction changes only how many
+    times the driver analyzes the tree, never the resolved plan."""
+    import re
+
+    from fluss_spark.catalog import Catalog
+    from fluss_spark.sources.kv import BUCKET_COL
+    from fluss_spark.table import create_table
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    schema = TableSchema(
+        fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+        primary_key=["user_id"],
+        num_buckets=8,
+    )
+    t = create_table(Catalog(str(tmp_path / "wh")), "db", "sql_fold_plan", schema)
+    t.upsert(ev.filter(F.col("event_id") % 2 == 0), ordering=["event_id"])
+    batch = ev.filter(F.col("event_id") % 2 == 1)
+    assert t.kv._fold_replay_sql_ok(batch, None, None)
+    changelog, bb, ps, _prior = t.kv._fold_replay_sql(spark, batch, ["event_id"], None)
+    simple = changelog._sc._jvm.PythonSQLUtils.explainString(
+        changelog._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", simple)) == 1, simple
+    assert "BroadcastHashJoin" not in simple, simple
+
+    state0 = t.kv.catalog.current_commit("db", "sql_fold_plan")
+    out, _persisted, _auto = t.kv._commit_plan(
+        spark, changelog, 123456, bb, ps, state0, prior_included=True
+    )
+    full = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", full)) == 1, full
+    assert re.search(rf"hashpartitioning\(`?{BUCKET_COL}`?#\d+, 8\)", full), full
+    assert full.count("InMemoryFileIndex") == 2, full
+
+
 def test_q5_broadcasts_all_dims(spark, sf_dir):
     """Six-table Q5: nation/region broadcast statically (bounded dims);
     customer/supplier carry no hint, so AQE broadcasts them at this SF —
