@@ -96,31 +96,37 @@ PAIR_SCOPE_MAX = 512
 import threading as _threading
 
 _AQE_LOCK = _threading.Lock()
-_AQE_STATE: dict[str, list] = {}  # session id -> [depth, saved value]
+# SparkSession identity -> [depth, saved value, session]. spark.conf is
+# PER-SESSION (not per-context), so the scope must key on the session
+# object itself — keying on applicationId would skip the disable for a
+# second newSession() on the same context and restore the saved value
+# onto the wrong session. The session reference is held only while a
+# depth > 0 scope is open (bounded: commit transactions are short).
+_AQE_STATE: dict[int, list] = {}
 _AQE_KEY = "spark.sql.adaptive.enabled"
 
 
 def _aqe_off_enter(spark: SparkSession) -> None:
     with _AQE_LOCK:
-        sid = spark.sparkContext.applicationId
+        sid = id(spark)
         st = _AQE_STATE.get(sid)
         if st is None:
             prev = spark.conf.get(_AQE_KEY, "true")
             spark.conf.set(_AQE_KEY, "false")
-            _AQE_STATE[sid] = [1, prev]
+            _AQE_STATE[sid] = [1, prev, spark]
         else:
             st[0] += 1
 
 
 def _aqe_off_exit(spark: SparkSession) -> None:
     with _AQE_LOCK:
-        sid = spark.sparkContext.applicationId
+        sid = id(spark)
         st = _AQE_STATE.get(sid)
         if st is None:
             return
         st[0] -= 1
         if st[0] <= 0:
-            spark.conf.set(_AQE_KEY, st[1])
+            st[2].conf.set(_AQE_KEY, st[1])
             del _AQE_STATE[sid]
 
 
@@ -1059,10 +1065,15 @@ class KvStore:
         )
         final_sql = emit_sql
         if schema.changelog_image == "wal":
+            # +I -> +U rewrite gates exactly like the layered
+            # _apply_changelog_image: default merge engine (the SCHEMA's
+            # engine — an overwrite batch to a non-default-engine table
+            # folds as last-write-wins but keeps +I, KvTablet semantics)
+            # and no auto-increment columns.
             has_autoinc = any(f.auto_increment for f in schema.fields)
             ct = (
                 wal_image_ct_case_sql()
-                if not has_autoinc
+                if schema.merge_engine == "default" and not has_autoinc
                 else f"`{CHANGE_TYPE_COL}`"
             )
             final_sql = (
@@ -2201,7 +2212,9 @@ class KvStore:
                 # snapshot()/lookup of the same table — reuse the
                 # resolved relation and its file listing instead of
                 # re-analyzing per call
-                key = (tuple(leaves), id(spark))
+                # applicationId, not id(spark): ids can be reused by a
+                # new session after GC (see registry.session_key)
+                key = (tuple(leaves), spark.sparkContext.applicationId)
                 cached = self._dir_cache.get(key)
                 if cached is not None:
                     return cached

@@ -460,14 +460,27 @@ def test_sql_fold_changelog_matches_layered_fold(spark, tmp_path):
     from fluss_spark.sources.kv import BUCKET_COL
 
     shapes = {
-        "plain": ({}, None),
-        "wal": ({"table.changelog.image": "wal"}, None),
-        "ignore": ({"table.delete.behavior": "ignore"}, None),
-        "part": ({}, ["dt"]),
+        "plain": ({}, None, None),
+        "wal": ({"table.changelog.image": "wal"}, None, None),
+        "ignore": ({"table.delete.behavior": "ignore"}, None, None),
+        "part": ({}, ["dt"], None),
+        # merge_mode='overwrite' on a NON-default engine with WAL image:
+        # the gate admits it (the fold is plain last-write-wins), but the
+        # +I -> +U shortcut must NOT apply — _apply_changelog_image gates
+        # on schema.merge_engine, not the effective fold engine.
+        "ow_versioned_wal": (
+            {
+                "table.merge-engine": "versioned",
+                "table.merge-engine.versioned.ver-column": "n",
+                "table.changelog.image": "wal",
+            },
+            None,
+            "overwrite",
+        ),
     }
     cat = Catalog(str(tmp_path / "wh"))
     ts = 1_700_000_900_000
-    for name, (props, parts) in shapes.items():
+    for name, (props, parts, mm) in shapes.items():
         fields = [
             Field("k", "INT", nullable=False),
             Field("v", "STRING"),
@@ -495,7 +508,7 @@ def test_sql_fold_changelog_matches_layered_fold(spark, tmp_path):
         t.kv.upsert(mk(base), ordering=["n"], commit_ts_ms=ts)
 
         df_sql = mk(batch)
-        assert t.kv._fold_replay_sql_ok(df_sql, None, None), name
+        assert t.kv._fold_replay_sql_ok(df_sql, None, mm), name
         cl_sql, bb_s, _ps, _prior = t.kv._fold_replay_sql(
             spark, df_sql, ["n"], None
         )
@@ -505,6 +518,7 @@ def test_sql_fold_changelog_matches_layered_fold(spark, tmp_path):
         cl_lay, _ = replay(
             fold_in, schema, may_have_deletes=mhd,
             cluster_cols=[BUCKET_COL], emit_prior=True,
+            merge_mode=mm,
         )
         assert bb_s == bb_l, name
         assert sorted(cl_sql.columns) == sorted(cl_lay.columns), name
