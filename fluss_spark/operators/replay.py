@@ -65,9 +65,10 @@ def _run_over(pk: list[str]) -> str:
     )
 
 
-def _lag_over(pk: list[str]) -> str:
+def _lag_over(pk: list[str], order_cols: list[str] | None = None) -> str:
     pks = ", ".join(f"`{c}`" for c in pk)
-    return f"PARTITION BY {pks} ORDER BY `{SEQ_COL}`"
+    order = ", ".join(f"`{c}`" for c in (order_cols or [SEQ_COL]))
+    return f"PARTITION BY {pks} ORDER BY {order}"
 
 
 # `cluster_cols` (below) prefixes every fold window's PARTITION BY with
@@ -295,11 +296,16 @@ def wal_image_ct_case_sql() -> str:
 # ---------------------------------------------------------------------- #
 
 
-def default_fold_select_list(cols: list[str], part: list[str]) -> list[str]:
+def default_fold_select_list(
+    cols: list[str], part: list[str], order_cols: list[str] | None = None
+) -> list[str]:
     """Select list of the default-merge running-state layer (state
     presence after each record). Shared by `_replay_default` and the
-    one-statement SQL fold (kv.KvStore._fold_replay_sql)."""
-    lag_over = _lag_over(part)
+    one-statement SQL fold (kv.KvStore._fold_replay_sql). `order_cols`
+    overrides the fold-order columns (default [__seq]); the group-commit
+    fold passes [__grp, __seq] so per-batch sequence numbers replay in
+    batch-major order — identical per-key frames to N sequential folds."""
+    lag_over = _lag_over(part, order_cols)
     state = f"CASE WHEN `{OP_COL}` = 'U' THEN {_struct_sql(cols)} END"
     return [
         "*",

@@ -79,6 +79,12 @@ from fluss_spark.types import (
 # sibling artifacts: __dest=w (WAL commit files) / __dest=s (snapshot)
 DEST_COL = "__dest"
 
+# group-commit batch index: rides the fused fold as the most-significant
+# fold-order component (ORDER BY __grp, __seq everywhere __seq orders),
+# and the write action partitions the WAL side by it (__g=<idx> dirs →
+# one commit version per batch). Seed/prior rows carry -1 (sort first).
+GRP_COL = "__grp"
+
 # largest batch (partition, bucket)-pair set that still builds a typed
 # pair predicate + manifest-key pruning for the seed/prior reads; a
 # corpus-wide backfill above it falls back to bucket-only bounding
@@ -421,6 +427,80 @@ class KvStore:
         finally:
             if defer <= 1:
                 _aqe_off_exit(spark)
+
+    def upsert_many(
+        self,
+        batches: list[DataFrame],
+        ordering: list[str] | None = None,
+        commit_ts_ms: int | list[int] | None = None,
+        batch_buckets: list[int] | None = None,
+    ) -> list[CommitState]:
+        """Group commit: fold N pending batches through ONE fused
+        single-exchange transaction and ONE write action, publishing N
+        commit versions (the reference amortizes its per-commit server
+        round trip the same way — accumulated write batches flushed
+        together). Equivalence contract with N sequential `upsert()`
+        calls, pinned by tests/test_commit_equivalence.py:
+          - WAL contents byte-identical: per-batch `__seq` restarts at 1
+            (numbered within the batch), offsets are one running count
+            in (__grp, __seq) order — exactly the sequential bases —
+            and each batch's rows land in their own commit=V dir;
+          - the final snapshot is identical (the fold chains per-key
+            state across batches just as commit N's seed is commit
+            N-1's snapshot);
+          - intermediate versions are WAL-only states (snapshot_version
+            stays at the base — the sparse-version shape deferred
+            commits and log compaction already produce), so time travel
+            to them folds the offset-bounded changelog slice and returns
+            the exact same rows, trading a tail fold at read time for
+            N-1 saved write actions + snapshot rewrites.
+        Shapes the single-statement fold does not cover (non-default
+        merge engines, partial updates, auto-increment id packing, a
+        pending deferred tail) fall back to sequential upserts."""
+        batches = [b for b in batches]
+        if not batches:
+            raise ValueError("upsert_many requires at least one batch")
+        if isinstance(commit_ts_ms, (list, tuple)):
+            if len(commit_ts_ms) != len(batches):
+                raise ValueError("commit_ts_ms list must match batches")
+            ts_list = [int(t) for t in commit_ts_ms]
+        else:
+            import time
+
+            one = int(time.time() * 1000) if commit_ts_ms is None else int(commit_ts_ms)
+            ts_list = [one] * len(batches)
+        schema = self.schema
+        defer = int(schema.properties.get("table.snapshot.defer-commits", "1") or "1")
+        groupable = (
+            len(batches) > 1
+            and defer <= 1
+            and not any(f.auto_increment for f in schema.fields)
+            and all(self._fold_replay_sql_ok(b, None, None) for b in batches)
+            # a pending WAL tail means the serial path must materialize
+            # first — keep that logic in one place (upsert)
+            and self._tail_start(self.catalog.current_commit(self.db, self.table))
+            is None
+        )
+        if not groupable:
+            return [
+                self.upsert(
+                    b, ordering=ordering, commit_ts_ms=ts,
+                    batch_buckets=batch_buckets,
+                )
+                for b, ts in zip(batches, ts_list)
+            ]
+        spark = batches[0].sparkSession
+        _aqe_off_enter(spark)
+        try:
+            changelog, batch_buckets, pair_scope, prior = self._fold_replay_sql(
+                spark, batches, ordering, batch_buckets
+            )
+            return self._commit_group(
+                spark, changelog, ts_list, batch_buckets, pair_scope, prior,
+                len(batches),
+            )
+        finally:
+            _aqe_off_exit(spark)
 
     def upsert_optimistic(
         self,
@@ -919,7 +999,7 @@ class KvStore:
     def _fold_replay_sql(
         self,
         spark: SparkSession,
-        df: DataFrame,
+        df: DataFrame | list[DataFrame],
         ordering: list[str] | None,
         known_buckets: list[int] | None,
     ):
@@ -940,7 +1020,15 @@ class KvStore:
         Returns (changelog, batch_buckets, pair_scope, bounded) — the
         same contract `_fold_input` + `replay(cluster_cols=[__bucket],
         emit_prior=True)` produces for `_commit_changelog(
-        prior_included=True)`."""
+        prior_included=True)`.
+
+        `df` may be a LIST of batches (group commit, see upsert_many):
+        each batch is projected with its index as `__grp` (seed rows
+        -1), per-batch `__seq` restarts at 1 (PARTITION BY ..., __grp),
+        and every fold/emission window orders by (__grp, __seq) — the
+        per-key frames are then exactly the concatenation of N
+        sequential folds, so the emitted change rows are identical. With
+        a single batch the generated SQL is byte-identical to before."""
         from fluss_spark.operators.replay import (
             default_fold_select_list,
             emit_select_list,
@@ -950,41 +1038,54 @@ class KvStore:
 
         schema = self.schema
         pk, cols = schema.primary_key, schema.data_columns()
-        may_have_deletes = OP_COL in df.columns
+        dfs = df if isinstance(df, list) else [df]
+        grouped = len(dfs) > 1
+        may_have_deletes = any(OP_COL in d.columns for d in dfs)
         ord_names = list(ordering) if ordering else ["__arrival"]
         ord_extra = [c for c in ord_names if c not in cols]
-        have = set(df.columns)
         ftype = {f.name: f.type for f in schema.fields}
-        cast_sql = {
-            c: (
-                f"CAST(`{c}` AS {parse_type(ftype[c]).simpleString()})"
-                if c in have
-                else f"CAST(NULL AS {parse_type(ftype[c]).simpleString()})"
-            )
-            for c in cols
-        }
+
+        def _cast_sql_for(d: DataFrame) -> dict[str, str]:
+            have = set(d.columns)
+            return {
+                c: (
+                    f"CAST(`{c}` AS {parse_type(ftype[c]).simpleString()})"
+                    if c in have
+                    else f"CAST(NULL AS {parse_type(ftype[c]).simpleString()})"
+                )
+                for c in cols
+            }
+
+        cast_sqls = [_cast_sql_for(d) for d in dfs]
 
         # batch projection (layer shared with _fold_input's `proj`);
         # __arrival is computed inline — same per-row value as the
         # layered path's pre-projection withColumn
-        bproj = [f"{cast_sql[c]} AS `{c}`" for c in cols]
-        bproj.append(f"`{OP_COL}`" if may_have_deletes else f"'U' AS `{OP_COL}`")
-        bproj.append(f"0 AS `{SEED_COL}`")
-        for c in ord_extra:
+        def _bproj_for(d: DataFrame, cast_sql: dict[str, str], g: int) -> list[str]:
+            bproj = [f"{cast_sql[c]} AS `{c}`" for c in cols]
             bproj.append(
-                "monotonically_increasing_id() AS `__arrival`"
-                if c == "__arrival"
-                else f"`{c}`"
+                f"`{OP_COL}`" if OP_COL in d.columns else f"'U' AS `{OP_COL}`"
             )
-        keys_sql = ", ".join(cast_sql[c] for c in schema.bucket_keys)
-        bucket_from_cast = (
-            f"CAST(pmod(hash({keys_sql}), {schema.num_buckets}) AS INT)"
-        )
-        bproj.append(f"{bucket_from_cast} AS `{BUCKET_COL}`")
+            bproj.append(f"0 AS `{SEED_COL}`")
+            for c in ord_extra:
+                bproj.append(
+                    "monotonically_increasing_id() AS `__arrival`"
+                    if c == "__arrival"
+                    else f"`{c}`"
+                )
+            keys_sql = ", ".join(cast_sql[c] for c in schema.bucket_keys)
+            bproj.append(
+                f"CAST(pmod(hash({keys_sql}), {schema.num_buckets}) AS INT)"
+                f" AS `{BUCKET_COL}`"
+            )
+            if grouped:
+                bproj.append(f"CAST({g} AS INT) AS `{GRP_COL}`")
+            return bproj
 
         # write scope (same rules as _fold_input): skip on first commit,
         # trust a caller-known superset, else one map-side discovery job
-        # over a minimal CAST key/partition frame
+        # over a minimal CAST key/partition frame (the union of all
+        # batches' keys under group commit)
         state_now = self.catalog.current_commit(self.db, self.table)
         manifest_now = self._manifest(state_now.snapshot_version)
         has_snapshot = (
@@ -1000,7 +1101,13 @@ class KvStore:
             disc_cols = list(
                 dict.fromkeys(list(schema.bucket_keys) + list(schema.partition_keys))
             )
-            bdisc = df.selectExpr(*[f"{cast_sql[c]} AS `{c}`" for c in disc_cols])
+            bdisc = reduce(
+                DataFrame.unionByName,
+                [
+                    d.selectExpr(*[f"{cs[c]} AS `{c}`" for c in disc_cols])
+                    for d, cs in zip(dfs, cast_sqls)
+                ],
+            )
             batch_buckets, pair_pred, pair_keys = self._discover_scope(
                 bdisc, manifest_now
             )
@@ -1011,20 +1118,24 @@ class KvStore:
 
         # seed projection — column-for-column the batch projection's
         # order (UNION ALL aligns by position)
-        df_types = dict(df.dtypes)
+        df_types = dict(dfs[0].dtypes)
         sproj = (
             [f"`{c}`" for c in cols]
             + [f"'U' AS `{OP_COL}`", f"1 AS `{SEED_COL}`"]
             + [
-                f"CAST(NULL AS {'bigint' if c == '__arrival' else df_types[c]}) AS `{c}`"
+                f"CAST(NULL AS {'bigint' if c == '__arrival' else df_types.get(c, 'bigint')}) AS `{c}`"
                 for c in ord_extra
             ]
             + [f"{self._bucket_sql()} AS `{BUCKET_COL}`"]
+            + ([f"CAST(-1 AS INT) AS `{GRP_COL}`"] if grouped else [])
         )
 
-        union_sql = (
-            f"SELECT {', '.join(sproj)} FROM {{snap}}"
-            f" UNION ALL SELECT {', '.join(bproj)} FROM {{batch}}"
+        def _ph(g: int) -> str:
+            return "batch" if not grouped else f"b{g}"
+
+        union_sql = f"SELECT {', '.join(sproj)} FROM {{snap}}" + "".join(
+            f" UNION ALL SELECT {', '.join(_bproj_for(d, cs, g))} FROM {{{_ph(g)}}}"
+            for g, (d, cs) in enumerate(zip(dfs, cast_sqls))
         )
         # the transaction's ONE exchange, sized to the table's bucket
         # count (same node as DataFrame.repartition(n, __bucket))
@@ -1032,7 +1143,13 @@ class KvStore:
             f"SELECT /*+ REPARTITION({schema.num_buckets}, `{BUCKET_COL}`) */ *"
             f" FROM ({union_sql})"
         )
-        part_sql = ", ".join([f"`{BUCKET_COL}`"] + [f"`{c}`" for c in pk])
+        # per-batch __seq: under group commit the numbering partition
+        # additionally keys on __grp, so each batch's rows restart at 1
+        # per key — the sequential commits' numbering exactly
+        seq_part_cols = [f"`{BUCKET_COL}`"] + [f"`{c}`" for c in pk] + (
+            [f"`{GRP_COL}`"] if grouped else []
+        )
+        part_sql = ", ".join(seq_part_cols)
         ord_sql = ", ".join(
             [f"`{SEED_COL}` DESC"] + [f"`{c}` ASC NULLS FIRST" for c in ord_names]
         )
@@ -1047,6 +1164,7 @@ class KvStore:
                 f"`{SEED_COL}`",
                 f"`{BUCKET_COL}`",
             ]
+            + ([f"`{GRP_COL}`"] if grouped else [])
         )
         fold_sql = f"SELECT {', '.join(seq_select)} FROM ({repart_sql})"
 
@@ -1055,12 +1173,14 @@ class KvStore:
         where = ""
         if schema.delete_behavior == "ignore" and may_have_deletes:
             where = f" WHERE `{OP_COL}` != 'D' OR `{SEED_COL}` = 1"
+        fold_order = [GRP_COL, SEQ_COL] if grouped else None
+        extra_fold_cols = [BUCKET_COL] + ([GRP_COL] if grouped else [])
         d_sql = (
-            f"SELECT {', '.join(default_fold_select_list(cols, [BUCKET_COL] + list(pk)))}"
+            f"SELECT {', '.join(default_fold_select_list(cols, [BUCKET_COL] + list(pk), fold_order))}"
             f" FROM ({fold_sql}){where}"
         )
         emit_sql = (
-            f"SELECT {', '.join(emit_select_list(cols, '__cur', '__prev', '__prev_present', 'true', [BUCKET_COL], True))}"
+            f"SELECT {', '.join(emit_select_list(cols, '__cur', '__prev', '__prev_present', 'true', extra_fold_cols, True))}"
             f" FROM ({d_sql})"
         )
         final_sql = emit_sql
@@ -1077,13 +1197,17 @@ class KvStore:
                 else f"`{CHANGE_TYPE_COL}`"
             )
             final_sql = (
-                f"SELECT `{SEQ_COL}`, `{BUCKET_COL}`, `{SUB_COL}`, "
+                f"SELECT `{SEQ_COL}`, `{BUCKET_COL}`, "
+                + (f"`{GRP_COL}`, " if grouped else "")
+                + f"`{SUB_COL}`, "
                 f"{ct} AS `{CHANGE_TYPE_COL}`, "
                 + ", ".join(f"`{c}`" for c in cols)
                 + f" FROM ({emit_sql}) WHERE {wal_image_where_sql(True)}"
             )
 
-        changelog = spark.sql(final_sql, snap=bounded, batch=df)
+        frames = {"snap": bounded}
+        frames.update({_ph(g): d for g, d in enumerate(dfs)})
+        changelog = spark.sql(final_sql, **frames)
         pair_scope = (
             (pair_pred, pair_keys)
             if (pair_pred is not None or pair_keys is not None)
@@ -1383,16 +1507,45 @@ class KvStore:
         self._write_combined(out, combined, persisted)
         return self._commit_finish(spark, combined, state0, version, ts_ms, auto_next)
 
+    def _commit_group(
+        self,
+        spark: SparkSession,
+        changelog: DataFrame,
+        ts_list: list[int],
+        batch_buckets: list[int] | None,
+        pair_scope,
+        prior_frame: DataFrame | None,
+        grp_count: int,
+    ) -> list[CommitState]:
+        """Publish a grouped fold (see upsert_many) as `grp_count`
+        commit versions from ONE write action: the WAL side is
+        partitioned by `__g`, each sub-dir renames into its own commit
+        dir; only the LAST version materializes the snapshot —
+        intermediate versions are WAL-only states (the deferred-commit /
+        compaction sparse-version shape the read paths already serve)."""
+        self.log.clean_orphans()
+        state0 = self.catalog.current_commit(self.db, self.table)
+        out, persisted, _auto = self._commit_plan(
+            spark, changelog, ts_list, batch_buckets, pair_scope, state0,
+            prior_frame, prior_included=True, grp_count=grp_count,
+        )
+        combined = os.path.join(self.log.tmp_dir, f"commit-v{state0.version + 1}")
+        self._write_combined(out, combined, persisted, grouped=True)
+        return self._commit_finish_group(
+            spark, combined, state0, ts_list, grp_count
+        )
+
     def _commit_plan(
         self,
         spark: SparkSession,
         changelog: DataFrame,
-        ts_ms: int,
+        ts_ms: int | list[int],
         batch_buckets: list[int] | None,
         pair_scope,
         state0: CommitState,
         prior_frame: DataFrame | None = None,
         prior_included: bool = False,
+        grp_count: int | None = None,
     ):
         """Build the fused commit-output frame (see _commit_single_action)
         against a given base state. Returns (out frame, persisted handle
@@ -1410,6 +1563,12 @@ class KvStore:
         schema = self.schema
         pk, cols = schema.primary_key, schema.data_columns()
         old_manifest = self._manifest(state0.snapshot_version) or {}
+        grouped = grp_count is not None
+        if grouped:
+            # group gate (upsert_many) excludes these shapes
+            assert prior_included and not any(
+                f.auto_increment for f in schema.fields
+            ), "group commit requires the fused fold and no auto-increment"
 
         # Everything below builds the plan from WHOLE-SELECT SQL strings
         # (selectExpr / one JVM parse each) instead of per-column Column
@@ -1479,6 +1638,7 @@ class KvStore:
             *[f"CAST(`{c}` AS {declared[c]}) AS `{c}`" for c in cols],
             *sys_cast,
             *([f"`{BUCKET_COL}`"] if prior_included else []),
+            *([f"`{GRP_COL}`"] if grouped else []),
         )
         if old_manifest and not prior_included:
             # prior rows of the candidate buckets ride the same window;
@@ -1513,8 +1673,14 @@ class KvStore:
         pk_sql = ", ".join(f"`{c}`" for c in pk)
         # arrival-order window: offsets follow (seq, sub, pk) — the fold
         # sequence = batch arrival — so cross-key WAL order matches the
-        # reference contract and the two-pass path exactly
-        over = f"PARTITION BY `{BUCKET_COL}` ORDER BY `{SEQ_COL}`, `{SUB_COL}`, {pk_sql}"
+        # reference contract and the two-pass path exactly. Group commit
+        # prefixes the batch index: offsets run batch-major, exactly the
+        # cumulative bases N sequential commits would assign.
+        grp_ord = f"`{GRP_COL}`, " if grouped else ""
+        over = (
+            f"PARTITION BY `{BUCKET_COL}` ORDER BY {grp_ord}`{SEQ_COL}`, "
+            f"`{SUB_COL}`, {pk_sql}"
+        )
         is_event = f"(`{CHANGE_TYPE_COL}` IS NOT NULL)"
         base = {int(b): off for b, off in state0.log_hwm.items()}
         # one map literal, not an O(buckets) when-chain: constant
@@ -1533,7 +1699,11 @@ class KvStore:
         # last row of a key = its max fold position; computed on a
         # (bucket, pk) frame that shares the bucket exchange (hash(bucket)
         # clusters (bucket, pk) too) and costs one extra in-memory sort
-        pos = f"struct(`{SEQ_COL}`, `{SUB_COL}`)"
+        pos = (
+            f"struct(`{GRP_COL}`, `{SEQ_COL}`, `{SUB_COL}`)"
+            if grouped
+            else f"struct(`{SEQ_COL}`, `{SUB_COL}`)"
+        )
         is_last = f"({pos} = max({pos}) OVER (PARTITION BY `{BUCKET_COL}`, {pk_sql}))"
         if not prior_included:
             ev = ev.selectExpr("*", f"{bucket_sql} AS `{BUCKET_COL}`")
@@ -1589,6 +1759,15 @@ class KvStore:
             )
             for c in cols
         ]
+        if grouped:
+            # per-batch commit timestamps (sequential commits stamp each
+            # batch at its own commit time)
+            ts_pairs = ", ".join(
+                f"{g}, timestamp_millis({t})" for g, t in enumerate(ts_ms)
+            )
+            ts_sql = f"element_at(map({ts_pairs}), `{GRP_COL}`)"
+        else:
+            ts_sql = f"timestamp_millis({ts_ms})"
         ev = ev.selectExpr(
             *data_proj,
             f"`{CHANGE_TYPE_COL}`",
@@ -1597,7 +1776,7 @@ class KvStore:
             f"CAST(CASE WHEN {is_event} THEN "
             f"{rc} - 1 + ({base_sql}) "
             f"END AS BIGINT) AS `{OFFSET_COL}`",
-            f"CASE WHEN {is_event} THEN timestamp_millis({ts_ms}) END AS `{TIMESTAMP_COL}`",
+            f"CASE WHEN {is_event} THEN {ts_sql} END AS `{TIMESTAMP_COL}`",
             # window expressions must be plain columns before the
             # generator below: Spark rejects window functions in explode()
             f"{is_last} AS __is_last",
@@ -1612,6 +1791,7 @@ class KvStore:
             )
             + ") = 1) AS __touched",
             f"`{BUCKET_COL}`",
+            *([f"`{GRP_COL}`"] if grouped else []),
         )
         # routing + system-column shaping in ONE plan node: the 0-2
         # destination copies of each row are FLAT structs unpacked by
@@ -1620,17 +1800,22 @@ class KvStore:
         # system-column values: nulls compress to nothing, and lake
         # exports (schema from parquet footers) must not see real values
         # on the snapshot surface.
+        # group commit: '__g' (the struct field, unpacked by inline into
+        # a real column) routes each WAL copy to its batch's commit dir;
+        # the snapshot copy belongs to the group's LAST version
+        w_grp = f", '__g', `{GRP_COL}`" if grouped else ""
+        s_grp = f", '__g', CAST({(grp_count or 1) - 1} AS INT)" if grouped else ""
         w_struct = (
             f"named_struct('{CHANGE_TYPE_COL}', `{CHANGE_TYPE_COL}`, "
             f"'{SEQ_COL}', `{SEQ_COL}`, '{SUB_COL}', `{SUB_COL}`, "
             f"'{OFFSET_COL}', `{OFFSET_COL}`, "
-            f"'{TIMESTAMP_COL}', `{TIMESTAMP_COL}`, '{DEST_COL}', 'w')"
+            f"'{TIMESTAMP_COL}', `{TIMESTAMP_COL}`{w_grp}, '{DEST_COL}', 'w')"
         )
         s_struct = (
             f"named_struct('{CHANGE_TYPE_COL}', CAST(NULL AS STRING), "
             f"'{SEQ_COL}', CAST(NULL AS BIGINT), '{SUB_COL}', CAST(NULL AS INT), "
             f"'{OFFSET_COL}', CAST(NULL AS BIGINT), "
-            f"'{TIMESTAMP_COL}', CAST(NULL AS TIMESTAMP), '{DEST_COL}', 's')"
+            f"'{TIMESTAMP_COL}', CAST(NULL AS TIMESTAMP){s_grp}, '{DEST_COL}', 's')"
         )
         slot_w = f"CASE WHEN {is_event} THEN {w_struct} END"
         slot_s = (
@@ -1646,20 +1831,30 @@ class KvStore:
 
         return out, persisted, auto_next
 
-    def _write_combined(self, out: DataFrame, combined: str, persisted) -> None:
+    def _write_combined(
+        self, out: DataFrame, combined: str, persisted, grouped: bool = False
+    ) -> None:
         """The ONE write action of the fused commit: both siblings land
-        under `combined` as __dest=w / __dest=s partition dirs."""
+        under `combined` as __dest=w / __dest=s partition dirs (group
+        commit adds a __g=<batch> level so each batch's WAL renames into
+        its own commit dir — the '__g' column is stripped into the dir
+        name, so file contents stay identical to single commits)."""
         schema = self.schema
         codec = schema.properties.get("table.log.compression", "snappy")  # W6
         # rows left the bucket window hash-clustered by BUCKET_COL, so
         # partitionBy emits one file per (dest[, partition], bucket)
         # without another exchange; partition keys sit ABOVE the bucket
         # in both siblings' dir layout (reference TableBucket layering)
+        part_cols = (
+            [DEST_COL, "__g", *schema.partition_keys, BUCKET_COL]
+            if grouped
+            else [DEST_COL, *schema.partition_keys, BUCKET_COL]
+        )
         try:
             (
                 out.write.mode("overwrite")
                 .option("compression", codec)
-                .partitionBy(DEST_COL, *schema.partition_keys, BUCKET_COL)
+                .partitionBy(*part_cols)
                 .parquet(combined)
             )
         finally:
@@ -1674,6 +1869,7 @@ class KvStore:
         version: int,
         ts_ms: int,
         auto_next: dict[str, int],
+        touched_override=None,
     ) -> CommitState:
         """Publish a written combined dir as commit `version` on top of
         `base_state`: rename the siblings into place, advance the HWMs
@@ -1704,8 +1900,12 @@ class KvStore:
             hwm[str(bkt)] = mx + 1
         # the snapshot-rewrite unit: buckets (unpartitioned) or
         # (partition path, bucket) pairs (partitioned) — both read off
-        # the staged WAL's directory names, zero extra jobs
-        if schema.partition_keys:
+        # the staged WAL's directory names, zero extra jobs. Group
+        # commit passes the UNION over every batch's staged dirs (the
+        # final data dir holds rows for units any batch touched).
+        if touched_override is not None:
+            touched = sorted(touched_override)
+        elif schema.partition_keys:
             touched = self._walk_pairs(staged)
         else:
             touched = sorted(per_bucket)
@@ -1762,6 +1962,97 @@ class KvStore:
         self.log.publish(version)
         self.catalog.commit(self.db, self.table, new_state)
         return new_state
+
+    def _commit_finish_group(
+        self,
+        spark: SparkSession,
+        combined: str,
+        state0: CommitState,
+        ts_list: list[int],
+        grp_count: int,
+    ) -> list[CommitState]:
+        """Publish a grouped combined dir as `grp_count` commit versions
+        on top of state0. Versions v+1..v+N-1 are WAL-only states (their
+        __g sub-dir renames into the commit dir; snapshot_version stays
+        at the base — exactly the shape _commit_wal_only publishes, which
+        every read path serves via the offset-bounded tail fold); the
+        final version routes through _commit_finish with the touched-unit
+        UNION of all batches, so the manifest/data-dir handling (pair
+        pruning, partitioned dir_pairs) is the single-commit code."""
+        import shutil
+
+        schema = self.schema
+        hwm = dict(state0.log_hwm)
+        states: list[CommitState] = []
+        touched_union: set = set()
+        w_root = os.path.join(combined, f"{DEST_COL}=w")
+        for g in range(grp_count - 1):
+            version = state0.version + 1 + g
+            staged = self.log.staging_path(version)
+            wal_part = os.path.join(w_root, f"__g={g}")
+            if os.path.isdir(wal_part):
+                if os.path.exists(staged):
+                    shutil.rmtree(staged)
+                os.rename(wal_part, staged)
+            else:  # batch produced no change events
+                os.makedirs(staged, exist_ok=True)
+            per_bucket = self._footer_hwm_or_read(spark, staged)
+            for bkt, mx in per_bucket.items():
+                hwm[str(bkt)] = mx + 1
+            if schema.partition_keys:
+                touched_union.update(self._walk_pairs(staged))
+            else:
+                touched_union.update(per_bucket)
+            st = CommitState(
+                version=version,
+                log_hwm=dict(hwm),
+                snapshot_version=state0.snapshot_version,
+                auto_increment=dict(state0.auto_increment),
+                ts_ms=ts_list[g],
+                log_start=state0.log_start,
+                log_floor=state0.log_floor,
+            )
+            self.log.publish(version)
+            self.catalog.commit(self.db, self.table, st)
+            states.append(st)
+
+        # restructure to the single-commit layout (__dest=w/__dest=s hold
+        # the LAST batch's WAL and the group's final snapshot) and reuse
+        # _commit_finish for the materializing version
+        last = grp_count - 1
+        wal_last = os.path.join(w_root, f"__g={last}")
+        if os.path.isdir(wal_last):
+            tmp_w = os.path.join(combined, "__w_final")
+            os.rename(wal_last, tmp_w)
+            shutil.rmtree(w_root, ignore_errors=True)
+            os.rename(tmp_w, w_root)
+            if schema.partition_keys:
+                touched_union.update(self._walk_pairs(w_root))
+            else:
+                touched_union.update(
+                    self._footer_hwm_or_read(spark, w_root)
+                )
+        else:
+            shutil.rmtree(w_root, ignore_errors=True)
+        s_root = os.path.join(combined, f"{DEST_COL}=s")
+        s_last = os.path.join(s_root, f"__g={last}")
+        if os.path.isdir(s_last):
+            tmp_s = os.path.join(combined, "__s_final")
+            os.rename(s_last, tmp_s)
+            shutil.rmtree(s_root, ignore_errors=True)
+            os.rename(tmp_s, s_root)
+        base = states[-1] if states else state0
+        final = self._commit_finish(
+            spark,
+            combined,
+            base,
+            state0.version + grp_count,
+            ts_list[-1],
+            dict(state0.auto_increment),
+            touched_override=touched_union,
+        )
+        states.append(final)
+        return states
 
     def _footer_hwm_or_read(self, spark: SparkSession, staged: str) -> dict[int, int]:
         """Per-bucket max(__offset) of the staged WAL — Parquet footers

@@ -124,6 +124,31 @@ class FlussTable:
                 state = self.catalog.current_commit(self.db, self.name)
         return state
 
+    def upsert_many(self, batches, **kw) -> list["CommitState"]:
+        """Group commit: N pending batches through ONE fused transaction
+        and write action, published as N commit versions (see
+        kv.KvStore.upsert_many for the sequential-equivalence contract).
+        Maintenance (auto-compaction / retention) runs once after the
+        group — identical end state for the shapes the group path
+        accepts; tables with an explicit retention policy or optimistic
+        concurrency keep the per-commit sequential path so their
+        per-commit maintenance cadence is unchanged."""
+        if self.kv is None:
+            raise ValueError("upsert requires a Primary Key Table")
+        batches = list(batches)
+        if (
+            self._optimistic_commits()
+            or self.schema.properties.get("table.snapshot.num-retained") is not None
+        ):
+            return [self.upsert(b, **kw) for b in batches]
+        if not batches:
+            raise ValueError("upsert_many requires at least one batch")
+        with self.catalog.write_lock(self.db, self.name):
+            states = self.kv.upsert_many(batches, **kw)
+            if self._upsert_maintenance_locked(batches[0].sparkSession):
+                states[-1] = self.catalog.current_commit(self.db, self.name)
+        return states
+
     def _optimistic_commits(self) -> bool:
         props = self.schema.properties
         return (

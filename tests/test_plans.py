@@ -388,6 +388,56 @@ def test_sql_fold_commit_plan_single_shuffle(spark, sf_dir, tmp_path):
     assert full.count("InMemoryFileIndex") == 2, full
 
 
+def test_group_commit_plan_single_shuffle(spark, sf_dir, tmp_path):
+    """The GROUP fold (upsert_many: N batches through one transaction)
+    keeps the single-exchange contract: the complete commit-output plan
+    for a 3-batch group costs exactly ONE hash exchange keyed by
+    __bucket and sized to the table's bucket count, no broadcast, with
+    the snapshot scanned once — the batch index only adds window order
+    columns and a write-partition level, never an exchange."""
+    import re
+
+    from fluss_spark.catalog import Catalog
+    from fluss_spark.sources.kv import BUCKET_COL
+    from fluss_spark.table import create_table
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    schema = TableSchema(
+        fields=[Field("user_id", "BIGINT"), Field("event_type", "STRING"), Field("value", "DOUBLE")],
+        primary_key=["user_id"],
+        num_buckets=8,
+    )
+    t = create_table(Catalog(str(tmp_path / "wh")), "db", "grp_fold_plan", schema)
+    t.upsert(ev.filter(F.col("event_id") % 3 == 0), ordering=["event_id"])
+    batches = [
+        ev.filter(F.col("event_id") % 3 == 1),
+        ev.filter(F.col("event_id") % 3 == 2),
+        ev.filter(F.col("event_id") % 5 == 0),
+    ]
+    changelog, bb, ps, _prior = t.kv._fold_replay_sql(
+        spark, batches, ["event_id"], None
+    )
+    simple = changelog._sc._jvm.PythonSQLUtils.explainString(
+        changelog._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", simple)) == 1, simple
+    assert "BroadcastHashJoin" not in simple, simple
+
+    state0 = t.kv.catalog.current_commit("db", "grp_fold_plan")
+    out, _persisted, _auto = t.kv._commit_plan(
+        spark, changelog, [111, 222, 333], bb, ps, state0,
+        prior_included=True, grp_count=3,
+    )
+    full = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", full)) == 1, full
+    assert re.search(rf"hashpartitioning\(`?{BUCKET_COL}`?#\d+, 8\)", full), full
+    # one snapshot scan + one scan per batch — the group adds batches,
+    # never a second snapshot pass
+    assert full.count("InMemoryFileIndex") == 1 + len(batches), full
+
+
 def test_q5_broadcasts_all_dims(spark, sf_dir):
     """Six-table Q5: nation/region broadcast statically (bounded dims);
     customer/supplier carry no hint, so AQE broadcasts them at this SF —
