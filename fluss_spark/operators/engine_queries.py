@@ -77,6 +77,20 @@ def _bulk(t: FlussTable, df: DataFrame, **kw):
     return t.upsert(df, batch_buckets=list(range(t.schema.num_buckets)), **kw)
 
 
+def _bulk_many(t: FlussTable, dfs: list[DataFrame], **kw):
+    """Group-committed bulk load: N corpus-slice batches through ONE
+    fused transaction and write action (guide §1.2 — the reference
+    amortizes its per-commit round trip the same way). Produces the
+    same N commit versions, byte-identical WAL and identical final
+    snapshot as N sequential _bulk calls (pinned by
+    tests/test_group_commit.py); saves N-1 write actions + snapshot
+    rewrites per lifecycle build. Same all-buckets superset contract as
+    _bulk."""
+    return t.upsert_many(
+        dfs, batch_buckets=list(range(t.schema.num_buckets)), **kw
+    )
+
+
 def _par(*thunks):
     """Run independent commit thunks from a small driver thread pool
     (guide §2.6 job overlap): while one table's commit sits in its
@@ -112,7 +126,11 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
             num_buckets=8,
         )
         t = create_table(cat, "db", variant, schema)
-        # two batches -> exercises the cross-commit snapshot seed
+        # two batches -> exercises the cross-commit snapshot seed. NOT
+        # group-committed: m19_snapshot_time_travel reads the oldest
+        # snapshot_version > 0 of this shared build — both versions must
+        # stay MATERIALIZED snapshot versions, which a group's WAL-only
+        # intermediate is not.
         half = _max_event_id(sf) // 2
         _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
         _bulk(t, ev.filter(F.col("event_id") > half), ordering=["event_id"])
@@ -202,8 +220,10 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
         batch = ev.select("event_type", "user_id", "value", "event_id")
-        t.upsert(batch.filter(F.col("event_id") <= half), ordering=["event_id"])
-        t.upsert(batch.filter(F.col("event_id") > half), ordering=["event_id"])
+        t.upsert_many([
+            batch.filter(F.col("event_id") <= half),
+            batch.filter(F.col("event_id") > half),
+        ], ordering=["event_id"])
     elif variant == "pair_pk":
         # pair-granular commit lifecycle (m15): after a cross-partition
         # seed commit, a SINGLE-PARTITION commit advances only the
@@ -434,8 +454,10 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         # discovery evaluations
         assigned = assign_cells(e_old, cents).select("cell", "vec_id").persist()
         try:
-            _bulk(t, assigned.filter(F.col("vec_id") <= cut // 2), ordering=["vec_id"])
-            _bulk(t, assigned.filter(F.col("vec_id") > cut // 2), ordering=["vec_id"])
+            _bulk_many(t, [
+                assigned.filter(F.col("vec_id") <= cut // 2),
+                assigned.filter(F.col("vec_id") > cut // 2),
+            ], ordering=["vec_id"])
         finally:
             assigned.unpersist()
     elif variant == "vindexed":
@@ -533,12 +555,13 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
-        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
         b2 = ev.filter(F.col("event_id") > half).withColumn(
             OP_COL,
             F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
         )
-        _bulk(t, b2, ordering=["event_id"])
+        _bulk_many(
+            t, [ev.filter(F.col("event_id") <= half), b2], ordering=["event_id"]
+        )
     elif variant == "session_state":
         # sessionization as engine state (t14): sessions pk table fed by
         # three event batches in OUT-OF-ORDER arrival (ts tertiles
@@ -1064,8 +1087,10 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         half = _max_event_id(sf) // 2
-        _bulk(t, ev.filter(F.col("event_id") <= half), ordering=["event_id"])
-        _bulk(t, ev.filter(F.col("event_id") > half), ordering=["event_id"])
+        _bulk_many(t, [
+            ev.filter(F.col("event_id") <= half),
+            ev.filter(F.col("event_id") > half),
+        ], ordering=["event_id"])
     elif variant == "compacted":
         # T10 compaction lifecycle: four upsert commits leave four
         # snapshot dirs + four log dirs, then both tiers are compacted;
@@ -1079,14 +1104,13 @@ def _build(spark: SparkSession, sf: str, variant: str) -> FlussTable:
         )
         t = create_table(cat, "db", variant, schema)
         hi = _max_event_id(sf)
-        for i in range(4):
-            _bulk(t,
-                ev.filter(
-                    (F.col("event_id") > i * hi // 4)
-                    & (F.col("event_id") <= (i + 1) * hi // 4)
-                ),
-                ordering=["event_id"],
+        _bulk_many(t, [
+            ev.filter(
+                (F.col("event_id") > i * hi // 4)
+                & (F.col("event_id") <= (i + 1) * hi // 4)
             )
+            for i in range(4)
+        ], ordering=["event_id"])
         compact_log(t, spark, target_commits=2)
         compact_snapshot(t, spark, max_dirs=1)
     elif variant == "ttl_log":
