@@ -114,6 +114,7 @@ def test_database_info_and_summaries(admin):
     assert DatabaseSummary(name="analytics", table_count=2) in admin.list_database_summaries()
 
 
+@pytest.mark.slow
 def test_sorted_compaction_clusters_row_groups(spark, admin, tmp_path):
     """compact_log(sort_columns=[...]) must leave each bucket's rows
     clustered: row-group min/max on the sort column become disjoint, so
@@ -161,6 +162,7 @@ def test_sorted_compaction_clusters_row_groups(spark, admin, tmp_path):
         maintenance.compact_log(t2, spark, target_commits=1, sort_columns=["nope"])
 
 
+@pytest.mark.slow
 def test_kv_snapshot_lease_pins_against_gc(spark, admin):
     """A lease keeps its snapshot (manifest + referenced data dirs)
     through expire_snapshots; release or expiry lifts the pin."""
@@ -305,6 +307,7 @@ def test_table_stats_after_partition_drop(spark, admin):
     assert admin.get_table_stats("db", "stp").num_rows == 1
 
 
+@pytest.mark.slow
 def test_latest_lake_snapshot(spark, admin):
     """Admin.getLatestLakeSnapshot parity (Admin.java:485-529): the
     returned file set IS a consistent external read — re-reading the

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import types as pytypes
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -187,6 +188,7 @@ _ops = st.lists(
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(seqs=st.lists(_ops, min_size=1, max_size=3))
+@pytest.mark.slow
 def test_commit_paths_equivalent_property(spark_session, tmp_path_factory, seqs):
     """Random multi-commit sequences through both paths; each example
     pays full commits, so the budget is small — the scripted tests above
@@ -286,6 +288,7 @@ def test_commit_paths_equivalent_partitioned(spark, tmp_path):
     assert got == [(0, "v0"), (1, "x"), (2, "v2"), (3, "v3"), (4, "v4"), (5, "v5")]
 
 
+@pytest.mark.slow
 def test_commit_paths_equivalent_auto_increment(spark, tmp_path):
     """Auto-increment pk tables through both paths: insert-stable ids
     (minted once per inserted key — KvTablet.applyInsert semantics,
@@ -405,6 +408,7 @@ _part_ops = st.lists(
 
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(seqs=st.lists(_part_ops, min_size=1, max_size=3), cap=st.sampled_from([0, 512]))
+@pytest.mark.slow
 def test_commit_paths_equivalent_property_partitioned(
     spark_session, tmp_path_factory, seqs, cap, monkeypatch
 ):

@@ -22,6 +22,9 @@ from fluss_spark.catalog import Catalog
 from fluss_spark.table import FlussTable, create_table
 from fluss_spark.types import Field, TableSchema
 
+# whole-file: property/matrix coverage — full-suite selection only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def catalog(tmp_path):

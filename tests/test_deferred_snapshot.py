@@ -75,6 +75,7 @@ def _snapshot_dirs(t):
     return {e.name for e in os.scandir(d) if e.is_dir()}
 
 
+@pytest.mark.slow
 def test_deferred_matches_eager_every_commit(spark, catalog):
     """K=3 over mixed upsert/delete batches: the deferred table's
     snapshot, WAL multiset, and lookups equal the always-materialize
@@ -114,6 +115,7 @@ def test_deferred_matches_eager_every_commit(spark, catalog):
     assert len(_snapshot_dirs(td)) < len(_snapshot_dirs(te))
 
 
+@pytest.mark.slow
 def test_deferred_auto_increment_ids_stable(spark, catalog):
     """Insert-stable ids across the WAL-only window: a key inserted in
     a deferred commit keeps its id through updates in later deferred
@@ -134,6 +136,7 @@ def test_deferred_auto_increment_ids_stable(spark, catalog):
     assert st.auto_increment["rid"] == 3
 
 
+@pytest.mark.slow
 def test_deferred_partitioned_rewrites_touched_pairs_only(spark, catalog):
     """Partitioned deferral: the materialization's data dir holds ONLY
     the (partition, bucket) pairs the tail touched; untouched partitions
@@ -326,6 +329,7 @@ _ops = st.lists(
 
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(seqs=st.lists(_ops, min_size=1, max_size=5), k=st.sampled_from([2, 3]))
+@pytest.mark.slow
 def test_deferred_matches_eager_property(spark_session, tmp_path_factory, seqs, k):
     """Random mixed upsert/delete commit sequences at K in {2, 3}: the
     deferred table equals the always-materialize twin — snapshot rows
@@ -474,6 +478,7 @@ def test_tail_bytes_threshold_triggers_early(spark, catalog):
     assert _snap(t, spark) == [(1, "a")]
 
 
+@pytest.mark.slow
 def test_deferred_merge_engines_match_eager(spark, catalog):
     """Every merge engine through the deferred path: the hybrid read's
     'last event per key' fold is engine-agnostic BECAUSE the changelog

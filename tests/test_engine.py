@@ -544,6 +544,7 @@ def test_snapshot_diff_bounded_versions(spark, catalog):
         t.snapshot_diff(spark, v1=999)
 
 
+@pytest.mark.slow
 def test_snapshot_diff_matches_bruteforce_property(spark):
     """Property: for ANY op sequence split into commits and ANY version
     pair, the changelog-slice diff equals the brute-force full-outer

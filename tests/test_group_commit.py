@@ -21,6 +21,8 @@ commit correctly via the sequential path.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F  # noqa: F401
 
 from fluss_spark.catalog import Catalog
@@ -141,6 +143,7 @@ def test_group_commit_matches_sequential_plain(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_group_commit_matches_sequential_empty_middle(spark, tmp_path):
     ddl = "k int, v string, n long, __op string"
     batches = [
@@ -154,6 +157,7 @@ def test_group_commit_matches_sequential_empty_middle(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_group_commit_matches_sequential_wal_image(spark, tmp_path):
     ddl = "k int, v string, n long, __op string"
     batches = [
@@ -166,6 +170,7 @@ def test_group_commit_matches_sequential_wal_image(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_group_commit_matches_sequential_delete_ignore(spark, tmp_path):
     ddl = "k int, v string, n long, __op string"
     batches = [

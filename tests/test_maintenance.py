@@ -94,6 +94,7 @@ def test_auto_partition_lifecycle(spark, catalog):
     assert sorted(r["a"] for r in t.scan(spark).collect()) == [2]
 
 
+@pytest.mark.slow
 def test_auto_maintenance_end_to_end(spark, catalog):
     """50 commits land with NO explicit maintenance calls: log compaction
     and TTL expiry trigger from table properties on the append path, and
@@ -284,6 +285,7 @@ def test_multimodal_kernels(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_snapshot_manifest_compaction(spark, catalog):
     from fluss_spark.maintenance import compact_snapshot, expire_snapshots
 
@@ -378,6 +380,7 @@ def test_staged_commit_protocol(spark, catalog):
     assert len(offs) == 2
 
 
+@pytest.mark.slow
 def test_auto_compaction_bounds_lookup_fanin(spark, catalog):
     """Commit-path auto-compaction: with table.snapshot.auto-compact-dirs=3,
     many small upserts must keep the manifest's distinct data-dir count
@@ -499,6 +502,7 @@ def test_rebucket_log_table(spark, catalog):
     assert newest["__bucket"] == per_key[3][0][2]  # same bucket as key 3
 
 
+@pytest.mark.slow
 def test_rebucket_pk_table_and_stream_fence(spark, catalog, tmp_path):
     """PK rebucket rewrites the snapshot (lookups route with the new
     count immediately); streaming subscriptions across the rebucket are
@@ -543,6 +547,7 @@ def test_rebucket_pk_table_and_stream_fence(spark, catalog, tmp_path):
     assert t2.lookup(spark, {"k": 7}).collect()[0]["v"] == "v7c"
 
 
+@pytest.mark.slow
 def test_rebucket_crash_windows_never_lose_committed_data(spark, catalog, monkeypatch):
     """ADVICE r4 (high): the old ordering deleted pre-rebucket commit
     dirs BEFORE the catalog commit — a crash in between lost committed
@@ -672,6 +677,7 @@ def test_minmax_from_metadata(spark, catalog):
     shutil.rmtree(staged)
 
 
+@pytest.mark.slow
 def test_zorder_compaction_layout(spark, catalog):
     """Z-order compaction must (a) preserve data + offsets exactly and
     (b) leave every output file narrow in footer min/max on BOTH curve
@@ -728,6 +734,7 @@ def test_zorder_compaction_layout(spark, catalog):
         compact_log(t2, spark, target_commits=1, zorder_columns=["s"])
 
 
+@pytest.mark.slow
 def test_partitioned_pk_compact_and_rebucket(spark, catalog):
     """Snapshot compaction and rebucket on a PARTITIONED pk table must
     rewrite into the nested (partition above bucket) layout and a

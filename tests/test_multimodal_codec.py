@@ -93,6 +93,7 @@ def test_png_rejects_garbage():
         png.decode(bytes(data))
 
 
+@pytest.mark.slow
 def test_real_decode_and_resize_through_spark(spark):
     """decode_mode='real' end-to-end: real PNG payloads through the
     production mapInPandas kernels — decode reads true dimensions,

@@ -139,6 +139,7 @@ def test_limit_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plans.physical_plan(df)  # no full sort
 
 
+@pytest.mark.slow
 def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     """Repo-wide scale fence: no registered query may plan a Window
     with an empty partition spec over unbounded input — that executes

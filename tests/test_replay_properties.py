@@ -6,11 +6,16 @@ over colliding keys, per merge engine."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from fluss_spark.operators.replay import OP_COL, SEED_COL, SEQ_COL, replay
 from fluss_spark.types import DELETE, Field, TableSchema
+
+# whole-file: property/matrix coverage — full-suite selection only
+pytestmark = pytest.mark.slow
 
 KEYS = list(range(4))
 VALS = ["a", "b", None]

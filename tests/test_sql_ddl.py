@@ -854,6 +854,7 @@ def test_incremental_mt_sql_statement(spark, fsql):
         """)
 
 
+@pytest.mark.slow
 def test_incremental_mt_randomized_equivalence(spark, fsql):
     """Property check: across a randomized sequence of upserts, value
     changes, and deletes on a pk source, the incrementally-maintained

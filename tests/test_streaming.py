@@ -178,6 +178,7 @@ def test_native_stream_windowed_agg(spark, catalog, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_stream(spark, catalog, tmp_path):
     """applyInPandasWithState gap sessions: closed sessions emitted as
     state evolves across micro-batches; compared against the batch
@@ -234,6 +235,7 @@ def test_stateful_sessionize_stream(spark, catalog, tmp_path):
         assert key in batch_counts, f"emitted session {key} not in batch truth"
 
 
+@pytest.mark.slow
 def test_stream_batch_sessionize_equality_sf01(spark, catalog, tmp_path):
     """Batch/stream EQUALITY at sf0.1: the stateful stream sessionizer
     over the full 100k-event table (availableNow) must emit exactly the
@@ -442,6 +444,7 @@ def test_sink_crash_windows_exactly_once(spark, catalog):
     assert t.scan(spark).count() == 6
 
 
+@pytest.mark.slow
 def test_stream_batch_incremental_lsh_index_equality(spark, catalog):
     """r5-flagship certification (T4-consumption shape): the
     dd_incremental_lsh band index — a FIRST_ROW pk table on
@@ -514,6 +517,7 @@ def test_stream_batch_incremental_lsh_index_equality(spark, catalog):
     banded.unpersist()
 
 
+@pytest.mark.slow
 def test_stream_batch_incremental_ivf_index_equality(spark, catalog):
     """r5-flagship certification (T4-consumption shape): the
     ann_incremental_ivf cell-assignment index — pk=(cell, vec_id),
@@ -574,6 +578,7 @@ def test_stream_batch_incremental_ivf_index_equality(spark, catalog):
     assigned.unpersist()
 
 
+@pytest.mark.slow
 def test_stream_batch_incremental_sessions_equality(spark, catalog):
     """t14 certification (T4-consumption shape): the session store fed
     by a LOG STREAM micro-batch by micro-batch — in OUT-OF-ORDER
