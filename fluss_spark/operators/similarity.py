@@ -1245,18 +1245,191 @@ def _skey(spark: SparkSession) -> str:
     return session_key(spark)
 
 
-def _pq_train_pack(spark: SparkSession, e: DataFrame, cache_key=None):
-    """Train the {_PQ_M} codebooks in one exploded chain and pack the
-    stored index column. Returns (codebooks ndarray M x K x SUBDIM,
-    packed DF (vec_id, label, code)) — codebooks are driver-held
-    metadata, `packed` is the {_PQ_M}-bytes/vector column.
+def _pq_seq_dot(A, c):
+    """Row-wise dot with the JVM `dot` helper's EXACT float semantics:
+    aggregate(zip_with(x, y, *), 0.0, +) is a sequential left fold, so
+    the sum here must add term by term in index order (numpy's own
+    dot/sum use blocked/pairwise orders, which differ in ulps and can
+    flip a nearest-centroid argmin on a near-tie). Vectorized over rows,
+    sequential over the (small, {_PQ_SUBDIM}-long) dimension."""
+    import numpy as np
 
-    The trained index is cached per (session, corpus): ann_pq_adc and
-    ann_ivfpq_adc search the SAME index (that is the point of IVF-PQ —
-    one stored code column, different candidate restriction), so the
-    second query must not pay a second training pass. `packed` persists
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for t in range(A.shape[1]):
+        acc = acc + A[:, t] * c[t]
+    return acc
+
+
+def _pq_assign_rows(A, cents_items):
+    """Nearest-centroid assignment for one subspace, replicating the
+    Spark plan's arithmetic bit-for-bit: d2 = (dot(sv,sv) - 2*dot(sv,c))
+    + dot(c,c) with sequential-fold dots, lexicographic (d2, cid)
+    tie-break (iterate cids ascending, strict <). `cents_items` =
+    [(cid, centroid ndarray, cc scalar)] for the PRESENT cids only."""
+    import numpy as np
+
+    ss = np.zeros(A.shape[0], dtype=np.float64)
+    for t in range(A.shape[1]):
+        ss = ss + A[:, t] * A[:, t]
+    best_d = None
+    best = None
+    for cid, c, cc in cents_items:
+        d2 = (ss - 2.0 * _pq_seq_dot(A, c)) + cc
+        if best_d is None:
+            best_d = d2
+            best = np.full(A.shape[0], cid, dtype=np.int64)
+        else:
+            better = d2 < best_d
+            best_d = np.where(better, d2, best_d)
+            best[better] = cid
+    return best
+
+
+def _pq_cc_scalar(c):
+    """dot(c, c) with the same sequential fold (driver-side scalar)."""
+    acc = 0.0
+    for x in c:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def _pq_train_pack(spark: SparkSession, e: DataFrame, cache_key=None):
+    """Train the {_PQ_M} codebooks with ONE map-side partial-sum pass
+    and pack the stored index column with ONE exchange-free kernel pass
+    (guide §2.3/§2.4 — the kmeans_centroids shape): the init codebook is
+    {_PQ_K} collected rows, every partition computes its members' sums
+    and counts per (m, cid) in row order, the driver merges partials in
+    partition order and finishes the means, and the packing kernel
+    assigns codes against the driver-held trained codebooks — replacing
+    the exploded assign->groupBy->explode->groupBy->groupBy chain (~6
+    small-data exchanges) with zero exchanges after the scan.
+
+    Bit-identical to the retained Spark-plan trainer
+    (`_pq_train_pack_spark`, the equivalence baseline
+    tests/test_engine_extras.py::test_pq_kernel_trainer_matches_spark_plan):
+    dots replay the JVM fold order (_pq_seq_dot), accumulation follows
+    row-then-partition order (np.add.at is applied in index order; the
+    driver merges collected partials in partition order, matching the
+    shuffle reader's mapId-ordered merge), means divide the same sums by
+    the same counts, and assignment tie-breaks (d2, cid)
+    lexicographically.
+
+    Returns (codebooks ndarray M x K x SUBDIM, packed DF (vec_id,
+    label, code)). The trained index is cached per (session, corpus):
+    ann_pq_adc and ann_ivfpq_adc search the SAME index, so the second
+    query must not pay a second training pass. `packed` persists
     eagerly so concurrent first consumers don't race a cold cache (the
     shingle_base rule)."""
+    import numpy as np
+
+    if cache_key is not None and cache_key in _PQ_TRAIN_CACHE:
+        return _PQ_TRAIN_CACHE[cache_key]
+
+    # init: the _PQ_K lowest vec_ids' subvectors (metadata-sized collect)
+    init_rows = sorted(
+        e.filter(F.col("vec_id") < _PQ_K).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    C0 = np.array([r["v"] for r in init_rows], dtype=np.float64).reshape(
+        len(init_rows), _PQ_M, _PQ_SUBDIM
+    )
+    # c0[m][cid] = subvector m of the cid-th lowest vec_id
+    c0_items = [
+        [
+            (cid, C0[cid, m], _pq_cc_scalar(C0[cid, m]))
+            for cid in range(len(init_rows))
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def partials(batches):
+        import pandas as pd
+
+        sums = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM), dtype=np.float64)
+        cnts = np.zeros((_PQ_M, _PQ_K), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            Vm = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            for m in range(_PQ_M):
+                A = Vm[:, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]
+                best = _pq_assign_rows(A, c0_items[m])
+                # np.add.at applies in index order -> row-order sums,
+                # the same order the Spark partial aggregate adds them
+                np.add.at(sums[m], best, A)
+                np.add.at(cnts[m], best, 1)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "m": np.repeat(np.arange(_PQ_M), _PQ_K),
+                    "cid": np.tile(np.arange(_PQ_K), _PQ_M),
+                    "cnt": cnts.reshape(-1),
+                    "s": list(sums.reshape(_PQ_M * _PQ_K, _PQ_SUBDIM)),
+                }
+            )
+
+    # ONE job: per-partition partials, merged on the driver in partition
+    # order (collect preserves it)
+    part_rows = e.select("v").mapInPandas(
+        partials, f"m int, cid int, cnt long, s array<double>"
+    ).collect()
+    sums = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM), dtype=np.float64)
+    cnts = np.zeros((_PQ_M, _PQ_K), dtype=np.int64)
+    for r in part_rows:
+        sums[r["m"], r["cid"]] = sums[r["m"], r["cid"]] + np.asarray(
+            r["s"], dtype=np.float64
+        )
+        cnts[r["m"], r["cid"]] += r["cnt"]
+
+    cb = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM))
+    c1_items = []
+    for m in range(_PQ_M):
+        items = []
+        for cid in range(_PQ_K):
+            if cnts[m, cid] > 0:
+                c = sums[m, cid] / float(cnts[m, cid])
+                cb[m, cid] = c
+                items.append((cid, c, _pq_cc_scalar(c)))
+        c1_items.append(items)
+
+    def pack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Vm = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            codes = np.zeros((n, _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                A = Vm[:, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]
+                codes[:, m] = _pq_assign_rows(A, c1_items[m])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "code": list(codes),
+                }
+            )
+
+    label_ddl = dict(e.dtypes)["label"]
+    packed = e.select("vec_id", "label", "v").mapInPandas(
+        pack, f"vec_id bigint, label {label_ddl}, code array<int>"
+    )
+    if cache_key is not None:
+        packed = packed.persist()
+        packed.count()  # eager materialization
+        _PQ_TRAIN_CACHE[cache_key] = (cb, packed)
+    return cb, packed
+
+
+def _pq_train_pack_spark(spark: SparkSession, e: DataFrame, cache_key=None):
+    """The original whole-plan trainer (exploded assign -> groupBy
+    update -> assign -> groupBy pack): retained as the INDEPENDENT
+    equivalence baseline the kernel trainer above is pinned against
+    (the _commit_twopass pattern). Not on the production path."""
     if cache_key is not None and cache_key in _PQ_TRAIN_CACHE:
         return _PQ_TRAIN_CACHE[cache_key]
     import numpy as np

@@ -636,3 +636,33 @@ def test_partitioned_pair_granular_snapshot(spark, catalog):
     # A2 footer stats stay exact through pair-precise subdirs
     mm = t.kv.minmax_from_metadata("k")
     assert mm == (0, 99)
+
+
+def test_pq_kernel_trainer_matches_spark_plan(spark):
+    """The map-side partial-sum PQ trainer (_pq_train_pack) must be
+    BIT-IDENTICAL to the retained whole-plan Spark trainer
+    (_pq_train_pack_spark) — codebooks and packed codes: the kernel
+    replays the JVM fold order for every dot, accumulates in
+    row-then-partition order, and tie-breaks (d2, cid)
+    lexicographically. Any ulp drift flips a nearest-centroid argmin on
+    a near-tie and breaks oracle hash parity for the 2 ADC queries."""
+    import numpy as np
+
+    from fluss_spark.operators.similarity import (
+        _embeddings,
+        _pq_train_pack,
+        _pq_train_pack_spark,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = _embeddings(spark, sf)
+        cb_k, packed_k = _pq_train_pack(spark, e, cache_key=None)
+        cb_s, packed_s = _pq_train_pack_spark(spark, e, cache_key=None)
+        assert np.array_equal(cb_k, cb_s), f"codebooks differ at {sf}"
+        rows_k = sorted(
+            (r["vec_id"], r["label"], tuple(r["code"])) for r in packed_k.collect()
+        )
+        rows_s = sorted(
+            (r["vec_id"], r["label"], tuple(r["code"])) for r in packed_s.collect()
+        )
+        assert rows_k == rows_s, f"packed codes differ at {sf}"
