@@ -138,8 +138,16 @@ def shingle_base(spark: SparkSession, sf: str) -> DataFrame:
 def dd_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: group by normalized-text hash, elect the minimum
     doc_id as canonical. One shuffle on the 16-byte key; at 100 TB this
-    is the cheapest possible full-corpus dedup."""
-    d = load_spread(spark, sf, "documents")
+    is the cheapest possible full-corpus dedup.
+
+    Plain load, not load_spread: the per-row work is one md5 — it rides
+    the scan at any corpus size (file count provides the parallelism at
+    scale), and the forced cores-wide spread only over-schedules the
+    tiny test inputs (the driver's 8-vs-32-core ratio was 0.48 — faster
+    on FEWER cores; measured at 32 cores: 0.48s spread vs 0.29s plain).
+    The spread crutch stays for the heavy per-row kernels (shingling,
+    signatures) that genuinely need pre-compute parallelism at test SF."""
+    d = load(spark, sf, "documents")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary"))
     return (
         d.select(fp.alias("fingerprint"), "doc_id")
@@ -809,6 +817,142 @@ def connected_components(
     )
 
 
+def _jaccard_block_pairs_loop(thr: float):
+    """Reference all-pairs Jaccard kernel (row-at-a-time Python sets):
+    retained as (a) the equivalence baseline for the vectorized kernel
+    below (tests/test_text_kernels.py) and (b) its O(1)-memory fallback
+    for a pathological block where both vectorized paths would blow the
+    per-task memory budget."""
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        sets = [frozenset(s) for s in pdf["s"]]
+        out_a, out_b = [], []
+        n = len(ids)
+        for i in range(n):
+            si = sets[i]
+            li = len(si)
+            for j in range(i + 1, n):
+                inter = len(si & sets[j])
+                if inter and inter / (li + len(sets[j]) - inter) >= thr:
+                    a, b = ids[i], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    return block_pairs
+
+
+# per-task budgets for the vectorized kernel's two strategies
+_JBP_KEY_BUDGET = 1 << 26   # pair-key entries (~512 MB int64 worst case)
+_JBP_DENSE_BUDGET = 1 << 27  # dense incidence entries (~512 MB float32)
+
+
+def jaccard_block_pairs_kernel(thr: float):
+    """Vectorized all-pairs Jaccard kernel for one blocking group:
+    emits (a, b) doc-id pairs with |s_a ∩ s_b| / |s_a ∪ s_b| >= thr,
+    identical to the row-at-a-time set loop (same integer intersection
+    counts, same float64 division, same >= comparison — pinned against
+    `_jaccard_block_pairs_loop` by test).
+
+    Strategy (guide §4.2 — hand whole batches to vectorized code):
+    intersection counts come from the block's inverted index — every
+    shingle shared by c docs contributes all C(c,2) ordered pairs,
+    generated vectorized per count-class and tallied with one
+    np.unique — so the work is Σ_shingle C(c,2), i.e. proportional to
+    the DUPLICATE structure, not n² (the set loop pays n² intersections
+    of ~500-element sets: measured 12µs/pair -> ~30s/task on the 100x
+    stress corpus's 2k-doc blocks; this kernel tallies the same blocks
+    in tens of ms). A pathologically shared block (boilerplate shingle
+    across the whole group) falls back to a chunked exact-count matmul,
+    and past both budgets to the O(1)-memory loop."""
+    import numpy as np
+    import pandas as pd
+
+    loop = _jaccard_block_pairs_loop(thr)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+        ids = pdf["doc_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return empty
+        uniq = [np.unique(np.asarray(s, dtype=np.int64)) for s in pdf["s"]]
+        lens = np.fromiter((u.size for u in uniq), dtype=np.int64, count=n)
+        if not lens.sum():
+            return empty
+        flat = np.concatenate(uniq)
+        _, inv = np.unique(flat, return_inverse=True)
+        rowidx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.argsort(inv, kind="stable")
+        sid_sorted, row_sorted = inv[order], rowidx[order]
+        starts = np.flatnonzero(np.r_[True, sid_sorted[1:] != sid_sorted[:-1]])
+        cnt = np.diff(np.r_[starts, sid_sorted.size])
+        budget = float((cnt.astype(np.float64) * (cnt - 1) / 2).sum())
+        if budget <= _JBP_KEY_BUDGET:
+            # inverted-index tally: within a shingle's member list the
+            # rows are ascending (stable sort over row-major input), so
+            # triu pairs are (i < j) by construction
+            keys = []
+            for cc in np.unique(cnt):
+                if cc < 2:
+                    continue
+                gsel = np.flatnonzero(cnt == cc)
+                idx = starts[gsel][:, None] + np.arange(cc)[None, :]
+                mem = row_sorted[idx]
+                iu, ju = np.triu_indices(int(cc), k=1)
+                keys.append(mem[:, iu].ravel() * n + mem[:, ju].ravel())
+            if not keys:
+                return empty
+            uk, inter = np.unique(np.concatenate(keys), return_counts=True)
+            i, j = uk // n, uk % n
+        elif n * (int(inv.max()) + 1) <= _JBP_DENSE_BUDGET:
+            # heavy sharing -> small vocab: exact integer counts via one
+            # binary-incidence matmul (counts < 2^24, exact in float32),
+            # row-chunked so G never exceeds the budget
+            V = int(inv.max()) + 1
+            M = np.zeros((n, V), dtype=np.float32)
+            M[rowidx, inv] = 1.0
+            rows_i, rows_j, inters = [], [], []
+            chunk = max(64, _JBP_DENSE_BUDGET // max(n, 1))
+            for lo in range(0, n, chunk):
+                hi = min(n, lo + chunk)
+                G = M[lo:hi] @ M.T
+                ci, cj = np.nonzero(G)
+                keep = cj > (ci + lo)  # upper triangle: j > i
+                ci, cj = ci[keep], cj[keep]
+                rows_i.append(ci + lo)
+                rows_j.append(cj)
+                inters.append(G[ci, cj].astype(np.int64))
+            if not rows_i:
+                return empty
+            i = np.concatenate(rows_i)
+            j = np.concatenate(rows_j)
+            inter = np.concatenate(inters)
+            nz = inter > 0
+            i, j, inter = i[nz], j[nz], inter[nz]
+            if i.size == 0:
+                return empty
+        else:
+            return loop(pdf)
+        union = lens[i] + lens[j] - inter
+        ok = inter / union >= thr
+        a_ids, b_ids = ids[i[ok]], ids[j[ok]]
+        lo_ = np.minimum(a_ids, b_ids)
+        hi_ = np.maximum(a_ids, b_ids)
+        return pd.DataFrame(
+            {"a": pd.Series(lo_, dtype="int64"), "b": pd.Series(hi_, dtype="int64")}
+        )
+
+    return block_pairs
+
+
 @register(
     "dd_cluster_components",
     oracle=f"""
@@ -853,7 +997,11 @@ def dd_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     semantics as a recursive closure (quadratic in component size — fine
     for a checker); the Spark side is min-label propagation, linear per
     round and diameter-bounded, i.e. the shape that survives 100 TB."""
-    d = load_spread(spark, sf, "documents")
+    # plain load for the md5-fingerprint side and the node list (the
+    # dd_exact rule: md5 rides the scan; driver 8v32 ratio 0.60 showed
+    # the spread over-scheduling these stages). The shingle side below
+    # keeps the spread via shingle_base — its kernel is genuinely heavy.
+    d = load(spark, sf, "documents")
     base = shingle_base(spark, sf).select(
         "doc_id", "lang", "source", F.col("ids").alias("s")
     )
@@ -868,28 +1016,7 @@ def dd_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     # key is the blocking strategy: blocks are bounded (they partition
     # the corpus by provenance), and a kernel block of n docs x ~500
     # shingle ids is n*4KB of executor memory.
-    import pandas as pd
-
-    thr = _CLUSTER_JACCARD
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["doc_id"].to_numpy()
-        sets = [frozenset(s) for s in pdf["s"]]
-        out_a, out_b = [], []
-        n = len(ids)
-        for i in range(n):
-            si = sets[i]
-            li = len(si)
-            for j in range(i + 1, n):
-                inter = len(si & sets[j])
-                if inter and inter / (li + len(sets[j]) - inter) >= thr:
-                    a, b = ids[i], ids[j]
-                    if a > b:
-                        a, b = b, a
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+    block_pairs = jaccard_block_pairs_kernel(_CLUSTER_JACCARD)
 
     # NULL blocking keys never pair (join semantics; see dd_embedding_cosine)
     jpair = (

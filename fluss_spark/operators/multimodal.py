@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fluss_spark.registry import load_spread, register
+from fluss_spark.registry import load, load_spread, register
 
 MEDIA_META_DDL = "mime string, width int, height int, n_bytes bigint"
 
@@ -176,8 +176,14 @@ def mm_decode_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end multimodal path: binary payload column → Arrow-batched
     mapInPandas decode → typed metadata. The decode itself is the
     deterministic fake (codec stubbed); everything around it — schema,
-    batching, partitioning — is the production plumbing."""
-    docs = load_spread(spark, sf, "documents")
+    batching, partitioning — is the production plumbing.
+
+    Plain load (the dd_exact rule): the fake decode is bytes-cheap and
+    rides the scan; at corpus scale the file count parallelizes it, and
+    the forced cores-wide spread only over-schedules tiny test inputs
+    (driver 8v32 ratio 0.71). The real-codec mm kernels keep the
+    spread — their per-row decode genuinely needs the parallelism."""
+    docs = load(spark, sf, "documents")
     media = synthesize_media(docs)
     out = decode_images(media, decode_mode="fake")
     return out.select(

@@ -786,7 +786,10 @@ def tx_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     shuffle at any corpus size — no per-stage re-scans."""
     from pyspark.sql.window import Window
 
-    d = load_spread(spark, sf, "documents")
+    # plain load (the dd_exact rule): per-row work is md5 + one
+    # tokenize — it rides the scan; the cores-wide spread only
+    # over-schedules tiny inputs (driver 8v32 ratio 0.64)
+    d = load(spark, sf, "documents")
     tok = tokens(F.col("text"))
     n_tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(tok))
     n = F.length("text")

@@ -102,3 +102,69 @@ def test_leakage_safe_split_no_cross_split_bucket_pairs(spark, sf_dir):
     n_docs = load(spark, sf_dir, "documents").count()
     agg = tx_split_leakage_safe(spark, sf_dir).agg(F.sum("n_docs")).first()[0]
     assert agg == n_docs
+
+
+def test_jaccard_block_pairs_kernel_matches_loop():
+    """The vectorized all-pairs Jaccard kernel (inverted-index tally and
+    dense-matmul arms) must emit exactly the pairs the reference set
+    loop emits — same intersection counts, same float64 threshold
+    comparison — on random blocks with duplicate clusters, empty sets,
+    and a heavily shared (boilerplate) shingle."""
+    import random
+
+    import pandas as pd
+
+    from fluss_spark.operators import dedup as D
+
+    rng = random.Random(7)
+
+    def mk_block(n, vocab, set_len, dup_clusters=0, boilerplate=False):
+        rows = []
+        for i in range(n):
+            s = rng.sample(range(vocab), min(set_len, vocab))
+            if boilerplate:
+                s.append(0)  # one shingle shared by every doc
+            rows.append((1000 + i, s))
+        for _ in range(dup_clusters):
+            # identical 4-doc clusters
+            proto = rng.sample(range(vocab), min(set_len, vocab))
+            base = 1000 + len(rows)
+            for k in range(4):
+                rows.append((base + k, list(proto)))
+        return pd.DataFrame({"doc_id": [r[0] for r in rows],
+                             "s": [r[1] for r in rows]})
+
+    for thr in (0.02, 0.2, 0.5):
+        loop = D._jaccard_block_pairs_loop(thr)
+        vec = D.jaccard_block_pairs_kernel(thr)
+        for blk in (
+            mk_block(40, 5000, 50, dup_clusters=3),
+            mk_block(60, 200, 30, boilerplate=True),   # heavy sharing
+            mk_block(25, 80, 10, dup_clusters=2, boilerplate=True),
+            pd.DataFrame({"doc_id": [1], "s": [[1, 2]]}),  # n < 2
+            pd.DataFrame({"doc_id": [1, 2], "s": [[], []]}),  # empty sets
+        ):
+            want = sorted(map(tuple, loop(blk).to_numpy().tolist()))
+            got = sorted(map(tuple, vec(blk).to_numpy().tolist()))
+            assert got == want, f"thr={thr}: {got[:5]} vs {want[:5]}"
+        # force the dense arm: shrink the key budget so the tally path
+        # is skipped, and check it still matches
+        old = D._JBP_KEY_BUDGET
+        D._JBP_KEY_BUDGET = 0
+        try:
+            vec2 = D.jaccard_block_pairs_kernel(thr)
+            blk = mk_block(50, 300, 25, dup_clusters=2, boilerplate=True)
+            want = sorted(map(tuple, loop(blk).to_numpy().tolist()))
+            got = sorted(map(tuple, vec2(blk).to_numpy().tolist()))
+            assert got == want
+            # and past both budgets -> the loop fallback
+            old_d = D._JBP_DENSE_BUDGET
+            D._JBP_DENSE_BUDGET = 0
+            try:
+                vec3 = D.jaccard_block_pairs_kernel(thr)
+                got3 = sorted(map(tuple, vec3(blk).to_numpy().tolist()))
+                assert got3 == want
+            finally:
+                D._JBP_DENSE_BUDGET = old_d
+        finally:
+            D._JBP_KEY_BUDGET = old
