@@ -290,10 +290,17 @@ def fn_cms_topk_estimate(spark: SparkSession, sf: str) -> DataFrame:
     # VOCABULARY word x row instead of once per token OCCURRENCE x row
     # (occurrences/vocab is the win factor; both branches previously
     # also re-ran the tokenize+explode scan).
-    wc = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-        .persist()
+    # vocabulary-sized, consumed by both branches; session-keyed through
+    # the cache registry (budgeted + LRU-unpersisted) instead of a
+    # per-invocation persist pinned for the session's lifetime
+    from fluss_spark import cache_registry
+
+    wc = cache_registry.cache_df(
+        spark,
+        ("cms_wc", sf),
+        lambda: tok.groupBy("word").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact")
+        ),
     )
     counters = (
         wc.select("word", "n_exact", rows)

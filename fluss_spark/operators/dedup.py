@@ -41,7 +41,6 @@ _SQL_SHINGLE_IDS = "list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s)
 # the Arrow kernels below; the SQL formulations the oracles use are
 # _SQL_SHINGLES/_SQL_SHINGLE_IDS above.
 
-_SHINGLE_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingle_base(spark: SparkSession, sf: str) -> DataFrame:
@@ -54,12 +53,14 @@ def shingle_base(spark: SparkSession, sf: str) -> DataFrame:
     (Catalyst does not CSE subtrees repeated inside lambdas), and the
     filter is phrased on the cheap token count so it does not inline the
     shingle HOF chain into a pushed-down predicate."""
-    from fluss_spark.registry import session_key
+    from fluss_spark import cache_registry
 
-    key = (session_key(spark), sf)
-    cached = _SHINGLE_BASE_CACHE.get(key)
-    if cached is not None:
-        return cached
+    return cache_registry.cache_df(
+        spark, ("shingle_base", sf), lambda: _shingle_base_plan(spark, sf)
+    )
+
+
+def _shingle_base_plan(spark: SparkSession, sf: str) -> DataFrame:
     d = load_spread(spark, sf, "documents")
     # Arrow kernel, not the HOF chain: the interpreted
     # transform(md5→conv) lambda costs ~25x the same work in a pandas
@@ -107,16 +108,13 @@ def shingle_base(spark: SparkSession, sf: str) -> DataFrame:
                 {"doc_id": out_doc, "lang": out_lang, "source": out_src, "ids": out_ids}
             )
 
-    base = d.select("doc_id", "lang", "source", "text").mapInPandas(
+    # persist + eager materialization happen in the cache registry:
+    # most dedup plans consume the base 2-3 times in ONE job (edge
+    # kernel + exact edges + node list); tasks racing a cold cache
+    # each compute the kernel lineage
+    return d.select("doc_id", "lang", "source", "text").mapInPandas(
         kern, "doc_id long, lang string, source string, ids array<long>"
-    ).persist()
-    # eager materialization: most dedup plans consume the base 2-3 times
-    # in ONE job (edge kernel + exact edges + node list); tasks racing a
-    # cold cache each compute the kernel lineage — one cheap count here
-    # fills the cache before any consumer fans out
-    base.count()
-    _SHINGLE_BASE_CACHE[key] = base
-    return base
+    )
 
 
 # ---------------------------------------------------------------------- #
@@ -202,25 +200,25 @@ def lsh_params(sf: str) -> tuple[int, int]:
     return _BAND_ROWS + extra, _K_HASHES // _BAND_ROWS
 
 
-_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-
-
 def sig_stage(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, ids, sig) — the corpus's MinHash signatures, computed
-    ONCE per session+sf+width and persisted, like shingle_base: at
-    corpus scale this is the signatures-at-ingest column the write path
-    maintains. Four operators (minhash_lsh, lsh_canonical,
-    lsh_verify_pipeline, minhash_estimate) consume the identical
-    signature; without the shared stage each recomputed the k-hash map
-    over every shingle array."""
-    from fluss_spark.registry import session_key
+    ONCE per session+sf+width and persisted through the cache registry
+    (budgeted, LRU-unpersisted), like shingle_base: at corpus scale
+    this is the signatures-at-ingest column the write path maintains.
+    Four operators (minhash_lsh, lsh_canonical, lsh_verify_pipeline,
+    minhash_estimate) consume the identical signature; without the
+    shared stage each recomputed the k-hash map over every shingle
+    array."""
+    from fluss_spark import cache_registry
 
     r_rows, n_bands = lsh_params(sf)
     k = r_rows * n_bands
-    key = (session_key(spark), sf, k)
-    cached = _SIG_CACHE.get(key)
-    if cached is not None:
-        return cached
+    return cache_registry.cache_df(
+        spark, ("sig_stage", sf, k), lambda: _sig_stage_plan(spark, sf, k)
+    )
+
+
+def _sig_stage_plan(spark: SparkSession, sf: str, k: int) -> DataFrame:
     # numpy kernel, not the minhash_signature HOF: k interpreted
     # array_min(transform(...)) lambdas per row never enter codegen; the
     # kernel computes the same (A_i*u + B_i) mod P minima as one
@@ -243,15 +241,13 @@ def sig_stage(spark: SparkSession, sf: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "ids": pdf["ids"], "sig": sigs}
             )
 
-    df = (
+    # persist + eager materialization happen in the cache registry
+    # (multi-consumer first jobs must not race a cold cache)
+    return (
         shingle_base(spark, sf)
         .select("doc_id", "ids")
         .mapInPandas(kern, "doc_id long, ids array<long>, sig array<long>")
-        .persist()
     )
-    df.count()  # eager: multi-consumer first jobs must not race a cold cache
-    _SIG_CACHE[key] = df
-    return df
 
 
 def banded_signature(sig: Column, n_bands: int, r_rows: int) -> Column:
@@ -811,6 +807,9 @@ def connected_components(
         labels = stepped.select("id", "comp")
         if changed == 0:
             break
+    # labels is checkpoint-materialized: the returned plan no longer
+    # reads sym, so its cached blocks must not outlive this call
+    sym.unpersist()
     return (
         nodes.join(labels, nodes["id"] == labels["id"], "left")
         .select(nodes["id"], F.coalesce("comp", nodes["id"]).alias("component"))
@@ -1659,7 +1658,7 @@ def dd_cdc_spans(spark: SparkSession, sf: str) -> DataFrame:
         F.slice(bs, 1, F.size(bs) - 1).alias("lo"),
         F.slice(bs, 2, F.size(bs) - 1).alias("hi"),
     )
-    spans = (
+    spans_plan = (
         base.select("doc_id", "tok", F.explode(pairs).alias("p"))
         .select(
             "doc_id",
@@ -1678,14 +1677,16 @@ def dd_cdc_spans(spark: SparkSession, sf: str) -> DataFrame:
                 ).cast("binary")
             ).alias("span_fp"),
         )
-        # consumed twice (dup aggregate + join back): without the
-        # persist the whole chunking chain — per-position md5 through an
-        # interpreted HOF — runs once per consumer (the shingle_base
-        # lesson). Eagerly materialized so the join job's two subtrees
-        # never race a cold cache.
-        .persist()
     )
-    spans.count()
+    # consumed twice (dup aggregate + join back): without the persist
+    # the whole chunking chain — per-position md5 through an interpreted
+    # HOF — runs once per consumer (the shingle_base lesson). Session-
+    # keyed through the cache registry (eagerly materialized there, so
+    # the join job's two subtrees never race a cold cache; budgeted and
+    # LRU-unpersisted instead of pinned for the session's lifetime).
+    from fluss_spark import cache_registry
+
+    spans = cache_registry.cache_df(spark, ("cdc_spans", sf), lambda: spans_plan)
     dup = (
         spans.groupBy("span_fp")
         .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))

@@ -537,15 +537,20 @@ def tx_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
                 {"doc_id": out_doc, "lang": out_lang, "b": out_b, "c": out_c}
             )
 
-    docb = (
-        d.select("doc_id", "lang", "text")
-        .mapInPandas(kern, "doc_id long, lang string, b long, c long")
-        .persist()
+    # the LM-broadcast subtree and the scoring scan consume docb in ONE
+    # job — tasks racing a cold cache would each re-run the kernel (the
+    # shingle_base lesson). Session-keyed through the cache registry
+    # (eager there; budgeted + LRU-unpersisted instead of pinned for
+    # the session's lifetime).
+    from fluss_spark import cache_registry
+
+    docb = cache_registry.cache_df(
+        spark,
+        ("dsir_docb", sf),
+        lambda: d.select("doc_id", "lang", "text").mapInPandas(
+            kern, "doc_id long, lang string, b long, c long"
+        ),
     )
-    # eager materialization: the LM-broadcast subtree and the scoring
-    # scan consume docb in ONE job — tasks racing a cold cache would
-    # each re-run the kernel (the shingle_base lesson)
-    docb.count()
     counts = docb.groupBy("b").agg(
         F.sum("c").alias("raw_n"),
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))).alias(

@@ -1419,8 +1419,18 @@ def _pq_train_pack(spark: SparkSession, e: DataFrame, cache_key=None):
         pack, f"vec_id bigint, label {label_ddl}, code array<int>"
     )
     if cache_key is not None:
-        packed = packed.persist()
-        packed.count()  # eager materialization
+        # persist + eager materialization via the cache registry
+        # (budgeted + LRU-unpersisted); eviction also drops the
+        # (cb, packed) tuple so a later consumer retrains cleanly
+        from fluss_spark import cache_registry
+
+        plan = packed
+        packed = cache_registry.cache_df(
+            spark,
+            ("pq_packed",) + tuple(cache_key),
+            lambda: plan,
+            on_evict=lambda: _PQ_TRAIN_CACHE.pop(cache_key, None),
+        )
         _PQ_TRAIN_CACHE[cache_key] = (cb, packed)
     return cb, packed
 

@@ -1360,10 +1360,15 @@ def tx_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
         )
         .alias("segs"),
     )
-    ex = (
-        segs.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
-        .withColumn("fp", F.md5("seg"))
-        .persist()
+    # consumed by the boilerplate aggregate AND the join back; session-
+    # keyed through the cache registry (budgeted + LRU-unpersisted)
+    from fluss_spark import cache_registry
+
+    ex = cache_registry.cache_df(
+        spark,
+        ("boiler_segs", sf),
+        lambda: segs.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
+        .withColumn("fp", F.md5("seg")),
     )
     boiler = (
         ex.groupBy("fp")
@@ -1459,25 +1464,23 @@ def tx_bigram_logloss(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_BIGRAM_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
-
-
 def _bigram_stage(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """(toks, pre) — the tokenized corpus and its per-doc distinct
-    bigram counts, persisted ONCE per session+sf (the sig_stage
-    pattern): repeated invocations reuse one cached pair instead of
-    stacking a new persist per call."""
-    from fluss_spark.registry import session_key
+    bigram counts, persisted ONCE per session+sf through the cache
+    registry (budgeted + LRU-unpersisted; the sig_stage pattern):
+    repeated invocations reuse one cached pair instead of stacking a
+    new persist per call."""
+    from fluss_spark import cache_registry
 
-    key = (session_key(spark), sf)
-    cached = _BIGRAM_CACHE.get(key)
-    if cached is not None:
-        return cached
     d = load_spread(spark, sf, "documents").filter(F.trim("text") != "")
     # ONE tokenize pass feeds both the bigram staging and the vocab
     # count (previously the regex tokenizer ran twice over the corpus —
     # the single most expensive map stage in the query)
-    toks = d.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
+    toks = cache_registry.cache_df(
+        spark,
+        ("bigram_toks", sf),
+        lambda: d.select("doc_id", tokens(F.col("text")).alias("toks")),
+    )
     # stage the bigram structs before the generator (NOTES: an explode
     # over an inlined HOF chain re-evaluates it per output row)
     staged = toks.select(
@@ -1503,8 +1506,11 @@ def _bigram_stage(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     # denominators, the scoring join) moves the deduped relation, not
     # |tokens| occurrence rows. The per-doc average becomes the
     # cnt-weighted mean — identical math, smaller shuffles.
-    pre = bg.groupBy("doc_id", "w1", "b").agg(F.count("*").alias("cnt")).persist()
-    _BIGRAM_CACHE[key] = (toks, pre)
+    pre = cache_registry.cache_df(
+        spark,
+        ("bigram_pre", sf),
+        lambda: bg.groupBy("doc_id", "w1", "b").agg(F.count("*").alias("cnt")),
+    )
     return toks, pre
 
 

@@ -107,9 +107,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-_SPREAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-
 def session_key(spark: SparkSession) -> str:
     """Stable cache key for a live session: id(spark) can be REUSED by a
     new session after the old one is garbage-collected, handing out stale
@@ -125,21 +122,22 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     BEFORE the compute. At corpus scale the file count provides this
     parallelism and this helper is a no-op to remove.
 
-    The spread copy is persisted (once per session+table): a bare
-    repartition is NOT a reliable parallelism barrier — Catalyst pushes
-    deterministic projections and generator inputs below a round-robin
-    exchange, which lands the heavy expression chain back on the
+    The spread copy is persisted (once per session+table) through the
+    cache registry (budgeted, LRU-unpersisted): a bare repartition is
+    NOT a reliable parallelism barrier — Catalyst pushes deterministic
+    projections and generator inputs below a round-robin exchange,
+    which lands the heavy expression chain back on the
     single-partition scan task (measured 8-30x slower on the dedup
-    family). Persisting pins the 32-way layout; the test tables are MBs.
-    """
-    key = (session_key(spark), sf_dir, table)
-    cached = _SPREAD_CACHE.get(key)
-    if cached is not None:
-        return cached
+    family). Persisting pins the cores-wide layout; the test tables
+    are MBs."""
+    from fluss_spark import cache_registry
+
     n = spark.sparkContext.defaultParallelism
-    df = load(spark, sf_dir, table).repartition(n).persist()
-    _SPREAD_CACHE[key] = df
-    return df
+    return cache_registry.cache_df(
+        spark,
+        ("spread", sf_dir, table),
+        lambda: load(spark, sf_dir, table).repartition(n),
+    )
 
 
 def corpus_rows(sf_dir: str, table: str) -> int:
