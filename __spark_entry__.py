@@ -23,29 +23,29 @@ registry.load_all_queries()
 # operators take the window — the relational family keeps its two rounds
 # of driver-green history and stays covered by tests/test_oracle_parity.py,
 # which runs the identical compare over ALL registered queries.
-# Round-10 rotation (optimization round — the window certifies, it does
-# not add features). The union of the r1-r9 windows covers 189 of the
-# then-registered 190 queries; the 4 round-10-part-1 registrations
-# (l8/l9/m21/t21) have zero driver history. This round's window:
-#   - the FOUR zero-green registrations (l8_prefix_lookup_partitioned —
-#     VERDICT r9 item 1, the one never-green query — plus
-#     l9/m21/t21 from the same part-1 work);
-#   - second-green certification of the 12 r9 first-greens under their
-#     current oracles (m16-m20, t16-t20, s13, l3 — the m15
-#     two-consecutive-greens precedent);
-#   - the 5 remaining single-green rows (dd_semdedup,
-#     mm_resize_pipeline, op_transition_matrix, op_user_paths,
-#     op_anomaly_zscore);
-#   - the queries whose DECLARED plans or build paths this
-#     optimization round restructured, so the driver itself certifies
-#     result-identity of the optimized paths: fn_cms_topk_estimate and
-#     dd_cdc_spans (declared-plan rewrites), emb_outliers /
-#     ann_kmeans_ivf (shared quantizer), dd_incremental_lsh /
-#     ann_incremental_ivf (variant warm), l4-l7, l5-family and
-#     s12 (overlapped commits + drain caching), and the heaviest
-#     fused-transaction lifecycles (m12-m15, t11/t12/t14/t15).
-# The 10 engine-core sentinels stay: every engine lifecycle this round
-# runs through the fused single-exchange commit transaction.
+# Round-11 rotation (optimization round 2 — the window certifies, it
+# does not add features). Every registered query has r1-r10 driver-green
+# history; the union-of-windows staleness rule (VERDICT r10 item 9)
+# says the 26 rows rotated OUT in r10 (the tx_*/dd_*/ann_sq8/emb_* block
+# last greened in r9) take this round's free slots. This window:
+#   - the 10 engine-core sentinels (driver-green every round; every
+#     engine lifecycle also runs through this round's commit path);
+#   - every query whose DECLARED plan or build path THIS round
+#     restructured, so the driver itself certifies result-identity of
+#     the optimized paths: the five group-committed lifecycle builds
+#     (m14/t15/t16/m18/ann_incremental_ivf), the kernel PQ trainer's two
+#     consumers (ann_pq_adc/ann_ivfpq_adc), the plain-load/vectorized-
+#     kernel conversions (dd_exact, dd_cluster_components,
+#     tx_curation_pipeline, mm_decode_metadata), and the operators whose
+#     persists moved into the budgeted cache registry with a
+#     session-keyed (rather than per-invocation) cache frame
+#     (dd_cdc_spans, fn_cms_topk_estimate, tx_dsir_resample,
+#     tx_boilerplate_removal, tx_bigram_logloss);
+#   - the 26 r10-rotated-out rows for their fresh green under the
+#     current tree (the last two sit at positions 51-52 — outside the
+#     driver's 50-query window this round, next-in-line if it ever
+#     checks more; they keep their two-round-old greens and the
+#     in-tree oracle coverage).
 # Everything rotated out keeps its green rows and stays covered by
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered queries.
@@ -61,50 +61,54 @@ _PRIORITY = [
     "s9_tiered_log_scan",
     "t9_log_changelog_view",
     "a1_count_metadata",
-    # --- zero-green round-10-part-1 registrations ---
-    "l8_prefix_lookup_partitioned",
-    "l9_delta_join_indexed",
-    "m21_concurrent_commits",
-    "t21_stream_over_deferred_base",
-    # --- second-green certification of the r9 first-greens ---
-    "m16_auto_increment",
-    "m17_overwrite_merge",
-    "m18_wal_image_changelog",
-    "m19_snapshot_time_travel",
-    "m20_deferred_snapshot",
-    "t16_compacted_read",
-    "t17_log_ttl",
-    "t18_stream_subscription",
-    "t19_hybrid_stream_handoff",
-    "t20_exactly_once_redelivery",
-    "s13_bucket_offset_invariants",
-    "l3_insert_if_not_exists",
-    # --- remaining single-green rows ---
-    "dd_semdedup",
-    "mm_resize_pipeline",
-    "op_transition_matrix",
-    "op_user_paths",
-    "op_anomaly_zscore",
-    # --- declared plans / build paths this round restructured ---
-    "fn_cms_topk_estimate",
-    "dd_cdc_spans",
-    "emb_outliers",
-    "ann_kmeans_ivf",
-    "dd_incremental_lsh",
-    "ann_incremental_ivf",
-    "l4_lookup_join",
-    "l5_delta_join",
-    "l6_index_lookup",
-    "l7_vector_index",
-    "s12_multi_table_union",
-    "m12_sql_update_delete",
-    "m13_sql_merge_into",
+    # --- r11-restructured paths: group-committed lifecycle builds ---
     "m14_partitioned_pk",
-    "m15_pair_granular_commit",
-    "t11_materialized_table",
-    "t12_incremental_mt",
-    "t14_incremental_sessions",
     "t15_snapshot_diff",
+    "t16_compacted_read",
+    "m18_wal_image_changelog",
+    "ann_incremental_ivf",
+    # --- r11: kernel PQ trainer consumers ---
+    "ann_pq_adc",
+    "ann_ivfpq_adc",
+    # --- r11: plain-load inputs / vectorized Jaccard kernel ---
+    "dd_exact",
+    "dd_cluster_components",
+    "tx_curation_pipeline",
+    "mm_decode_metadata",
+    # --- r11: persists moved into the budgeted cache registry ---
+    "dd_cdc_spans",
+    "fn_cms_topk_estimate",
+    "tx_dsir_resample",
+    "tx_boilerplate_removal",
+    "tx_bigram_logloss",
+    # --- fresh green for the 26 rows rotated out in r10 ---
+    "ann_sq8_rerank",
+    "dd_minhash_estimate",
+    "dd_passage_dedup",
+    "dd_prefix_cluster",
+    "dd_simhash",
+    "dd_url_normalize",
+    "emb_label_stats",
+    "emb_pca_topcomponent",
+    "tx_blocklist_redact",
+    "tx_bpe_token_count",
+    "tx_bpe_train",
+    "tx_corpus_stats",
+    "tx_domain_mix",
+    "tx_fingerprint",
+    "tx_hash_sample",
+    "tx_lang_id",
+    "tx_pii_scrub",
+    "tx_quality_score",
+    "tx_repetition_score",
+    "tx_shard_packing",
+    "tx_stratified_sample",
+    "tx_top_terms",
+    "tx_unigram_logloss",
+    "tx_word_entropy",
+    # positions 51-52 (outside this round's 50-query window)
+    "tx_token_count",
+    "tx_length_histogram",
 ]
 
 
