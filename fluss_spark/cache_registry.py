@@ -53,11 +53,19 @@ def cache_df(
     key: tuple,
     builder: Callable[[], DataFrame],
     on_evict: Callable[[], None] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
-    """Return the session-cached persisted frame for `key`, building,
-    persisting and eagerly materializing it on first use. `on_evict`
-    runs when the entry is LRU-evicted or released (for side caches
-    holding references to the frame)."""
+    """Return the session-cached persisted frame for `key`, building
+    and persisting it on first use. `eager=True` (default) also
+    materializes it immediately — required when multiple JOBS consume
+    the frame and must not race a cold cache — and sizes the entry
+    from the measured storage delta. `eager=False` keeps the old lazy
+    `persist()` behavior (the first consuming job materializes as a
+    side effect — one pass, no separate count job; right for frames
+    consumed inside one job or whose first consumer runs immediately)
+    and sizes the entry from the plan-stats estimate. `on_evict` runs
+    when the entry is LRU-evicted or released (for side caches holding
+    references to the frame)."""
     app = _app(spark)
     with _LOCK:
         entries = _REG.setdefault(app, OrderedDict())
@@ -67,8 +75,17 @@ def cache_df(
             return hit[0]
         before = _stored_bytes(spark)
         df = builder().persist()
-        df.count()  # materialize before anyone else can race the cache
-        nbytes = max(_stored_bytes(spark) - before, 1)
+        if eager:
+            df.count()  # materialize before anyone else can race the cache
+            nbytes = max(_stored_bytes(spark) - before, 1)
+        else:
+            try:
+                est = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                est = 1
+            nbytes = max(1, min(est, 64 << 30))  # clamp nonsense estimates
         entries[key] = [df, nbytes, on_evict]
         _evict_over_budget(entries, keep=key)
         return df

@@ -301,6 +301,7 @@ def fn_cms_topk_estimate(spark: SparkSession, sf: str) -> DataFrame:
         lambda: tok.groupBy("word").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_exact")
         ),
+        eager=False,  # pre-registry behavior: lazy, first job materializes
     )
     counters = (
         wc.select("word", "n_exact", rows)

@@ -1369,6 +1369,10 @@ def tx_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
         ("boiler_segs", sf),
         lambda: segs.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
         .withColumn("fp", F.md5("seg")),
+        # lazy (the pre-registry behavior): both consumers sit in ONE
+        # job, which materializes the cache as a side effect — an eager
+        # count here measurably re-ran the explode chain (bench +0.4s)
+        eager=False,
     )
     boiler = (
         ex.groupBy("fp")
@@ -1480,6 +1484,7 @@ def _bigram_stage(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
         spark,
         ("bigram_toks", sf),
         lambda: d.select("doc_id", tokens(F.col("text")).alias("toks")),
+        eager=False,  # pre-registry behavior: lazy, first job materializes
     )
     # stage the bigram structs before the generator (NOTES: an explode
     # over an inlined HOF chain re-evaluates it per output row)
@@ -1510,6 +1515,7 @@ def _bigram_stage(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
         spark,
         ("bigram_pre", sf),
         lambda: bg.groupBy("doc_id", "w1", "b").agg(F.count("*").alias("cnt")),
+        eager=False,  # pre-registry behavior: lazy, first job materializes
     )
     return toks, pre
 

@@ -133,10 +133,14 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from fluss_spark import cache_registry
 
     n = spark.sparkContext.defaultParallelism
+    # eager=False: the pre-registry behavior — the first consumer's job
+    # materializes the spread as a side effect (one pass); an eager
+    # count here would add a separate full-table job per session+table
     return cache_registry.cache_df(
         spark,
         ("spread", sf_dir, table),
         lambda: load(spark, sf_dir, table).repartition(n),
+        eager=False,
     )
 
 
